@@ -1,0 +1,250 @@
+"""BigQuery -> Spark SQL dialect translation.
+
+The reference's models are written in BigQuery SQL; the complete dialect
+surface they touch (inventoried in SURVEY.md §2.2) is:
+
+- ``PARSE_DATETIME(format, s)`` / ``SAFE.PARSE_DATETIME(format, s)``
+  (reference: models/udf/function/parse_datetime.sql:9-16),
+- C-style datetime format elements ``%Y %m %d %H %M %S %E*S`` plus
+  literals (same file, lines 10-15),
+- types ``STRING``, ``INT64``, ``DATETIME``
+  (reference: models/udf/table_function/test_table_function.sql:4,9 and
+  models/datamart/schema.yml:8-10),
+- ``CAST(x AS INT64)`` with error-on-garbage (BigQuery semantics; matched
+  by Spark ANSI mode), and the ``SAFE.``/``SAFE_CAST`` null-on-failure
+  variants mapped to Spark's ``try_*`` family.
+
+Error-vs-NULL contract (the subtle part): BigQuery's ``SAFE.`` prefix
+returns NULL on runtime failure; unprefixed functions raise. Spark under
+ANSI mode raises from ``to_timestamp``/``cast`` and returns NULL from
+``try_to_timestamp``/``try_cast`` — an exact match, *including* laziness
+through ``COALESCE`` (probed: garbage input falls through the five try
+branches and raises on the strict final branch, as in BigQuery).
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "BQ_TYPE_MAP",
+    "bq_format_to_spark",
+    "bq_format_to_duckdb",
+    "transpile_bq_expr",
+    "spark_type_for",
+]
+
+# BigQuery type -> Spark SQL type (SURVEY.md §1 type table).
+BQ_TYPE_MAP: dict[str, str] = {
+    "STRING": "STRING",
+    "INT64": "BIGINT",
+    "INTEGER": "BIGINT",
+    "FLOAT64": "DOUBLE",
+    "NUMERIC": "DECIMAL(38,9)",
+    "BIGNUMERIC": "DECIMAL(38,18)",
+    "BOOL": "BOOLEAN",
+    "BOOLEAN": "BOOLEAN",
+    "BYTES": "BINARY",
+    "DATE": "DATE",
+    "DATETIME": "TIMESTAMP_NTZ",  # BQ DATETIME is civil (no zone)
+    "TIMESTAMP": "TIMESTAMP",  # BQ TIMESTAMP is an absolute instant
+    "TIME": "STRING",  # Spark has no TIME type; carried as string
+    "JSON": "STRING",
+}
+
+# BigQuery C-style format element -> Spark DateTimeFormatter pattern.
+# Spark parses 1..n fraction digits for n contiguous 'S', and supports
+# [] optional sections, so %E*S (any fractional precision, incl. none)
+# maps to ss followed by an optional fraction group.
+_BQ_FORMAT_ELEMENTS_SPARK: dict[str, str] = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%E*S": "ss[.SSSSSS]",
+    "%E6S": "ss.SSSSSS",
+    "%E3S": "ss.SSS",
+    "%j": "DDD",
+    "%y": "yy",
+    "%p": "a",
+    "%%": "%",
+}
+
+_BQ_FORMAT_ELEMENTS_DUCKDB: dict[str, str] = {
+    "%Y": "%Y",
+    "%m": "%m",
+    "%d": "%d",
+    "%H": "%H",
+    "%I": "%I",
+    "%M": "%M",
+    "%S": "%S",
+    # DuckDB %f parses 0-6 fractional digits (incl. absent) after the dot;
+    # the dot itself is literal, so %E*S needs a two-pattern ladder at the
+    # call site (with-fraction first, then without).
+    "%E*S": "%S.%f",
+    "%E6S": "%S.%f",
+    "%E3S": "%S.%g",
+    "%j": "%j",
+    "%y": "%y",
+    "%p": "%p",
+    "%%": "%%",
+}
+
+# Characters Java DateTimeFormatter treats as pattern letters or syntax —
+# everything alphabetic plus the reserved punctuation must be quoted when
+# it is a literal in the BQ format string.
+_SPARK_NEEDS_QUOTING = re.compile(r"[A-Za-z\[\]#{}']")
+
+_BQ_ELEMENT_RE = re.compile(r"%E\*S|%E\d+S|%%|%[A-Za-z]")
+
+
+def _spark_literal(chunk: str) -> str:
+    """Emit a literal chunk of a datetime pattern, quoting where needed."""
+    if not chunk:
+        return ""
+    if _SPARK_NEEDS_QUOTING.search(chunk):
+        return "'" + chunk.replace("'", "''") + "'"
+    return chunk
+
+
+def bq_format_to_spark(fmt: str) -> str:
+    """Translate a BigQuery C-style datetime format string to a Spark
+    DateTimeFormatter pattern (SURVEY.md §2.2 translation table)."""
+    out: list[str] = []
+    pos = 0
+    for m in _BQ_ELEMENT_RE.finditer(fmt):
+        out.append(_spark_literal(fmt[pos : m.start()]))
+        element = m.group(0)
+        try:
+            out.append(_BQ_FORMAT_ELEMENTS_SPARK[element])
+        except KeyError:
+            raise ValueError(f"unsupported BigQuery format element {element!r} in {fmt!r}")
+        pos = m.end()
+    out.append(_spark_literal(fmt[pos:]))
+    return "".join(out)
+
+
+def bq_format_to_duckdb(fmt: str) -> list[str]:
+    """Translate to DuckDB strptime format(s) for oracle SQL.
+
+    Returns a ladder of patterns to try in order (DuckDB's %f requires the
+    literal dot to be present, so ``%E*S`` expands to two patterns:
+    fractional first, then integral seconds).
+    """
+    if "%E*S" in fmt:
+        with_frac = fmt.replace("%E*S", "%S.%f")
+        without = fmt.replace("%E*S", "%S")
+        return [_duckdb_one(with_frac), _duckdb_one(without)]
+    return [_duckdb_one(fmt)]
+
+
+def _duckdb_one(fmt: str) -> str:
+    out: list[str] = []
+    pos = 0
+    for m in _BQ_ELEMENT_RE.finditer(fmt):
+        out.append(fmt[pos : m.start()])
+        element = m.group(0)
+        mapped = _BQ_FORMAT_ELEMENTS_DUCKDB.get(element, element)
+        out.append(mapped)
+        pos = m.end()
+    out.append(fmt[pos:])
+    return "".join(out)
+
+
+def spark_type_for(bq_type: str) -> str:
+    key = bq_type.strip().upper()
+    try:
+        return BQ_TYPE_MAP[key]
+    except KeyError:
+        raise ValueError(f"unmapped BigQuery type {bq_type!r}")
+
+
+def translate_param_list(params: list[str]) -> list[tuple[str, str]]:
+    """``['id STRING', 'n INT64']`` -> ``[('id','STRING'), ('n','BIGINT')]``.
+
+    Mirrors the reference's param contract
+    (reference: macros/udf/get_create_function_as_sql.sql:6-11).
+    """
+    out: list[tuple[str, str]] = []
+    for p in params:
+        parts = p.strip().split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"malformed param declaration {p!r}; expected 'name TYPE'")
+        out.append((parts[0], spark_type_for(parts[1])))
+    return out
+
+
+_PARSE_DT_RE = re.compile(
+    r"(?P<safe>SAFE\.)?PARSE_DATETIME\s*\(\s*'(?P<fmt>[^']*)'\s*,", re.IGNORECASE
+)
+_SAFE_CAST_RE = re.compile(r"\bSAFE_CAST\s*\(", re.IGNORECASE)
+# Only inside a CAST — the type keyword sits immediately before the
+# closing paren, which distinguishes it from a column alias like
+# ``parse_datetime(x) AS datetime``.
+_CAST_TYPE_RE = re.compile(
+    r"\bAS\s+(INT64|FLOAT64|DATETIME|BOOL|BYTES)\s*\)", re.IGNORECASE
+)
+
+
+def _parse_dt_repl(m: re.Match) -> str:
+    safe = bool(m.group("safe"))
+    pattern = bq_format_to_spark(m.group("fmt"))
+    sql_literal = "'" + pattern.replace("'", "''") + "'"
+    fn = "try_to_timestamp" if safe else "to_timestamp"
+    # Swap argument order: BQ is (format, string); Spark is (string, format).
+    # Emit a marker the argument-swapper resolves below.
+    return f"{fn}(@@FMT@@{sql_literal}@@,"
+
+
+def transpile_bq_expr(sql: str) -> str:
+    """Transpile the BigQuery expression dialect used by the reference's
+    models into Spark SQL.
+
+    Handles: (SAFE.)PARSE_DATETIME with argument-order swap and format
+    translation, SAFE_CAST -> try_cast, and BQ type keywords inside CAST.
+    Everything else in the reference's surface (COALESCE, literals,
+    comparison, SELECT list) is already common SQL.
+    """
+    out = _PARSE_DT_RE.sub(_parse_dt_repl, sql)
+    out = _swap_format_args(out)
+    out = _SAFE_CAST_RE.sub("try_cast(", out)
+    out = _CAST_TYPE_RE.sub(lambda m: "AS " + spark_type_for(m.group(1)) + ")", out)
+    return out
+
+
+def _swap_format_args(sql: str) -> str:
+    """Rewrite ``fn(@@FMT@@'p'@@, <arg>)`` to ``cast(fn(<arg>, 'p') as timestamp_ntz)``.
+
+    The argument may itself contain balanced parentheses (e.g. a nested
+    function call), so scan to the matching close paren.
+    """
+    marker = "@@FMT@@"
+    while marker in sql:
+        i = sql.index(marker)
+        j = sql.index("@@,", i)
+        pattern = sql[i + len(marker) : j]
+        # find the function-name start (scan back to the opening paren)
+        open_paren = sql.rindex("(", 0, i)
+        fn_start = open_paren
+        while fn_start > 0 and (sql[fn_start - 1].isalnum() or sql[fn_start - 1] == "_"):
+            fn_start -= 1
+        fn = sql[fn_start:open_paren]
+        # scan forward from after '@@,' to the matching close paren
+        k = j + 3
+        depth = 1
+        while depth > 0:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":  # skip string literal
+                k = sql.index("'", k + 1)
+            k += 1
+        arg = sql[j + 3 : k - 1].strip()
+        replacement = f"cast({fn}({arg}, {pattern}) as timestamp_ntz)"
+        sql = sql[:fn_start] + replacement + sql[k:]
+    return sql

@@ -1,0 +1,334 @@
+"""The model build system — the engine's re-expression of the reference's
+custom dbt materializations.
+
+Reference surface covered here (SURVEY.md §2.1 numbering):
+
+- F1/F2: ``function`` / ``table_function`` materializations
+  (reference: macros/udf/function.sql:1-32, macros/udf/table_function.sql:1-32)
+- F3/F4: DDL generation
+  (reference: macros/udf/get_create_function_as_sql.sql:13-17,
+  get_create_table_function_as_sql.sql:11-15)
+- F5: shared-namespace conflict check (reference: function.sql:4-7)
+- F6: pre/post hooks (reference: function.sql:10,13,22,27)
+- F7/F8: statement execution + commit — collapses to in-process
+  ``spark.sql`` (Spark catalog DDL auto-commits)
+- F9: relation registry (reference: function.sql:29-30)
+- F10: description persistence via ``COMMENT`` (reference: function.sql:16,
+  get_create_function_as_sql.sql:14 — BQ ``OPTIONS(description=...)``)
+- F11: model contract ``params`` / ``return_type``
+  (reference: models/udf/function/parse_datetime.sql:1-8)
+- F12/F13: ``ref()`` / ``source()`` resolution + DAG edges
+  (reference: models/udf/table_function/test_table_function.sql:10-12)
+- F14: environment-scoped namespaces (reference: README.md:178-193)
+- F15: ``table`` materialization + persist_docs
+  (reference: dbt_project.yml:40-43, models/datamart/schema.yml:4-10)
+- F16/F17: selective + parallel DAG builds (reference: README.md:322-337)
+
+Design stance (SURVEY.md §7): models compile to Spark SQL DDL strings and
+``spark.sql`` executes them — Catalyst is the parser/optimizer/executor.
+SQL UDF and TVF bodies are *inlined by the analyzer* into consuming plans,
+so a datamart CTAS through a TVF through a scalar UDF optimizes as one
+flat scan-filter-project with predicate pushdown into the parquet scan
+(verified via ``.explain``). No per-row function-call boundary exists at
+execution time, which is exactly BigQuery's behavior (SURVEY.md §3 E3).
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import SparkSession
+
+from ..catalog import (
+    EngineError,
+    catalog_lock,
+    check_name_conflict,
+    ensure_database,
+    env_database,
+)
+from ..functions.dialect import translate_param_list, transpile_bq_expr
+
+__all__ = ["ModelSpec", "Engine"]
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """A build unit: named SQL materialized into the Spark catalog.
+
+    ``sql`` may use ``{{ ref('model') }}`` / ``{{ source('ds','table') }}``
+    placeholders (the reference's dbt surface, minus full Jinja — which is
+    incidental to its semantics, SURVEY.md §7) and, for function kinds,
+    refer to declared parameters by name. ``dialect='bigquery'`` runs the
+    body through the BQ->Spark transpiler first.
+    """
+
+    name: str
+    kind: str  # 'function' | 'table_function' | 'table' | 'view'
+    sql: str
+    database: str = "udf"  # logical dataset; env suffix applied at build
+    params: tuple[str, ...] = ()  # 'name TYPE' (BQ types), function kinds only
+    return_type: str | None = None  # scalar functions only (BQ type)
+    description: str = ""
+    columns: dict[str, str] = field(default_factory=dict)  # col -> doc
+    tags: tuple[str, ...] = ()
+    pre_hooks: tuple[str, ...] = ()
+    post_hooks: tuple[str, ...] = ()
+    dialect: str = "bigquery"  # 'bigquery' | 'spark'
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("function", "table_function", "table", "view"):
+            raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
+        if self.kind == "function" and not self.return_type:
+            # Mirrors config.require('return_type')
+            # (reference: macros/udf/get_create_function_as_sql.sql:3-5).
+            raise EngineError(f"model {self.name}: scalar functions require return_type")
+
+    @property
+    def refs(self) -> tuple[str, ...]:
+        return tuple(dict.fromkeys(_REF_RE.findall(self.sql)))
+
+    @property
+    def sources(self) -> tuple[tuple[str, str], ...]:
+        return tuple(dict.fromkeys(_SOURCE_RE.findall(self.sql)))
+
+
+@dataclass
+class BuiltRelation:
+    """Relation-cache entry (reference: macros/udf/function.sql:29-30)."""
+
+    model: str
+    database: str
+    identifier: str
+    kind: str
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.identifier}"
+
+
+class Engine:
+    """Loads model specs, resolves the DAG, and materializes into Spark.
+
+    One engine instance per (SparkSession, environment). Sources are
+    expected to be registered as tables/views in the ``src`` database
+    (see sources/registry.py) because persistent SQL functions may not
+    reference temp objects (probed on 4.1.2).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        env: str | None = None,
+        source_database: str = "src",
+    ) -> None:
+        self.spark = spark
+        env_database("udf", env)  # validate env eagerly, not at build time
+        self.env = env
+        self.source_database = source_database
+        self.models: dict[str, ModelSpec] = {}
+        self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
+
+    # -- registration -----------------------------------------------------
+
+    def register(self, *specs: ModelSpec) -> "Engine":
+        for spec in specs:
+            if spec.name in self.models:
+                raise EngineError(f"duplicate model name {spec.name!r}")
+            self.models[spec.name] = spec
+        return self
+
+    # -- name resolution (F12/F13/F14) ------------------------------------
+
+    def database_for(self, spec: ModelSpec) -> str:
+        return env_database(spec.database, self.env)
+
+    def _resolve_ref(self, name: str, *, for_call: bool) -> str:
+        try:
+            target = self.models[name]
+        except KeyError:
+            raise EngineError(f"ref('{name}') does not match any registered model")
+        db = self.database_for(target)
+        if target.kind == "table_function":
+            # TVF invocation must be unqualified (probed); the caller is
+            # responsible for USE <db> — the engine does it during builds.
+            return name
+        return f"{db}.{name}"
+
+    def _resolve_source(self, dataset: str, table: str) -> str:
+        # All external sources live in the source database regardless of
+        # the reference's BQ dataset name (recorded for traceability).
+        return f"{self.source_database}.{table}"
+
+    def render(self, spec: ModelSpec) -> str:
+        """Compile the model body: dialect transpile + ref/source resolution.
+
+        The dbt analogue is Jinja compile (SURVEY.md §3 step 3); here it is
+        two regex passes over a plain SQL string.
+        """
+        sql = spec.sql
+        if spec.dialect == "bigquery":
+            sql = transpile_bq_expr(sql)
+        sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
+        sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)
+        return sql.strip().rstrip(";")
+
+    # -- materializations (F1/F2/F15) --------------------------------------
+
+    def _spark_params(self, spec: ModelSpec) -> str:
+        return ", ".join(f"{n} {t}" for n, t in translate_param_list(list(spec.params)))
+
+    def _comment_clause(self, spec: ModelSpec) -> str:
+        if not spec.description:
+            return ""
+        escaped = spec.description.strip().replace("'", "''")
+        return f" COMMENT '{escaped}'"
+
+    def _infer_tvf_schema(self, spec: ModelSpec, body: str) -> str:
+        """BigQuery infers a TVF's output schema from its body
+        (reference: get_create_table_function_as_sql.sql:11 emits no
+        RETURNS); Spark requires an explicit ``RETURNS TABLE (...)``, so
+        analyze the body once with parameters bound to typed NULLs."""
+        probe = body
+        for name, stype in translate_param_list(list(spec.params)):
+            probe = re.sub(rf"\b{re.escape(name)}\b", f"CAST(NULL AS {stype})", probe)
+        schema = self.spark.sql(f"SELECT * FROM ({probe}) LIMIT 0").schema
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+    def _materialize(self, spec: ModelSpec, replace: bool) -> BuiltRelation:
+        db = self.database_for(spec)
+        body = self.render(spec)
+        with catalog_lock:
+            ensure_database(self.spark, db)
+            if not replace:
+                check_name_conflict(self.spark, db, spec.name)  # F5
+            for hook in spec.pre_hooks:  # F6
+                self.spark.sql(hook)
+
+            if spec.kind == "function":
+                params = self._spark_params(spec)
+                rtype = translate_param_list([f"x {spec.return_type}"])[0][1]
+                ddl = (
+                    f"CREATE OR REPLACE FUNCTION {db}.{spec.name}({params}) "
+                    f"RETURNS {rtype}{self._comment_clause(spec)} RETURN {body}"
+                )
+                self.spark.sql(ddl)
+            elif spec.kind == "table_function":
+                prev_db = self.spark.catalog.currentDatabase()
+                self.spark.sql(f"USE {db}")
+                try:
+                    cols = self._infer_tvf_schema(spec, body)
+                    params = self._spark_params(spec)
+                    ddl = (
+                        f"CREATE OR REPLACE FUNCTION {db}.{spec.name}({params}) "
+                        f"RETURNS TABLE ({cols}){self._comment_clause(spec)} RETURN {body}"
+                    )
+                    self.spark.sql(ddl)
+                finally:
+                    self.spark.sql(f"USE {prev_db}")
+            elif spec.kind in ("table", "view"):
+                # The body may invoke TVFs, which resolve against the
+                # *referenced model's* database — switch there for the build.
+                call_db = self._tvf_call_database(spec)
+                prev_db = self.spark.catalog.currentDatabase()
+                if call_db:
+                    self.spark.sql(f"USE {call_db}")
+                try:
+                    if spec.kind == "table":
+                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                        self.spark.sql(
+                            f"CREATE TABLE {db}.{spec.name} USING parquet AS {body}"
+                        )
+                    else:
+                        self.spark.sql(
+                            f"CREATE OR REPLACE VIEW {db}.{spec.name} AS {body}"
+                        )
+                finally:
+                    if call_db:
+                        self.spark.sql(f"USE {prev_db}")
+                self._persist_docs(spec, db)  # F15 persist_docs
+            for hook in spec.post_hooks:  # F6
+                self.spark.sql(hook)
+
+        rel = BuiltRelation(spec.name, db, spec.name, spec.kind)
+        self.relations[spec.name] = rel  # F9
+        return rel
+
+    def _tvf_call_database(self, spec: ModelSpec) -> str | None:
+        for ref in spec.refs:
+            target = self.models.get(ref)
+            if target and target.kind == "table_function":
+                return self.database_for(target)
+        return None
+
+    def _persist_docs(self, spec: ModelSpec, db: str) -> None:
+        """Relation + column descriptions pushed to the catalog
+        (reference: dbt_project.yml:41-43 persist_docs;
+        models/datamart/schema.yml:4-10). Function descriptions are
+        embedded in the CREATE (F10) because, as in BigQuery, they cannot
+        be altered after the fact."""
+        if spec.kind not in ("table", "view"):
+            return
+        if spec.description:
+            escaped = spec.description.strip().replace("'", "''")
+            self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
+        if spec.kind == "table":
+            for col, doc in spec.columns.items():
+                escaped = doc.strip().replace("'", "''")
+                self.spark.sql(
+                    f"ALTER TABLE {db}.{spec.name} ALTER COLUMN {col} COMMENT '{escaped}'"
+                )
+
+    # -- DAG build (F12/F16/F17) -------------------------------------------
+
+    def _subgraph(self, select: list[str] | None) -> dict[str, ModelSpec]:
+        if select is None:
+            return dict(self.models)
+        out: dict[str, ModelSpec] = {}
+        stack = list(select)
+        while stack:
+            name = stack.pop()
+            if name in out:
+                continue
+            try:
+                spec = self.models[name]
+            except KeyError:
+                raise EngineError(f"--select {name}: no such model")
+            out[name] = spec
+            stack.extend(spec.refs)  # upstream closure
+        return out
+
+    def build(
+        self,
+        select: list[str] | None = None,
+        replace: bool = True,
+        threads: int = 8,
+    ) -> dict[str, BuiltRelation]:
+        """Topologically build the (selected closure of the) model DAG.
+
+        Independent nodes build concurrently, matching dbt's threaded
+        executor (the reference ran 8 threads — dbt_run_result.png).
+        ``replace=False`` restores the reference's strict conflict
+        behavior (F5) for fresh deployments.
+        """
+        graph = self._subgraph(select)
+        ts = TopologicalSorter({n: set(s.refs) & graph.keys() for n, s in graph.items()})
+        ts.prepare()
+        results: dict[str, BuiltRelation] = {}
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            while ts.is_active():
+                ready = list(ts.get_ready())
+                if not ready:
+                    break
+                futures = {
+                    n: pool.submit(self._materialize, graph[n], replace) for n in ready
+                }
+                for n, fut in futures.items():
+                    results[n] = fut.result()
+                    ts.done(n)
+        return results

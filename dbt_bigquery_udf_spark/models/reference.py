@@ -1,0 +1,143 @@
+"""The reference's model DAG, re-expressed for this engine.
+
+Graph (reference: SURVEY.md §3): external source ``test_table`` ->
+scalar UDF ``parse_datetime`` -> table function ``test_table_function``
+-> materialized table ``test_datamart``.
+
+Data mapping: the reference's source table
+(reference: models/udf/source.yml:4-9) has columns ``id``, ``column1``
+(numeric string), ``column2`` (datetime string in one of five formats).
+The driver's ``events`` table stands in (FIXTURES.md §1):
+``event_type -> id``, ``event_id -> column1``, ``ts`` formatted into the
+five reference formats (cycled deterministically by ``event_id % 5``) ->
+``column2``. The ``test_table`` view is created by
+:func:`register_test_table`.
+
+Documented deviation: the reference's TVF body ends with
+``WHERE id = '{{ id }}'`` (reference:
+models/udf/table_function/test_table_function.sql:14) where ``{{ id }}``
+is an undefined Jinja variable, so dbt compiles it to ``WHERE id = ''``
+— the function parameter is silently ignored (latent bug, SURVEY.md
+§2.2). The declared intent (``params=['id STRING']`` and the ``('123')``
+call) is a real parameter comparison, which is what this engine
+implements: ``WHERE id = id_param``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .core import ModelSpec
+
+__all__ = ["REFERENCE_MODELS", "register_test_table", "TEST_TABLE_SQL"]
+
+# The five formats from reference: models/udf/function/parse_datetime.sql:10-15,
+# cycled by event_id so every branch of the COALESCE fallback chain is
+# exercised by real rows.
+TEST_TABLE_SQL = """
+SELECT
+  event_type AS id,
+  CAST(event_id AS STRING) AS column1,
+  CASE CAST(event_id % 5 AS INT)
+    WHEN 0 THEN date_format(ts, 'yyyy/MM/dd HH:mm:ss')
+    WHEN 1 THEN date_format(ts, 'yyyy/MM/dd')
+    WHEN 2 THEN date_format(ts, 'yyyy-MM-dd HH:mm:ss')
+    WHEN 3 THEN date_format(ts, 'yyyy-MM-dd')
+    ELSE concat(date_format(ts, 'yyyy-MM-dd'), 'T',
+                date_format(ts, 'HH:mm:ss.SSSSSS'), 'Z')
+  END AS column2
+FROM {events}
+"""
+
+
+def register_test_table(
+    spark: SparkSession, database: str = "src", persistent: bool = True
+) -> None:
+    """Create the ``test_table`` stand-in view over ``events``."""
+    if persistent:
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {database}.test_table AS "
+            + TEST_TABLE_SQL.format(events=f"{database}.events")
+        )
+    else:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW test_table AS "
+            + TEST_TABLE_SQL.format(events="events")
+        )
+
+
+PARSE_DATETIME = ModelSpec(
+    name="parse_datetime",
+    kind="function",
+    database="udf",
+    params=("timestamp_expression STRING",),
+    return_type="DATETIME",
+    description=(
+        "* Purpose: convert a string to a civil datetime\n"
+        "* Param: timestamp_expression(STRING)\n"
+        "* Returns: DATETIME\n"
+        "* Example: parse_datetime('2023/01/01 12:00:00') -> 2023-01-01T12:00:00"
+    ),
+    # Same fallback-chain semantics as reference:
+    # models/udf/function/parse_datetime.sql:9-16 — five SAFE branches
+    # (NULL on mismatch) then a strict branch that raises, in BQ dialect;
+    # the engine transpiles to try_to_timestamp/to_timestamp.
+    sql="""
+COALESCE(
+  SAFE.PARSE_DATETIME('%Y/%m/%d %H:%M:%S', timestamp_expression),
+  SAFE.PARSE_DATETIME('%Y/%m/%d', timestamp_expression),
+  SAFE.PARSE_DATETIME('%Y-%m-%d %H:%M:%S', timestamp_expression),
+  SAFE.PARSE_DATETIME('%Y-%m-%d', timestamp_expression),
+  SAFE.PARSE_DATETIME('%Y-%m-%dT%H:%M:%E*SZ', timestamp_expression),
+  PARSE_DATETIME('%Y/%m/%d %H:%M:%S', timestamp_expression)
+)
+""",
+)
+
+TEST_TABLE_FUNCTION = ModelSpec(
+    name="test_table_function",
+    kind="table_function",
+    database="udf",
+    params=("id_param STRING",),
+    description="* Purpose: parameterized filter over test_table\n* Param: id_param(STRING)",
+    # Semantics of reference: models/udf/table_function/test_table_function.sql:8-14
+    # with the intended (not the bugged) WHERE; see module docstring.
+    sql="""
+SELECT
+  CAST(column1 AS INT64) AS column1,
+  {{ ref('parse_datetime') }}(column2) AS datetime
+FROM
+  {{ source('joshua_dataset', 'test_table') }}
+WHERE
+  id = id_param
+""",
+)
+
+TEST_DATAMART = ModelSpec(
+    name="test_datamart",
+    kind="table",
+    database="datamart",
+    description="materialized result of test_table_function over the click slice",
+    columns={
+        # reference: models/datamart/schema.yml:6-10 (INT64 -> BIGINT,
+        # DATETIME -> TIMESTAMP_NTZ).
+        "column1": "unique event identifier (INT64 in the reference)",
+        "datetime": "event time parsed by parse_datetime (DATETIME in the reference)",
+    },
+    # reference: models/datamart/test_datamart.sql:1-5 calls the TVF with
+    # the literal '123'; our stand-in data keys `id` by event_type, so the
+    # argument is 'click' to select a real slice.
+    sql="""
+SELECT
+  column1,
+  datetime
+FROM
+  {{ ref('test_table_function') }}('click')
+""",
+)
+
+REFERENCE_MODELS: tuple[ModelSpec, ...] = (
+    PARSE_DATETIME,
+    TEST_TABLE_FUNCTION,
+    TEST_DATAMART,
+)

@@ -1,0 +1,98 @@
+"""Dialect-layer unit tests + parse_datetime golden vectors (FIXTURES.md §3,
+sourced from the reference's own docs at models/udf/schema.yml:10-12)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dbt_bigquery_udf_spark.functions.dialect import (
+    bq_format_to_duckdb,
+    bq_format_to_spark,
+    spark_type_for,
+    translate_param_list,
+    transpile_bq_expr,
+)
+from dbt_bigquery_udf_spark.models.reference import PARSE_DATETIME
+
+
+def test_format_translation():
+    assert bq_format_to_spark("%Y/%m/%d %H:%M:%S") == "yyyy/MM/dd HH:mm:ss"
+    assert bq_format_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert (
+        bq_format_to_spark("%Y-%m-%dT%H:%M:%E*SZ")
+        == "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]'Z'"
+    )
+
+
+def test_format_translation_duckdb_ladder():
+    assert bq_format_to_duckdb("%Y-%m-%dT%H:%M:%E*SZ") == [
+        "%Y-%m-%dT%H:%M:%S.%fZ",
+        "%Y-%m-%dT%H:%M:%SZ",
+    ]
+    assert bq_format_to_duckdb("%Y/%m/%d") == ["%Y/%m/%d"]
+
+
+def test_unknown_format_element_rejected():
+    with pytest.raises(ValueError):
+        bq_format_to_spark("%Q")
+
+
+def test_type_map():
+    assert spark_type_for("INT64") == "BIGINT"
+    assert spark_type_for("DATETIME") == "TIMESTAMP_NTZ"
+    assert translate_param_list(["id STRING", "n INT64"]) == [
+        ("id", "STRING"),
+        ("n", "BIGINT"),
+    ]
+
+
+def test_transpile_safe_and_strict():
+    out = transpile_bq_expr("SAFE.PARSE_DATETIME('%Y-%m-%d', x)")
+    assert out == "cast(try_to_timestamp(x, 'yyyy-MM-dd') as timestamp_ntz)"
+    out = transpile_bq_expr("PARSE_DATETIME('%Y-%m-%d', f(a, b))")
+    assert out == "cast(to_timestamp(f(a, b), 'yyyy-MM-dd') as timestamp_ntz)"
+
+
+def test_transpile_cast_types_but_not_aliases():
+    out = transpile_bq_expr("SELECT CAST(c AS INT64) AS column1, f(x) AS datetime")
+    assert "CAST(c AS BIGINT)" in out
+    assert "AS datetime" in out  # alias untouched
+    assert transpile_bq_expr("SAFE_CAST(c AS INT64)") == "try_cast(c AS BIGINT)"
+
+
+GOLDEN = [
+    # (input, expected) — FIXTURES.md §3; first row is the reference's
+    # documented example (models/udf/schema.yml:10-12).
+    ("2023/01/01 12:00:00", datetime.datetime(2023, 1, 1, 12, 0, 0)),
+    ("2023/11/01", datetime.datetime(2023, 11, 1)),
+    ("2023-01-01 12:00:00", datetime.datetime(2023, 1, 1, 12, 0, 0)),
+    ("2023-11-01", datetime.datetime(2023, 11, 1)),
+    ("2023-01-01T12:00:00.123456Z", datetime.datetime(2023, 1, 1, 12, 0, 0, 123456)),
+    ("2023-01-01T12:00:07Z", datetime.datetime(2023, 1, 1, 12, 0, 7)),
+    (None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def parse_expr():
+    return transpile_bq_expr(PARSE_DATETIME.sql).replace("timestamp_expression", "s")
+
+
+def test_parse_datetime_golden_vectors(spark, parse_expr):
+    values = ", ".join(
+        f"('{s}')" if s is not None else "(CAST(NULL AS STRING))" for s, _ in GOLDEN
+    )
+    rows = spark.sql(
+        f"SELECT {parse_expr} AS dt FROM VALUES {values} AS t(s)"
+    ).collect()
+    assert [r.dt for r in rows] == [exp for _, exp in GOLDEN]
+
+
+def test_parse_datetime_garbage_raises(spark, parse_expr):
+    # BigQuery semantics: the unprefixed final branch errors
+    # (reference: models/udf/function/parse_datetime.sql:15).
+    expr = parse_expr.replace("s,", "'garbage',").replace("(s", "('garbage'")
+    with pytest.raises(Exception):
+        spark.sql(f"SELECT {expr} AS dt").collect()

@@ -1,0 +1,106 @@
+"""Framework tests (SURVEY.md §5.4): DAG build, conflict check, env
+routing, description persistence, selective build."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_bigquery_udf_spark.api import bootstrap, build_reference_dag
+from dbt_bigquery_udf_spark.catalog import NameConflictError, env_database
+from dbt_bigquery_udf_spark.models.core import Engine, ModelSpec
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_small):
+    return build_reference_dag(spark, sf_small)
+
+
+def test_dag_relations(built):
+    assert built.relations["parse_datetime"].qualified == "udf.parse_datetime"
+    assert built.relations["test_table_function"].qualified == "udf.test_table_function"
+    assert built.relations["test_datamart"].qualified == "datamart.test_datamart"
+
+
+def test_datamart_schema_and_rows(spark, built):
+    # Output schema pinned by reference: models/datamart/schema.yml:6-10.
+    df = spark.table("datamart.test_datamart")
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("column1", "bigint"),
+        ("datetime", "timestamp_ntz"),
+    ]
+    assert df.count() > 0
+
+
+def test_function_description_persisted(spark, built):
+    # F10: BQ OPTIONS(description=...) -> Spark COMMENT, retrievable
+    # (reference: macros/udf/get_create_function_as_sql.sql:14).
+    rows = spark.sql("DESCRIBE FUNCTION EXTENDED udf.parse_datetime").collect()
+    text = "\n".join(r[0] for r in rows)
+    assert "convert a string to a civil datetime" in text
+
+
+def test_table_docs_persisted(spark, built):
+    rows = spark.sql("DESCRIBE TABLE datamart.test_datamart").collect()
+    by_col = {r.col_name: r.comment for r in rows}
+    assert "unique event identifier" in (by_col.get("column1") or "")
+
+
+def test_conflict_check(spark, built):
+    # F5: shared-namespace rule (reference: macros/udf/function.sql:4-7).
+    eng = Engine(spark)
+    eng.register(
+        ModelSpec(
+            name="parse_datetime",
+            kind="function",
+            database="udf",
+            params=("x STRING",),
+            return_type="STRING",
+            sql="x",
+            dialect="spark",
+        )
+    )
+    with pytest.raises(NameConflictError):
+        eng.build(replace=False)
+    # replace=True succeeds and leaves a working function
+    build_reference_dag(spark, "/root/testdata/sf0.001")
+
+
+def test_env_routing(spark, sf_small):
+    # F14: same logical model in an env-suffixed database
+    # (reference: README.md:178-193).
+    assert env_database("udf", None) == "udf"
+    assert env_database("udf", "prod") == "udf"
+    assert env_database("udf", "staging") == "udf_staging"
+    eng = bootstrap(spark, sf_small, env="staging")
+    eng.build()
+    assert spark.catalog.functionExists("udf_staging.parse_datetime")
+    assert spark.table("datamart_staging.test_datamart").count() > 0
+
+
+def test_selective_build(spark, sf_small):
+    # F16: --select closure only builds the upstream subgraph.
+    eng = bootstrap(spark, sf_small, env="dev")
+    eng.build(select=["test_table_function"])
+    assert set(eng.relations) == {"parse_datetime", "test_table_function"}
+    assert spark.catalog.functionExists("udf_dev.test_table_function")
+    assert not spark.catalog.tableExists("datamart_dev.test_datamart")
+
+
+def test_tvf_inlines_with_pushdown(spark, built):
+    # The TVF + UDF must inline into a single scan with the filter pushed
+    # to parquet (SURVEY.md §4) — the 100 TB design point.
+    from dbt_bigquery_udf_spark.catalog import catalog_lock
+
+    with catalog_lock:
+        prev = spark.catalog.currentDatabase()
+        spark.sql("USE udf")
+        try:
+            df = spark.sql("SELECT * FROM test_table_function('click')")
+        finally:
+            spark.sql(f"USE {prev}")
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EqualTo(event_type,click)" in plan  # predicate reached the scan
+    assert "Exchange" not in plan  # scan->filter->project is shuffle-free

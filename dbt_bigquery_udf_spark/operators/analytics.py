@@ -1,0 +1,415 @@
+"""General analytics operators over the TPC-H-ish tables.
+
+The reference itself contains no joins/aggregations (SURVEY.md §2.3), but
+the engine is mandated to be a complete data-processing layer
+(BASELINE.json north star), and these queries are the bench headliners.
+Each is written DataFrame-first, lets Catalyst pick the physical strategy,
+and is annotated with its 100 TB scale story.
+
+Float policy: every double aggregate is rounded (2-6 decimals) in BOTH
+the Spark query and the DuckDB oracle so order-of-summation ulp noise
+cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.registry import register_sources
+
+
+def _src(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return register_sources(spark, sf_dir)
+
+
+# -- aggregation -----------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan -> partial agg -> final agg.
+
+    Scale: map-side partial aggregation keeps the shuffle at
+    |groups| x |partitions| rows — a few KB even at 100 TB; the parquet
+    scan prunes to 6 of 11 columns and pushes the date filter down.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global agg — the pushdown showcase.
+
+    Scale: all four predicates reach the parquet row-group statistics;
+    a date-partitioned 100 TB layout would additionally prune partitions.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.02, 0.09)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+# -- joins ----------------------------------------------------------------
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> fact joins -> top-k.
+
+    Scale: customer(filtered) broadcasts under AQE thresholds; the
+    lineitem-orders join shuffles on orderkey (co-partitionable via
+    bucketing at deploy time). ORDER BY + LIMIT executes as TakeOrdered —
+    no global sort.
+    """
+    s = _src(spark, sf_dir)
+    c = s["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        s["orders"]
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join rolled up to nation.
+
+    Scale: supplier/nation/region are classic broadcast dims (KB-MB at
+    any SF); only lineitem streams. One shuffle for the final group-by.
+    """
+    s = _src(spark, sf_dir)
+    r = s["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        s["lineitem"]
+        .join(F.broadcast(s["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      ) AS with_big_order,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ) AS never_ordered
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS).
+
+    Scale: both sides shuffle on custkey; semi/anti avoid materializing
+    payload columns from the probe side.
+    """
+    s = _src(spark, sf_dir)
+    big = s["orders"].filter(F.col("o_totalprice") > 200000)
+    with_big = s["customer"].join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+    never = s["customer"].join(
+        s["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return with_big.agg(F.count(F.lit(1)).alias("with_big_order")).crossJoin(
+        never.agg(F.count(F.lit(1)).alias("never_ordered"))
+    )
+
+
+# -- window functions ------------------------------------------------------
+
+
+@register(
+    "window_top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice,
+             rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part
+    ) WHERE rk <= 3
+    """,
+)
+def window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window.
+
+    Scale: one shuffle on the partition key; rank+filter avoids a global
+    sort. Skewed brands are AQE-splittable since rank only needs
+    per-partition order.
+    """
+    p = _src(spark, sf_dir)["part"]
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ordered frame)."""
+    o = _src(spark, sf_dir)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# -- set operations, distinct, rollup -------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    """
+    SELECT n_nationkey FROM (
+      SELECT s_nationkey AS n_nationkey FROM supplier
+      INTERSECT
+      SELECT c_nationkey FROM customer
+    ) ORDER BY n_nationkey
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (nations having both suppliers and customers)."""
+    s = _src(spark, sf_dir)
+    return (
+        s["supplier"]
+        .select(F.col("s_nationkey").alias("n_nationkey"))
+        .intersect(s["customer"].select(F.col("c_nationkey").alias("n_nationkey")))
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping sets)."""
+    o = _src(spark, sf_dir)["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
+           count(*) AS rows_total
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (expand + two-phase agg).
+
+    Scale: for dashboards at 100 TB, swap to approx_count_distinct (HLL,
+    no expand) — kept exact here for oracle parity; the approx variant is
+    exercised rows-only in tests.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count(F.lit(1)).alias("rows_total"),
+    )
+
+
+# -- events: JSON + time-series -------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON property extraction + aggregation.
+
+    Scale: get_json_object is codegen'd JVM-side; for hot paths a
+    one-time parse to a struct column (from_json at ingest) amortizes.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "events_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time (batch form of the
+    streaming hourly rollup in streaming/pipelines.py)."""
+    ev = _src(spark, sf_dir)["events"]
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
+    the canonical batch session operator.
+
+    Scale: two window passes over one shuffle by user_id; at 100 TB,
+    pre-bucketing by user_id makes this shuffle-free. The streaming
+    equivalent (applyInPandasWithState) lives in streaming/pipelines.py.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_exceeded = (F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | gap_exceeded, 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

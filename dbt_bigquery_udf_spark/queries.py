@@ -125,3 +125,8 @@ def ref_tvf_param(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.sql(f"USE {prev}")
+
+
+# Extension operators register themselves on import (must come after
+# ``register`` is defined — the circular import is intentional and safe).
+from . import operators  # noqa: E402,F401

@@ -1,1 +1,326 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators over ``documents`` / ``embeddings`` —
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine.
+
+Engine-portability rule: every hash is md5 (bit-identical in Spark and
+DuckDB), so each operator has an *exact* SQL oracle — no
+recall-threshold hand-waving. Spark-side implementations stay in
+built-in higher-order functions (transform/aggregate/zip_with), never
+Python UDFs.
+
+100 TB scale design, per operator:
+
+- exact: hash-groupBy on md5(text) — one shuffle of (hash, id), payload
+  pruned by Catalyst.
+- MinHash LSH: per-row signature (narrow) -> explode 4 band rows/doc ->
+  shuffle join on (band, band_hash). Candidate count scales with true
+  duplicate density, not |docs|^2; the verify join only touches
+  candidates. This is the standard shingle->minhash->band->bucket-join
+  pipeline.
+- SimHash: entirely per-row (no shuffle at all) via nested array
+  aggregates; Hamming-bucket join would follow the LSH shape above.
+- n-gram Jaccard: restricted to an LSH-candidate pair set — the
+  all-pairs variant exists only inside the DuckDB oracle at test scale.
+- embedding cosine: per-label blocking + rounded-cosine ranking; the
+  unblocked form is the similarity module's brute-force top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.registry import register_sources
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+# Shared shingle expressions (word 3-grams over lowercased text), kept
+# textually parallel between Spark SQL and the DuckDB oracle.
+_SPARK_SHINGLES = """
+array_distinct(transform(
+  sequence(0, greatest(size(words) - 3, 0)),
+  i -> concat_ws(' ', words[i], words[i+1], words[i+2])
+))
+"""
+
+_DUCK_SHINGLES = """
+list_distinct([array_to_string(words[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(words) - 2, 1))])
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_sources(spark, sf_dir, tables=("documents",))["documents"]
+
+
+# -- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the min doc_id as canonical."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+
+def _minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float | None = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Verified near-dup pairs via minhash banding.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 4 decimals, filtered to >= ``threshold`` unless it is None.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("words")
+    ).select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+
+    # 16 md5-salted minhashes, entirely per-row.
+    minhash_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = base.select("doc_id", "sh", *minhash_cols)
+
+    # 4 band hashes per doc -> long (doc_id, band, band_hash) form.
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", "sh", *band_cols)
+    long = banded.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "sh", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+    a = long.alias("a")
+    b = long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    out = cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def _duck_minhash_pairs() -> str:
+    hashes = ", ".join(
+        f"list_min([md5('{i}:' || s) for s in sh]) AS h{i}" for i in range(N_HASHES)
+    )
+    bands = ", ".join(
+        "md5(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, b{b} AS bh FROM banded" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents)
+    ), sigs AS (
+      SELECT doc_id, sh, {hashes} FROM base
+    ), banded AS (
+      SELECT *, {bands} FROM sigs
+    ), long AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long a JOIN long b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+      FROM cand c JOIN base x ON x.doc_id = c.doc_a JOIN base y ON y.doc_id = c.doc_b
+    )
+    """
+
+
+@register(
+    "dedup_minhash_pairs",
+    _duck_minhash_pairs()
+    + f"SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified."""
+    return _minhash_lsh_candidates(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_survivors",
+    _duck_minhash_pairs()
+    + f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD})
+    """,
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving near-dup removal: any doc with a smaller-id
+    verified near-duplicate is dropped (min-id canonical policy)."""
+    pairs = _minhash_lsh_candidates(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    return d.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+
+
+# -- n-gram Jaccard on candidate pairs ------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _duck_minhash_pairs() + "SELECT doc_a, doc_b, jaccard FROM verified",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for every LSH candidate pair
+    (unfiltered — exposes the verify stage itself)."""
+    return _minhash_lsh_candidates(spark, sf_dir, threshold=None)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+_SPARK_SIMHASH = """
+aggregate(
+  sequence(0, 31), cast(0 as bigint),
+  (acc, j) -> acc + IF(
+    aggregate(vs, cast(0 as bigint),
+              (a, v) -> a + IF(((v >> j) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))) > 0,
+    shiftleft(cast(1 as bigint), j), cast(0 as bigint))
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS t
+      FROM documents
+    ), v AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v FROM tok
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM v, (SELECT unnest(generate_series(0, 31)) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, computed per-row with nested array
+    aggregates — zero shuffle (the oracle uses an equivalent
+    explode/group-by formulation)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(lower(trim(text)), ' ')), "
+                "t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+            ).alias("vs"),
+        )
+        .select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
+    )
+
+
+# -- embedding cosine near-dup --------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 most-similar same-label pairs by
+    cosine (label acts as the blocking key, the IVF-style scale lever:
+    the pair space is |label_bucket|^2, not |corpus|^2)."""
+    e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    e = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    dot = "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+    nrm = (
+        "sqrt(aggregate(transform({side}.emb, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+    )
+    cos = F.expr(f"{dot} / ({nrm.format(side='a')} * {nrm.format(side='b')})")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )

@@ -1,1 +1,200 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting).
+
+All heavy lifting stays JVM-side in built-in functions (split,
+regexp_extract_all, transform/aggregate over arrays, md5) — no Python
+UDFs in any hot path. Every operator has an exact DuckDB oracle: hash
+functions are md5 (bit-identical across engines) and ratios are rounded
+before comparison.
+
+Scale notes: every query here is embarrassingly parallel per document
+(narrow transformations, no shuffle except final aggregates), so 100 TB
+throughput is bounded by parquet scan + codegen — the ideal shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.registry import register_sources
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible on both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "zh": ("的", "是", "了", "我", "不"),
+}
+
+_STOPWORDS = LANG_MARKERS["en"]
+
+# A BPE-ish tokenizer regex: words, numbers, or single punctuation —
+# the standard pre-tokenization shape (letters/digits/other classes).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_sources(spark, sf_dir, tables=("documents",))["documents"]
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS type_token_ratio,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, type-token
+    ratio, and a BPE-ish regex token count."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+        ).alias("type_token_ratio"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+def _stopword_hits_sql_duckdb() -> str:
+    return (
+        "len(list_filter(string_split(text, ' '), t -> t IN ("
+        + ", ".join(f"'{w}'" for w in _STOPWORDS)
+        + ")))"
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_stopword_hits_sql_duckdb()} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+           round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, and a pass/fail gate — the C4-style filter shape."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tokens = F.size(toks)
+    ratio = stop_hits * F.lit(1.0) / n_tokens
+    return d.select(
+        "doc_id",
+        F.round(F.col("n_chars") * F.lit(1.0) / n_tokens, 4).alias("mean_token_len"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when((n_tokens >= 20) & ratio.between(0.01, 0.5), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+def _lang_score_duckdb(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({markers})))"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_labeled,
+             {_lang_score_duckdb('en')} AS s_en,
+             {_lang_score_duckdb('es')} AS s_es,
+             {_lang_score_duckdb('fr')} AS s_fr,
+             {_lang_score_duckdb('de')} AS s_de,
+             {_lang_score_duckdb('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang_labeled,
+           CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             WHEN s_de THEN 'de'
+             ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax of per-language stopword hits,
+    first-match tie-break en>es>fr>de>zh, 'und' when no marker hits).
+
+    A real deployment swaps the lexicons for character n-gram profiles —
+    the operator shape (per-row scoring, no shuffle) is identical.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: score(lang) for lang in ("en", "es", "fr", "de", "zh")}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lang in ("en", "es", "fr", "de", "zh"):  # tie-break order
+        pred = pred.when(scores[lang] == best, lang)
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_labeled"), pred.alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS exact_fp,
+           list_min([md5(s) for s in
+             [array_to_string(words[i:i+2], ' ') for i in
+               generate_series(1, greatest(len(words) - 2, 1))]]) AS shingle_fp
+    FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS words
+          FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + min-hash over word
+    3-gram shingles (the rolling-hash shape used for near-dup detection;
+    md5 keeps it engine-portable and deterministic)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", words[i], words[i + 1], words[i + 2]
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
+        F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
+    )

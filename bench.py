@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per-query time is end-to-end: plan construction + execution + collect
+(matching how the driver consumes results). SparkSession startup is
+excluded (paid once, reported separately inside the JSON for context).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_bigquery_udf_spark import get_spark  # noqa: E402
+from dbt_bigquery_udf_spark import queries as Q  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (reference DAG,
+# TPC-H-style analytics, windows/sessionization, dedup, text,
+# similarity, multimodal). Names must exist in the query registry.
+HEADLINE = [
+    "ref_datamart_e2e",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_volume",
+    "q6_revenue_forecast",
+    "window_top_parts_per_brand",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "text_quality_score",
+    "sim_topk_brute",
+    "sim_topk_batch",
+    "mm_decode_features",
+    "mm_props_extract",
+]
+
+
+def main() -> None:
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="bench")
+    startup = time.perf_counter() - t0
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t, 3)
+        assert len(rows) >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "startup_sec": round(startup, 3),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "auto"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

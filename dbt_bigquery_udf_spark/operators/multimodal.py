@@ -1,1 +1,224 @@
-"""Placeholder — filled in this round."""
+"""Multimodal-column operators: opaque ``binary`` payloads with typed
+metadata, JSON prop extraction, and a Pandas-UDF decode/feature
+pipeline over ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked STUB (``decode_image_real`` raises NotImplementedError;
+``_fake_decode`` is the deterministic stand-in) — but everything
+Spark-side is real and tested: the binary column plumbing, the metadata
+struct schema, the Arrow batch shapes through ``mapInPandas``, and the
+output contract. Swapping the stub for PIL/ffmpeg changes one function.
+
+The synthetic media corpus derives from ``documents``: each document's
+utf-8 bytes act as an opaque payload (``media_blob``), which keeps every
+operator oracle-checkable (DuckDB sees the same bytes as text).
+
+100 TB scale design: payloads stay in parquet binary columns and are
+only materialized inside the Arrow batches of the decode stage —
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory
+(set in the engine confs); metadata-only queries never touch the blob
+column thanks to parquet column pruning. Decode is embarrassingly
+parallel; frame-sampling fans out rows with ``explode`` BEFORE decode
+so a long video never serializes through one task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..queries import register
+from ..sources.registry import register_sources
+
+FRAME_STRIDE = 7  # sample every 7th synthetic frame
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic media table: binary payload + typed metadata struct.
+
+    media_id / media_blob (binary) / meta struct<kind, n_bytes, lang> —
+    the schema shape a real image/audio lake table would carry.
+    """
+    d = register_sources(spark, sf_dir, tables=("documents",))["documents"]
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("media_blob"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+            F.col("n_chars").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(blob: bytes) -> tuple[int, int]:
+    """Real decoder entry point — requires an image codec (PIL/opencv),
+    which this container does not ship. STUB."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use _fake_decode (deterministic) or install PIL and implement here"
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for decode: derive (width, height, phash)
+    from the payload's md5 so the result is oracle-checkable."""
+    h = hashlib.md5(blob).hexdigest()
+    width = int(h[:4], 16) % 1024
+    height = int(h[4:8], 16) % 1024
+    return width, height, h[:16]
+
+
+# -- metadata-only query (never touches the blob) --------------------------
+
+
+@register(
+    "mm_media_stats",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           lang,
+           count(*) AS n_media,
+           sum(n_chars) AS total_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata aggregation over the media table. The blob column is
+    pruned out of the parquet scan (metadata-only queries stay cheap
+    however large the payloads are)."""
+    m = _media(spark, sf_dir)
+    return m.groupBy(
+        F.col("meta.kind").alias("kind"), F.col("meta.lang").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+    )
+
+
+# -- Pandas-UDF decode / feature-extract over mapInPandas ------------------
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in, decoded-feature batch out.
+
+    Real decode would call ``decode_image_real`` per row; the stub keeps
+    the exact same batch shape and per-row cost profile.
+    """
+    for pdf in batches:
+        decoded = [_fake_decode(b) for b in pdf["media_blob"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "phash": [d[2] for d in decoded],
+                "n_bytes": [len(b) for b in pdf["media_blob"]],
+            }
+        )
+
+
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           ('0x' || substr(md5(text), 1, 4))::INT % 1024 AS width,
+           ('0x' || substr(md5(text), 5, 4))::INT % 1024 AS height,
+           substr(md5(text), 1, 16) AS phash,
+           strlen(text) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via a Pandas-UDF ``mapInPandas``
+    pipeline: binary payload -> (width, height, perceptual hash).
+
+    The decode itself is the deterministic stub (no codecs in this
+    container); the Arrow plumbing — binary column through batches,
+    typed output schema — is the real production shape.
+    """
+    m = _media(spark, sf_dir).select(
+        "media_id", F.col("meta.kind").alias("kind"), "media_blob"
+    )
+    return m.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+# -- frame sampling (explode-before-decode) --------------------------------
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+    WITH frames AS (
+      SELECT doc_id AS media_id, unnest(generate_series(0, n_chars - 1, {FRAME_STRIDE})) AS frame_no
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT media_id, count(*) AS n_frames, max(frame_no) AS last_frame
+    FROM frames GROUP BY media_id
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for the 'video/audio' rows: one output row per
+    sampled frame index, generated with ``sequence`` + ``explode``
+    BEFORE any decode so downstream per-frame work parallelizes across
+    tasks instead of serializing inside one row."""
+    m = _media(spark, sf_dir).filter(F.col("meta.kind") == "audio")
+    frames = m.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_bytes") - 1, F.lit(FRAME_STRIDE)
+            )
+        ).alias("frame_no"),
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_no").alias("last_frame"),
+    )
+
+
+# -- JSON prop extraction (events.props) -----------------------------------
+
+
+@register(
+    "mm_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mm_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``events.props`` JSON
+    column via ``from_json`` (schema-on-read for sidecar metadata)."""
+    e = register_sources(spark, sf_dir, tables=("events",))["events"]
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.round(F.avg("p.k"), 4).alias("avg_k"),
+    )

@@ -130,3 +130,4 @@ def ref_tvf_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401

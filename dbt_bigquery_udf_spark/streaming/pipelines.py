@@ -1,0 +1,273 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+The reference has no streaming constructs (SURVEY.md §2.3); this module
+is part of the driver-mandated extension surface: event-time windowed
+aggregation with watermarks, session windows for late-data-aware
+sessionization, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Each pipeline runs as a real streaming query (``readStream`` -> state ->
+``writeStream``), executed here with ``trigger(availableNow=True)`` over
+a staged file source so results are bounded and deterministic — which
+makes the first two pipelines *oracle-checkable*:
+
+- the hourly rollup runs in complete mode (full result, no watermark
+  dependence), equal to the batch GROUP BY;
+- the session rollup runs in append mode, so only watermark-closed
+  sessions emit — the oracle mirrors that retention rule exactly
+  (``session_end <= max(ts)``), making streaming late-data semantics
+  themselves part of the checked contract.
+
+100 TB / production design notes: the file source becomes Kafka (or any
+rate-limited source) unchanged — every transformation here is
+source-agnostic. State (session windows, per-user state) is keyed by
+user_id, so it shards across executors with the shuffle; watermarks
+bound state size; RocksDB state store + checkpointing to object storage
+are config, not code. ``availableNow`` is also the production backfill
+trigger (bounded reprocessing of a large backlog with the same query).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..queries import register
+
+_STAGING_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """File-stream sources read *directories*; the testdata tables are
+    single parquet files. Stage a per-sf directory of symlinks (O(1),
+    no data copy). In production this is the landing prefix / Kafka
+    topic and this function disappears."""
+    name = "events_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    stage = os.path.abspath(os.path.join(_STAGING_ROOT, name))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the staged events directory.
+
+    ``ts`` arrives as nanosecond longs (see sources/registry.py) and is
+    converted to TIMESTAMP (session TZ is UTC) because event-time
+    watermarks require TIMESTAMP, not TIMESTAMP_NTZ.
+    """
+    stage = stage_events_dir(sf_dir)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(stage).schema
+    ev = spark.readStream.schema(schema).parquet(stage)
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
+    """Execute a bounded streaming query into a memory sink and return
+    the result table. The memory sink is the test/driver harness; the
+    production sink is parquet/Kafka via the same ``writeStream``."""
+    name = "q" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return out.sparkSession.table(name)
+
+
+# -- watermarked tumbling-window rollup ------------------------------------
+
+
+@register(
+    "stream_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup (1h event-time windows).
+
+    Complete output mode: the memory sink holds the final full result,
+    equal to the batch GROUP BY — the oracle-checkable configuration.
+    (Append mode + watermark is the incremental-sink configuration; the
+    session rollup below exercises that path.)
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+# -- session windows with watermark (append mode) --------------------------
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE session_end <= (SELECT max(ts) FROM events)
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (30-min gap) with
+    a watermark, append mode.
+
+    Append mode emits only sessions the watermark has closed — sessions
+    still open at end-of-stream are retained in state, not emitted. The
+    oracle mirrors exactly that late-data rule (sessions with
+    ``last_event + 30min <= max(ts)``), so streaming watermark
+    semantics are themselves oracle-checked, not just row-counted.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sess, "append")
+
+
+# -- custom stateful operator (applyInPandasWithState) ---------------------
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("n_event_types", T.IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals — the custom-stateful-operator shape
+    (fraud counters, rate limiters, CDC merge all look like this).
+    State update is commutative over batches; output is the state after
+    each batch's update."""
+    if state.exists:
+        n, vsum, types = state.get
+        types = list(types)
+    else:
+        n, vsum, types = 0, 0.0, []
+    for pdf in pdfs:
+        n += len(pdf)
+        vsum += float(pdf["value"].sum())
+        for t in pdf["event_type"].unique():
+            if t not in types:
+                types.append(t)
+    state.update((n, vsum, types))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [round(vsum, 2)],
+            "n_event_types": [len(types)],
+        }
+    )
+
+
+@register(
+    "stream_user_state",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS value_sum,
+           CAST(count(DISTINCT event_type) AS INT) AS n_event_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via ``applyInPandasWithState``:
+    per-user running totals + distinct-event-type cardinality.
+
+    With ``availableNow`` over the staged source the run is a single
+    microbatch, so the emitted state equals the batch GROUP BY and the
+    oracle comparison is exact. In continuous operation the same code
+    emits monotone per-batch updates (update mode); state is sharded by
+    the grouping key across executors and bounded by per-key size, with
+    timeouts available for eviction.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")

@@ -35,6 +35,7 @@ execution time, which is exactly BigQuery's behavior (SURVEY.md §3 E3).
 
 from __future__ import annotations
 
+import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -241,6 +242,7 @@ class Engine:
                 try:
                     if spec.kind == "table":
                         self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                        self._clean_stale_location(db, spec.name)
                         self.spark.sql(
                             f"CREATE TABLE {db}.{spec.name} USING parquet AS {body}"
                         )
@@ -258,6 +260,24 @@ class Engine:
         rel = BuiltRelation(spec.name, db, spec.name, spec.kind)
         self.relations[spec.name] = rel  # F9
         return rel
+
+    def _clean_stale_location(self, db: str, name: str) -> None:
+        """Remove an orphaned managed-table directory.
+
+        A previous process may have left ``<warehouse>/<db>.db/<name>``
+        on disk while the current (fresh) metastore has no record of the
+        table — DROP TABLE is then a no-op and CTAS fails with
+        LOCATION_ALREADY_EXISTS. Only ever called right after the DROP,
+        so any directory still present is orphaned by definition."""
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if not warehouse:
+            return
+        stale = os.path.join(warehouse, f"{db.lower()}.db", name.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _tvf_call_database(self, spec: ModelSpec) -> str | None:
         for ref in spec.refs:

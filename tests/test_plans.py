@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Pins the scale-critical plan properties per operator: predicate
+pushdown into parquet scans, column-pruned read schemas, broadcast
+joins for small dimensions, and bounded shuffle counts. A change that
+silently de-optimizes a plan fails here even if results stay correct.
+"""
+
+from __future__ import annotations
+
+from dbt_bigquery_udf_spark import queries as Q
+from dbt_bigquery_udf_spark.plans import plan_facts
+
+
+def _facts(spark, sf_small, name):
+    return plan_facts(Q.QUERIES[name](spark, sf_small))
+
+
+def test_tvf_filter_pushdown_no_shuffle(spark, sf_small):
+    """The TVF's WHERE id = <param> must reach the parquet scan after
+    UDF/TVF inlining (SURVEY.md §2.2 Q2), and scan->filter->project
+    needs no shuffle."""
+    f = _facts(spark, sf_small, "ref_tvf_param")
+    assert any("EqualTo(event_type,view)" in p for p in f.pushed_filters), f.pushed_filters
+    assert f.exchanges == 0, f.text
+
+
+def test_q5_broadcasts_small_dims(spark, sf_small):
+    """Multi-way join: every small dimension side must broadcast (no
+    sort-merge join at this shape), with pruned scan schemas."""
+    f = _facts(spark, sf_small, "q5_nation_volume")
+    assert f.broadcast_joins >= 3, f.text
+    assert f.sort_merge_joins == 0, f.text
+    cols = f.scan_columns()
+    assert "l_comment" not in cols and "s_comment" not in cols, cols
+
+
+def test_q1_prunes_and_pushes(spark, sf_small):
+    """TPC-H Q1 shape: shipdate filter pushed to the scan; only the 6
+    needed lineitem columns read; exactly one shuffle (the groupBy)."""
+    f = _facts(spark, sf_small, "q1_pricing_summary")
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
+    assert "l_orderkey" not in f.scan_columns(), f.read_schemas
+    assert f.exchanges == 1, f.text
+
+
+def test_text_ops_are_narrow(spark, sf_small):
+    """Per-document text analysis must stay shuffle-free and read only
+    the needed columns."""
+    f = _facts(spark, sf_small, "text_token_stats")
+    assert f.exchanges == 0, f.text
+    assert "lang" not in f.scan_columns(), f.read_schemas
+
+
+def test_topk_has_no_join_or_shuffle(spark, sf_small):
+    """Brute-force cosine top-k folds the query vector into the plan as
+    a literal: no join, no shuffle; global top-k via ordered take."""
+    f = _facts(spark, sf_small, "sim_topk_brute")
+    assert f.exchanges == 0, f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text
+    assert "TakeOrderedAndProject" in f.text
+    assert any("vec_id" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_dedup_exact_single_shuffle(spark, sf_small):
+    """Exact dedup is one hash aggregation: exactly one exchange, and
+    the scan reads only (doc_id, text)."""
+    f = _facts(spark, sf_small, "dedup_exact")
+    assert f.exchanges == 1, f.text
+    assert f.scan_columns() <= {"doc_id", "text"}, f.read_schemas

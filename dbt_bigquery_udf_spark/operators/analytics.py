@@ -413,3 +413,141 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# -- as-of join ------------------------------------------------------------
+
+
+@register(
+    "asof_click_attribution",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.ts AS asof_view_ts, v.event_id AS asof_view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution): each click matched to the same user's
+    most recent view at-or-before the click — an operator Spark lacks
+    natively, composed as union + one window pass.
+
+    Implementation: tag the two event streams, sort-merge them inside a
+    single window partitioned by user (views sort before clicks on ties
+    to get >= semantics), and carry the last view forward with
+    ``last(..., ignorenulls=True)``. Clicks with no prior view keep
+    NULLs (left-join semantics).
+
+    Scale: ONE shuffle on user_id and a linear scan per user — no range
+    join, no per-click probe. This is the standard big-data as-of shape;
+    a range-partitioned variant handles single-key skew. The oracle is
+    DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    # Views first on (impossible-here) ts ties => 'at or before' semantics.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("is_view").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_ts = F.last(F.when(F.col("is_view"), F.col("ts")), ignorenulls=True).over(w)
+    view_id = F.last(F.when(F.col("is_view"), F.col("event_id")), ignorenulls=True).over(w)
+    carried = tagged.select(
+        "event_id", "user_id", "ts", "is_view",
+        view_ts.alias("asof_view_ts"), view_id.alias("asof_view_id"),
+    )
+    clicks = carried.filter(~F.col("is_view"))
+    # Explicit LTZ cast: plain "timestamp" resolves to NTZ under the
+    # session's timestampType, which unix_micros rejects. Session TZ is
+    # UTC, so the LTZ reinterpretation matches DuckDB's epoch_us.
+    gap = (
+        F.expr("unix_micros(cast(ts as timestamp_ltz))")
+        - F.expr("unix_micros(cast(asof_view_ts as timestamp_ltz))")
+    )
+    return clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "asof_view_ts",
+        "asof_view_id",
+        gap.alias("gap_us"),
+    )
+
+
+# -- statistics aggregates -------------------------------------------------
+
+
+@register(
+    "stats_summary",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(corr(l_extendedprice, l_discount), 4) AS price_discount_corr,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS p90_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, correlation, exact interpolated
+    percentiles per return flag.
+
+    Scale: count/avg/stddev/corr are single-pass partial aggregates;
+    exact percentile requires collecting the group's values on one
+    reducer — fine for a handful of groups, and the documented trade
+    is `approx_percentile` (stats_approx_sketches) once groups carry
+    billions of rows.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    # Percentiles over integer cents: interpolated midpoints are then
+    # exact halves (representable in binary), so no rounding step exists
+    # for a 1-ulp engine difference to flip — dollar-scale round(x, 2)
+    # mismatched DuckDB at an exact half-cent midpoint.
+    pct = lambda q: F.expr(  # noqa: E731
+        f"percentile(cast(round(l_extendedprice * 100) as bigint), {q})"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_discount_corr"),
+        pct(0.5).alias("p50_cents"),
+        pct(0.9).alias("p90_cents"),
+        pct(0.99).alias("p99_cents"),
+    )
+
+
+@register("stats_approx_sketches")  # no oracle: sketch outputs are engine-specific
+def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for their exact
+    forms: HyperLogLog++ distinct counts and quantile sketches compose
+    over partitions with fixed memory, where exact percentile would
+    concentrate a group's values on one reducer.
+
+    rows-only check by design: sketch estimates are engine-specific, so
+    no cross-engine value oracle exists (the exact counterparts are
+    oracle-checked in stats_summary / distinct_counts).
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
+            "approx_pcts"
+        ),
+    )

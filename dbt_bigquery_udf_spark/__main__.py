@@ -1,0 +1,79 @@
+"""Engine CLI — the ``dbt run`` analogue (SURVEY.md §2.1 F16).
+
+Selective, environment-scoped builds of the model DAG plus registry
+introspection:
+
+    python -m dbt_bigquery_udf_spark build [--select NAME ...] [--env ENV]
+        [--sf-dir DIR] [--threads N]
+    python -m dbt_bigquery_udf_spark list
+    python -m dbt_bigquery_udf_spark run-query NAME [--sf-dir DIR]
+
+``build --select`` builds only the named models plus their upstream
+closure (reference: ``dbt run --select udf.function.parse_datetime``,
+README.md:322-327); ``--env`` routes relations into the env-suffixed
+databases (udf_staging, ...; reference README.md:178-193).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dbt_bigquery_udf_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="materialize the model DAG")
+    b.add_argument("--select", nargs="*", default=None, help="model subset (upstream closure included)")
+    b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
+    b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    b.add_argument("--threads", type=int, default=8)
+
+    sub.add_parser("list", help="list registered driver-contract queries")
+
+    r = sub.add_parser("run-query", help="run a registered query and print rows")
+    r.add_argument("name")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from . import queries as q
+
+        for name in sorted(q.QUERIES):
+            kind = "oracle" if name in q.ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    from . import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "build":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        rels = engine.build(select=args.select, threads=args.threads)
+        for name, rel in sorted(rels.items()):
+            print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
+        return 0
+
+    if args.cmd == "run-query":
+        from . import queries as q
+
+        if args.name not in q.QUERIES:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = q.QUERIES[args.name](spark, args.sf_dir)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -104,3 +104,45 @@ def test_tvf_inlines_with_pushdown(spark, built):
     )
     assert "EqualTo(event_type,click)" in plan  # predicate reached the scan
     assert "Exchange" not in plan  # scan->filter->project is shuffle-free
+
+
+def test_pre_post_hooks_run(spark, sf_small):
+    """F6: pre/post hooks execute around the materialization in order
+    (reference: macros/udf/function.sql:10,13,22,27)."""
+    engine = bootstrap(spark, sf_small, env="ci")
+    engine.register(
+        ModelSpec(
+            name="hooked_view",
+            kind="view",
+            sql="SELECT 1 AS one",
+            database="datamart",
+            dialect="spark",
+            pre_hooks=(
+                "CREATE DATABASE IF NOT EXISTS hook_evidence",
+                "CREATE OR REPLACE VIEW hook_evidence.pre_marker AS SELECT 1 AS x",
+            ),
+            post_hooks=(
+                "CREATE OR REPLACE VIEW hook_evidence.post_marker AS "
+                "SELECT * FROM hook_evidence.pre_marker",
+            ),
+        )
+    )
+    engine.build(select=["hooked_view"])
+    assert spark.table("hook_evidence.pre_marker").count() == 1
+    assert spark.table("hook_evidence.post_marker").count() == 1
+    assert spark.table("datamart_ci.hooked_view").collect()[0][0] == 1
+
+
+def test_cli_list_and_build(spark, sf_small):
+    """F16 CLI surface: `list` enumerates the registry; `build --select`
+    materializes a subgraph (exercised in-process)."""
+    from dbt_bigquery_udf_spark.__main__ import main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    out = buf.getvalue()
+    assert "ref_datamart_e2e\toracle" in out
+    assert "stats_approx_sketches\trows-only" in out

@@ -134,6 +134,8 @@ class Engine:
         self.source_database = source_database
         self.models: dict[str, ModelSpec] = {}
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
+        self._fingerprints: dict[str, str] = {}  # incremental-build state (§4)
+        self.skipped: set[str] = set()  # models skipped by the last build
 
     # -- registration -----------------------------------------------------
 
@@ -323,11 +325,33 @@ class Engine:
             stack.extend(spec.refs)  # upstream closure
         return out
 
+    def _model_fingerprint(self, spec: ModelSpec) -> str:
+        """Content hash of everything that affects the materialized object:
+        rendered SQL (so an upstream rename changes it), kind, signature,
+        docs, hooks, and target database."""
+        import hashlib
+
+        payload = "\x1f".join(
+            [
+                spec.kind,
+                self.database_for(spec),
+                self.render(spec),
+                ",".join(spec.params),
+                spec.return_type or "",
+                spec.description,
+                repr(sorted(spec.columns.items())),
+                repr(spec.pre_hooks),
+                repr(spec.post_hooks),
+            ]
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
     def build(
         self,
         select: list[str] | None = None,
         replace: bool = True,
         threads: int = 8,
+        skip_unchanged: bool = False,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -335,20 +359,42 @@ class Engine:
         executor (the reference ran 8 threads — dbt_run_result.png).
         ``replace=False`` restores the reference's strict conflict
         behavior (F5) for fresh deployments.
+
+        ``skip_unchanged=True`` enables the reference's build-level
+        incrementality ("don't rebuild every UDF every run" —
+        SURVEY.md §4): a model whose content fingerprint matches the
+        previous successful build in this engine is skipped. Skips are
+        transitive-safe because the fingerprint covers *rendered* SQL —
+        any upstream change that alters a referenced name re-renders
+        downstream bodies and changes their fingerprints.
         """
         graph = self._subgraph(select)
         ts = TopologicalSorter({n: set(s.refs) & graph.keys() for n, s in graph.items()})
         ts.prepare()
         results: dict[str, BuiltRelation] = {}
+
+        def _build_one(spec: ModelSpec) -> tuple[BuiltRelation, bool]:
+            fp = self._model_fingerprint(spec)
+            if (
+                skip_unchanged
+                and self._fingerprints.get(spec.name) == fp
+                and spec.name in self.relations
+            ):
+                return self.relations[spec.name], True
+            rel = self._materialize(spec, replace)
+            self._fingerprints[spec.name] = fp
+            return rel, False
+
+        self.skipped: set[str] = set()
         with ThreadPoolExecutor(max_workers=threads) as pool:
             while ts.is_active():
                 ready = list(ts.get_ready())
                 if not ready:
                     break
-                futures = {
-                    n: pool.submit(self._materialize, graph[n], replace) for n in ready
-                }
+                futures = {n: pool.submit(_build_one, graph[n]) for n in ready}
                 for n, fut in futures.items():
-                    results[n] = fut.result()
+                    results[n], was_skipped = fut.result()
+                    if was_skipped:
+                        self.skipped.add(n)
                     ts.done(n)
         return results

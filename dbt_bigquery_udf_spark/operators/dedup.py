@@ -3,21 +3,24 @@ exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine.
 
 Engine-portability rule: every hash is md5 (bit-identical in Spark and
 DuckDB), so each operator has an *exact* SQL oracle — no
-recall-threshold hand-waving. Spark-side implementations stay in
-built-in higher-order functions (transform/aggregate/zip_with), never
-Python UDFs.
+recall-threshold hand-waving. Hot paths run inside whole-stage codegen
+(explode + groupBy aggregates), never Python UDFs and never
+per-row higher-order-function lambdas (those evaluate interpreted and
+measured 10-60x slower with heavy variance — see SCALE.md).
 
 100 TB scale design, per operator:
 
 - exact: hash-groupBy on md5(text) — one shuffle of (hash, id), payload
   pruned by Catalyst.
-- MinHash LSH: per-row signature (narrow) -> explode 4 band rows/doc ->
-  shuffle join on (band, band_hash). Candidate count scales with true
-  duplicate density, not |docs|^2; the verify join only touches
-  candidates. This is the standard shingle->minhash->band->bucket-join
+- MinHash LSH: explode shingles -> one codegen'd aggregate building the
+  16-hash signature AND the hashed-shingle set -> explode 4 band
+  rows/doc -> fixed-width band self-join -> Jaccard verify on candidate
+  ids only. Candidate count scales with true duplicate density, not
+  |docs|^2. This is the standard shingle->minhash->band->bucket-join
   pipeline.
-- SimHash: entirely per-row (no shuffle at all) via nested array
-  aggregates; Hamming-bucket join would follow the LSH shape above.
+- SimHash: explode tokens -> 32 conditional-sum aggregates (map-side
+  combined; shuffle carries 32 longs/doc); a Hamming-bucket join would
+  follow the LSH shape above.
 - n-gram Jaccard: restricted to an LSH-candidate pair set — the
   all-pairs variant exists only inside the DuckDB oracle at test scale.
 - embedding cosine: per-label blocking + rounded-cosine ranking; the
@@ -31,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..queries import register
 from ..sources.registry import register_sources
+from .util import ensure_min_partitions
 
 N_HASHES = 16
 N_BANDS = 4
@@ -126,7 +130,7 @@ def _minhash_lsh_candidates(
        standard at-scale trick; the oracle applies the identical
        transformation so the comparison stays exact.
     """
-    d = _docs(spark, sf_dir)
+    d = ensure_min_partitions(_docs(spark, sf_dir))
     words = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("words")
     )
@@ -318,7 +322,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible per-row but evaluates interpreted and measured ~2-4x
     slower; the exploded aggregate stays inside whole-stage codegen and
     its shuffle moves only map-side-combined partial sums.)"""
-    d = _docs(spark, sf_dir)
+    d = ensure_min_partitions(_docs(spark, sf_dir))
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim("text")), " "))).alias("t"),

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from ..queries import register
 from ..sources.registry import register_sources
+from .util import ensure_min_partitions
 
 FRAME_STRIDE = 7  # sample every 7th synthetic frame
 
@@ -155,8 +156,10 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     container); the Arrow plumbing — binary column through batches,
     typed output schema — is the real production shape.
     """
-    m = _media(spark, sf_dir).select(
-        "media_id", F.col("meta.kind").alias("kind"), "media_blob"
+    m = ensure_min_partitions(
+        _media(spark, sf_dir).select(
+            "media_id", F.col("meta.kind").alias("kind"), "media_blob"
+        )
     )
     return m.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 

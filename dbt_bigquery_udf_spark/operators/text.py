@@ -198,3 +198,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
         F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
     )
+
+
+# Cleaning patterns shared verbatim between Spark (Java regex) and DuckDB
+# (RE2) — restricted to syntax both engines interpret identically.
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_URL = "https?://[^ ]+"
+_RE_MULTISPACE = "  +"
+
+
+@register(
+    "text_clean",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(text,
+                '{_RE_URL}', '<URL>', 'g'),
+                '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                '{_RE_MULTISPACE}', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(text, '{_RE_URL}')) AS n_urls,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for training corpora: mask URLs and emails,
+    collapse runs of whitespace, count what was masked.
+
+    Per-row regexp_replace chain — JVM-side, narrow, scan-bound; the
+    pattern set is restricted to regex syntax Java and RE2 share so the
+    oracle is exact.
+    """
+    d = _docs(spark, sf_dir)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _RE_URL, "<URL>"),
+                _RE_EMAIL,
+                "<EMAIL>",
+            ),
+            _RE_MULTISPACE,
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS freq
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-100 tokens by corpus frequency —
+    the first step of tokenizer training.
+
+    Scale: explode -> codegen'd count aggregate with map-side combine
+    (the shuffle carries one row per distinct token per partition, not
+    per occurrence); the global top-k is TakeOrderedAndProject. At
+    100 TB the only growing state is the distinct-token set, which
+    partial aggregation keeps bounded per task.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )

@@ -146,3 +146,22 @@ def test_cli_list_and_build(spark, sf_small):
     out = buf.getvalue()
     assert "ref_datamart_e2e\toracle" in out
     assert "stats_approx_sketches\trows-only" in out
+
+
+def test_incremental_skip_unchanged(spark, sf_small):
+    """Build-level incrementality (SURVEY.md §4): unchanged models skip;
+    editing a model (or anything upstream that re-renders it) rebuilds."""
+    engine = bootstrap(spark, sf_small, env="dev")
+    engine.build(skip_unchanged=True)
+    assert engine.skipped == set()
+    engine.build(skip_unchanged=True)
+    assert engine.skipped == {"parse_datetime", "test_table_function", "test_datamart"}
+    # Change one model: it and only it rebuilds (its rendered SQL changed).
+    spec = engine.models["test_datamart"]
+    from dataclasses import replace as dc_replace
+
+    engine.models["test_datamart"] = dc_replace(
+        spec, sql=spec.sql.replace("'click'", "'view'")
+    )
+    engine.build(skip_unchanged=True)
+    assert engine.skipped == {"parse_datetime", "test_table_function"}

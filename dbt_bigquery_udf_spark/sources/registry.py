@@ -97,6 +97,12 @@ def read_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# (session id, sf_dir, table) -> DataFrame. DataFrames are immutable
+# plan handles, so reuse avoids re-reading parquet footers for schema
+# inference on every query invocation (~1-2s per call across 10 tables).
+_source_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def register_sources(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -109,7 +115,11 @@ def register_sources(
     """
     out: dict[str, DataFrame] = {}
     for name in tables:
-        df = read_source(spark, sf_dir, name)
+        key = (id(spark), sf_dir, name)
+        df = _source_cache.get(key)
+        if df is None:
+            df = read_source(spark, sf_dir, name)
+            _source_cache[key] = df
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

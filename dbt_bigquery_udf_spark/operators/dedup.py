@@ -386,3 +386,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+# -- connected components (near-dup clusters) ------------------------------
+
+
+@register(
+    "dedup_components",
+    _duck_minhash_pairs()
+    + f"""
+    , sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), comp AS (
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+      )
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT doc_id, component FROM comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the verified
+    LSH pair graph via iterative min-label propagation — the engine's
+    iterative-algorithm operator.
+
+    Each iteration joins current labels to the symmetrized edge list and
+    takes the min label seen across self + neighbors; convergence after
+    <= diameter iterations (near-dup clusters are shallow — typically
+    2-3 hops). The loop is driver-side but the data never is: per
+    iteration one join + one groupBy, both on doc_id.
+
+    Scale: this is textbook label propagation; at 100 TB-scale graphs
+    the refinement is the large-star/small-star algorithm (alternating
+    star contractions, O(log n) rounds) — same join/groupBy primitives,
+    fewer rounds on high-diameter graphs. The DuckDB oracle computes
+    the same components with a recursive reachability CTE.
+    """
+    pairs = _minhash_lsh_candidates(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels.count()
+    while True:
+        nbr = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.select("doc_id", "component")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "component")

@@ -551,3 +551,82 @@ def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_pcts"
         ),
     )
+
+
+# -- skew-safe aggregation (salting) ---------------------------------------
+
+N_SALTS = 16
+
+
+@register(
+    "events_skew_salted",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum,
+           round(avg(value), 6) AS value_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (skew-prone)
+    key: stage 1 groups by (key, salt) spreading each hot key over
+    N_SALTS reducers; stage 2 merges the partials per key.
+
+    The salt is derived from a stable row attribute (not rand()) so the
+    result is deterministic and the oracle is the plain GROUP BY —
+    salting must be a pure execution-strategy change, invisible in the
+    result. avg is re-derived from (sum, count) partials since partial
+    averages don't compose.
+
+    Scale: with 5 event types and 1000 executors, the unsalted shuffle
+    sends each type to ONE reducer (5 cores busy, 995 idle); salting
+    fans each type over 16. AQE's skew handling covers joins; salting
+    remains the tool for skewed *aggregations*.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("value_sum"),
+        F.round(F.sum("psum") / F.sum("pn"), 6).alias("value_avg"),
+    )
+
+
+# -- extended window-function suite ----------------------------------------
+
+
+@register(
+    "window_funcs_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           lead(o_totalprice) OVER w AS next_price,
+           lag(o_totalprice) OVER w AS prev_price,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(percent_rank() OVER w, 6) AS prank,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function families in one query: lead/lag
+    (offset), ntile (bucketing), cume_dist / percent_rank
+    (distribution), dense_rank (ranking) — all over one window spec, so
+    one shuffle + one sort serves every function."""
+    o = _src(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.dense_rank().over(w).alias("drank"),
+    )

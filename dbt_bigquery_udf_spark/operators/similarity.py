@@ -232,3 +232,76 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+# -- IVF (centroid-bucketed) ANN -------------------------------------------
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS av FROM (
+        SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+      ) GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(av ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    best AS (
+      SELECT carr.label FROM carr, q
+      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
+      LIMIT 1
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    FROM e, q, best
+    WHERE e.label = best.label AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train centroids (per-label element-wise means via
+    posexplode + groupBy — the distributed centroid-update step of
+    k-means), assign the query to its nearest centroid, search only
+    that inverted list.
+
+    The index-build is fully distributed (the shuffle carries
+    |labels| x dim partial averages); the probe reads one bucket —
+    |corpus| / |lists| vectors, the IVF nprobe=1 contract. Centroid
+    components are rounded identically on both engines so the
+    nearest-centroid assignment is deterministic.
+
+    Scale: at 1B vectors the inverted lists are the table's partition
+    key (probe = partition pruning); k-means iterations reuse exactly
+    this assign (cosine argmax) + update (posexplode average) pair.
+    """
+    e = _emb(spark, sf_dir)
+    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
+        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    best = (
+        carr.withColumn("qv", q_lit)
+        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(1)
+    )
+    best_label = best.head()[0]
+    return (
+        e.filter((F.col("label") == best_label) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_token_stats",
     "text_quality_score",
+    "text_vocab_topk",
+    "sim_ivf_topk",
     "sim_topk_brute",
     "sim_topk_batch",
     "mm_decode_features",

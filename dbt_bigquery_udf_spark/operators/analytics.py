@@ -630,3 +630,93 @@ def window_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+# -- interval (range) join -------------------------------------------------
+
+
+@register(
+    "interval_join_errors",
+    """
+    WITH cv AS (
+      SELECT user_id, ts FROM events WHERE event_type IN ('click', 'view')
+    ), gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM cv
+    ), s AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, sid
+    ), errors AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT se.user_id, se.session_start, se.session_end,
+           count(*) AS n_errors
+    FROM sessions se JOIN errors e
+      ON e.user_id = se.user_id
+     AND e.ts BETWEEN se.session_start AND se.session_end
+    GROUP BY se.user_id, se.session_start, se.session_end
+    """,
+)
+def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: error events matched into the click/view
+    sessions that contain them, counted per session.
+
+    A naive non-equi join plans as a nested-loop; this implementation
+    *bins* both sides by hour: each session explodes into the hour bins
+    it spans, each error has exactly one bin, and the join becomes an
+    equi join on (user_id, bin) followed by the exact range filter. An
+    error matches a session through exactly one bin, so no dedup pass
+    is needed.
+
+    Scale: the equi join shuffles on (user_id, bin) — partitionable,
+    AQE-skew-splittable — and the per-bin candidate set is bounded by
+    bin width, not table size. This binning is the standard distributed
+    interval-join strategy; bin width trades fan-out (rows per session)
+    against selectivity (candidates per bin).
+    """
+    ev = _src(spark, sf_dir)["events"]
+    cv = ev.filter(F.col("event_type").isin("click", "view")).select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    flag = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    s = cv.withColumn("ns", flag).withColumn(
+        "sid",
+        F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    binned_sessions = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start").cast("timestamp_ntz"),
+                F.date_trunc("hour", "session_end").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bin"),
+    )
+    joined = binned_sessions.join(errors, ["user_id", "bin"]).filter(
+        F.col("err_ts").between(F.col("session_start"), F.col("session_end"))
+    )
+    return joined.groupBy("user_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )

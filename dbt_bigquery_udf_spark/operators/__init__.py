@@ -8,6 +8,7 @@ in :mod:`..queries`.
 
 from . import analytics  # noqa: F401
 from . import dedup  # noqa: F401
+from . import extras  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401

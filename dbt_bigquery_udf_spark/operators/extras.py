@@ -1,0 +1,633 @@
+"""Reshaping, sampling, and time-series operators.
+
+Second analytics wave beyond ``analytics.py``: pivot/unpivot, CUBE,
+extended aggregates (median / max_by / count_if / bool_or), calendar and
+string function suites, global sort with pagination, interval-range
+window frames, time-series gap filling, deterministic hash sampling
+(whole-table and stratified), TF-IDF, and bigram mining.
+
+The reference contains none of these (SURVEY.md §2.3 — no aggregations
+at all); they are engine extensions mandated by the BASELINE.json north
+star (large-scale training-data pipelines). Everything stays JVM-side in
+built-in functions; every query carries a DuckDB oracle.
+
+Determinism policy for sampling: Bernoulli ``rand()`` sampling is not
+reproducible across engines (or even runs), so the sampling operators
+hash a stable key with md5 — both engines produce identical digests,
+making the sample itself oracle-checkable. At 100 TB this is also the
+*operationally correct* design: re-runs and backfills pick the same
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..queries import register
+from .analytics import _src
+
+# TPC-H order priorities are a closed set; naming them avoids the
+# driver-side distinct scan df.pivot otherwise runs to discover values —
+# at 100 TB that scan is a full extra job.
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts by status x priority.
+
+    Scale: with explicit pivot values this is a single groupBy with one
+    conditional-count aggregate per value — one shuffle of |statuses|
+    rows, no value-discovery job. The oracle is the classic
+    FILTER-clause conditional aggregation (what pivot desugars to).
+    """
+    o = _src(spark, sf_dir)["orders"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["urgent", "high", "medium", "unspecified", "low"])
+    )
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    # Pivot leaves NULL for empty cells; the FILTER oracle yields 0.
+    return wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    """
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'total_price', total_price FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price', avg_price FROM m
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long / melt) of per-status order measures.
+
+    Scale: unpivot is a zero-shuffle Expand (each input row emits one
+    row per measure) — the only shuffle is the upstream aggregate's.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "avg_price"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass,
+    with grouping() flags disambiguating real NULLs from subtotal rows.
+
+    Scale: CUBE expands each row 4x before the partial aggregate; at
+    100 TB prefer ROLLUP (hierarchies) or explicit GROUPING SETS to cap
+    the expansion factor.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total"
+    )
+
+
+# Sortable (price, key) encoding shared by both engines so max_by /
+# arg_max tie-breaks are deterministic: fixed-width zero-padded decimal
+# then key. Prices are positive and < 10^9 here, so lexicographic order
+# == numeric order.
+_ARGMAX_KEY = "'%018.2f|%018d'"
+
+
+@register(
+    "agg_extended",
+    f"""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS median_price,
+           arg_max(o_orderkey, printf({_ARGMAX_KEY}, o_totalprice, o_orderkey))
+             AS top_order,
+           arg_min(o_orderkey, printf({_ARGMAX_KEY}, o_totalprice, -o_orderkey))
+             AS bottom_order,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+           bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended aggregate suite: exact median, argmax/argmin with
+    deterministic tie-breaks, conditional count, boolean aggregates.
+
+    max_by/arg_max alone is non-deterministic under value ties, so the
+    ordering value is a fixed-width ``(price, key)`` string both engines
+    sort identically.
+
+    Scale: median is the one reducer-heavy aggregate here (exact
+    percentile state); swap to approx_percentile at 100 TB. Everything
+    else is constant-size partial-aggregate state.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    enc = "format_string('%018.2f|%018d', o_totalprice, {key})"
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("median(o_totalprice)").alias("median_price"),
+        F.expr(f"max_by(o_orderkey, {enc.format(key='o_orderkey')})").alias(
+            "top_order"
+        ),
+        F.expr(f"min_by(o_orderkey, {enc.format(key='-o_orderkey')})").alias(
+            "bottom_order"
+        ),
+        F.expr("count_if(o_totalprice > 150000)").alias("n_large"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("has_urgent"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           o_orderdate + INTERVAL 30 DAYS AS plus_30d,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_95,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start
+    FROM orders
+    """,
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function suite over order dates.
+
+    Dialect note: Spark ``dayofweek`` is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — the oracle adds 1. ``last_day`` returns DATE in both;
+    cast to timestamp for hash parity with the TIMESTAMP_NTZ session
+    default. All of these are codegen'd scalar expressions — no scale
+    story beyond staying JVM-side.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("timestamp_ntz").alias("plus_30d"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("qtr_start"),
+    )
+
+
+@register(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           strpos(p_type, 'BRUSHED') AS brushed_at,
+           levenshtein(p_brand, 'Brand#33') AS brand_dist,
+           len(string_split(p_type, ' ')) AS type_words,
+           substr(p_name, 1, 10) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function suite over parts: case, padding, translate,
+    regex replace, substring search, edit distance, tokenized length.
+
+    All are codegen'd JVM expressions (UTF8String ops) — the 100 TB
+    story is simply that none of this leaves the scan stage.
+    """
+    p = _src(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_translated"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.instr("p_type", "BRUSHED").cast("bigint").alias("brushed_at"),
+        F.levenshtein("p_brand", F.lit("Brand#33")).cast("bigint").alias(
+            "brand_dist"
+        ),
+        F.size(F.split("p_type", " ")).cast("bigint").alias("type_words"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "global_sort_page",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    LIMIT 200 OFFSET 400
+    """,
+)
+def global_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: global ORDER BY + LIMIT/OFFSET on a total key.
+
+    Scale: limit+offset still executes as TakeOrdered(offset+limit) —
+    fine for page-sized offsets. Deep pagination at 100 TB should use
+    keyset predicates (WHERE key > last_seen ORDER BY key LIMIT n)
+    instead; this operator pins the engine-side semantics.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .offset(400)
+        .limit(200)
+    )
+
+
+@register(
+    "window_range_7d",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS spend_7d,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             AS orders_7d
+    FROM orders
+    """,
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-7-day spend — the
+    value-based (not row-count) frame, which is what time-series
+    features actually need.
+
+    Spark's rangeBetween is numeric, so the ordering column is epoch
+    seconds and the frame is +/-7*86400; DuckDB's INTERVAL frame over
+    the timestamp is semantically identical (orders are date-grained).
+
+    Scale: one shuffle on o_custkey, then a per-partition ordered scan
+    with a sliding frame — same cost shape as any window.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("orders_7d"),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE event_type = 'click'
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
+             round(sum(value), 2) AS value_sum
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT s.hour_start, coalesce(c.n, 0) AS n,
+           coalesce(c.value_sum, 0.0) AS value_sum
+    FROM spine s LEFT JOIN counts c USING (hour_start)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly click counts over
+    a dense hour spine (empty hours become explicit zero rows) — the
+    shape every downstream forecasting/feature job needs.
+
+    Scale: the spine is generated from a single min/max aggregate row
+    (``sequence`` + explode), stays tiny (hours between bounds), and
+    broadcasts into the left join against the hourly aggregate — no
+    extra shuffle beyond the aggregation's own.
+    """
+    ev = _src(spark, sf_dir)["events"].filter(F.col("event_type") == "click")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(hour.alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+    )
+    return spine.join(counts, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+    )
+
+
+@register(
+    "sample_hash_pct",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 5
+    """,
+)
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% Bernoulli sample via md5 of a stable row key.
+
+    ``rand()``-based sampling is irreproducible across engines and
+    re-runs; hashing a stable key gives the same sample everywhere —
+    at 100 TB that reproducibility is what makes backfills and
+    train/eval splits sound. md5 is identical in Spark and DuckDB, so
+    the sample itself (not just its size) is oracle-checked.
+
+    Scale: pure scan-side filter (codegen'd hash + modulo), no shuffle;
+    pushes down nothing but costs one hash per row.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 100
+    return li.filter(bucket < 5).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a deterministic fixed-size sample per
+    language (hash-ordered row_number <= n) — balanced corpora slices
+    for training mixes.
+
+    Scale: one shuffle on the stratum key; rank truncation happens
+    per-partition. For heavy strata, pre-filter with the hash-percent
+    trick (sample_hash_pct) to cap rows entering the window sort.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# Tokenizer shared by tfidf/bigrams and their oracles: lowercase, split
+# on runs of non-alphanumerics, drop empties. Kept deliberately simple
+# and *identical* on both sides.
+_TOK_RE = "[^a-z0-9]+"
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '{_TOK_RE}'), t -> t <> ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document.
+
+    Scale: two aggregates over the exploded token stream (term
+    frequency per doc, document frequency per term) plus a join keyed
+    on term — the DF side is |vocab| rows and broadcasts; the corpus
+    size is a 1-row literal-ish aggregate also broadcast. Final top-k
+    is a per-doc window truncation. No Python anywhere.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), _TOK_RE), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # corpus size: single count, driver-side constant
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "text_bigrams_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '{_TOK_RE}'),
+                                 t -> t <> '') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 25
+    """,
+)
+def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram mining: top-25 corpus bigrams.
+
+    Bigrams come from a zero-copy array zip (tokens[i], tokens[i+1]) —
+    ``transform(sequence(...))`` over the token array, exploded, then a
+    plain count. Scale: the explode multiplies rows by avg tokens/doc;
+    partial aggregation collapses them map-side, so the shuffle carries
+    only |distinct bigrams x partitions|. Top-k is TakeOrdered.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.lower(F.col("text")), _TOK_RE), lambda t: t != "")
+    # 0-based Spark array indexing: pairs (ts[i-1], ts[i]) for i in 1..n-1.
+    grams = d.select(toks.alias("ts")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> concat(ts[i - 1], ' ', ts[i]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH thresholds AS (
+      SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN thresholds ON l_partkey = t_partkey
+    WHERE l_quantity < qty_limit
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: rows below half their group's average — the
+    correlated-aggregate-subquery pattern, decorrelated into an
+    aggregate + self-join.
+
+    Scale: the per-part average is |parts| rows (small relative to the
+    fact table) and AQE converts the join to broadcast when it fits;
+    otherwise both sides shuffle on partkey — the same key, so bucketed
+    storage makes it shuffle-free.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "array_agg_rollup",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority))[1:2], ',')
+             AS top2_alpha,
+           len(list(DISTINCT o_orderpriority)) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def array_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation round-trip: collect_set -> sort_array -> slice
+    -> array_join, flattened to strings so the value-hash is
+    engine-neutral.
+
+    Scale: collect_set state is bounded by the distinct values per
+    group — safe for low-cardinality facets, a deliberate anti-pattern
+    for unbounded ones (documented; use top-k aggregation instead).
+    """
+    o = _src(spark, sf_dir)["orders"]
+    arr = F.sort_array(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(arr, ",").alias("priorities"),
+        F.array_join(F.slice(arr, 1, 2), ",").alias("top2_alpha"),
+        F.size(F.collect_set("o_orderpriority")).cast("bigint").alias(
+            "n_priorities"
+        ),
+    )

@@ -1,0 +1,115 @@
+"""Multi-format source connectors: CSV, JSON(Lines), ORC, Parquet.
+
+The reference's only physical source is a BigQuery-managed table
+(reference: models/udf/source.yml:4-9); the format behind it is opaque
+to the SQL layer. A complete engine has to ingest the formats data
+actually arrives in, so this module provides one reader per major
+format with the scale-relevant options set, plus matching writers used
+by the round-trip tests.
+
+Design rules (all three readers):
+
+- **Explicit schema always.** Schema inference reads the data twice
+  (CSV/JSON) — a full extra pass at 100 TB — and can silently change
+  types between runs. Callers pass the schema or we take it from an
+  existing DataFrame.
+- **Malformed rows are visible, not dropped.** ``mode=PERMISSIVE`` with
+  a ``_corrupt_record`` column for JSON/CSV, so data-quality filters are
+  an explicit downstream operator, never silent loss.
+- **Splittability matters.** Parquet/ORC split by row group; JSONL and
+  CSV split by line only when uncompressed (gzip makes one task per
+  file — the classic ingest bottleneck). The writers here emit
+  uncompressed CSV/JSONL partwise for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["read_any", "write_any", "FORMATS"]
+
+FORMATS: tuple[str, ...] = ("parquet", "orc", "json", "csv")
+
+# CSV cannot carry nested types; JSONL/ORC/Parquet can. The round-trip
+# tests skip array/struct columns for CSV via this map.
+_CSV_SAFE_TYPES = (
+    T.StringType,
+    T.LongType,
+    T.IntegerType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+    T.TimestampNTZType,
+    T.TimestampType,
+    T.DateType,
+)
+
+
+def csv_safe_schema(schema: T.StructType) -> T.StructType:
+    """Project a schema down to the columns CSV can faithfully carry."""
+    return T.StructType(
+        [f for f in schema.fields if isinstance(f.dataType, _CSV_SAFE_TYPES)]
+    )
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Read ``path`` in ``fmt`` with engine-standard options.
+
+    Parquet/ORC carry their own schema; CSV/JSON require one (explicit
+    schema is mandatory here — inference is a second full scan at
+    scale).
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}; one of {FORMATS}")
+    reader = spark.read
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if schema is None:
+        raise ValueError(f"{fmt} sources require an explicit schema (no inference)")
+    reader = reader.schema(schema)
+    if fmt == "json":
+        return (
+            reader.option("mode", "PERMISSIVE")
+            # Spark's default JSON timestamp format is millisecond-precision;
+            # force microseconds so nanosecond-born event times survive.
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+            .json(path)
+        )
+    return (
+        reader.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        # ISO-8601 with optional sub-second — matches the writer below.
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write ``df`` to ``path`` in ``fmt`` (round-trip test harness and
+    export sink). CSV keeps a header; JSONL/CSV stay uncompressed so
+    the files remain line-splittable on read."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported sink format {fmt!r}; one of {FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "json":
+        writer.option(
+            "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
+        ).json(path)
+    else:
+        (
+            writer.option("header", "true")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path)
+        )

@@ -271,3 +271,103 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+# -- streaming deduplication -----------------------------------------------
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('minute', ts) AS minute_start
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: at most one record per
+    (user, event_type, minute) — the at-least-once-source dedup /
+    event-throttling operator.
+
+    ``dropDuplicates`` over streaming state; the watermark on the
+    minute-bucket column lets the state store evict buckets older than
+    the delay instead of growing forever — THE production requirement
+    for continuous dedup. Over the staged single-file source the run is
+    one microbatch (watermark advances only after it), so no row is
+    late and the result equals batch SELECT DISTINCT — which is the
+    oracle.
+
+    Scale: state is sharded by key across executors; eviction bounds it
+    to |active keys within the watermark horizon|. For exactly-once
+    sinks, pair with idempotent writes keyed on the dedup key.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+        )
+        .withWatermark("minute_start", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute_start"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("minute_start").cast("timestamp_ntz").alias("minute_start"),
+        )
+    )
+    return _run_to_memory(deduped, "append")
+
+
+# -- stream-static join ----------------------------------------------------
+
+
+@register(
+    "stream_static_join",
+    """
+    WITH user_profile AS (
+      SELECT user_id, count(*) AS lifetime_events,
+             round(sum(value), 2) AS lifetime_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.lifetime_events, p.lifetime_value
+    FROM events e JOIN user_profile p USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a batch-built
+    dimension (per-user lifetime profile) — the feature-enrichment shape
+    of every online-training feed.
+
+    The static side is a batch DataFrame re-resolved per microbatch;
+    Spark plans it as a broadcast into each batch when it fits (it's an
+    aggregate of |users| rows here). No state, no watermark: stream
+    rows join whatever the dimension holds at batch time — the oracle
+    is the equivalent batch join since the profile is built from the
+    same bounded input.
+
+    Scale: the canonical pattern for slowly-changing dims is exactly
+    this plus a Delta/parquet-refreshed static table; for fast dims,
+    stream-stream joins with watermarks take over.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    from .pipelines import stage_events_dir  # self-import safe: module attr
+
+    batch = spark.read.parquet(stage_events_dir(sf_dir))
+    if dict(batch.dtypes).get("ts") in ("bigint", "long"):
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    profile = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events"),
+        F.round(F.sum("value"), 2).alias("lifetime_value"),
+    )
+    out = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type")
+        .join(profile, "user_id")
+        .select(
+            "event_id", "user_id", "event_type", "lifetime_events", "lifetime_value"
+        )
+    )
+    return _run_to_memory(out, "append")

@@ -1,0 +1,61 @@
+"""Round-trip tests for the multi-format source/sink layer.
+
+Each format writes the orders table (plus events for timestamp
+coverage) into a temp dir inside the repo and reads it back; the
+round-tripped rows must equal the originals exactly. CSV drops columns
+it cannot carry (nested types) via ``csv_safe_schema``.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from dbt_bigquery_udf_spark.sources.formats import (
+    FORMATS,
+    csv_safe_schema,
+    read_any,
+    write_any,
+)
+from dbt_bigquery_udf_spark.sources.registry import read_source
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_orders_roundtrip(spark, sf_small, tmp_path, fmt):
+    orig = read_source(spark, sf_small, "orders")
+    path = str(tmp_path / f"orders_{fmt}")
+    schema = orig.schema if fmt != "csv" else csv_safe_schema(orig.schema)
+    cols = [f.name for f in schema.fields]
+    write_any(orig.select(*cols), path, fmt)
+    back = read_any(spark, path, fmt, schema=None if fmt in ("parquet", "orc") else schema)
+    assert back.schema == schema
+    assert _sorted_rows(back, cols) == _sorted_rows(orig, cols)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_events_timestamp_roundtrip(spark, sf_small, tmp_path, fmt):
+    """events carries the trickiest type (sub-second TIMESTAMP_NTZ from
+    nanosecond parquet); JSONL and CSV must preserve it to the
+    microsecond."""
+    orig = read_source(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / f"events_{fmt}")
+    write_any(orig, path, fmt)
+    back = read_any(spark, path, fmt, schema=orig.schema)
+    cols = [f.name for f in orig.schema.fields]
+    assert _sorted_rows(back, cols) == _sorted_rows(orig, cols)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_read_any_rejects_inference(spark, sf_small, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, str(tmp_path), "csv")
+    with pytest.raises(ValueError, match="unsupported"):
+        read_any(spark, str(tmp_path), "avro")

@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered driver-contract queries")
 
+    t = sub.add_parser("test", help="run schema tests against the built DAG")
+    t.add_argument("--env", default=None)
+    t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -60,6 +64,28 @@ def main(argv: list[str] | None = None) -> int:
         for name, rel in sorted(rels.items()):
             print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
         return 0
+
+    if args.cmd == "test":
+        from .api import bootstrap
+        from .models.quality import run_tests
+        from .models.reference import reference_tests
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        engine.build()
+        failed = 0
+        for res in run_tests(spark, engine, reference_tests()):
+            status = "PASS" if res.passed else "FAIL"
+            failed += 0 if res.passed else 1
+            print(
+                json.dumps(
+                    {
+                        "test": res.test.name,
+                        "status": status,
+                        "failures": res.n_failures,
+                    }
+                )
+            )
+        return 1 if failed else 0
 
     if args.cmd == "run-query":
         from . import queries as q

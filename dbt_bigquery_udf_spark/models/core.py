@@ -70,8 +70,8 @@ class ModelSpec:
     """
 
     name: str
-    kind: str  # 'function' | 'table_function' | 'table' | 'view'
-    sql: str
+    kind: str  # 'function' | 'table_function' | 'table' | 'view' | 'seed'
+    sql: str  # model body; for kind='seed', the CSV file path instead
     database: str = "udf"  # logical dataset; env suffix applied at build
     params: tuple[str, ...] = ()  # 'name TYPE' (BQ types), function kinds only
     return_type: str | None = None  # scalar functions only (BQ type)
@@ -81,9 +81,12 @@ class ModelSpec:
     pre_hooks: tuple[str, ...] = ()
     post_hooks: tuple[str, ...] = ()
     dialect: str = "bigquery"  # 'bigquery' | 'spark'
+    # Seeds only: declared column -> BQ type (dbt's `column_types` seed
+    # config). Empty = infer from the CSV (small files by definition).
+    seed_column_types: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
-        if self.kind not in ("function", "table_function", "table", "view"):
+        if self.kind not in ("function", "table_function", "table", "view", "seed"):
             raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
         if self.kind == "function" and not self.return_type:
             # Mirrors config.require('return_type')
@@ -175,6 +178,8 @@ class Engine:
         two regex passes over a plain SQL string.
         """
         sql = spec.sql
+        if spec.kind == "seed":
+            return sql.strip()  # a CSV path, not SQL — no transpile/resolve
         if spec.dialect == "bigquery":
             sql = transpile_bq_expr(sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
@@ -234,6 +239,29 @@ class Engine:
                     self.spark.sql(ddl)
                 finally:
                     self.spark.sql(f"USE {prev_db}")
+            elif spec.kind == "seed":
+                # dbt seed: a version-controlled CSV loaded as a table
+                # (the reference ships an empty seeds/ dir — dbt built-in
+                # surface, reference: dbt_project.yml seed-paths). Seeds
+                # are small by contract, so the load is a single-task
+                # CSV scan; schema comes from declared column_types when
+                # given (inference is acceptable only here, where dbt
+                # itself infers).
+                reader = self.spark.read.option("header", "true")
+                if spec.seed_column_types:
+                    cols = translate_param_list(
+                        [f"{c} {t}" for c, t in spec.seed_column_types]
+                    )
+                    reader = reader.schema(
+                        ", ".join(f"{c} {t}" for c, t in cols)
+                    )
+                else:
+                    reader = reader.option("inferSchema", "true")
+                df = reader.csv(body)
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                self._clean_stale_location(db, spec.name)
+                df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
+                self._persist_docs(spec, db)
             elif spec.kind in ("table", "view"):
                 # The body may invoke TVFs, which resolve against the
                 # *referenced model's* database — switch there for the build.
@@ -294,12 +322,12 @@ class Engine:
         models/datamart/schema.yml:4-10). Function descriptions are
         embedded in the CREATE (F10) because, as in BigQuery, they cannot
         be altered after the fact."""
-        if spec.kind not in ("table", "view"):
+        if spec.kind not in ("table", "view", "seed"):
             return
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
-        if spec.kind == "table":
+        if spec.kind in ("table", "seed"):
             for col, doc in spec.columns.items():
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(

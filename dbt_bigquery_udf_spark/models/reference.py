@@ -141,3 +141,23 @@ REFERENCE_MODELS: tuple[ModelSpec, ...] = (
     TEST_TABLE_FUNCTION,
     TEST_DATAMART,
 )
+
+
+def reference_tests():
+    """Default schema-test suite for the reference DAG — the `dbt test`
+    surface the reference configures but ships empty
+    (reference: dbt_project.yml:17 test-paths; 387 tests in the
+    production log, none in the repo). These four are dbt's built-in
+    generic tests applied to the datamart's declared contract
+    (reference: models/datamart/schema.yml:6-10)."""
+    from .quality import not_null, relationships, unique
+
+    return [
+        unique("test_datamart", "column1"),
+        not_null("test_datamart", "column1"),
+        not_null("test_datamart", "datetime"),
+        # Every datamart row must trace back to a source event: the
+        # TVF only filters/casts, so column1 ⊆ src.test_table.column1
+        # (dotted parent = relationships-to-source).
+        relationships("test_datamart", "column1", "src.test_table", "column1"),
+    ]

@@ -1,0 +1,126 @@
+"""Schema tests (`dbt test` surface) and seed materialization."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_bigquery_udf_spark.api import prepared_engine
+from dbt_bigquery_udf_spark.models.core import EngineError, ModelSpec
+from dbt_bigquery_udf_spark.models.quality import (
+    accepted_values,
+    not_null,
+    relationships,
+    run_tests,
+    unique,
+)
+from dbt_bigquery_udf_spark.models.reference import reference_tests
+
+
+def test_reference_suite_passes(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    results = run_tests(spark, engine, reference_tests())
+    assert len(results) == 4
+    for res in results:
+        assert res.passed, (res.test.name, res.n_failures)
+
+
+def test_failing_tests_report_counts(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    n_rows = spark.table(engine.relations["test_datamart"].qualified).count()
+    dm = engine.relations["test_datamart"].qualified
+    expected_orphans = spark.sql(
+        f"SELECT count(*) FROM (SELECT column1 FROM {dm} WHERE column1 IS NOT NULL) c "
+        "LEFT ANTI JOIN src.events p ON c.column1 = p.user_id"
+    ).collect()[0][0]
+    assert expected_orphans > 0  # fixture sanity: some event_ids exceed user range
+    results = run_tests(
+        spark,
+        engine,
+        [
+            # Every row violates an impossible accepted set.
+            accepted_values("test_datamart", "column1", ["-1"]),
+            # Referential check against a parent that misses some keys.
+            relationships("test_datamart", "column1", "src.events", "user_id"),
+        ],
+    )
+    assert results[0].n_failures == n_rows
+    assert not results[0].passed
+    assert results[1].n_failures == expected_orphans
+
+
+def test_unique_counts_duplicated_rows(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    # events.user_id repeats heavily: unique() must count all rows of
+    # duplicated values, and the quality suite addresses sources too.
+    dup = spark.sql(
+        "SELECT coalesce(sum(n), 0) FROM (SELECT count(*) AS n FROM src.events "
+        "WHERE user_id IS NOT NULL GROUP BY user_id HAVING count(*) > 1)"
+    ).collect()[0][0]
+    assert dup > 0  # fixture sanity
+
+    # Build a tiny model over events to run unique() against a model.
+    engine.register(
+        ModelSpec(
+            name="events_users",
+            kind="view",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT user_id FROM {{ source('joshua_dataset', 'events') }}",
+        )
+    )
+    engine.build(select=["events_users"])
+    res = run_tests(spark, engine, [unique("events_users", "user_id")])[0]
+    assert res.n_failures == dup
+
+
+def test_unbuilt_model_raises(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    with pytest.raises(EngineError, match="not built"):
+        run_tests(spark, engine, [not_null("nope", "x")])
+
+
+def test_seed_materialization(spark, sf_small, tmp_path):
+    csv = tmp_path / "country_codes.csv"
+    csv.write_text("code,name,population\nTW,Taiwan,23\nJP,Japan,125\nDE,Germany,83\n")
+    engine = prepared_engine(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="country_codes",
+            kind="seed",
+            database="datamart",
+            sql=str(csv),
+            description="ISO country seed",
+            columns={"code": "ISO-3166 alpha-2"},
+            seed_column_types=(
+                ("code", "STRING"),
+                ("name", "STRING"),
+                ("population", "INT64"),
+            ),
+        )
+    )
+    rels = engine.build(select=["country_codes"])
+    rel = rels["country_codes"]
+    rows = spark.table(rel.qualified).orderBy("code").collect()
+    assert [(r.code, r.population) for r in rows] == [
+        ("DE", 83),
+        ("JP", 125),
+        ("TW", 23),
+    ]
+    assert dict(spark.table(rel.qualified).dtypes)["population"] == "bigint"
+    # persist_docs applies to seeds (table comment + column comment).
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {rel.qualified}").collect()
+    blob = "\n".join(str(r) for r in detail)
+    assert "ISO country seed" in blob
+    # Seeds are downstream-refable like any model.
+    engine.register(
+        ModelSpec(
+            name="big_countries",
+            kind="view",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT code FROM {{ ref('country_codes') }} WHERE population > 50",
+        )
+    )
+    engine.build(select=["big_countries"])
+    got = {r.code for r in spark.table("datamart.big_countries").collect()}
+    assert got == {"JP", "DE"}

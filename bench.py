@@ -43,6 +43,9 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_vocab_topk",
+    "text_tfidf_topk",
+    "timeseries_gapfill",
+    "full_outer_daily_activity",
     "sim_ivf_topk",
     "sim_topk_brute",
     "sim_topk_batch",

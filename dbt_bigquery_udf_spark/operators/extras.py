@@ -49,26 +49,21 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): order counts by status x priority.
 
-    Scale: with explicit pivot values this is a single groupBy with one
-    conditional-count aggregate per value — one shuffle of |statuses|
-    rows, no value-discovery job. The oracle is the classic
-    FILTER-clause conditional aggregation (what pivot desugars to).
+    Compiled as one conditional-count aggregate per named value — a
+    SINGLE groupBy/shuffle. DataFrame ``.pivot`` (even with explicit
+    values) desugars into TWO aggregations (pre-agg on (key, value),
+    then ``pivotfirst``) = two shuffles; with a closed value set the
+    conditional-aggregate form halves that, which is the plan the
+    single-exchange test pins. Empty cells are 0, matching the
+    FILTER-clause oracle.
     """
     o = _src(spark, sf_dir)["orders"]
-    wide = (
-        o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", _PRIORITIES)
-        .agg(F.count(F.lit(1)))
-    )
-    renames = dict(
-        zip(_PRIORITIES, ["urgent", "high", "medium", "unspecified", "low"])
-    )
-    for old, new in renames.items():
-        wide = wide.withColumnRenamed(old, new)
-    # Pivot leaves NULL for empty cells; the FILTER oracle yields 0.
-    return wide.select(
-        "o_orderstatus",
-        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    names = ["urgent", "high", "medium", "unspecified", "low"]
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.count_if(F.col("o_orderpriority") == v).alias(n)
+            for v, n in zip(_PRIORITIES, names)
+        ]
     )
 
 
@@ -630,4 +625,59 @@ def array_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("o_orderpriority")).cast("bigint").alias(
             "n_priorities"
         ),
+    )
+
+
+@register(
+    "full_outer_daily_activity",
+    """
+    WITH clicks AS (
+      SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), purchases AS (
+      SELECT user_id, count(*) AS n_purchases,
+             round(sum(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(p.purchase_value, 0.0) AS purchase_value
+    FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-user click vs purchase activity, keeping
+    users present on either side — the reconciliation join (no silent
+    row loss in either direction).
+
+    Scale: full outer cannot broadcast (both sides must surface
+    unmatched rows), so it is always a shuffle join on the key — plan
+    accordingly: this is the join type that most rewards co-bucketed
+    storage at 100 TB.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    joined = clicks.alias("c").join(
+        purchases.alias("p"),
+        F.col("c.user_id") == F.col("p.user_id"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
     )

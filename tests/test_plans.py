@@ -68,3 +68,52 @@ def test_dedup_exact_single_shuffle(spark, sf_small):
     f = _facts(spark, sf_small, "dedup_exact")
     assert f.exchanges == 1, f.text
     assert f.scan_columns() <= {"doc_id", "text"}, f.read_schemas
+
+
+def test_pivot_is_single_aggregate(spark, sf_small):
+    """Explicit-value pivot compiles to one aggregation: exactly one
+    shuffle, no value-discovery pass, scan pruned to the two columns."""
+    f = _facts(spark, sf_small, "pivot_status_priority")
+    assert f.exchanges == 1, f.text
+    assert f.scan_columns() <= {"o_orderstatus", "o_orderpriority"}, f.read_schemas
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark, sf_small):
+    """Unpivot is a row-local Expand after the aggregate: still exactly
+    one shuffle (the groupBy's)."""
+    f = _facts(spark, sf_small, "unpivot_order_measures")
+    assert f.exchanges == 1, f.text
+    assert "Expand" in f.text
+
+
+def test_sample_filter_is_scan_side(spark, sf_small):
+    """Deterministic hash sampling must stay a scan-stage filter: no
+    shuffle, no join, pruned read schema."""
+    f = _facts(spark, sf_small, "sample_hash_pct")
+    assert f.exchanges == 0, f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text
+    assert f.scan_columns() <= {"l_orderkey", "l_linenumber", "l_extendedprice"}
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_small):
+    """TF-IDF joins term frequencies to document frequencies on the
+    term key; the |vocab|-sized DF side must broadcast — no sort-merge
+    join in the plan."""
+    f = _facts(spark, sf_small, "text_tfidf_topk")
+    assert f.broadcast_joins >= 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_gapfill_spine_joins_broadcast(spark, sf_small):
+    """The hour spine is a one-row-aggregate explode; its join against
+    the hourly counts must not be a sort-merge join."""
+    f = _facts(spark, sf_small, "timeseries_gapfill")
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_global_sort_page_is_take_ordered(spark, sf_small):
+    """ORDER BY + LIMIT/OFFSET executes as TakeOrdered — never a full
+    global sort."""
+    f = _facts(spark, sf_small, "global_sort_page")
+    assert "TakeOrderedAndProject" in f.text, f.text
+    assert f.exchanges == 0, f.text

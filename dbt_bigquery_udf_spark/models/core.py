@@ -56,6 +56,13 @@ __all__ = ["ModelSpec", "Engine"]
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+# dbt's incremental guard: `{% if is_incremental() %} ... {% endif %}`.
+# Kept as the one control-flow construct we honor (the reference's other
+# Jinja is incidental — SURVEY.md §7); non-greedy so multiple blocks work.
+_INCR_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
+)
 
 
 @dataclass(frozen=True)
@@ -84,10 +91,41 @@ class ModelSpec:
     # Seeds only: declared column -> BQ type (dbt's `column_types` seed
     # config). Empty = infer from the CSV (small files by definition).
     seed_column_types: tuple[tuple[str, str], ...] = ()
+    # Incremental only (dbt's incremental materialization):
+    # 'append' inserts the body's rows (optionally only new unique_key
+    # values); 'insert_overwrite' replaces exactly the partitions the
+    # body produced (requires partition_by).
+    incremental_strategy: str = "append"  # 'append' | 'insert_overwrite'
+    partition_by: tuple[str, ...] = ()
+    unique_key: str | None = None
+    # Snapshots only (dbt SCD2): change-detection strategy.
+    snapshot_strategy: str = "timestamp"  # 'timestamp' | 'check'
+    updated_at: str | None = None  # timestamp strategy
+    check_cols: tuple[str, ...] = ()  # check strategy
 
     def __post_init__(self) -> None:
-        if self.kind not in ("function", "table_function", "table", "view", "seed"):
+        if self.kind not in (
+            "function",
+            "table_function",
+            "table",
+            "view",
+            "seed",
+            "incremental",
+            "snapshot",
+        ):
             raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
+        if self.kind == "incremental":
+            if self.incremental_strategy not in ("append", "insert_overwrite"):
+                raise EngineError(
+                    f"model {self.name}: unknown incremental_strategy "
+                    f"{self.incremental_strategy!r}"
+                )
+            if self.incremental_strategy == "insert_overwrite" and not self.partition_by:
+                raise EngineError(
+                    f"model {self.name}: insert_overwrite requires partition_by"
+                )
+        if self.kind == "snapshot" and not self.unique_key:
+            raise EngineError(f"model {self.name}: snapshots require unique_key")
         if self.kind == "function" and not self.return_type:
             # Mirrors config.require('return_type')
             # (reference: macros/udf/get_create_function_as_sql.sql:3-5).
@@ -142,9 +180,13 @@ class Engine:
 
     # -- registration -----------------------------------------------------
 
-    def register(self, *specs: ModelSpec) -> "Engine":
+    def register(self, *specs: ModelSpec, replace: bool = False) -> "Engine":
+        """Add model specs. Re-registering a name is an error unless
+        ``replace=True`` (the dbt analogue: each run re-parses the
+        project, so an updated model file replaces the old definition —
+        used by incremental models whose body evolves between runs)."""
         for spec in specs:
-            if spec.name in self.models:
+            if spec.name in self.models and not replace:
                 raise EngineError(f"duplicate model name {spec.name!r}")
             self.models[spec.name] = spec
         return self
@@ -182,6 +224,14 @@ class Engine:
             return sql.strip()  # a CSV path, not SQL — no transpile/resolve
         if spec.dialect == "bigquery":
             sql = transpile_bq_expr(sql)
+        # dbt incremental surface: `{% if is_incremental() %}` blocks are
+        # kept on incremental runs (target exists) and stripped on full
+        # builds; `{{ this }}` resolves to the target relation.
+        is_incremental = spec.kind == "incremental" and self.spark.catalog.tableExists(
+            f"{self.database_for(spec)}.{spec.name}"
+        )
+        sql = _INCR_RE.sub((lambda m: m.group(1)) if is_incremental else "", sql)
+        sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
         sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)
         return sql.strip().rstrip(";")
@@ -239,6 +289,69 @@ class Engine:
                     self.spark.sql(ddl)
                 finally:
                     self.spark.sql(f"USE {prev_db}")
+            elif spec.kind == "incremental":
+                # dbt incremental materialization. First run = CTAS (the
+                # is_incremental() blocks were stripped by render);
+                # subsequent runs insert only the body's delta:
+                #   append          — INSERT INTO, with unique_key
+                #                     dedupe via anti join (the
+                #                     MERGE-less upsert-new-keys form);
+                #   insert_overwrite— INSERT OVERWRITE in dynamic mode:
+                #                     replaces exactly the partitions
+                #                     present in the delta (idempotent
+                #                     backfills at 100 TB: re-running a
+                #                     day rewrites that day only).
+                target = f"{db}.{spec.name}"
+                if not self.spark.catalog.tableExists(target):
+                    self._clean_stale_location(db, spec.name)
+                    part = (
+                        f" PARTITIONED BY ({', '.join(spec.partition_by)})"
+                        if spec.partition_by
+                        else ""
+                    )
+                    self.spark.sql(
+                        f"CREATE TABLE {target} USING parquet{part} AS {body}"
+                    )
+                elif spec.incremental_strategy == "append":
+                    insert_sql = f"SELECT * FROM ({body})"
+                    if spec.unique_key:
+                        insert_sql = (
+                            f"SELECT * FROM ({body}) src LEFT ANTI JOIN "
+                            f"{target} tgt ON src.{spec.unique_key} = "
+                            f"tgt.{spec.unique_key}"
+                        )
+                    self.spark.sql(f"INSERT INTO {target} {insert_sql}")
+                else:  # insert_overwrite
+                    prev_mode = self.spark.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode", "static"
+                    )
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                    try:
+                        self.spark.sql(f"INSERT OVERWRITE {target} {body}")
+                    finally:
+                        self.spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", prev_mode
+                        )
+                self._persist_docs(spec, db)
+            elif spec.kind == "snapshot":
+                from .snapshots import build_snapshot
+
+                if not self.spark.catalog.tableExists(f"{db}.{spec.name}"):
+                    # Fresh metastore + leftover warehouse dir from a
+                    # previous process: clear it or CTAS refuses.
+                    self._clean_stale_location(db, spec.name)
+                build_snapshot(
+                    self.spark,
+                    f"{db}.{spec.name}",
+                    body,
+                    unique_key=spec.unique_key,
+                    strategy=spec.snapshot_strategy,
+                    updated_at=spec.updated_at,
+                    check_cols=spec.check_cols,
+                )
+                self._persist_docs(spec, db)
             elif spec.kind == "seed":
                 # dbt seed: a version-controlled CSV loaded as a table
                 # (the reference ships an empty seeds/ dir — dbt built-in
@@ -322,12 +435,12 @@ class Engine:
         models/datamart/schema.yml:4-10). Function descriptions are
         embedded in the CREATE (F10) because, as in BigQuery, they cannot
         be altered after the fact."""
-        if spec.kind not in ("table", "view", "seed"):
+        if spec.kind not in ("table", "view", "seed", "incremental", "snapshot"):
             return
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
-        if spec.kind in ("table", "seed"):
+        if spec.kind in ("table", "seed", "incremental", "snapshot"):
             for col, doc in spec.columns.items():
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(

@@ -1,0 +1,77 @@
+"""Golden vectors for the extended BigQuery function transpilation.
+
+Each case is (BigQuery expression, expected value): the transpiled SQL
+runs in Spark and must produce the expected result — faithfulness, not
+just syntactic rewriting.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dbt_bigquery_udf_spark.functions.dialect import (
+    transpile_bq_expr,
+    transpile_bq_functions,
+)
+
+_DT = "TIMESTAMP_NTZ '2023-03-15 12:30:45'"
+
+CASES = [
+    ("SAFE_DIVIDE(10, 0)", None),
+    ("SAFE_DIVIDE(10, 4)", 2.5),
+    ("SAFE_ADD(9223372036854775807, 1)", None),
+    ("REGEXP_CONTAINS('hello world', 'wor.d')", True),
+    ("REGEXP_CONTAINS('hello', '^world$')", False),
+    ("ARRAY_LENGTH(array(1, 2, 3))", 3),
+    ("TO_JSON_STRING(named_struct('a', 1))", '{"a":1}'),
+    ("JSON_EXTRACT_SCALAR('{\"k\": \"v\"}', '$.k')", "v"),
+    ("JSON_VALUE('{\"k\": 7}', '$.k')", "7"),
+    ("COUNTIF(true)", 1),
+    ("LOGICAL_AND(true)", True),
+    ("LOGICAL_OR(false)", False),
+    ("BYTE_LENGTH('abc')", 3),
+    ("STRPOS('haystack', 'st')", 4),
+    (f"DATETIME_DIFF({_DT}, TIMESTAMP_NTZ '2023-03-13 12:30:45', DAY)", 2),
+    (f"TIMESTAMP_DIFF({_DT}, TIMESTAMP_NTZ '2023-03-15 10:30:45', HOUR)", 2),
+    (
+        f"DATETIME_TRUNC({_DT}, MONTH)",
+        datetime.datetime(2023, 3, 1, 0, 0),
+    ),
+    (
+        f"DATETIME_ADD({_DT}, INTERVAL 2 DAY)",
+        datetime.datetime(2023, 3, 17, 12, 30, 45),
+    ),
+    (
+        f"DATETIME_SUB({_DT}, INTERVAL 45 MINUTE)",
+        datetime.datetime(2023, 3, 15, 11, 45, 45),
+    ),
+    (f"FORMAT_DATETIME('%Y/%m/%d %H:%M:%S', {_DT})", "2023/03/15 12:30:45"),
+    (f"FORMAT_DATETIME('%Y-%m-%dT%H:%M:%SZ', {_DT})", "2023-03-15T12:30:45Z"),
+    # Composition with the reference surface (PARSE -> DIFF chain).
+    (
+        "DATETIME_DIFF(PARSE_DATETIME('%Y-%m-%d', '2024-01-03'), "
+        "PARSE_DATETIME('%Y-%m-%d', '2024-01-01'), DAY)",
+        2,
+    ),
+]
+
+
+@pytest.mark.parametrize("bq,expected", CASES, ids=[c[0][:45] for c in CASES])
+def test_bq_function_golden(spark, bq, expected):
+    out = spark.sql(f"SELECT {transpile_bq_expr(bq)} AS v").collect()[0][0]
+    assert out == expected, (bq, transpile_bq_expr(bq), out)
+
+
+def test_unsupported_interval_raises():
+    with pytest.raises(ValueError, match="interval"):
+        transpile_bq_functions("DATETIME_ADD(x, y)")
+
+
+def test_unmapped_functions_left_alone():
+    # SPLIT and FARM_FINGERPRINT have different semantics in Spark —
+    # they must pass through untouched (visible failure beats silent
+    # semantic change).
+    sql = "SELECT SPLIT(a, '.'), FARM_FINGERPRINT(b) FROM t"
+    assert transpile_bq_functions(sql) == sql

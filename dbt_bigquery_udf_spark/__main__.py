@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--env", default=None)
     t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    d = sub.add_parser(
+        "docs", help="emit the model manifest (dbt docs generate analogue)"
+    )
+    d.add_argument("--env", default=None)
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -86,6 +92,31 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         return 1 if failed else 0
+
+    if args.cmd == "docs":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        manifest = {
+            "models": {
+                name: {
+                    "kind": spec.kind,
+                    "database": engine.database_for(spec),
+                    "description": spec.description,
+                    "columns": dict(spec.columns),
+                    "tags": list(spec.tags),
+                    "depends_on": {
+                        "refs": list(spec.refs),
+                        "sources": [list(s) for s in spec.sources],
+                    },
+                    "params": list(spec.params),
+                    "return_type": spec.return_type,
+                }
+                for name, spec in engine.models.items()
+            }
+        }
+        print(json.dumps(manifest, indent=2, sort_keys=True))
+        return 0
 
     if args.cmd == "run-query":
         from . import queries as q

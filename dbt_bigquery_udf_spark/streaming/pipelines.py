@@ -371,3 +371,71 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "append")
+
+
+# -- stream-stream join ----------------------------------------------------
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: each purchase joined to
+    the same user's clicks in the preceding 30 minutes — the both-sides-
+    live attribution shape (stream_static_join's dimension side is
+    batch; here both inputs flow).
+
+    Both streams carry watermarks and the join condition bounds event
+    time on BOTH sides, which is what lets Spark evict click state once
+    the purchase-side watermark passes `click.ts + 30min` — without the
+    time bound, stream-stream join state grows forever. With
+    ``availableNow`` over the staged single file the run is one
+    microbatch, so nothing is evicted early and the result equals the
+    batch interval join — the oracle.
+
+    Scale: state shards by user_id across executors; per-key state is
+    bounded by the 30-minute window; late events beyond the watermark
+    drop deterministically.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    return _run_to_memory(joined, "append")

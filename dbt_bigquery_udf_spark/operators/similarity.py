@@ -305,3 +305,95 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# -- embedding analytics ---------------------------------------------------
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH dims AS (
+      SELECT label, i, printf('%.4f', round(avg(embedding[i]), 4) + 0.0) AS v
+      FROM embeddings, generate_series(1, 64) s(i)
+      GROUP BY label, i
+    )
+    SELECT label, count(*) AS n_dims,
+           array_to_string(list(v ORDER BY i), ',') AS centroid
+    FROM dims GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (dimension-wise mean)
+    — the class-prototype computation under IVF training, cluster
+    quality checks, and centroid-based dedup.
+
+    posexplode flattens (vector, position) so the mean is an ordinary
+    codegen'd aggregate per (label, dim) — no Python, no HOF lambda in
+    the hot path (SCALE.md local-mode lesson #1); the 64-element
+    reassembly happens on |labels| x 64 rows. The centroid is emitted
+    as a fixed-point (%.4f) comma-joined string so the value hash is
+    engine-neutral — double-to-string rendering differs across engines
+    (Spark says 3.0E-4 where DuckDB says 0.0003).
+
+    Scale: the shuffle carries |labels| x dims x partials — constant in
+    row count; this is THE pattern for computing per-class statistics
+    over billions of vectors.
+    """
+    emb = register_sources(spark, sf_dir)["embeddings"]
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        # + 0.0 collapses IEEE negative zero (round(-1e-6, 4) -> -0.0
+        # formats as "-0.0000" in one engine and "0.0000" in the other).
+        .agg(
+            F.format_string("%.4f", F.round(F.avg("v"), 4) + F.lit(0.0)).alias("v")
+        )
+    )
+    return dims.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ),
+            ",",
+        ).alias("centroid"),
+    )
+
+
+@register(
+    "emb_norm_stats",
+    """
+    WITH norms AS (
+      SELECT vec_id, label, sqrt(sum(v * v)) AS l2
+      FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+      GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n,
+           round(avg(l2), 4) AS avg_norm,
+           round(min(l2), 4) AS min_norm,
+           round(max(l2), 4) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — the standard embedding-health
+    check (unnormalized vectors break cosine ANN assumptions).
+
+    Same explode-then-aggregate shape as the centroids: norms are a
+    per-vector sum of squares (codegen'd), then constant-state
+    aggregates per label.
+    """
+    emb = register_sources(spark, sf_dir)["embeddings"]
+    norms = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"))
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l2"), 4).alias("avg_norm"),
+        F.round(F.min("l2"), 4).alias("min_norm"),
+        F.round(F.max("l2"), 4).alias("max_norm"),
+    )

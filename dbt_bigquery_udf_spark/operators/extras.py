@@ -681,3 +681,40 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
         F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
     )
+
+
+@register(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+             AS n_items,
+           (SELECT round(coalesce(sum(l_quantity), 0.0), 2) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS total_qty
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — the ORM-ish
+    query shape users write constantly; Catalyst decorrelates each into
+    an aggregate + left outer join rather than a per-row probe.
+
+    Expressed via spark.sql on registered source views: scalar-subquery
+    syntax has no DataFrame-API equivalent, and the point is that the
+    engine's SQL front door handles it. Scale: after decorrelation the
+    cost is two grouped aggregates on l_orderkey joined back — the
+    selective filter on orders broadcasts into both joins under AQE.
+    """
+    _src(spark, sf_dir)  # registers the source temp views
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+                 AS n_items,
+               (SELECT round(coalesce(sum(l_quantity), 0.0), 2) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS total_qty
+        FROM orders
+        WHERE o_totalprice > 400000
+        """
+    )

@@ -501,14 +501,23 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # corpus size: single count, driver-side constant
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    # DF derives from TF (|doc,term| rows), not from a second pass over
+    # the raw token stream — and since tf is already hash-partitioned by
+    # (doc_id, term), Spark reuses that shuffle for the term rollup.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Corpus size rides along as a 1-row aggregate cross join (broadcast)
+    # instead of a separate .count() job per invocation.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

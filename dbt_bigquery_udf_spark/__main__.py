@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     r.add_argument("--limit", type=int, default=20)
+    r.add_argument(
+        "--explain",
+        action="store_true",
+        help="print physical-plan facts (shuffles/broadcasts/pushdown) instead of rows",
+    )
 
     args = ap.parse_args(argv)
 
@@ -125,6 +130,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         df = q.QUERIES[args.name](spark, args.sf_dir)
+        if args.explain:
+            from .plans import plan_facts
+
+            f = plan_facts(df)
+            print(
+                json.dumps(
+                    {
+                        "query": args.name,
+                        "exchanges": f.exchanges,
+                        "broadcast_joins": f.broadcast_joins,
+                        "sort_merge_joins": f.sort_merge_joins,
+                        "codegen_spans": f.codegen_spans,
+                        "scans": f.scans,
+                        "pushed_filters": f.pushed_filters,
+                        "read_schemas": f.read_schemas,
+                    }
+                )
+            )
+            return 0
         for row in df.limit(args.limit).collect():
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
         return 0

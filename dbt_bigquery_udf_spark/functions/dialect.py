@@ -367,4 +367,94 @@ def transpile_bq_functions(sql: str) -> str:
     out = _BQ_FN_NAME_RE.sub(
         lambda m: _BQ_FN_NAME_MAP[m.group(1).upper()] + "(", out
     )
+    return transpile_bq_arrays_datetime(out)
+
+
+# Array indexing: BQ requires a[OFFSET(i)] (0-based) / a[ORDINAL(i)]
+# (1-based); Spark brackets are 0-based and element_at is 1-based. The
+# SAFE_ variants return NULL out of range, like Spark's element_at
+# under non-ANSI — use try_element_at to be explicit.
+_OFFSET_RE = re.compile(r"\[\s*(SAFE_)?OFFSET\s*\(", re.IGNORECASE)
+_ORDINAL_RE = re.compile(r"\[\s*(SAFE_)?ORDINAL\s*\(", re.IGNORECASE)
+# BQ DATETIME literal / constructor -> TIMESTAMP_NTZ literal /
+# make_timestamp_ntz.
+_DATETIME_LIT_RE = re.compile(r"\bDATETIME\s+'", re.IGNORECASE)
+_DATETIME_CTOR_RE = re.compile(r"\bDATETIME\s*\((?=[^)]*,)", re.IGNORECASE)
+
+
+def _index_repl(kind: str):
+    def repl(m: re.Match) -> str:
+        safe = bool(m.group(1))
+        # a[OFFSET(i)] -> element_at(a, (i)+1); ORDINAL is already 1-based.
+        # We rewrite the bracket open into a marker the closer pass fixes.
+        fn = "try_element_at" if safe else "element_at"
+        shift = " + 1" if kind == "offset" else ""
+        return f"@@IDX@@{fn}@@{shift}@@("
+
+    return repl
+
+
+def _resolve_index_markers(sql: str) -> str:
+    """``arr @@IDX@@fn@@shift@@( i ) ]`` -> ``fn(arr, (i)shift)``.
+
+    The marker sits where ``[OFFSET(`` was, so the array expression is
+    everything ending right before the marker; scan back over one
+    balanced primary (identifier / call / bracket chain)."""
+    marker = "@@IDX@@"
+    while marker in sql:
+        i = sql.index(marker)
+        j = sql.index("@@(", i + len(marker))
+        fn_and_shift = sql[i + len(marker) : j]
+        fn, _, shift = fn_and_shift.partition("@@")
+        # parse index expr: from j+3 to matching ')' then expect ']'
+        args, end = _split_top_args(sql, j + 2)
+        idx = args[0]
+        k = end
+        while sql[k].isspace():
+            k += 1
+        if sql[k] != "]":
+            raise ValueError("malformed OFFSET/ORDINAL indexing")
+        # The marker replaced '[OFFSET(' wholesale, so the array
+        # expression ends immediately before it (modulo whitespace).
+        a_end = i
+        while a_end > 0 and sql[a_end - 1].isspace():
+            a_end -= 1
+        a_start = _primary_start(sql, a_end)
+        arr = sql[a_start:a_end]
+        replacement = f"{fn}({arr}, ({idx}){shift})"
+        sql = sql[:a_start] + replacement + sql[k + 1 :]
+    return sql
+
+
+def _primary_start(sql: str, end: int) -> int:
+    """Start index of the primary expression ending at ``end`` (exclusive):
+    identifier, qualified name, function call, or bracket suffix chain."""
+    i = end
+    while i > 0:
+        ch = sql[i - 1]
+        if ch in ")]":
+            depth = 1
+            i -= 1
+            open_ch = "(" if ch == ")" else "["
+            close_ch = ch
+            while depth > 0:
+                i -= 1
+                if sql[i] == close_ch:
+                    depth += 1
+                elif sql[i] == open_ch:
+                    depth -= 1
+        elif ch.isalnum() or ch in "_.":
+            i -= 1
+        else:
+            break
+    return i
+
+
+def transpile_bq_arrays_datetime(sql: str) -> str:
+    """Array-indexing and DATETIME literal/constructor translation."""
+    out = _OFFSET_RE.sub(_index_repl("offset"), sql)
+    out = _ORDINAL_RE.sub(_index_repl("ordinal"), out)
+    out = _resolve_index_markers(out)
+    out = _DATETIME_LIT_RE.sub("TIMESTAMP_NTZ '", out)
+    out = _DATETIME_CTOR_RE.sub("make_timestamp_ntz(", out)
     return out

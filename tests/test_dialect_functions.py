@@ -75,3 +75,31 @@ def test_unmapped_functions_left_alone():
     # semantic change).
     sql = "SELECT SPLIT(a, '.'), FARM_FINGERPRINT(b) FROM t"
     assert transpile_bq_functions(sql) == sql
+
+
+ARRAY_DT_CASES = [
+    ("array(10, 20, 30)[OFFSET(1)]", 20),
+    ("array(10, 20, 30)[ORDINAL(1)]", 10),
+    ("array(10, 20)[SAFE_OFFSET(9)]", None),
+    ("array(10, 20)[SAFE_ORDINAL(2)]", 20),
+    # nested: index expression is itself an expression
+    ("array(1, 2, 3)[OFFSET(1 + 1)]", 3),
+    # chained off a function call
+    ("split('a,b,c', ',')[OFFSET(2)]", "c"),
+    (
+        "DATETIME '2024-05-01 08:30:00'",
+        datetime.datetime(2024, 5, 1, 8, 30),
+    ),
+    (
+        "DATETIME(2024, 5, 1, 8, 30, 0)",
+        datetime.datetime(2024, 5, 1, 8, 30),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "bq,expected", ARRAY_DT_CASES, ids=[c[0][:40] for c in ARRAY_DT_CASES]
+)
+def test_bq_array_datetime_golden(spark, bq, expected):
+    out = spark.sql(f"SELECT {transpile_bq_expr(bq)} AS v").collect()[0][0]
+    assert out == expected, (bq, transpile_bq_expr(bq), out)

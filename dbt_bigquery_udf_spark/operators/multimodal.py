@@ -225,3 +225,91 @@ def mm_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("sum_k"),
         F.round(F.avg("p.k"), 4).alias("avg_k"),
     )
+
+
+# -- Pandas-UDF resize (thumbnailing) over mapInPandas ---------------------
+
+THUMB_BOX = 128  # bounding box for thumbnails (longest side)
+
+
+def resize_image_real(blob: bytes, box: int) -> bytes:
+    """Real resize entry point — requires an image codec (PIL/opencv),
+    which this container does not ship. STUB."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "the deterministic stand-in computes output geometry only"
+    )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumb_phash", T.StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode geometry, fit to the THUMB_BOX bounding
+    box preserving aspect ratio (no upscaling), emit thumbnail features.
+
+    Real code would call ``resize_image_real`` and emit thumbnail bytes;
+    the stand-in reproduces the geometry arithmetic exactly (integer
+    floor division) so the oracle can replicate it from the same md5.
+    """
+    for pdf in batches:
+        rows = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media_blob"]):
+            w, h, phash = _fake_decode(blob)
+            mx = max(w, h)
+            if mx <= THUMB_BOX or mx == 0:
+                ow, oh = w, h
+            else:
+                ow = w * THUMB_BOX // mx
+                oh = h * THUMB_BOX // mx
+            rows.append((media_id, w, h, ow, oh, phash))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "in_w", "in_h", "out_w", "out_h", "thumb_phash"]
+        )
+
+
+@register(
+    "mm_resize_thumbs",
+    """
+    WITH geom AS (
+      SELECT doc_id AS media_id,
+             CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS INT) AS in_w,
+             CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS INT) AS in_h,
+             substr(md5(text), 1, 16) AS thumb_phash
+      FROM documents
+    )
+    SELECT media_id, in_w, in_h,
+           CAST(CASE WHEN greatest(in_w, in_h) <= 128 THEN in_w
+                ELSE (in_w * 128) // greatest(in_w, in_h) END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(in_w, in_h) <= 128 THEN in_h
+                ELSE (in_h * 128) // greatest(in_w, in_h) END AS INT) AS out_h,
+           thumb_phash
+    FROM geom
+    """,
+)
+def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize stage: every payload fit into a 128px bounding
+    box (aspect preserved, never upscaled) via ``mapInPandas``.
+
+    Same plumbing contract as the decode stage: Arrow batches of binary
+    payloads in, fixed-schema features out, codec stubbed behind
+    ``resize_image_real``. The oracle reproduces the md5-derived
+    geometry and the integer floor-division fit, so the whole
+    stage — batching, schema, arithmetic — is value-checked.
+
+    Scale: embarrassingly parallel; ``ensure_min_partitions`` spreads
+    the single-file test corpus, a no-op on real multi-split inputs.
+    Thumbnail bytes would add ~box^2 x 3 per row to the Arrow batch —
+    still bounded by maxRecordsPerBatch.
+    """
+    m = ensure_min_partitions(_media(spark, sf_dir).select("media_id", "media_blob"))
+    return m.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)

@@ -727,3 +727,243 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 400000
         """
     )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 200
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold
+    — IN over a HAVING aggregate, planned as aggregate -> semi join ->
+    re-aggregate.
+
+    Scale: the HAVING subquery collapses lineitem to |qualifying
+    orderkeys| rows before the semi join; both joins key on orderkey, so
+    bucketed storage makes the whole query one shuffle.
+    """
+    s = _src(spark, sf_dir)
+    li = s["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        s["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+              F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunction of conjunctive brand/size/quantity
+    bands across both join sides.
+
+    Scale: Catalyst extracts the common single-side conjuncts from the
+    OR (brand IN (...), size <= 35, quantity bounds) and pushes them
+    below the join, shrinking both inputs before the broadcast; the
+    full disjunction evaluates post-join. This is the query shape that
+    punishes engines without predicate extraction.
+    """
+    s = _src(spark, sf_dir)
+    li, p = s["lineitem"], s["part"]
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > threshold
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers who never
+    placed a large order — scalar-aggregate threshold (broadcast 1-row
+    cross join) + filtered anti join + rollup.
+
+    Scale: the threshold is one broadcast row; the anti join shuffles
+    on custkey with its own filter pushed below, and drops payload
+    columns from the probe side.
+    """
+    s = _src(spark, sf_dir)
+    c, o = s["customer"], s["orders"]
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 300000)
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "dedup_latest_version",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version compaction: keep each key's most recent record —
+    the CDC/upsert-log compaction every incremental lake table needs
+    (deterministic tie-break on event_id).
+
+    Scale: one shuffle on the key, per-partition sort, rank truncation;
+    at 100 TB this is exactly the merge-on-read compaction pass, and
+    pre-bucketed storage removes the shuffle.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts", "value",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS signed_up,
+           count(*) FILTER (WHERE t_signup < t_click) AS clicked_after,
+           count(*) FILTER (WHERE t_signup < t_click AND t_click < t_purchase)
+             AS purchased_after
+    FROM steps
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> click -> purchase, each step strictly
+    after the previous (first-occurrence timestamps per user) — the
+    conversion query behind every growth dashboard.
+
+    Scale: ONE shuffle (the per-user aggregate); step ordering is plain
+    column comparison on the aggregate row, not per-event joins. The
+    conditional-min pattern is the same single-pass trick as the pivot.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    steps = ev.groupBy("user_id").agg(
+        t("signup").alias("t_signup"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count_if(F.col("t_signup").isNotNull()).alias("signed_up"),
+        F.count_if(F.col("t_signup") < F.col("t_click")).alias("clicked_after"),
+        F.count_if(
+            (F.col("t_signup") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("purchased_after"),
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k buckets) — binning by
+    floor division, one aggregation pass.
+
+    Scale: bucket count is data-independent, so the shuffle is
+    |buckets| x partitions; for data-dependent bin edges use the
+    quantile sketch (stats_approx_sketches) to pick edges first.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -46,6 +46,9 @@ HEADLINE = [
     "text_tfidf_topk",
     "timeseries_gapfill",
     "full_outer_daily_activity",
+    "q19_disjunctive_revenue",
+    "funnel_signup_purchase",
+    "dedup_latest_version",
     "sim_ivf_topk",
     "sim_topk_brute",
     "sim_topk_batch",

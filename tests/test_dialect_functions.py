@@ -103,3 +103,29 @@ ARRAY_DT_CASES = [
 def test_bq_array_datetime_golden(spark, bq, expected):
     out = spark.sql(f"SELECT {transpile_bq_expr(bq)} AS v").collect()[0][0]
     assert out == expected, (bq, transpile_bq_expr(bq), out)
+
+
+def test_index_rewrite_edge_cases():
+    from dbt_bigquery_udf_spark.functions.dialect import transpile_bq_expr as t
+
+    assert t("a [ OFFSET(i) ]") == "element_at(a, (i) + 1)"
+    assert (
+        t("a[OFFSET(0)][OFFSET(1)]")
+        == "element_at(element_at(a, (0) + 1), (1) + 1)"
+    )
+    assert t("m.arr[SAFE_ORDINAL(n + 1)]") == "try_element_at(m.arr, (n + 1))"
+
+
+def test_transpile_idempotent_on_spark_sql():
+    """Already-Spark SQL (no BQ constructs) must pass through unchanged —
+    the transpiler is safe to run on mixed-dialect model bodies."""
+    from dbt_bigquery_udf_spark.functions.dialect import transpile_bq_expr as t
+
+    for sql in [
+        "SELECT col, element_at(a, 1), to_timestamp(s, 'yyyy') FROM t WHERE x > 1",
+        "SELECT date_trunc('hour', ts), count(*) FROM e GROUP BY 1",
+        "SELECT CASE WHEN a THEN 'x' ELSE 'y' END FROM t",
+        "SELECT try_cast(x AS BIGINT), coalesce(a, b) FROM t",
+    ]:
+        assert t(sql) == sql
+        assert t(t(sql)) == t(sql)

@@ -117,3 +117,30 @@ def test_global_sort_page_is_take_ordered(spark, sf_small):
     f = _facts(spark, sf_small, "global_sort_page")
     assert "TakeOrderedAndProject" in f.text, f.text
     assert f.exchanges == 0, f.text
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The as-of join is union + one window pass: exactly one exchange
+    (user_id), never a range/nested-loop join."""
+    f = _facts(spark, sf_small, "asof_click_attribution")
+    assert f.exchanges == 1, f.text
+    assert f.nested_loop_joins == 0, f.text
+
+
+def test_interval_join_no_nested_loop(spark, sf_small):
+    """The binned interval join must stay an equi join on the bin key —
+    no BroadcastNestedLoopJoin/CartesianProduct from the raw range
+    predicate."""
+    f = _facts(spark, sf_small, "interval_join_errors")
+    assert f.nested_loop_joins == 0, f.text
+
+
+def test_q19_pushes_common_predicates(spark, sf_small):
+    """Catalyst must extract single-side conjuncts from the OR bands
+    and push them into the scans (brand IN-set on part; quantity bounds
+    on lineitem)."""
+    f = _facts(spark, sf_small, "q19_disjunctive_revenue")
+    pushed = " ".join(f.pushed_filters)
+    assert "p_brand" in pushed, f.pushed_filters
+    assert "l_quantity" in pushed, f.pushed_filters
+    assert f.broadcast_joins >= 1, f.text

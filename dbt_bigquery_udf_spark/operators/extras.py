@@ -967,3 +967,106 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '{_TOK_RE}'),
+                                 t -> t <> '') AS ts
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ts) - 4, 0)),
+               i -> md5(array_to_string(ts[i:i+4], ' '))))) AS sh
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 11 = 0
+    ), hits AS (
+      SELECT s.doc_id, count(*) AS n_overlap
+      FROM shingles s JOIN bench b USING (sh)
+      WHERE s.doc_id % 11 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_overlap FROM hits WHERE n_overlap >= 1
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing 5-gram
+    shingles with a benchmark set (here simulated as every 11th doc) —
+    the standard eval-leakage check before LLM training.
+
+    Shingles are md5'd 5-token windows, deduped per document; the
+    benchmark side collapses to a distinct-hash set that broadcasts
+    into the overlap join. Scale: |bench shingles| is benchmark-sized
+    (small by definition), so the training side streams through a
+    broadcast semi-ish join with a count — no shuffle of the corpus.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.lower(F.col("text")), _TOK_RE), lambda t: t != "")
+    # 5-token windows via 1-based slice(); distinct within doc.
+    shingles = d.select(toks.alias("ts"), "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ts) - 4, 0)),"
+                    " i -> md5(array_join(slice(ts, i, 5), ' ')))"
+                )
+            )
+        ).alias("sh"),
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
+    )
+    train = shingles.filter(F.col("doc_id") % 11 != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 1)
+    )
+
+
+@register(
+    "sample_weighted_mix",
+    """
+    SELECT source, count(*) AS n
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+          CASE WHEN substr(source, 4)::INT < 5 THEN 80
+               WHEN substr(source, 4)::INT < 10 THEN 50
+               WHEN substr(source, 4)::INT < 15 THEN 30
+               ELSE 10 END
+    GROUP BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source sampling rates (source tiers
+    at 80/50/30/10%) via the deterministic hash-bucket trick — the
+    training-mix composition step, reproducible across engines and
+    re-runs.
+
+    Scale: scan-side filter, zero shuffle beyond the count; changing
+    the mix is a literal change, not a new shuffle topology.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num < 5, 80)
+        .when(src_num < 10, 50)
+        .when(src_num < 15, 30)
+        .otherwise(10)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -112,6 +112,7 @@ class ModelSpec:
             "seed",
             "incremental",
             "snapshot",
+            "ephemeral",
         ):
             raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
         if self.kind == "incremental":
@@ -206,6 +207,12 @@ class Engine:
             # TVF invocation must be unqualified (probed); the caller is
             # responsible for USE <db> — the engine does it during builds.
             return name
+        if target.kind == "ephemeral":
+            # dbt ephemeral: never materialized — the rendered body
+            # inlines into the caller as a subquery (recursively, so
+            # ephemerals may ref ephemerals). Catalyst then optimizes
+            # across the inlined boundary exactly as with a CTE.
+            return f"({self.render(target)})"
         return f"{db}.{name}"
 
     def _resolve_source(self, dataset: str, table: str) -> str:
@@ -260,6 +267,13 @@ class Engine:
 
     def _materialize(self, spec: ModelSpec, replace: bool) -> BuiltRelation:
         db = self.database_for(spec)
+        if spec.kind == "ephemeral":
+            # Never materialized: downstream refs inline the body
+            # (_resolve_ref). Registered in the relation cache so DAG
+            # bookkeeping and selection still see the node.
+            rel = BuiltRelation(spec.name, db, spec.name, "ephemeral")
+            self.relations[spec.name] = rel
+            return rel
         body = self.render(spec)
         with catalog_lock:
             ensure_database(self.spark, db)

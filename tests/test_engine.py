@@ -165,3 +165,50 @@ def test_incremental_skip_unchanged(spark, sf_small):
     )
     engine.build(skip_unchanged=True)
     assert engine.skipped == {"parse_datetime", "test_table_function"}
+
+
+def test_ephemeral_models_inline(spark, sf_small):
+    """dbt ephemeral materialization: the model never hits the catalog;
+    downstream refs inline its body as a subquery (recursively)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+
+    engine = prepared_engine(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="big_events_eph",
+            kind="ephemeral",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT user_id, value FROM"
+            " {{ source('joshua_dataset', 'events') }} WHERE value > 100",
+        ),
+        ModelSpec(
+            name="biggest_events_eph",
+            kind="ephemeral",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT user_id, value FROM {{ ref('big_events_eph') }}"
+            " WHERE value > 150",
+        ),
+        ModelSpec(
+            name="user_value_tbl",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT user_id, round(sum(value), 2) AS total FROM"
+            " {{ ref('biggest_events_eph') }} GROUP BY user_id",
+        ),
+        replace=True,
+    )
+    engine.build(select=["user_value_tbl"])
+    # Ephemeral nodes never became catalog objects...
+    assert not spark.catalog.tableExists("datamart.big_events_eph")
+    assert not spark.catalog.tableExists("datamart.biggest_events_eph")
+    # ...but the downstream table computed through both inlined bodies.
+    got = spark.table("datamart.user_value_tbl")
+    want = spark.sql(
+        "SELECT user_id, round(sum(value), 2) AS total FROM src.events"
+        " WHERE value > 150 GROUP BY user_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

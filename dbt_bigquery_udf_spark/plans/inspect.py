@@ -52,8 +52,14 @@ class PlanFacts:
         return cols
 
 
-def plan_facts(df: DataFrame) -> PlanFacts:
-    """Parse ``explain("formatted")`` into :class:`PlanFacts`."""
+def plan_facts(df: DataFrame, execute: bool = False) -> PlanFacts:
+    """Parse ``explain("formatted")`` into :class:`PlanFacts`.
+
+    ``execute=True`` additionally runs the query so the AQE-final
+    executed plan is available — that is the only plan that carries
+    WholeStageCodegen span markers (pre-execution adaptive plans always
+    report zero), so ``codegen_spans`` is populated only on this path.
+    """
     text = plan_text(df, "formatted")
     facts = PlanFacts(text=text)
     # Tree section: count operators once (the detail section repeats names).
@@ -66,7 +72,10 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     facts.broadcast_joins = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", joined))
     facts.sort_merge_joins = len(re.findall(r"SortMergeJoin", joined))
     facts.nested_loop_joins = len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", joined))
-    facts.codegen_spans = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+    if execute:
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        facts.codegen_spans = len(set(re.findall(r"\*\((\d+)\)", executed)))
     facts.scans = len(re.findall(r"Scan parquet|FileScan parquet", text))
     facts.pushed_filters = [
         m.strip() for m in re.findall(r"PushedFilters: \[([^\]]*)\]", detail or text)

@@ -144,3 +144,12 @@ def test_q19_pushes_common_predicates(spark, sf_small):
     assert "p_brand" in pushed, f.pushed_filters
     assert "l_quantity" in pushed, f.pushed_filters
     assert f.broadcast_joins >= 1, f.text
+
+
+def test_q1_stays_in_codegen(spark, sf_small):
+    """The aggregate pipeline must run inside whole-stage codegen (at
+    least one span; a zero here means the hot path fell back to
+    interpreted eval). Codegen spans exist only on the AQE-final
+    executed plan, so this runs the query."""
+    f = plan_facts(Q.QUERIES["q1_pricing_summary"](spark, sf_small), execute=True)
+    assert f.codegen_spans >= 1, f.text

@@ -49,6 +49,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "funnel_signup_purchase",
     "dedup_latest_version",
+    "pipeline_corpus_curation",
     "sim_ivf_topk",
     "sim_topk_brute",
     "sim_topk_batch",

@@ -16,6 +16,7 @@ throughput is bounded by parquet scan + codegen — the ideal shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..queries import register
@@ -282,4 +283,112 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "token")
         .limit(100)
+    )
+
+
+@register(
+    "pack_context_windows",
+    """
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT)
+               AS bin
+      FROM sized
+    )
+    SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    FROM binned GROUP BY lang, bin
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~4096-token training bins
+    (greedy in doc_id order, per language) — the context-window packing
+    step between curation and tokenization.
+
+    The bin id is ``floor(running_tokens_before_doc / capacity)``: one
+    window cumulative sum, deterministic, no driver loop. Scale:
+    partitioned by lang so packing parallelizes across strata; a single
+    global stream would serialize on one reducer — if one stratum
+    dominates, sub-shard it with the hash-bucket trick and pack per
+    (lang, shard).
+    """
+    d = register_sources(spark, sf_dir, tables=("documents",))["documents"]
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sized = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    binned = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096.0).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@register(
+    "pipeline_corpus_curation",
+    """
+    WITH quality AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 200
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, md5(text) AS th,
+             min(lang) AS lang, min(source) AS source, min(n_tokens) AS n_tokens
+      FROM quality GROUP BY md5(text)
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan: length
+    gate -> exact dedup (keep lowest doc_id per text hash) -> 50%
+    deterministic sample -> per-language stats. The composition the
+    engine exists for: each stage is an operator exercised elsewhere,
+    chained here so Catalyst fuses the whole flow (filters reach the
+    scan; the dedup groupBy is the only wide stage).
+
+    Scale: the length gate and hash sample are scan-side; dedup
+    shuffles on the text hash once; stats re-aggregate the survivor
+    set. At 100 TB the same plan holds — swap exact dedup for the
+    MinHash pair path when near-dup (not exact) semantics are needed.
+    """
+    d = register_sources(spark, sf_dir, tables=("documents",))["documents"]
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    quality = d.filter(F.col("n_chars") >= 200).select(
+        "doc_id", "lang", "source", n_tokens.alias("n_tokens"), F.md5("text").alias("th")
+    )
+    deduped = quality.groupBy("th").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sampled = deduped.filter(bucket < 50)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )

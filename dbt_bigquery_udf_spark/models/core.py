@@ -467,7 +467,18 @@ class Engine:
         if select is None:
             return dict(self.models)
         out: dict[str, ModelSpec] = {}
-        stack = list(select)
+        stack: list[str] = []
+        for sel in select:
+            if sel.startswith("tag:"):
+                # dbt tag selector: every model carrying the tag
+                # (reference: dbt_project.yml +tags, `--select tag:udf`).
+                tag = sel[4:]
+                tagged = [n for n, s in self.models.items() if tag in s.tags]
+                if not tagged:
+                    raise EngineError(f"--select {sel}: no model carries that tag")
+                stack.extend(tagged)
+            else:
+                stack.append(sel)
         while stack:
             name = stack.pop()
             if name in out:

@@ -131,3 +131,4 @@ def ref_tvf_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
+from .sources import format_queries  # noqa: E402,F401

@@ -212,3 +212,28 @@ def test_ephemeral_models_inline(spark, sf_small):
         " WHERE value > 150 GROUP BY user_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tag_selection(spark, sf_small):
+    """dbt tag selector: build --select tag:<t> expands to all tagged
+    models plus upstream closure."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import EngineError, ModelSpec
+    import pytest as _pytest
+
+    engine = prepared_engine(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="tagged_view",
+            kind="view",
+            database="datamart",
+            dialect="spark",
+            tags=("nightly",),
+            sql="SELECT count(*) AS n FROM {{ source('joshua_dataset', 'events') }}",
+        ),
+        replace=True,
+    )
+    rels = engine.build(select=["tag:nightly"])
+    assert set(rels) == {"tagged_view"}
+    with _pytest.raises(EngineError, match="no model carries"):
+        engine.build(select=["tag:nope"])

@@ -237,3 +237,44 @@ def test_tag_selection(spark, sf_small):
     assert set(rels) == {"tagged_view"}
     with _pytest.raises(EngineError, match="no model carries"):
         engine.build(select=["tag:nope"])
+
+
+def test_parallel_build_many_models(spark, sf_small):
+    """F17 at width: 24 independent models + 1 downstream build through
+    the 8-thread pool; every relation lands and the downstream sees all
+    upstreams (exercises the catalog lock under real contention)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+
+    engine = prepared_engine(spark, sf_small)
+    names = [f"wide_v{i}" for i in range(24)]
+    engine.register(
+        *[
+            ModelSpec(
+                name=n,
+                kind="view",
+                database="datamart",
+                dialect="spark",
+                sql=f"SELECT {i} AS part_id, count(*) AS n FROM"
+                " {{ source('joshua_dataset', 'events') }}"
+                f" WHERE event_id % 24 = {i}",
+            )
+            for i, n in enumerate(names)
+        ],
+        ModelSpec(
+            name="wide_union",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql=" UNION ALL ".join(
+                "SELECT * FROM {{ ref('" + n + "') }}" for n in names
+            ),
+        ),
+        replace=True,
+    )
+    rels = engine.build(select=["wide_union"], threads=8)
+    assert len(rels) == 25
+    rows = spark.table("datamart.wide_union").collect()
+    assert len(rows) == 24
+    total = sum(r.n for r in rows)
+    assert total == spark.table("src.events").count()

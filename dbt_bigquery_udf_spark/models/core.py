@@ -518,6 +518,7 @@ class Engine:
         replace: bool = True,
         threads: int = 8,
         skip_unchanged: bool = False,
+        full_refresh: bool = False,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -533,8 +534,19 @@ class Engine:
         transitive-safe because the fingerprint covers *rendered* SQL —
         any upstream change that alters a referenced name re-renders
         downstream bodies and changes their fingerprints.
+
+        ``full_refresh=True`` (dbt's --full-refresh) drops incremental
+        and snapshot targets first, so they rebuild from scratch with
+        their is_incremental() blocks stripped — the recovery path for
+        schema changes or corrupted state.
         """
         graph = self._subgraph(select)
+        if full_refresh:
+            for spec in graph.values():
+                if spec.kind in ("incremental", "snapshot"):
+                    db = self.database_for(spec)
+                    self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                    self._clean_stale_location(db, spec.name)
         ts = TopologicalSorter({n: set(s.refs) & graph.keys() for n, s in graph.items()})
         ts.prepare()
         results: dict[str, BuiltRelation] = {}

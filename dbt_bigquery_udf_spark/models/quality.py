@@ -146,3 +146,41 @@ def run_tests(
         n = spark.sql(t.failures_sql(engine)).collect()[0][0]
         results.append(TestResult(t, int(n)))
     return results
+
+
+@dataclass
+class FreshnessResult:
+    relation: str
+    ts_column: str
+    max_ts: object
+    age_hours: float
+    status: str  # 'pass' | 'warn' | 'error'
+
+
+def check_source_freshness(
+    spark: SparkSession,
+    relation: str,
+    ts_column: str,
+    warn_after_hours: float = 24.0,
+    error_after_hours: float = 72.0,
+    as_of=None,
+) -> FreshnessResult:
+    """dbt `source freshness` analogue: age of the newest row in a
+    source relation vs warn/error thresholds.
+
+    ``as_of`` defaults to the current clock; tests pin it for
+    determinism. One max() aggregate — scan-bound, no shuffle.
+    """
+    from datetime import datetime, timezone
+
+    row = spark.sql(f"SELECT max({ts_column}) FROM {relation}").collect()[0]
+    max_ts = row[0]
+    if as_of is None:
+        as_of = datetime.now(timezone.utc).replace(tzinfo=None)
+    if max_ts is None:
+        return FreshnessResult(relation, ts_column, None, float("inf"), "error")
+    age = (as_of - max_ts).total_seconds() / 3600.0
+    status = "pass" if age <= warn_after_hours else (
+        "warn" if age <= error_after_hours else "error"
+    )
+    return FreshnessResult(relation, ts_column, max_ts, round(age, 2), status)

@@ -103,3 +103,35 @@ WHERE event_type = 'click' AND user_id % 2 = 0
     clicks = out.filter("event_type = 'click'")
     assert 0 < clicks.count() < n_click  # replaced, not appended
     assert clicks.filter("user_id % 2 = 1").count() == 0
+
+
+def test_full_refresh_rebuilds(spark, sf_small):
+    """--full-refresh drops the incremental target and rebuilds from
+    scratch (is_incremental() blocks stripped)."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="events_fr",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        sql="""
+SELECT event_id, ts FROM {{ source('joshua_dataset', 'events') }}
+{% if is_incremental() %}
+WHERE ts > (SELECT max(ts) FROM {{ this }})
+{% endif %}
+""",
+    )
+    engine.register(spec, replace=True)
+    engine.build(select=["events_fr"])
+    n = spark.table("datamart.events_fr").count()
+    # Poison the watermark so only a full refresh can heal the table.
+    spark.sql(
+        "INSERT INTO datamart.events_fr SELECT -1, TIMESTAMP_NTZ '2999-01-01 00:00:00'"
+    )
+    assert spark.table("datamart.events_fr").count() == n + 1
+    # Incremental run: watermark poisoned to 2999 -> inserts nothing.
+    engine.build(select=["events_fr"])
+    assert spark.table("datamart.events_fr").count() == n + 1
+    # Full refresh: drop + rebuild = clean state.
+    engine.build(select=["events_fr"], full_refresh=True)
+    assert spark.table("datamart.events_fr").count() == n

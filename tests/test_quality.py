@@ -124,3 +124,24 @@ def test_seed_materialization(spark, sf_small, tmp_path):
     engine.build(select=["big_countries"])
     got = {r.code for r in spark.table("datamart.big_countries").collect()}
     assert got == {"JP", "DE"}
+
+
+def test_source_freshness(spark, sf_small):
+    from datetime import timedelta
+
+    from dbt_bigquery_udf_spark.models.quality import check_source_freshness
+
+    prepared_engine(spark, sf_small)  # registers src.events
+    max_ts = spark.sql("SELECT max(ts) FROM src.events").collect()[0][0]
+    fresh = check_source_freshness(
+        spark, "src.events", "ts", 24, 72, as_of=max_ts + timedelta(hours=1)
+    )
+    assert fresh.status == "pass" and 0 < fresh.age_hours <= 24
+    warn = check_source_freshness(
+        spark, "src.events", "ts", 24, 72, as_of=max_ts + timedelta(hours=48)
+    )
+    assert warn.status == "warn"
+    stale = check_source_freshness(
+        spark, "src.events", "ts", 24, 72, as_of=max_ts + timedelta(hours=100)
+    )
+    assert stale.status == "error"

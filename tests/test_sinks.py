@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import pytest
 
@@ -32,8 +33,13 @@ def test_partitioned_write_prunes(spark, docs, tmp_path_factory):
 
 def test_bucketed_join_avoids_shuffle(spark, docs):
     spark.sql("CREATE DATABASE IF NOT EXISTS sinktest")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("sinktest.docs_a", "sinktest.docs_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # The metastore is per-session but the warehouse dir persists; an
+        # aborted prior run can leave an orphaned location DROP won't clear.
+        shutil.rmtree(os.path.join(warehouse, "sinktest.db", t.split(".")[1]),
+                      ignore_errors=True)
         write_bucketed(docs.select("doc_id", "n_chars"), t, ["doc_id"], 4, sort_by=["doc_id"])
     a, b = spark.table("sinktest.docs_a"), spark.table("sinktest.docs_b")
     joined = a.join(b, "doc_id")

@@ -502,9 +502,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # DF derives from TF (|doc,term| rows), not from a second pass over
-    # the raw token stream — and since tf is already hash-partitioned by
-    # (doc_id, term), Spark reuses that shuffle for the term rollup.
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the raw token stream. Counting via least(tf, 1) instead of count(1)
+    # keeps the tf column referenced, so column pruning cannot specialize
+    # this branch's aggregate — both branches canonicalize to the same
+    # Exchange(doc_id, term) subtree and ReuseExchange tokenizes the
+    # corpus ONCE (pinned by test_plans). least(tf, 1) == 1 always
+    # (tf >= 1 by construction), so the count is exact.
+    df = tf.groupBy("term").agg(F.sum(F.least(F.col("tf"), F.lit(1))).alias("df"))
     # Corpus size rides along as a 1-row aggregate cross join (broadcast)
     # instead of a separate .count() job per invocation.
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))

@@ -104,6 +104,16 @@ def test_tfidf_broadcasts_df_side(spark, sf_small):
     assert f.sort_merge_joins == 0, f.text
 
 
+def test_tfidf_tokenizes_once(spark, sf_small):
+    """The TF and DF branches share one tokenize->Exchange(doc_id, term)
+    subtree; ReuseExchange must fire so the corpus is scanned and
+    exploded ONCE (at 100 TB the token stream dominates the query)."""
+    df = Q.QUERIES["text_tfidf_topk"](spark, sf_small)
+    df.collect()  # ReuseExchange is only visible in the AQE-final plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
 def test_gapfill_spine_joins_broadcast(spark, sf_small):
     """The hour spine is a one-row-aggregate explode; its join against
     the hourly counts must not be a sort-merge join."""

@@ -46,6 +46,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "timeseries_gapfill",
     "full_outer_daily_activity",
+    "q8_market_share",
+    "q13_customer_distribution",
     "q19_disjunctive_revenue",
     "funnel_signup_purchase",
     "dedup_latest_version",

@@ -12,3 +12,4 @@ from . import extras  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401
+from . import tpch  # noqa: F401

@@ -392,3 +392,99 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+                                           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           sum(c) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_bigram_frac,
+           round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac,
+           (1.0 - count(*) * 1.0 / sum(c)) > 0.2 AS flag_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: per-document duplicate
+    bigram fraction and most-frequent-bigram share, with a repetition
+    flag. High duplicate-n-gram fractions are the standard boilerplate /
+    spam signal in pretraining curation.
+
+    Scale: bigrams stay row-local (zip_with over the token array — no
+    self-join); the (doc, bigram) aggregate shuffles the gram stream
+    once, and the per-doc rollup reuses that partitioning's doc_id
+    prefix. Long documents fan out across tasks rather than serializing
+    in a per-row O(n_distinct x n_tokens) mode computation.
+    """
+    d = _docs(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    bgs = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        d.select("doc_id", F.explode(bgs).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup = 1.0 - F.count(F.lit(1)) * F.lit(1.0) / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(dup, 4).alias("dup_bigram_frac"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("top_bigram_frac"),
+        (dup > 0.2).alias("flag_repetitive"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy,
+           count(*) AS n_distinct_chars,
+           log2(sum(c)) - sum(c * log2(c)) / sum(c) < 3.0 AS flag_low_entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    information-theoretic quality gate (near-zero entropy = repeated
+    filler; natural text sits around 4-5 bits/char).
+
+    Uses the single-pass identity H = log2(n) - sum(c*log2(c))/n so one
+    aggregate computes it without a totals join.
+
+    Scale: the char stream is |total chars| rows but partial aggregation
+    collapses it to |doc x alphabet| before the shuffle; the per-doc
+    rollup is tiny. No Python, no UDFs — stays in codegen.
+    """
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.round(h, 4).alias("char_entropy"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        (h < 3.0).alias("flag_low_entropy"),
+    )

@@ -1,6 +1,6 @@
 """TPC-H-shaped analytics, wave 4: the remaining canonical query shapes
 expressible over the driver's trimmed schema (no partsupp table, no
-commit/receipt dates — Q2/Q11/Q16/Q20/Q21 need those and are adapted or
+commit/receipt dates — Q2/Q20 need those and are adapted or
 out of scope; adaptations are noted per query).
 
 The reference itself has no joins or aggregations (SURVEY.md §2.3); these
@@ -436,4 +436,157 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM value_by_part)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    grand total (HAVING against a global scalar subquery).
+
+    Adaptation: no partsupp, so "stock value" is shipped value
+    (l_extendedprice * l_quantity) grouped by part.
+
+    Scale: the per-part aggregate is one suppkey... partkey shuffle; the
+    grand total re-aggregates THAT result (|parts| rows, not the fact
+    stream) into one row, which broadcasts back as the threshold — the
+    fact table is scanned once, and exchange reuse shares the per-part
+    aggregate between the two consumers.
+    """
+    s = _src(spark, sf_dir)
+    per_part = (
+        s["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "part_value"
+            )
+        )
+    )
+    threshold = per_part.agg((F.sum("part_value") * 0.0005).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute class,
+    excluding a blacklist via NOT IN.
+
+    Adaptation: the part-supplier link is lineitem (no partsupp); the
+    excluded suppliers are those with negative account balance (no
+    s_comment complaints column).
+
+    Scale: NOT IN compiles to a null-aware anti join — the blacklist is
+    tiny and broadcasts (Spark plans BroadcastNestedLoopJoin only if the
+    key is nullable; s_suppkey is not, so it stays a broadcast hash anti
+    join). count(DISTINCT) expands to a two-level aggregate; the first
+    level shuffles on (brand, size, suppkey) which partial-aggregates
+    the fact stream down before any wide exchange.
+    """
+    s = _src(spark, sf_dir)
+    p = s["part"].filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = s["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        s["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH marked AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+      FROM marked GROUP BY l_orderkey
+    )
+    SELECT m.l_suppkey AS s_suppkey, count(DISTINCT m.l_orderkey) AS numwait
+    FROM marked m JOIN per_order p ON m.l_orderkey = p.l_orderkey
+    WHERE m.is_late AND p.n_supp > 1 AND p.n_late = 1
+    GROUP BY m.l_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders (correlated EXISTS + NOT EXISTS over the same fact).
+
+    Adaptation: "late" is l_shipdate > o_orderdate + 60 days (no
+    commit/receipt dates in the schema).
+
+    The double correlation is decorrelated the way Catalyst would:
+    one pass computes per-order supplier/late-supplier counts, and the
+    EXISTS ("another supplier on the order") / NOT EXISTS ("no OTHER
+    late supplier") pair becomes n_supp > 1 AND n_late = 1 checked
+    against the late rows themselves — no repeated self-joins.
+
+    Scale: everything keys on orderkey: the orders join, the per-order
+    rollup, and the marked-to-per_order join reuse one partitioning
+    (bucket lineitem+orders by orderkey at deploy time and the whole
+    query is one co-located pipeline plus the final small supplier
+    rollup).
+    """
+    s = _src(spark, sf_dir)
+    marked = (
+        s["lineitem"]
+        .join(s["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+                "is_late"
+            ),
+        )
+    )
+    per_order = marked.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        marked.filter(F.col("is_late"))
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
     )

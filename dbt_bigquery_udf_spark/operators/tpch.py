@@ -416,19 +416,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so the equality join cannot be split by ulp noise.
 
     Scale: revenue is one partial-agg shuffle keyed on suppkey; the
-    scalar max is a one-row broadcast back onto it (the revenue
-    relation is computed once and reused for both branches via
-    exchange reuse — same subtree on both sides). Supplier broadcasts.
+    scalar max is a one-row broadcast back onto it. Like Q11, the
+    revenue relation feeds two consumers, and AQE's exchange reuse is
+    not guaranteed to deduplicate the fact scan (measured), so the
+    |suppliers|-row intermediate is persisted explicitly — the quarter
+    of lineitem is scanned once by construction. Supplier broadcasts.
     """
     s = _src(spark, sf_dir)
     li = s["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
         )
+        .persist()
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -443,12 +449,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     """
     WITH value_by_part AS (
-      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      SELECT l_partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS part_value,
+             sum(l_extendedprice * l_quantity) AS raw_value
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value
     FROM value_by_part
-    WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM value_by_part)
+    WHERE raw_value > (SELECT sum(raw_value) * 0.0005 FROM value_by_part)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -459,25 +467,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adaptation: no partsupp, so "stock value" is shipped value
     (l_extendedprice * l_quantity) grouped by part.
 
-    Scale: the per-part aggregate is one suppkey... partkey shuffle; the
-    grand total re-aggregates THAT result (|parts| rows, not the fact
-    stream) into one row, which broadcasts back as the threshold — the
-    fact table is scanned once, and exchange reuse shares the per-part
-    aggregate between the two consumers.
+    Scale: the per-part aggregate feeds two consumers (the rows and the
+    grand-total threshold) — a diamond. Exchange/stage reuse is not
+    guaranteed to catch it (measured: AQE re-scanned the fact table once
+    a final sort entered the stage graph), so the small intermediate is
+    persisted explicitly: the broadcast-threshold branch materializes
+    the cache while building, and the probe side then reads it —
+    lineitem is scanned once BY CONSTRUCTION. The cached relation is
+    |parts| rows (KBs per 1M parts), trivially memory-resident on any
+    cluster. The threshold compares RAW sums on both engines (rounding
+    only the displayed value) so the cut line is rounding-free.
     """
     s = _src(spark, sf_dir)
+    raw = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
     per_part = (
         s["lineitem"]
         .groupBy("l_partkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
-                "part_value"
-            )
-        )
+        .agg(F.round(raw, 2).alias("part_value"), raw.alias("raw_value"))
+        .persist()
     )
-    threshold = per_part.agg((F.sum("part_value") * 0.0005).alias("threshold"))
+    threshold = per_part.agg((F.sum("raw_value") * 0.0005).alias("threshold"))
     return (
-        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
+        per_part.join(F.broadcast(threshold), F.col("raw_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )

@@ -185,13 +185,24 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti joins (EXISTS / NOT EXISTS).
 
     Scale: both sides shuffle on custkey; semi/anti avoid materializing
-    payload columns from the probe side.
+    payload columns from the probe side. Both joins build against ONE
+    persisted per-customer rollup of orders (max price per custkey), so
+    the fact table is scanned once (measured via stage metrics) and the
+    build sides are |customers|-sized — semantics are unchanged because
+    EXISTS(price > X) == max(price) > X and NOT EXISTS == key absent
+    from the rollup.
     """
     s = _src(spark, sf_dir)
-    big = s["orders"].filter(F.col("o_totalprice") > 200000)
+    per_cust = (
+        s["orders"]
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("max_price"))
+        .persist()
+    )
+    big = per_cust.filter(F.col("max_price") > 200000)
     with_big = s["customer"].join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
     never = s["customer"].join(
-        s["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     return with_big.agg(F.count(F.lit(1)).alias("with_big_order")).crossJoin(
         never.agg(F.count(F.lit(1)).alias("never_ordered"))
@@ -699,7 +710,11 @@ def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-skew-splittable — and the per-bin candidate set is bounded by
     bin width, not table size. This binning is the standard distributed
     interval-join strategy; bin width trades fan-out (rows per session)
-    against selectivity (candidates per bin).
+    against selectivity (candidates per bin). Events is read twice by
+    design — the two sides are DIFFERENT slices (click/view vs error)
+    with different predicates, each pushed into its own pruned columnar
+    scan; one shared scan would have to read the union of columns and
+    rows for both sides.
     """
     ev = _src(spark, sf_dir)["events"]
     cv = ev.filter(F.col("event_type").isin("click", "view")).select("user_id", "ts")

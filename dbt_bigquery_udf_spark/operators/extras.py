@@ -361,20 +361,27 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dense hour spine (empty hours become explicit zero rows) — the
     shape every downstream forecasting/feature job needs.
 
-    Scale: the spine is generated from a single min/max aggregate row
-    (``sequence`` + explode), stays tiny (hours between bounds), and
-    broadcasts into the left join against the hourly aggregate — no
-    extra shuffle beyond the aggregation's own.
+    Scale: the spine bounds derive from the HOURLY AGGREGATE (truncation
+    is monotonic, so min/max of the bucketed hours equal the truncated
+    min/max of raw ts), which is persisted — the event stream is
+    scanned once by construction instead of once for counts and once
+    for bounds (measured via stage metrics). The spine stays tiny
+    (hours between bounds) and broadcasts into the left join — no extra
+    shuffle beyond the aggregation's own.
     """
     ev = _src(spark, sf_dir)["events"].filter(F.col("event_type") == "click")
     hour = F.date_trunc("hour", F.col("ts"))
-    counts = ev.groupBy(hour.alias("hour_start")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum")
+    counts = (
+        ev.groupBy(hour.alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum")
+        )
+        .persist()
     )
     spine = (
-        ev.agg(
-            F.date_trunc("hour", F.min("ts")).alias("lo"),
-            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        counts.agg(
+            F.min("hour_start").alias("lo"),
+            F.max("hour_start").alias("hi"),
         )
         .select(
             F.explode(
@@ -596,7 +603,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-part average is |parts| rows (small relative to the
     fact table) and AQE converts the join to broadcast when it fits;
     otherwise both sides shuffle on partkey — the same key, so bucketed
-    storage makes it shuffle-free.
+    storage makes it shuffle-free. The fact table is deliberately read
+    twice (once aggregated, once raw): the single-scan alternative is a
+    window-average over a full-fact shuffle, which moves 100 TB through
+    the exchange to save one columnar re-scan of two columns — the
+    wrong trade on columnar storage.
     """
     li = _src(spark, sf_dir)["lineitem"]
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
@@ -667,21 +678,28 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: full outer cannot broadcast (both sides must surface
     unmatched rows), so it is always a shuffle join on the key — plan
     accordingly: this is the join type that most rewards co-bucketed
-    storage at 100 TB.
+    storage at 100 TB. Both sides derive from ONE persisted
+    per-(user, type) aggregate, so the event stream is scanned once
+    (measured via stage metrics) and the join inputs are already
+    |users|-sized.
     """
     ev = _src(spark, sf_dir)["events"]
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_clicks"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
+    per = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("purchase_value"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
         )
+        .persist()
+    )
+    clicks = per.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("n").alias("n_clicks")
+    )
+    purchases = per.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        F.col("v").alias("purchase_value"),
     )
     joined = clicks.alias("c").join(
         purchases.alias("p"),
@@ -718,6 +736,10 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's SQL front door handles it. Scale: after decorrelation the
     cost is two grouped aggregates on l_orderkey joined back — the
     selective filter on orders broadcasts into both joins under AQE.
+    The two lineitem scans are intrinsic to the two independent
+    subqueries; Catalyst merges them when the aggregates are compatible
+    (here one counts, one sums a different column — kept separate to
+    pin the general decorrelation path).
     """
     _src(spark, sf_dir)  # registers the source temp views
     return spark.sql(
@@ -753,7 +775,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the HAVING subquery collapses lineitem to |qualifying
     orderkeys| rows before the semi join; both joins key on orderkey, so
-    bucketed storage makes the whole query one shuffle.
+    bucketed storage makes the whole query one shuffle. Lineitem is
+    deliberately read twice (aggregated for the filter, raw for the
+    re-aggregate): caching or shuffling the raw fact to avoid a
+    two-column columnar re-scan costs more than the scan at 100 TB.
     """
     s = _src(spark, sf_dir)
     li = s["lineitem"]

@@ -1099,3 +1099,52 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohorts AS (
+      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity
+    )
+    SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+           count(*) AS n_users
+    FROM cohorts
+    WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted at day offsets 0-7 — the standard product-analytics
+    retention triangle.
+
+    Single-scan by construction: the distinct (user, day) activity set
+    is the one intermediate, and the cohort day attaches via a window
+    min over user_id instead of a first-activity self-join — no join,
+    no second pass over events.
+
+    Scale: distinct collapses the event stream to |user x active-day|
+    rows map-side before its shuffle; the window shuffles that (already
+    small) set on user_id; the final rollup is |cohorts x 8| rows.
+    Per-user state in the window is one date.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.withColumn(
+        "cohort_day", F.min("day").over(W.partitionBy("user_id"))
+    )
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        cohort.select("cohort_day", off.cast("bigint").alias("day_offset"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

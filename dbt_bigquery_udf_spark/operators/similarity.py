@@ -397,3 +397,73 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l2"), 4).alias("min_norm"),
         F.round(F.max("l2"), 4).alias("max_norm"),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo,
+             (CAST(max(list_max(embedding)) AS DOUBLE)
+              - CAST(min(list_min(embedding)) AS DOUBLE)) / 254.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(round((CAST(embedding[1] AS DOUBLE) - lo) / scale) AS BIGINT) - 127 AS q0,
+           CAST(round((CAST(embedding[2] AS DOUBLE) - lo) / scale) AS BIGINT) - 127 AS q1,
+           CAST(round((CAST(embedding[3] AS DOUBLE) - lo) / scale) AS BIGINT) - 127 AS q2,
+           CAST(round((CAST(embedding[4] AS DOUBLE) - lo) / scale) AS BIGINT) - 127 AS q3,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - (lo + round((CAST(x AS DOUBLE) - lo) / scale)
+                             * scale)))), 6) AS max_abs_err
+    FROM embeddings CROSS JOIN bounds
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — the standard
+    vector-index compression step (4x memory cut before ANN serving).
+    Emits the first four codes per vector plus the per-vector maximum
+    reconstruction error (the quality metric that decides whether int8
+    is safe for the collection).
+
+    Two-pass by design, like every stats-then-transform quantizer: pass
+    one reduces the corpus to global (min, max) — computed as per-row
+    array_min/array_max then a constant-state aggregate, no explode —
+    and pass two re-reads the vectors and quantizes against the
+    broadcast bounds row. The transform lambda is per-row over a
+    64-element array (bounded), within the engine's HOF-off-the-hot-path
+    rule.
+
+    Value parity note: float32 -> double widening is exact and every
+    per-element operation is identical on both engines, so even the
+    1e-3-magnitude reconstruction errors hash-match at 6 decimals.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("emb").alias("embedding"))
+    bounds = emb.agg(
+        F.min(F.array_min("embedding")).alias("lo"),
+        (
+            (F.max(F.array_max("embedding")) - F.min(F.array_min("embedding")))
+            / 254.0
+        ).alias("scale"),
+    )
+    q = emb.crossJoin(F.broadcast(bounds))
+    code = lambda i: (  # noqa: E731
+        F.round((F.element_at("embedding", i) - F.col("lo")) / F.col("scale"), 0)
+        .cast("bigint")
+        - 127
+    )
+    dequant_err = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x - (F.col("lo") + F.round((x - F.col("lo")) / F.col("scale"), 0) * F.col("scale"))
+        ),
+    )
+    return q.select(
+        "vec_id",
+        code(1).alias("q0"),
+        code(2).alias("q1"),
+        code(3).alias("q2"),
+        code(4).alias("q3"),
+        F.round(F.array_max(dequant_err), 6).alias("max_abs_err"),
+    )

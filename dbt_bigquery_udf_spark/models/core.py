@@ -41,7 +41,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import (
     EngineError,
@@ -78,7 +78,8 @@ class ModelSpec:
 
     name: str
     kind: str  # 'function' | 'table_function' | 'table' | 'view' | 'seed'
-    sql: str  # model body; for kind='seed', the CSV file path instead
+    #           | 'incremental' | 'snapshot' | 'ephemeral' | 'python'
+    sql: str  # model body; for kind='seed', the CSV file path; '' for python
     database: str = "udf"  # logical dataset; env suffix applied at build
     params: tuple[str, ...] = ()  # 'name TYPE' (BQ types), function kinds only
     return_type: str | None = None  # scalar functions only (BQ type)
@@ -102,6 +103,14 @@ class ModelSpec:
     snapshot_strategy: str = "timestamp"  # 'timestamp' | 'check'
     updated_at: str | None = None  # timestamp strategy
     check_cols: tuple[str, ...] = ()  # check strategy
+    # Python models only (dbt's python-model surface: def model(dbt,
+    # session) -> DataFrame, materialized as a table). The callable
+    # receives (spark, ctx) where ctx.ref()/ctx.source() resolve
+    # upstream relations to DataFrames. Refs cannot be discovered by
+    # regex in Python source, so they are declared in python_refs — the
+    # engine uses them for DAG edges exactly like SQL {{ ref() }}.
+    python_body: object | None = None  # Callable[[SparkSession, Any], DataFrame]
+    python_refs: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -113,8 +122,11 @@ class ModelSpec:
             "incremental",
             "snapshot",
             "ephemeral",
+            "python",
         ):
             raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
+        if self.kind == "python" and not callable(self.python_body):
+            raise EngineError(f"model {self.name}: python models require python_body")
         if self.kind == "incremental":
             if self.incremental_strategy not in ("append", "insert_overwrite"):
                 raise EngineError(
@@ -134,7 +146,7 @@ class ModelSpec:
 
     @property
     def refs(self) -> tuple[str, ...]:
-        return tuple(dict.fromkeys(_REF_RE.findall(self.sql)))
+        return tuple(dict.fromkeys((*_REF_RE.findall(self.sql), *self.python_refs)))
 
     @property
     def sources(self) -> tuple[tuple[str, str], ...]:
@@ -153,6 +165,36 @@ class BuiltRelation:
     @property
     def qualified(self) -> str:
         return f"{self.database}.{self.identifier}"
+
+
+class _PythonModelContext:
+    """The ``dbt`` object a python model's body receives: ``ref()`` and
+    ``source()`` resolve upstream relations to DataFrames (dbt python
+    models: ``def model(dbt, session)``; here ``body(session, dbt)``).
+    """
+
+    def __init__(self, engine: "Engine") -> None:
+        self._engine = engine
+
+    def ref(self, name: str) -> DataFrame:
+        target = self._engine.models.get(name)
+        if target is None:
+            raise EngineError(f"ref('{name}') does not match any registered model")
+        if target.kind == "table_function":
+            raise EngineError(
+                f"python model ref('{name}'): table functions cannot be read as "
+                "DataFrames — call them from a SQL model instead"
+            )
+        if target.kind == "ephemeral":
+            return self._engine.spark.sql(self._engine.render(target))
+        return self._engine.spark.table(
+            f"{self._engine.database_for(target)}.{name}"
+        )
+
+    def source(self, dataset: str, table: str) -> DataFrame:
+        return self._engine.spark.table(
+            self._engine._resolve_source(dataset, table)
+        )
 
 
 class Engine:
@@ -229,6 +271,8 @@ class Engine:
         sql = spec.sql
         if spec.kind == "seed":
             return sql.strip()  # a CSV path, not SQL — no transpile/resolve
+        if spec.kind == "python":
+            return ""  # body is a callable, not SQL
         if spec.dialect == "bigquery":
             sql = transpile_bq_expr(sql)
         # dbt incremental surface: `{% if is_incremental() %}` blocks are
@@ -389,6 +433,17 @@ class Engine:
                 self._clean_stale_location(db, spec.name)
                 df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
                 self._persist_docs(spec, db)
+            elif spec.kind == "python":
+                df = spec.python_body(self.spark, _PythonModelContext(self))
+                if not isinstance(df, DataFrame):
+                    raise EngineError(
+                        f"model {spec.name}: python_body must return a DataFrame, "
+                        f"got {type(df).__name__}"
+                    )
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                self._clean_stale_location(db, spec.name)
+                df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
+                self._persist_docs(spec, db)
             elif spec.kind in ("table", "view"):
                 # The body may invoke TVFs, which resolve against the
                 # *referenced model's* database — switch there for the build.
@@ -449,12 +504,12 @@ class Engine:
         models/datamart/schema.yml:4-10). Function descriptions are
         embedded in the CREATE (F10) because, as in BigQuery, they cannot
         be altered after the fact."""
-        if spec.kind not in ("table", "view", "seed", "incremental", "snapshot"):
+        if spec.kind not in ("table", "view", "seed", "incremental", "snapshot", "python"):
             return
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
-        if spec.kind in ("table", "seed", "incremental", "snapshot"):
+        if spec.kind in ("table", "seed", "incremental", "snapshot", "python"):
             for col, doc in spec.columns.items():
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(
@@ -497,11 +552,23 @@ class Engine:
         docs, hooks, and target database."""
         import hashlib
 
+        python_fp = ""
+        if spec.kind == "python":
+            # Bytecode + constants capture body changes the way rendered
+            # SQL does for SQL models (closure cells excluded: models
+            # should be self-contained functions).
+            code = getattr(spec.python_body, "__code__", None)
+            python_fp = (
+                code.co_code.hex() + repr(code.co_consts)
+                if code is not None
+                else repr(spec.python_body)  # e.g. functools.partial
+            ) + repr(spec.python_refs)
         payload = "\x1f".join(
             [
                 spec.kind,
                 self.database_for(spec),
                 self.render(spec),
+                python_fp,
                 ",".join(spec.params),
                 spec.return_type or "",
                 spec.description,

@@ -1148,3 +1148,53 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM activity
+    ), contrib AS (
+      SELECT DISTINCT a.user_id, d.day AS wau_day
+      FROM activity a
+      JOIN days d ON d.day BETWEEN a.day AND a.day + 6
+    )
+    SELECT wau_day, count(*) AS wau
+    FROM contrib GROUP BY wau_day ORDER BY wau_day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day (WAU) — rolling
+    COUNT DISTINCT, which no engine's window frames support directly.
+
+    Instead of a per-day self-join over the activity range, each
+    (user, day) row explodes into the exactly-7 report days it
+    contributes to; distinct (user, report-day) pairs then count per
+    day. The persisted distinct-activity set feeds both the explode and
+    the observed-day spine, so events is scanned once.
+
+    Scale: the explode factor is a constant 7 (window length), the
+    distinct collapses map-side before its shuffle, and the spine semi
+    join broadcasts — linear in |user x active-day| with no range join
+    anywhere.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .persist()
+    )
+    days = act.select("day").distinct().withColumnRenamed("day", "wau_day")
+    contrib = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wau_day"),
+    ).dropDuplicates(["user_id", "wau_day"])
+    return (
+        contrib.join(F.broadcast(days), "wau_day", "left_semi")
+        .groupBy("wau_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("wau_day")
+    )

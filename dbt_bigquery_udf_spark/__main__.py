@@ -43,6 +43,22 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--env", default=None)
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    q_ = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL (BigQuery dialect, transpiled) against the sources",
+    )
+    q_.add_argument("query", help="SQL text; BigQuery dialect unless --dialect spark")
+    q_.add_argument("--dialect", choices=["bigquery", "spark"], default="bigquery")
+    q_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q_.add_argument("--env", default=None)
+    q_.add_argument(
+        "--build",
+        action="store_true",
+        help="materialize the model DAG first so UDF/TVF calls resolve",
+    )
+    q_.add_argument("--limit", type=int, default=20)
+    q_.add_argument("--show-sql", action="store_true", help="print the transpiled SQL")
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -121,6 +137,32 @@ def main(argv: list[str] | None = None) -> int:
             }
         }
         print(json.dumps(manifest, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "sql":
+        # A reference user's day-to-day surface: paste the BigQuery SQL
+        # they run today; the dialect layer rewrites it for Spark.
+        from .sources.registry import register_sources
+
+        register_sources(spark, args.sf_dir)  # temp views named after tables
+        if args.build:
+            from .api import bootstrap
+            from .catalog import env_database
+
+            engine = bootstrap(spark, args.sf_dir, env=args.env)
+            engine.build()
+            # TVF calls must be unqualified: route through the udf db.
+            spark.sql(f"USE {env_database('udf', args.env)}")
+        sql = args.query
+        if args.dialect == "bigquery":
+            from .functions.dialect import transpile_bq_expr
+
+            sql = transpile_bq_expr(sql)
+        if args.show_sql:
+            print(sql, file=sys.stderr)
+        df = spark.sql(sql)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.cmd == "run-query":

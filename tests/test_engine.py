@@ -373,3 +373,31 @@ def test_python_model_ref_and_validation(spark, sf_small):
     # missing body fails at spec construction
     with pytest.raises(EngineError, match="require python_body"):
         ModelSpec(name="py_nobody", kind="python", sql="")
+
+
+def test_cli_adhoc_sql_bigquery_dialect(spark, sf_small):
+    """The `sql` command runs ad-hoc BigQuery-dialect SQL against the
+    registered sources — the reference user's day-to-day surface."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "sql",
+                "SELECT event_type, SAFE_CAST(COUNT(*) AS INT64) AS n "
+                "FROM events WHERE REGEXP_CONTAINS(event_type, 'cl') "
+                "GROUP BY event_type",
+                "--sf-dir",
+                sf_small,
+            ]
+        )
+    assert rc == 0
+    import json as _json
+
+    rows = [_json.loads(line) for line in buf.getvalue().strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["event_type"] == "click"
+    assert rows[0]["n"] > 0

@@ -282,16 +282,28 @@ _BQ_FN_NAME_MAP: dict[str, str] = {
     "CHARACTER_LENGTH": "length",
     "STRPOS": "instr",
     "LOWER_CASE": "lower",  # seen in the wild as a BQ UDF alias
+    # BQ ARRAY_TO_STRING skips NULL elements unless null_text is given;
+    # Spark array_join has exactly the same two/three-arg behavior.
+    "ARRAY_TO_STRING": "array_join",
+    # NOT mapped, besides the divergent functions noted above:
+    # - FORMAT -> format_string: Spark types numeric literals as
+    #   DECIMAL, which Java's %f rejects — faithful only with casts.
+    # - DATE_TRUNC/DATE_ADD/DATE_SUB/DATE_DIFF: Spark has SAME-NAME
+    #   functions with different argument order, so the rewrite cannot
+    #   distinguish BQ input from already-Spark SQL (breaks the
+    #   transpiler's idempotency guarantee, pinned by test).
 }
 
 _BQ_FN_NAME_RE = re.compile(
     r"\b(" + "|".join(_BQ_FN_NAME_MAP) + r")\s*\(", re.IGNORECASE
 )
 
-# DATETIME_* family: argument reorder / part quoting.
+# DATETIME_*/TIMESTAMP_* family: argument reorder / part quoting.
+# (DATE_TRUNC/ADD/SUB/DIFF deliberately excluded — see the map note.)
 _DT_DIFF_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_DIFF\s*\(", re.IGNORECASE)
 _DT_TRUNC_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_TRUNC\s*\(", re.IGNORECASE)
 _DT_ADDSUB_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_(ADD|SUB)\s*\(", re.IGNORECASE)
+_GEN_ARRAY_RE = re.compile(r"\bGENERATE_ARRAY\s*\(", re.IGNORECASE)
 _FORMAT_DT_RE = re.compile(r"\bFORMAT_DATETIME\s*\(", re.IGNORECASE)
 _INTERVAL_RE = re.compile(r"^\s*INTERVAL\s+(.+?)\s+(\w+)\s*$", re.IGNORECASE | re.S)
 
@@ -355,6 +367,19 @@ def transpile_bq_functions(sql: str) -> str:
         return f"timestampadd({part}, {n}, {a[0]})"
 
     out = _rewrite_calls(out, _DT_ADDSUB_RE, _addsub)
+
+    def _gen_array(m: re.Match, a: list[str]) -> str:
+        # BQ returns [] when the step cannot reach stop from start
+        # (e.g. GENERATE_ARRAY(3, 1)); Spark's sequence(3, 1) instead
+        # counts DOWN with an implicit -1 step. Guard to match BQ.
+        if len(a) == 2:
+            return f"if(({a[0]}) > ({a[1]}), array(), sequence({a[0]}, {a[1]}))"
+        return (
+            f"if(sign({a[2]}) * (({a[1]}) - ({a[0]})) < 0, array(), "
+            f"sequence({a[0]}, {a[1]}, {a[2]}))"
+        )
+
+    out = _rewrite_calls(out, _GEN_ARRAY_RE, _gen_array)
 
     def _format_dt(m: re.Match, a: list[str]) -> str:
         fmt = a[0].strip()

@@ -55,6 +55,14 @@ CASES = [
         "PARSE_DATETIME('%Y-%m-%d', '2024-01-01'), DAY)",
         2,
     ),
+    # Array constructors / joining
+    ("GENERATE_ARRAY(1, 4)", [1, 2, 3, 4]),
+    ("GENERATE_ARRAY(3, 1)", []),
+    ("GENERATE_ARRAY(1, 7, 3)", [1, 4, 7]),
+    ("GENERATE_ARRAY(5, 1, -2)", [5, 3, 1]),
+    ("GENERATE_ARRAY(1, 5, -1)", []),
+    ("ARRAY_TO_STRING(array('a', NULL, 'b'), '-')", "a-b"),
+    ("ARRAY_TO_STRING(array('a', NULL, 'b'), '-', 'x')", "a-x-b"),
 ]
 
 

@@ -36,6 +36,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -532,3 +533,56 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition column comes back as the directory key; restore column
     # order to the declared contract.
     return out.select("hour_start", "event_type", "n", "value_sum")
+
+
+@register(
+    "stream_topk_trending",
+    """
+    WITH counts AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+                            * 21600 * 1000000) AS w_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n FROM (
+      SELECT *, row_number() OVER (PARTITION BY w_start
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn <= 3
+    ORDER BY w_start, n DESC, event_type
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: per 6-hour event-time window, the 3 most frequent
+    event types — counted IN the stream, ranked at the serving layer.
+
+    Structured Streaming cannot stack a rank over a streaming aggregate
+    (multiple stateful operators on an aggregate output are
+    unsupported), and production trending pipelines don't want to: the
+    stream maintains the (window, type) counts — the expensive, stateful
+    part — and the k-selection is a cheap batch query over the sink,
+    re-runnable with any k without replaying the stream. That split is
+    what this operator implements and the oracle checks end-to-end.
+
+    Scale: state is |windows x event types| rows — bounded and tiny;
+    the memory sink stands in for the serving store. The rank runs over
+    the sink table, partitioned by window.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    sink = _run_to_memory(agg, "complete")
+    w = W.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        sink.select("w_start", "event_type", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("w_start", "event_type", "n")
+        .orderBy("w_start", F.col("n").desc(), "event_type")
+    )

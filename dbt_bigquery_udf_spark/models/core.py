@@ -98,6 +98,12 @@ class ModelSpec:
     # body produced (requires partition_by).
     incremental_strategy: str = "append"  # 'append' | 'insert_overwrite'
     partition_by: tuple[str, ...] = ()
+    # dbt-bigquery's cluster_by: BigQuery clusters table blocks by these
+    # columns; the Spark equivalent is a global range sort on write, so
+    # each parquet file covers a narrow key range and scan-time min/max
+    # (row-group) pruning does what BQ's block pruning does. Applies to
+    # 'table' and 'incremental' kinds.
+    cluster_by: tuple[str, ...] = ()
     unique_key: str | None = None
     # Snapshots only (dbt SCD2): change-detection strategy.
     snapshot_strategy: str = "timestamp"  # 'timestamp' | 'check'
@@ -285,7 +291,14 @@ class Engine:
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
         sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)
-        return sql.strip().rstrip(";")
+        sql = sql.strip().rstrip(";")
+        if spec.cluster_by and spec.kind in ("table", "incremental"):
+            # ORDER BY on write = repartitionByRange + in-partition sort:
+            # disjoint key ranges per output file, the layout min/max
+            # pruning needs. (SORT BY alone would leave hash-scattered
+            # ranges; CLUSTER BY hash-distributes — neither prunes.)
+            sql = f"SELECT * FROM ({sql}) ORDER BY {', '.join(spec.cluster_by)}"
+        return sql
 
     # -- materializations (F1/F2/F15) --------------------------------------
 
@@ -575,6 +588,8 @@ class Engine:
                 repr(sorted(spec.columns.items())),
                 repr(spec.pre_hooks),
                 repr(spec.post_hooks),
+                repr(spec.partition_by),
+                repr(spec.cluster_by),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()

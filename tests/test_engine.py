@@ -401,3 +401,62 @@ def test_cli_adhoc_sql_bigquery_dialect(spark, sf_small):
     rows = [_json.loads(line) for line in buf.getvalue().strip().splitlines()]
     assert len(rows) == 1 and rows[0]["event_type"] == "click"
     assert rows[0]["n"] > 0
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, sf_small):
+    """dbt-bigquery's cluster_by: the table's parquet files must cover
+    disjoint key ranges (range-sorted on write), which is what makes
+    scan-time min/max pruning equivalent to BQ block pruning."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.api import bootstrap
+
+    eng = bootstrap(spark, sf_small, env="ci")
+    eng.register(
+        ModelSpec(
+            name="orders_clustered",
+            kind="table",
+            sql="SELECT o_orderkey, o_custkey, o_totalprice "
+            "FROM {{ source('joshua_dataset', 'orders') }}",
+            database="datamart",
+            cluster_by=("o_orderkey",),
+            dialect="spark",
+        )
+    )
+    # orders isn't part of the reference source set: register it directly
+    # (clearing any orphaned location a previous process left behind).
+    import os
+    import shutil
+
+    from dbt_bigquery_udf_spark.sources.registry import read_source
+
+    spark.sql("DROP TABLE IF EXISTS src.orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "src.db", "orders"), ignore_errors=True)
+    read_source(spark, sf_small, "orders").write.saveAsTable("src.orders")
+    # sf0.001 fits one AQE-coalesced partition; shrink the advisory AND
+    # minimum coalesce sizes (parallelismFirst coalescing respects the
+    # 1MB min, not the advisory) so the range write produces several
+    # files to check against.
+    sizes = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4kb",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1kb",
+    }
+    prev = {k: spark.conf.get(k) for k in sizes}
+    for k, v in sizes.items():
+        spark.conf.set(k, v)
+    try:
+        eng.build(select=["orders_clustered"])
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    t = spark.table("datamart_ci.orders_clustered")
+    per_file = (
+        t.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) > 1, "expected multiple files to check disjointness"
+    for prev, cur in zip(per_file, per_file[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)

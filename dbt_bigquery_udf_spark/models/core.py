@@ -117,6 +117,9 @@ class ModelSpec:
     # engine uses them for DAG edges exactly like SQL {{ ref() }}.
     python_body: object | None = None  # Callable[[SparkSession, Any], DataFrame]
     python_refs: tuple[str, ...] = ()
+    # dbt-bigquery's labels config (BQ table labels) -> TBLPROPERTIES,
+    # prefixed 'label.' to keep them distinct from engine properties.
+    labels: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -519,6 +522,12 @@ class Engine:
         be altered after the fact."""
         if spec.kind not in ("table", "view", "seed", "incremental", "snapshot", "python"):
             return
+        if spec.labels and spec.kind != "view":
+            props = ", ".join(
+                "'label.{}' = '{}'".format(k, str(v).replace("'", "''"))
+                for k, v in spec.labels
+            )
+            self.spark.sql(f"ALTER TABLE {db}.{spec.name} SET TBLPROPERTIES ({props})")
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
@@ -590,6 +599,7 @@ class Engine:
                 repr(spec.post_hooks),
                 repr(spec.partition_by),
                 repr(spec.cluster_by),
+                repr(spec.labels),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()

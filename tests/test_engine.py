@@ -460,3 +460,30 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, sf_small):
     assert len(per_file) > 1, "expected multiple files to check disjointness"
     for prev, cur in zip(per_file, per_file[1:]):
         assert prev["hi"] <= cur["lo"], (prev, cur)
+
+
+def test_labels_persisted_as_tblproperties(spark, sf_small):
+    """dbt-bigquery's labels config: BQ table labels land as
+    'label.'-prefixed TBLPROPERTIES, retrievable from the catalog."""
+    from dbt_bigquery_udf_spark.api import bootstrap
+
+    eng = bootstrap(spark, sf_small, env="ci")
+    eng.register(
+        ModelSpec(
+            name="labeled_tbl",
+            kind="table",
+            sql="SELECT 1 AS one",
+            database="datamart",
+            dialect="spark",
+            labels=(("team", "data-eng"), ("cost_center", "ml-42")),
+        )
+    )
+    eng.build(select=["labeled_tbl"])
+    props = {
+        r.key: r.value
+        for r in spark.sql(
+            "SHOW TBLPROPERTIES datamart_ci.labeled_tbl"
+        ).collect()
+    }
+    assert props.get("label.team") == "data-eng"
+    assert props.get("label.cost_center") == "ml-42"

@@ -95,9 +95,17 @@ class ModelSpec:
     # Incremental only (dbt's incremental materialization):
     # 'append' inserts the body's rows (optionally only new unique_key
     # values); 'insert_overwrite' replaces exactly the partitions the
-    # body produced (requires partition_by).
-    incremental_strategy: str = "append"  # 'append' | 'insert_overwrite'
+    # body produced (requires partition_by); 'merge' upserts on
+    # unique_key (dbt-bigquery's DEFAULT strategy — BigQuery MERGE;
+    # here a partition-scoped or full rewrite, models/incremental.py).
+    incremental_strategy: str = "append"  # | 'insert_overwrite' | 'merge'
     partition_by: tuple[str, ...] = ()
+    # dbt's on_schema_change config (incremental runs only):
+    # 'ignore' | 'fail' | 'append_new_columns' | 'sync_all_columns'.
+    on_schema_change: str = "ignore"
+    # dbt-bigquery's merge_update_columns: restrict which columns a
+    # MATCHED row takes from the batch (empty = all columns).
+    merge_update_columns: tuple[str, ...] = ()
     # dbt-bigquery's cluster_by: BigQuery clusters table blocks by these
     # columns; the Spark equivalent is a global range sort on write, so
     # each parquet file covers a narrow key range and scan-time min/max
@@ -137,7 +145,7 @@ class ModelSpec:
         if self.kind == "python" and not callable(self.python_body):
             raise EngineError(f"model {self.name}: python models require python_body")
         if self.kind == "incremental":
-            if self.incremental_strategy not in ("append", "insert_overwrite"):
+            if self.incremental_strategy not in ("append", "insert_overwrite", "merge"):
                 raise EngineError(
                     f"model {self.name}: unknown incremental_strategy "
                     f"{self.incremental_strategy!r}"
@@ -145,6 +153,10 @@ class ModelSpec:
             if self.incremental_strategy == "insert_overwrite" and not self.partition_by:
                 raise EngineError(
                     f"model {self.name}: insert_overwrite requires partition_by"
+                )
+            if self.incremental_strategy == "merge" and not self.unique_key:
+                raise EngineError(
+                    f"model {self.name}: merge requires unique_key"
                 )
         if self.kind == "snapshot" and not self.unique_key:
             raise EngineError(f"model {self.name}: snapshots require unique_key")
@@ -374,7 +386,11 @@ class Engine:
                 #                     replaces exactly the partitions
                 #                     present in the delta (idempotent
                 #                     backfills at 100 TB: re-running a
-                #                     day rewrites that day only).
+                #                     day rewrites that day only);
+                #   merge           — upsert on unique_key (dbt-bigquery's
+                #                     default; models/incremental.py).
+                # Incremental runs route through reconcile_schema first
+                # (dbt's on_schema_change).
                 target = f"{db}.{spec.name}"
                 if not self.spark.catalog.tableExists(target):
                     self._clean_stale_location(db, spec.name)
@@ -386,28 +402,49 @@ class Engine:
                     self.spark.sql(
                         f"CREATE TABLE {target} USING parquet{part} AS {body}"
                     )
-                elif spec.incremental_strategy == "append":
-                    insert_sql = f"SELECT * FROM ({body})"
-                    if spec.unique_key:
-                        insert_sql = (
-                            f"SELECT * FROM ({body}) src LEFT ANTI JOIN "
-                            f"{target} tgt ON src.{spec.unique_key} = "
-                            f"tgt.{spec.unique_key}"
+                else:
+                    from .incremental import merge_upsert, reconcile_schema
+
+                    batch = reconcile_schema(
+                        self.spark,
+                        target,
+                        self.spark.sql(body),
+                        spec.on_schema_change,
+                        spec.incremental_strategy,
+                        partitioned=bool(spec.partition_by),
+                    )
+                    if spec.incremental_strategy == "merge":
+                        merge_upsert(
+                            self.spark,
+                            target,
+                            batch,
+                            spec.unique_key,
+                            partition_by=spec.partition_by,
+                            update_columns=spec.merge_update_columns,
                         )
-                    self.spark.sql(f"INSERT INTO {target} {insert_sql}")
-                else:  # insert_overwrite
-                    prev_mode = self.spark.conf.get(
-                        "spark.sql.sources.partitionOverwriteMode", "static"
-                    )
-                    self.spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                    )
-                    try:
-                        self.spark.sql(f"INSERT OVERWRITE {target} {body}")
-                    finally:
+                    elif spec.incremental_strategy == "append":
+                        if spec.unique_key:
+                            # New-keys-only insert: the MERGE-less upsert
+                            # form (existing keys are never touched).
+                            keys = [k.strip() for k in spec.unique_key.split(",")]
+                            existing = (
+                                self.spark.table(target).select(*keys).distinct()
+                            )
+                            batch = batch.join(existing, keys, "left_anti")
+                        batch.write.insertInto(target)
+                    else:  # insert_overwrite
+                        prev_mode = self.spark.conf.get(
+                            "spark.sql.sources.partitionOverwriteMode", "static"
+                        )
                         self.spark.conf.set(
-                            "spark.sql.sources.partitionOverwriteMode", prev_mode
+                            "spark.sql.sources.partitionOverwriteMode", "dynamic"
                         )
+                        try:
+                            batch.write.insertInto(target, overwrite=True)
+                        finally:
+                            self.spark.conf.set(
+                                "spark.sql.sources.partitionOverwriteMode", prev_mode
+                            )
                 self._persist_docs(spec, db)
             elif spec.kind == "snapshot":
                 from .snapshots import build_snapshot
@@ -600,6 +637,9 @@ class Engine:
                 repr(spec.partition_by),
                 repr(spec.cluster_by),
                 repr(spec.labels),
+                spec.incremental_strategy,
+                spec.on_schema_change,
+                repr(spec.merge_update_columns),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()

@@ -1,0 +1,169 @@
+"""The `merge` incremental strategy and `on_schema_change` handling.
+
+dbt-bigquery's DEFAULT incremental strategy is `merge` (the reference
+project would get it on any incremental model it added: BigQuery MERGE
+target USING (body) ON unique_key, matched rows updated, unmatched
+inserted). Plain parquet has no MERGE, so:
+
+- unpartitioned targets: full rewrite-and-swap — the merged next state
+  (target rows whose key is absent from the batch, matched rows with
+  updated columns, new rows) is staged and renamed over the target.
+- partitioned targets: partition-scoped rewrite — only the partitions
+  the batch touches are recomputed (target slice ⟂ batch, merged),
+  then INSERT OVERWRITE in dynamic mode replaces exactly those
+  partitions. At 100 TB this is the difference between rewriting a day
+  and rewriting the table. Invariant (documented, same caveat as dbt's
+  own insert_overwrite): a unique_key must not move between partitions
+  — partition on an immutable attribute of the key (e.g. creation
+  date). Delta/Iceberg MERGE removes the invariant and is a drop-in
+  replacement for this module.
+
+`on_schema_change` (dbt semantics, all incremental strategies):
+
+- ignore (default): target schema wins — batch columns the target
+  lacks are dropped, target columns the batch lacks are NULL-filled.
+- fail: any column-set difference raises.
+- append_new_columns: new batch columns are ALTER TABLE ADDed
+  (existing rows read as NULL via parquet schema evolution); removed
+  ones are NULL-filled.
+- sync_all_columns: adds new columns; ALSO drops removed ones — but
+  dropping requires rewriting every existing file, so it is only
+  honored on the merge strategy (whose rewrite is already paid);
+  append/insert_overwrite raise on removed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import EngineError
+from .table_swap import rm_default_location, swap_table
+
+__all__ = ["reconcile_schema", "merge_upsert"]
+
+_ON_SCHEMA_CHANGE = ("ignore", "fail", "append_new_columns", "sync_all_columns")
+
+
+def reconcile_schema(
+    spark: SparkSession,
+    target: str,
+    batch: DataFrame,
+    on_schema_change: str,
+    strategy: str,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Align ``batch`` with ``target``'s schema per ``on_schema_change``,
+    possibly ALTERing the target. Returns the aligned batch whose
+    columns exactly match the target's post-ALTER column order."""
+    if on_schema_change not in _ON_SCHEMA_CHANGE:
+        raise EngineError(
+            f"{target}: unknown on_schema_change {on_schema_change!r} "
+            f"(expected one of {_ON_SCHEMA_CHANGE})"
+        )
+    tgt_fields = {f.name: f.dataType.simpleString() for f in spark.table(target).schema}
+    src_fields = {f.name: f.dataType.simpleString() for f in batch.schema}
+    new_cols = [c for c in batch.columns if c not in tgt_fields]
+    removed = [c for c in spark.table(target).columns if c not in src_fields]
+
+    if on_schema_change == "fail" and (new_cols or removed):
+        raise EngineError(
+            f"{target}: schema changed (new={new_cols}, removed={removed}) "
+            "and on_schema_change='fail'"
+        )
+    if on_schema_change in ("append_new_columns", "sync_all_columns") and new_cols:
+        added = ", ".join(f"{c} {src_fields[c]}" for c in new_cols)
+        spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({added})")
+    can_drop = strategy == "merge" and not partitioned  # full rewrite path
+    if removed and on_schema_change == "sync_all_columns" and not can_drop:
+        raise EngineError(
+            f"{target}: sync_all_columns cannot drop {removed} under "
+            f"strategy {strategy!r} (partitioned={partitioned}) — the "
+            "drop needs a full-table rewrite, which only the "
+            "unpartitioned merge strategy pays; use that or a "
+            "Delta/Iceberg table format"
+        )
+
+    want = spark.table(target).columns  # post-ALTER order
+    if on_schema_change == "sync_all_columns" and can_drop and removed:
+        want = [c for c in want if c not in removed]
+    exprs = [
+        F.col(c) if c in src_fields else F.lit(None).cast(tgt_fields[c]).alias(c)
+        for c in want
+    ]
+    return batch.select(*exprs)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    batch: DataFrame,
+    unique_key: str,
+    partition_by: tuple[str, ...] = (),
+    update_columns: tuple[str, ...] = (),
+) -> None:
+    """Upsert ``batch`` into ``target`` keyed on ``unique_key``
+    (comma-separated for composite keys).
+
+    ``update_columns`` restricts which columns a MATCHED row takes from
+    the batch (dbt-bigquery's merge_update_columns); empty = all.
+    ``batch`` must already be schema-aligned via :func:`reconcile_schema`
+    — on the unpartitioned path the swap adopts the batch's column set,
+    which is how sync_all_columns drops land.
+    """
+    keys = [k.strip() for k in unique_key.split(",")]
+    for k in keys:
+        if k not in batch.columns:
+            raise EngineError(f"{target}: unique_key column {k!r} not in batch")
+
+    out_cols = batch.columns  # reconcile_schema already aligned these
+    tgt = spark.table(target).select(*out_cols)
+
+    if partition_by:
+        # Partition-scoped: merge only the target slice living in
+        # partitions the batch touches. The semi join is on partition
+        # values — a handful of rows — so it broadcasts.
+        parts = batch.select(*partition_by).distinct()
+        tgt = tgt.join(F.broadcast(parts), list(partition_by), "left_semi")
+
+    s = batch.withColumn("__s", F.lit(True)).alias("s")
+    t = tgt.withColumn("__t", F.lit(True)).alias("t")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    updatable = set(update_columns or out_cols) | set(keys)
+    merged = joined.select(
+        *[
+            F.when(
+                matched,
+                F.col(f"s.{c}") if c in updatable else F.col(f"t.{c}"),
+            )
+            .when(F.col("__s").isNotNull(), F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in out_cols
+        ]
+    )
+
+    if not partition_by:
+        swap_table(spark, target, merged)
+        return
+
+    # Stage the merged slice (the INSERT OVERWRITE below may not read
+    # the table it overwrites), then dynamically overwrite exactly the
+    # touched partitions.
+    staging = f"{target}__merge_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    rm_default_location(spark, staging)
+    merged.write.format("parquet").saveAsTable(staging)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Partition columns must come last in the INSERT's projection;
+        # the target's own column order already guarantees that.
+        order = ", ".join(spark.table(target).columns)
+        spark.sql(f"INSERT OVERWRITE {target} SELECT {order} FROM {staging}")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")

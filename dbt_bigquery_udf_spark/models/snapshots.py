@@ -31,12 +31,11 @@ the drop-in upgrade and changes only this module.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import EngineError
+from .table_swap import swap_table
 
 __all__ = ["build_snapshot"]
 
@@ -131,49 +130,7 @@ def build_snapshot(
 
     next_state = history.unionByName(kept).unionByName(closed).unionByName(opened)
 
-    # Rewrite-and-swap: the next state reads the target, so it cannot
-    # overwrite it in place; stage then rename (metadata-only move for
-    # managed tables).
-    staging = f"{target}__snapshot_staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    _rm_default_location(spark, staging)  # stale dir from a crashed run
-    next_state.write.format("parquet").saveAsTable(staging)
-    location = _table_location(spark, target)
-    spark.sql(f"DROP TABLE {target}")
-    # DROP can leave the managed directory behind (observed on the
-    # local filesystem); the rename refuses to adopt an existing
-    # location, so clear it explicitly.
-    _rm_path(location)
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
-    # The rename keeps the table name but swaps its files; drop the
-    # cached file listing or the next read resolves deleted parts.
-    spark.sql(f"REFRESH TABLE {target}")
-
-
-def _table_location(spark: SparkSession, table: str) -> str | None:
-    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if row[0] == "Location":
-            return row[1]
-    return None
-
-
-def _rm_path(location: str | None) -> None:
-    import shutil
-    from urllib.parse import urlparse
-
-    if not location:
-        return
-    path = urlparse(location).path
-    if path and os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
-
-
-def _rm_default_location(spark: SparkSession, table: str) -> None:
-    """Remove the default managed location ``<warehouse>/<db>.db/<name>``
-    for a table that does not exist in the (fresh) metastore."""
-    from urllib.parse import urlparse
-
-    db, _, name = table.partition(".")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if warehouse:
-        _rm_path("file:" + os.path.join(warehouse, f"{db.lower()}.db", name.lower()))
+    # Rewrite-and-swap (shared with the merge incremental strategy):
+    # the next state reads the target, so it cannot overwrite it in
+    # place; stage then rename (metadata-only move for managed tables).
+    swap_table(spark, target, next_state)

@@ -135,3 +135,199 @@ WHERE ts > (SELECT max(ts) FROM {{ this }})
     # Full refresh: drop + rebuild = clean state.
     engine.build(select=["events_fr"], full_refresh=True)
     assert spark.table("datamart.events_fr").count() == n
+
+
+# -- merge strategy (dbt-bigquery's default) ------------------------------
+
+
+def _set_view(spark, name, rows, schema):
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+
+
+def test_merge_upserts_and_is_idempotent(spark, sf_small):
+    """merge: matched keys update, unmatched insert, absent keys kept;
+    re-running the same batch is a no-op."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="merge_tgt",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="merge",
+        unique_key="k",
+        sql="SELECT * FROM merge_src_v",
+    )
+    _set_view(spark, "merge_src_v", [(1, "a"), (2, "b")], "k int, v string")
+    _register_and_build(engine, spec)
+    _set_view(spark, "merge_src_v", [(2, "B"), (3, "c")], "k int, v string")
+    for _ in range(2):  # second pass: idempotence
+        _register_and_build(engine, spec)
+        got = {r.k: r.v for r in spark.table("datamart.merge_tgt").collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_update_columns_limits_update(spark, sf_small):
+    """merge_update_columns: MATCHED rows take only the listed columns
+    from the batch; other columns keep their target values."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="merge_muc",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="merge",
+        unique_key="k",
+        merge_update_columns=("v",),
+        sql="SELECT * FROM merge_muc_v",
+    )
+    _set_view(spark, "merge_muc_v", [(1, "a", 10)], "k int, v string, w int")
+    _register_and_build(engine, spec)
+    _set_view(spark, "merge_muc_v", [(1, "A", 99), (2, "b", 20)], "k int, v string, w int")
+    _register_and_build(engine, spec)
+    got = {r.k: (r.v, r.w) for r in spark.table("datamart.merge_muc").collect()}
+    # matched row: v updated, w kept; new row: inserted whole.
+    assert got == {1: ("A", 10), 2: ("b", 20)}
+
+
+def test_merge_partition_scoped_rewrite(spark, sf_small):
+    """Partitioned merge rewrites only the partitions the batch touches:
+    untouched partitions keep their parquet files byte-identical."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="merge_part",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="merge",
+        unique_key="k",
+        partition_by=("p",),
+        sql="SELECT * FROM merge_part_v",
+    )
+    _set_view(
+        spark,
+        "merge_part_v",
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")],
+        "k int, v string, p string",
+    )
+    _register_and_build(engine, spec)
+
+    loc = urlparse(
+        next(
+            r[1]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED datamart.merge_part"
+            ).collect()
+            if r[0] == "Location"
+        )
+    ).path
+    p1_files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(loc, "p=p1", "*.parquet"))
+    }
+    assert p1_files_before
+
+    # Batch touches only p2: update k=4, insert k=5.
+    _set_view(
+        spark, "merge_part_v", [(4, "D", "p2"), (5, "e", "p2")], "k int, v string, p string"
+    )
+    _register_and_build(engine, spec)
+
+    got = {r.k: (r.v, r.p) for r in spark.table("datamart.merge_part").collect()}
+    assert got == {
+        1: ("a", "p1"),
+        2: ("b", "p1"),
+        3: ("c", "p2"),  # absent from batch but in touched partition: kept
+        4: ("D", "p2"),
+        5: ("e", "p2"),
+    }
+    p1_files_after = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(loc, "p=p1", "*.parquet"))
+    }
+    assert p1_files_after == p1_files_before  # p1 never rewritten
+
+
+# -- on_schema_change ------------------------------------------------------
+
+
+def test_on_schema_change_fail_raises(spark, sf_small):
+    from dbt_bigquery_udf_spark.catalog import EngineError
+    import pytest
+
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="osc_fail",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        on_schema_change="fail",
+        sql="SELECT * FROM osc_fail_v",
+    )
+    _set_view(spark, "osc_fail_v", [(1, "a")], "k int, v string")
+    _register_and_build(engine, spec)
+    _set_view(spark, "osc_fail_v", [(2, "b", 1.5)], "k int, v string, extra double")
+    with pytest.raises(EngineError, match="on_schema_change"):
+        _register_and_build(engine, spec)
+
+
+def test_on_schema_change_ignore_drops_new_columns(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="osc_ign",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        sql="SELECT * FROM osc_ign_v",
+    )
+    _set_view(spark, "osc_ign_v", [(1, "a")], "k int, v string")
+    _register_and_build(engine, spec)
+    _set_view(spark, "osc_ign_v", [(2, "b", 1.5)], "k int, v string, extra double")
+    _register_and_build(engine, spec)
+    out = spark.table("datamart.osc_ign")
+    assert out.columns == ["k", "v"]
+    assert out.count() == 2
+
+
+def test_on_schema_change_append_new_columns(spark, sf_small):
+    """New batch columns are ALTERed in; pre-existing rows read NULL
+    (parquet schema evolution)."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="osc_app",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        on_schema_change="append_new_columns",
+        sql="SELECT * FROM osc_app_v",
+    )
+    _set_view(spark, "osc_app_v", [(1, "a")], "k int, v string")
+    _register_and_build(engine, spec)
+    _set_view(spark, "osc_app_v", [(2, "b", 1.5)], "k int, v string, extra double")
+    _register_and_build(engine, spec)
+    got = {r.k: r.extra for r in spark.table("datamart.osc_app").collect()}
+    assert got == {1: None, 2: 1.5}
+
+
+def test_on_schema_change_sync_drops_via_merge(spark, sf_small):
+    """sync_all_columns on the (unpartitioned) merge strategy drops
+    removed columns — the full rewrite pays for the narrowing."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="osc_sync",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="merge",
+        unique_key="k",
+        on_schema_change="sync_all_columns",
+        sql="SELECT * FROM osc_sync_v",
+    )
+    _set_view(spark, "osc_sync_v", [(1, "a", 10)], "k int, v string, w int")
+    _register_and_build(engine, spec)
+    _set_view(spark, "osc_sync_v", [(2, "b")], "k int, v string")
+    _register_and_build(engine, spec)
+    out = spark.table("datamart.osc_sync")
+    assert out.columns == ["k", "v"]
+    assert {r.k: r.v for r in out.collect()} == {1: "a", 2: "b"}

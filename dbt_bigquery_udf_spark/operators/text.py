@@ -488,3 +488,56 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_chars"),
         (h < 3.0).alias("flag_low_entropy"),
     )
+
+
+@register(
+    "train_split_shards",
+    """
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT CASE WHEN substr(h, 1, 2) < 'cd' THEN 'train'
+                WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           substr(h, 3, 1) AS shard,
+           count(*) AS n_docs,
+           sum(n_chars) AS n_chars
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY split, shard
+    """,
+)
+def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) + 16-way shard
+    assignment for a training corpus, with per-cell sizes.
+
+    The assignment is pure hash arithmetic on the stable doc key:
+    split from the first md5 byte ('cd' = 205/256 ~ 80.1%, 'e6' = 230),
+    shard from the third hex nibble. No global sort, no row_number, no
+    shuffle before the final 48-cell aggregate — every row's placement
+    is computed independently at the scan, which is what makes the
+    same split reproducible across engines, re-runs, and backfills.
+
+    Scale: the naive alternative (ORDER BY rand()/row_number windows)
+    serializes 100 TB through one partition; this is embarrassingly
+    parallel and the downstream shard writer is just
+    ``partitionBy(split, shard)``.
+    """
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    first2 = F.substring(h, 1, 2)
+    return (
+        d.select(
+            F.when(first2 < "cd", "train")
+            .when(first2 < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+            F.substring(h, 3, 1).alias("shard"),
+            "n_chars",
+        )
+        .groupBy("split", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .orderBy("split", "shard")
+    )

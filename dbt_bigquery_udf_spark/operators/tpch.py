@@ -609,3 +609,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+@register(
+    "q12_ship_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-shipping-class counts of high- vs
+    low-priority order lines (conditional-sum pivot after a fact join).
+
+    Adaptation: the schema has no l_shipmode or commit/receipt dates
+    (reference Q12 filters late receipts per mode), so l_returnflag
+    stands in for the mode and the year filter for the receipt window —
+    the join + CASE-priority double-count shape is identical.
+
+    Scale: the year filter prunes lineitem at the scan; the join
+    shuffles on orderkey carrying only (orderkey, priority) from orders
+    and (orderkey, returnflag) from lineitem — two columns each side.
+    The final 3-group aggregate is map-side combined.
+    """
+    s = _src(spark, sf_dir)
+    li = s["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(s["orders"].select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )

@@ -106,6 +106,13 @@ class ModelSpec:
     # dbt-bigquery's merge_update_columns: restrict which columns a
     # MATCHED row takes from the batch (empty = all columns).
     merge_update_columns: tuple[str, ...] = ()
+    # Microbatch strategy only (dbt >= 1.9): the model is processed one
+    # time batch at a time, each batch replacing its own partition
+    # (models/incremental.py::run_microbatch).
+    event_time: str | None = None
+    batch_size: str = "day"  # 'hour' | 'day' | 'month'
+    lookback: int = 1  # batches re-processed behind the high-water mark
+    begin: str | None = None  # first-run start timestamp (dbt's `begin`)
     # dbt-bigquery's cluster_by: BigQuery clusters table blocks by these
     # columns; the Spark equivalent is a global range sort on write, so
     # each parquet file covers a narrow key range and scan-time min/max
@@ -145,7 +152,12 @@ class ModelSpec:
         if self.kind == "python" and not callable(self.python_body):
             raise EngineError(f"model {self.name}: python models require python_body")
         if self.kind == "incremental":
-            if self.incremental_strategy not in ("append", "insert_overwrite", "merge"):
+            if self.incremental_strategy not in (
+                "append",
+                "insert_overwrite",
+                "merge",
+                "microbatch",
+            ):
                 raise EngineError(
                     f"model {self.name}: unknown incremental_strategy "
                     f"{self.incremental_strategy!r}"
@@ -157,6 +169,10 @@ class ModelSpec:
             if self.incremental_strategy == "merge" and not self.unique_key:
                 raise EngineError(
                     f"model {self.name}: merge requires unique_key"
+                )
+            if self.incremental_strategy == "microbatch" and not self.event_time:
+                raise EngineError(
+                    f"model {self.name}: microbatch requires event_time"
                 )
         if self.kind == "snapshot" and not self.unique_key:
             raise EngineError(f"model {self.name}: snapshots require unique_key")
@@ -392,7 +408,24 @@ class Engine:
                 # Incremental runs route through reconcile_schema first
                 # (dbt's on_schema_change).
                 target = f"{db}.{spec.name}"
-                if not self.spark.catalog.tableExists(target):
+                if spec.incremental_strategy == "microbatch":
+                    # Owns its own first-run path (batch-by-batch from
+                    # `begin`), so it never takes the CTAS below.
+                    from .incremental import run_microbatch
+
+                    run_microbatch(
+                        self.spark,
+                        target,
+                        body,
+                        event_time=spec.event_time,
+                        batch_size=spec.batch_size,
+                        lookback=spec.lookback,
+                        begin=spec.begin,
+                        clean_location=lambda: self._clean_stale_location(
+                            db, spec.name
+                        ),
+                    )
+                elif not self.spark.catalog.tableExists(target):
                     self._clean_stale_location(db, spec.name)
                     part = (
                         f" PARTITIONED BY ({', '.join(spec.partition_by)})"
@@ -640,6 +673,7 @@ class Engine:
                 spec.incremental_strategy,
                 spec.on_schema_change,
                 repr(spec.merge_update_columns),
+                repr((spec.event_time, spec.batch_size, spec.lookback, spec.begin)),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()

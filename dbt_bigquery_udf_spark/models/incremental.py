@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..catalog import EngineError
 from .table_swap import rm_default_location, swap_table
 
-__all__ = ["reconcile_schema", "merge_upsert"]
+__all__ = ["reconcile_schema", "merge_upsert", "run_microbatch"]
 
 _ON_SCHEMA_CHANGE = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
@@ -167,3 +167,95 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+
+# -- microbatch (dbt >= 1.9's time-batched incremental strategy) ----------
+
+_BATCH_FMT = {"hour": "yyyy-MM-dd HH", "day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
+def run_microbatch(
+    spark: SparkSession,
+    target: str,
+    body: str,
+    event_time: str,
+    batch_size: str = "day",
+    lookback: int = 1,
+    begin: str | None = None,
+    clean_location=None,
+) -> list[str]:
+    """dbt's microbatch strategy: the model is processed one time batch
+    at a time, each batch idempotently replacing its own partition.
+
+    The engine derives a ``batch_key`` partition column
+    (``date_trunc(batch_size, event_time)``, formatted) and appends it
+    to the table. A run processes every batch from the high-water mark
+    minus ``lookback`` batches (late arrivals within the window are
+    healed; older ones need an explicit backfill) to the newest batch
+    the body produces; the first run starts at ``begin`` (or the data's
+    start). Each batch is filtered on the RAW ``event_time`` range —
+    not the derived column — so the predicate pushes into the source
+    scan and a day's batch reads a day's files on a date-partitioned
+    source. At 100 TB this is the difference between a bounded
+    re-read per run and re-scanning history: per-batch work is capped
+    by the batch period, failures are retryable per batch, and
+    backfilling one bad day is one INSERT OVERWRITE.
+
+    Returns the list of batch keys processed (for logging/tests).
+    """
+    if batch_size not in _BATCH_FMT:
+        raise EngineError(
+            f"{target}: microbatch batch_size must be one of {sorted(_BATCH_FMT)}"
+        )
+    fmt = _BATCH_FMT[batch_size]
+    src = spark.sql(body)
+    if event_time not in src.columns:
+        raise EngineError(f"{target}: event_time {event_time!r} not in model body")
+    key = F.date_format(F.date_trunc(batch_size, F.col(event_time)), fmt)
+    exists = spark.catalog.tableExists(target)
+
+    cutoff = None
+    if exists:
+        hwm = spark.table(target).agg(F.max("batch_key")).first()[0]
+        if hwm is not None:
+            cutoff = spark.range(1).select(
+                F.date_format(
+                    F.to_timestamp(F.lit(hwm), fmt)
+                    - F.expr(f"INTERVAL {int(lookback)} {batch_size.upper()}"),
+                    fmt,
+                )
+            ).first()[0]
+    elif begin:
+        cutoff = spark.range(1).select(
+            F.date_format(F.date_trunc(batch_size, F.lit(begin).cast("timestamp")), fmt)
+        ).first()[0]
+
+    batched = src.withColumn("batch_key", key)
+    pending = batched if cutoff is None else batched.filter(F.col("batch_key") >= cutoff)
+    batches = sorted(r[0] for r in pending.select("batch_key").distinct().collect())
+    if not exists:
+        if clean_location is not None:
+            clean_location()
+        # Zero-row CTAS pins schema + partitioning; batches then land
+        # one INSERT OVERWRITE each.
+        batched.filter(F.lit(False)).write.format("parquet").partitionBy(
+            "batch_key"
+        ).saveAsTable(target)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for b in batches:
+            lo = F.to_timestamp(F.lit(b), fmt)
+            hi = lo + F.expr(f"INTERVAL 1 {batch_size.upper()}")
+            # Filter on the raw event_time range (scan-prunable), not
+            # the derived batch_key.
+            batch_df = batched.filter(
+                (F.col(event_time) >= lo) & (F.col(event_time) < hi)
+            )
+            batch_df.select(*spark.table(target).columns).write.insertInto(
+                target, overwrite=True
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return batches

@@ -331,3 +331,132 @@ def test_on_schema_change_sync_drops_via_merge(spark, sf_small):
     out = spark.table("datamart.osc_sync")
     assert out.columns == ["k", "v"]
     assert {r.k: r.v for r in out.collect()} == {1: "a", 2: "b"}
+
+
+# -- microbatch strategy (dbt >= 1.9) -------------------------------------
+
+
+def _ts_view(spark, name, rows):
+    spark.createDataFrame(rows, "event_id int, ts timestamp_ntz, v string").createOrReplaceTempView(name)
+
+
+def test_microbatch_first_run_batches_all_days(spark, sf_small):
+    from datetime import datetime
+
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="mb_tgt",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        sql="SELECT * FROM mb_src_v",
+    )
+    _ts_view(
+        spark,
+        "mb_src_v",
+        [
+            (1, datetime(2026, 1, 1, 8), "a"),
+            (2, datetime(2026, 1, 2, 9), "b"),
+            (3, datetime(2026, 1, 3, 10), "c"),
+        ],
+    )
+    _register_and_build(engine, spec)
+    out = spark.table("datamart.mb_tgt")
+    assert out.count() == 3
+    assert sorted(r[0] for r in out.select("batch_key").distinct().collect()) == [
+        "2026-01-01",
+        "2026-01-02",
+        "2026-01-03",
+    ]
+
+
+def test_microbatch_lookback_heals_late_arrivals(spark, sf_small):
+    """Incremental run re-processes [hwm - lookback, newest]: late rows
+    inside the window are healed, older ones are not; partitions before
+    the window keep their files untouched."""
+    import glob
+    import os
+    from datetime import datetime
+    from urllib.parse import urlparse
+
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="mb_late",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=1,
+        sql="SELECT * FROM mb_late_v",
+    )
+    base = [
+        (1, datetime(2026, 1, 1, 8), "a"),
+        (2, datetime(2026, 1, 2, 9), "b"),
+        (3, datetime(2026, 1, 3, 10), "c"),
+    ]
+    _ts_view(spark, "mb_late_v", base)
+    _register_and_build(engine, spec)
+
+    loc = urlparse(
+        next(
+            r[1]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED datamart.mb_late").collect()
+            if r[0] == "Location"
+        )
+    ).path
+    d1 = os.path.join(loc, "batch_key=2026-01-01")
+    d1_before = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(d1, "*.parquet"))}
+    assert d1_before
+
+    # hwm = Jan 3, lookback 1 -> window starts Jan 2. The Jan 1 late
+    # row is outside, the Jan 2 late row inside, Jan 4 is new.
+    _ts_view(
+        spark,
+        "mb_late_v",
+        base
+        + [
+            (10, datetime(2026, 1, 1, 23), "late-outside"),
+            (11, datetime(2026, 1, 2, 23), "late-inside"),
+            (12, datetime(2026, 1, 4, 6), "new-day"),
+        ],
+    )
+    _register_and_build(engine, spec)
+
+    got = {r.event_id for r in spark.table("datamart.mb_late").collect()}
+    assert got == {1, 2, 3, 11, 12}  # 10 outside lookback: not healed
+    d1_after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(d1, "*.parquet"))}
+    assert d1_after == d1_before  # Jan 1 partition never rewritten
+
+
+def test_microbatch_begin_bounds_first_run(spark, sf_small):
+    from datetime import datetime
+
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="mb_begin",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        begin="2026-01-02",
+        sql="SELECT * FROM mb_begin_v",
+    )
+    _ts_view(
+        spark,
+        "mb_begin_v",
+        [
+            (1, datetime(2026, 1, 1, 8), "ancient"),
+            (2, datetime(2026, 1, 2, 9), "b"),
+            (3, datetime(2026, 1, 3, 10), "c"),
+        ],
+    )
+    _register_and_build(engine, spec)
+    got = {r.event_id for r in spark.table("datamart.mb_begin").collect()}
+    assert got == {2, 3}

@@ -467,3 +467,92 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         code(4).alias("q3"),
         F.round(F.array_max(dequant_err), 6).alias("max_abs_err"),
     )
+
+
+# -- k-means (one Lloyd iteration, the IVF-training inner loop) -----------
+
+KMEANS_K = 4
+
+
+@register(
+    "emb_kmeans_step",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    pick AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c GROUP BY e.vec_id
+    ),
+    a AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cluster_id FROM pick),
+    dims AS (
+      SELECT a.cluster_id, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cluster_id, i
+    ),
+    counts AS (SELECT cluster_id, count(*) AS n_vecs FROM a GROUP BY 1),
+    norms AS (
+      SELECT cluster_id,
+             printf('%.4f', round(sqrt(sum(m * m)), 4) + 0.0) AS centroid_norm
+      FROM dims GROUP BY 1
+    )
+    SELECT cluster_id, n_vecs, centroid_norm
+    FROM counts JOIN norms USING (cluster_id)
+    ORDER BY cluster_id
+    """,
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=4, deterministic init: the k
+    lowest vec_ids) — the inner loop of IVF index training and of
+    centroid-based corpus clustering; iterating this step to a fixed
+    point is the full algorithm, and each step is oracle-checkable.
+
+    Assignment is a broadcast of k 64-dim centroids folded into the
+    plan as LITERALS: per row, k JVM-side zip_with/aggregate distances
+    and an elementwise least() — no join, no shuffle, no Python. The
+    argmin is encoded as min over '%015.6f|%05d'(dist, cid) strings so
+    distance ties break on cid identically in every engine. The update
+    step is the posexplode + per-(cluster, dim) mean pattern from
+    emb_label_centroids: shuffle volume is k x dims partials, constant
+    in corpus size.
+
+    Scale: at 100 TB per iteration this is one scan + one k x 64-cell
+    aggregate; the driver-side collect is k vectors. Compare kmeans||
+    init: swap the literal centroids for a broadcast join — the shape
+    is otherwise unchanged.
+    """
+    e = _emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "emb").collect()
+    ]
+    zero = F.lit(0.0)
+    picks = []
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(x) for x in cv])
+        sq = F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda s, x: s + x,
+        )
+        picks.append(
+            F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
+        )
+    assigned = e.select(
+        "vec_id",
+        "emb",
+        F.substring(F.least(*picks), 17, 5).cast("int").alias("cluster_id"),
+    )
+    counts = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dims = (
+        assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+    )
+    norms = dims.groupBy("cluster_id").agg(
+        F.format_string(
+            "%.4f", F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4) + F.lit(0.0)
+        ).alias("centroid_norm")
+    )
+    return counts.join(norms, "cluster_id").orderBy("cluster_id")

@@ -59,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
     q_.add_argument("--limit", type=int, default=20)
     q_.add_argument("--show-sql", action="store_true", help="print the transpiled SQL")
 
+    sw = sub.add_parser(
+        "sweep-expired",
+        help="drop tables/partitions past their BigQuery-style TTL "
+        "(hours_to_expiration / partition_expiration_days)",
+    )
+    sw.add_argument("--env", default=None)
+    sw.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -163,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.sql(sql)
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "sweep-expired":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        print(json.dumps(engine.sweep_expired()))
         return 0
 
     if args.cmd == "run-query":

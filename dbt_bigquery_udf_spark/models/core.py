@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
@@ -57,6 +58,22 @@ __all__ = ["ModelSpec", "Engine"]
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+def _partition_epoch(value: str) -> float | None:
+    """Epoch seconds for a civil date-ish partition value ('2026-01-01',
+    '2026-01-01 08' possibly URL-encoded, '2026-01'), else None."""
+    import calendar
+    from datetime import datetime
+    from urllib.parse import unquote
+
+    v = unquote(value)
+    for fmt in ("%Y-%m-%d %H", "%Y-%m-%d", "%Y-%m"):
+        try:
+            return calendar.timegm(datetime.strptime(v, fmt).timetuple())
+        except ValueError:
+            continue
+    return None
+
+
 # dbt's incremental guard: `{% if is_incremental() %} ... {% endif %}`.
 # Kept as the one control-flow construct we honor (the reference's other
 # Jinja is incidental — SURVEY.md §7); non-greedy so multiple blocks work.
@@ -135,6 +152,17 @@ class ModelSpec:
     # dbt-bigquery's labels config (BQ table labels) -> TBLPROPERTIES,
     # prefixed 'label.' to keep them distinct from engine properties.
     labels: tuple[tuple[str, str], ...] = ()
+    # dbt-bigquery lifecycle configs (BQ table options), persisted as
+    # TBLPROPERTIES and acted on by Engine.sweep_expired /
+    # Engine.enforce_partition_filters:
+    #   hours_to_expiration      -> whole-table TTL from build time;
+    #   partition_expiration_days-> per-partition TTL on the first
+    #                               partition_by column (date-valued);
+    #   require_partition_filter -> queries scanning the table must
+    #                               prune partitions.
+    hours_to_expiration: int | None = None
+    partition_expiration_days: int | None = None
+    require_partition_filter: bool = False
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -174,6 +202,14 @@ class ModelSpec:
                 raise EngineError(
                     f"model {self.name}: microbatch requires event_time"
                 )
+        if (
+            self.partition_expiration_days is not None
+            or self.require_partition_filter
+        ) and not (self.partition_by or self.incremental_strategy == "microbatch"):
+            raise EngineError(
+                f"model {self.name}: partition_expiration_days / "
+                "require_partition_filter need a partitioned table"
+            )
         if self.kind == "snapshot" and not self.unique_key:
             raise EngineError(f"model {self.name}: snapshots require unique_key")
         if self.kind == "function" and not self.return_type:
@@ -541,8 +577,14 @@ class Engine:
                     if spec.kind == "table":
                         self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
                         self._clean_stale_location(db, spec.name)
+                        part = (
+                            f" PARTITIONED BY ({', '.join(spec.partition_by)})"
+                            if spec.partition_by
+                            else ""
+                        )
                         self.spark.sql(
-                            f"CREATE TABLE {db}.{spec.name} USING parquet AS {body}"
+                            f"CREATE TABLE {db}.{spec.name} USING parquet{part} "
+                            f"AS {body}"
                         )
                     else:
                         self.spark.sql(
@@ -592,12 +634,29 @@ class Engine:
         be altered after the fact."""
         if spec.kind not in ("table", "view", "seed", "incremental", "snapshot", "python"):
             return
-        if spec.labels and spec.kind != "view":
-            props = ", ".join(
+        props: list[str] = []
+        if spec.kind != "view":
+            props += [
                 "'label.{}' = '{}'".format(k, str(v).replace("'", "''"))
                 for k, v in spec.labels
+            ]
+            # dbt-bigquery lifecycle options. The absolute expiry stamp
+            # is resolved at build time (BQ stores expirationTime the
+            # same way); sweep_expired() is the reaper.
+            if spec.hours_to_expiration is not None:
+                expires = time.time() + spec.hours_to_expiration * 3600.0
+                props.append(f"'bigquery.expiration_epoch' = '{expires:.0f}'")
+            if spec.partition_expiration_days is not None:
+                props.append(
+                    "'bigquery.partition_expiration_days' = "
+                    f"'{int(spec.partition_expiration_days)}'"
+                )
+            if spec.require_partition_filter:
+                props.append("'bigquery.require_partition_filter' = 'true'")
+        if props:
+            self.spark.sql(
+                f"ALTER TABLE {db}.{spec.name} SET TBLPROPERTIES ({', '.join(props)})"
             )
-            self.spark.sql(f"ALTER TABLE {db}.{spec.name} SET TBLPROPERTIES ({props})")
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
@@ -606,6 +665,90 @@ class Engine:
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(
                     f"ALTER TABLE {db}.{spec.name} ALTER COLUMN {col} COMMENT '{escaped}'"
+                )
+
+    # -- lifecycle (dbt-bigquery table options) -----------------------------
+
+    def sweep_expired(self, now: float | None = None) -> dict[str, list[str]]:
+        """Reap expired objects, the engine-side analogue of BigQuery's
+        automatic TTL enforcement (dbt-bigquery's hours_to_expiration /
+        partition_expiration_days configs).
+
+        Reads TBLPROPERTIES from the catalog — not in-process specs — so
+        a scheduled sweep in a fresh session still honors stamps written
+        by earlier runs. Partition expiry parses the FIRST partition
+        value as a civil date/hour/month (the microbatch batch_key
+        formats) and drops partitions older than the TTL; unparseable
+        values are left alone. Each drop is a metadata operation plus
+        one directory delete — O(expired objects), never a scan.
+        """
+        from .table_swap import rm_path, table_location
+
+        now = time.time() if now is None else now
+        out: dict[str, list[str]] = {"tables": [], "partitions": []}
+        dbs = sorted({self.database_for(s) for s in self.models.values()})
+        for db in dbs:
+            if not self.spark.catalog.databaseExists(db):
+                continue
+            for t in self.spark.catalog.listTables(db):
+                if t.tableType != "MANAGED":
+                    continue
+                full = f"{db}.{t.name}"
+                props = {
+                    r[0]: r[1]
+                    for r in self.spark.sql(f"SHOW TBLPROPERTIES {full}").collect()
+                }
+                exp = props.get("bigquery.expiration_epoch")
+                if exp and float(exp) <= now:
+                    loc = table_location(self.spark, full)
+                    self.spark.sql(f"DROP TABLE {full}")
+                    rm_path(loc)
+                    out["tables"].append(full)
+                    continue
+                pdays = props.get("bigquery.partition_expiration_days")
+                if pdays:
+                    cutoff = now - float(pdays) * 86400.0
+                    for prow in self.spark.sql(f"SHOW PARTITIONS {full}").collect():
+                        first = prow[0].split("/")[0]
+                        col, _, val = first.partition("=")
+                        ts = _partition_epoch(val)
+                        if ts is not None and ts < cutoff:
+                            self.spark.sql(
+                                f"ALTER TABLE {full} DROP IF EXISTS "
+                                f"PARTITION ({col}='{val}')"
+                            )
+                            out["partitions"].append(f"{full}/{first}")
+        return out
+
+    def enforce_partition_filters(self, df: DataFrame) -> None:
+        """Raise if ``df``'s plan scans a require_partition_filter table
+        without pruning partitions (BigQuery rejects such queries at
+        submission; Spark would happily full-scan 100 TB — this guard is
+        the submission-time check)."""
+        from ..plans.inspect import plan_text
+
+        guarded = set()
+        for spec in self.models.values():
+            if spec.require_partition_filter:
+                full = f"{self.database_for(spec)}.{spec.name}"
+                if self.spark.catalog.tableExists(full):
+                    guarded.add(full)
+        if not guarded:
+            return
+        text = plan_text(df)
+        # formatted explain: one "(n) Scan parquet <catalog>.<db>.<table>"
+        # block per scan, each carrying its own PartitionFilters line.
+        for header, block in re.findall(
+            r"\(\d+\) Scan parquet (\S+)((?:\n(?!\(\d+\) ).*)*)", text
+        ):
+            name = ".".join(header.split(".")[-2:])
+            if name not in guarded:
+                continue
+            pf = re.search(r"PartitionFilters: \[(.*?)\]", block)
+            if pf is None or not pf.group(1).strip():
+                raise EngineError(
+                    f"{name}: require_partition_filter is set but the query "
+                    "scans it without a partition filter"
                 )
 
     # -- DAG build (F12/F16/F17) -------------------------------------------
@@ -674,6 +817,13 @@ class Engine:
                 spec.on_schema_change,
                 repr(spec.merge_update_columns),
                 repr((spec.event_time, spec.batch_size, spec.lookback, spec.begin)),
+                repr(
+                    (
+                        spec.hours_to_expiration,
+                        spec.partition_expiration_days,
+                        spec.require_partition_filter,
+                    )
+                ),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()

@@ -30,6 +30,19 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
     b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     b.add_argument("--threads", type=int, default=8)
+    b.add_argument(
+        "--state",
+        default=None,
+        help="saved state file for state:modified selectors (dbt Slim CI)",
+    )
+
+    ws = sub.add_parser(
+        "write-state",
+        help="save model fingerprints for later state:modified selection",
+    )
+    ws.add_argument("path")
+    ws.add_argument("--env", default=None)
+    ws.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     sub.add_parser("list", help="list registered driver-contract queries")
 
@@ -58,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     q_.add_argument("--limit", type=int, default=20)
     q_.add_argument("--show-sql", action="store_true", help="print the transpiled SQL")
+
+    u = sub.add_parser(
+        "unit-test",
+        help="run dbt-style unit tests (given/expect fixtures) for the "
+        "reference models",
+    )
+    u.add_argument("--env", default=None)
+    u.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     sw = sub.add_parser(
         "sweep-expired",
@@ -95,9 +116,17 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        rels = engine.build(select=args.select, threads=args.threads)
+        rels = engine.build(select=args.select, threads=args.threads, state=args.state)
         for name, rel in sorted(rels.items()):
             print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
+        return 0
+
+    if args.cmd == "write-state":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        engine.write_state(args.path)
+        print(json.dumps({"state": args.path, "models": len(engine.models)}))
         return 0
 
     if args.cmd == "test":
@@ -172,6 +201,27 @@ def main(argv: list[str] | None = None) -> int:
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
+
+    if args.cmd == "unit-test":
+        from .api import bootstrap
+        from .models.reference import reference_unit_tests
+        from .models.unit_tests import run_unit_tests
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        failed = 0
+        for res in run_unit_tests(spark, engine, reference_unit_tests()):
+            failed += 0 if res.passed else 1
+            print(
+                json.dumps(
+                    {
+                        "unit_test": res.test.name,
+                        "status": "PASS" if res.passed else "FAIL",
+                        "missing": [str(r) for r in res.missing],
+                        "unexpected": [str(r) for r in res.unexpected],
+                    }
+                )
+            )
+        return 1 if failed else 0
 
     if args.cmd == "sweep-expired":
         from .api import bootstrap

@@ -751,15 +751,68 @@ class Engine:
                     "scans it without a partition filter"
                 )
 
+    # -- state comparison (dbt Slim CI: --state / state:modified) -----------
+
+    def write_state(self, path: str) -> None:
+        """Persist every registered model's content fingerprint — the
+        engine's analogue of dbt's manifest artifact. A later build in
+        ANY process can select ``state:modified`` against this file and
+        rebuild only what changed (dbt's Slim CI pattern: at 1000+
+        models — the reference author's production scale — CI builds
+        the diff, not the world)."""
+        import json
+
+        state = {n: self._model_fingerprint(s) for n, s in self.models.items()}
+        with open(path, "w") as f:
+            json.dump(state, f, indent=0, sort_keys=True)
+
+    def modified_models(self, state_path: str) -> list[str]:
+        """Models whose fingerprint differs from the saved state (new
+        models count as modified; deletions are ignored — they have
+        nothing to build)."""
+        import json
+
+        with open(state_path) as f:
+            saved = json.load(f)
+        return [
+            n
+            for n, s in self.models.items()
+            if saved.get(n) != self._model_fingerprint(s)
+        ]
+
+    def _downstream_closure(self, roots: set[str]) -> set[str]:
+        out = set(roots)
+        changed = True
+        while changed:
+            changed = False
+            for n, s in self.models.items():
+                if n not in out and out & set(s.refs):
+                    out.add(n)
+                    changed = True
+        return out
+
     # -- DAG build (F12/F16/F17) -------------------------------------------
 
-    def _subgraph(self, select: list[str] | None) -> dict[str, ModelSpec]:
+    def _subgraph(
+        self, select: list[str] | None, state: str | None = None
+    ) -> dict[str, ModelSpec]:
         if select is None:
             return dict(self.models)
         out: dict[str, ModelSpec] = {}
         stack: list[str] = []
         for sel in select:
-            if sel.startswith("tag:"):
+            if sel in ("state:modified", "state:modified+"):
+                # dbt state selector: diff against a saved manifest.
+                # The bare form selects the modified nodes; the '+'
+                # suffix adds everything downstream of them (Slim CI
+                # builds the change and its blast radius).
+                if not state:
+                    raise EngineError(f"--select {sel} requires --state PATH")
+                modified = set(self.modified_models(state))
+                if sel.endswith("+"):
+                    modified = self._downstream_closure(modified)
+                stack.extend(modified)
+            elif sel.startswith("tag:"):
                 # dbt tag selector: every model carrying the tag
                 # (reference: dbt_project.yml +tags, `--select tag:udf`).
                 tag = sel[4:]
@@ -835,6 +888,7 @@ class Engine:
         threads: int = 8,
         skip_unchanged: bool = False,
         full_refresh: bool = False,
+        state: str | None = None,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -856,7 +910,7 @@ class Engine:
         their is_incremental() blocks stripped — the recovery path for
         schema changes or corrupted state.
         """
-        graph = self._subgraph(select)
+        graph = self._subgraph(select, state=state)
         if full_refresh:
             for spec in graph.values():
                 if spec.kind in ("incremental", "snapshot"):

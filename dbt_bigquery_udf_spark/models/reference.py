@@ -161,3 +161,43 @@ def reference_tests():
         # (dotted parent = relationships-to-source).
         relationships("test_datamart", "column1", "src.test_table", "column1"),
     ]
+
+
+def reference_unit_tests():
+    """dbt unit tests for the reference DAG, anchored on the golden I/O
+    example the reference documents (models/udf/schema.yml:10-12:
+    parse_datetime('2023/01/01 12:00:00') -> 2023-01-01T12:00:00) —
+    exercised through the TVF body so the UDF call, the INT64 cast, and
+    the parameterized filter are all under test, on fixture rows only."""
+    from datetime import datetime
+
+    from .unit_tests import UnitTest
+
+    return (
+        UnitTest(
+            name="tvf_golden_parse_and_filter",
+            model="test_table_function",
+            given={
+                "source:joshua_dataset.test_table": (
+                    "id string, column1 string, column2 string",
+                    [
+                        ("click", "42", "2023/01/01 12:00:00"),  # golden
+                        ("click", "43", "2023-05-06"),  # date-only branch
+                        ("view", "99", "2023/01/01 12:00:00"),  # filtered
+                    ],
+                )
+            },
+            params={"id_param": "'click'"},
+            expect=(
+                "column1 bigint, datetime timestamp_ntz",
+                [
+                    (42, datetime(2023, 1, 1, 12, 0, 0)),
+                    (43, datetime(2023, 5, 6)),
+                ],
+            ),
+            description=(
+                "golden example from reference models/udf/schema.yml:10-12 "
+                "+ the intended parameter filter (SURVEY.md §2.2 latent bug)"
+            ),
+        ),
+    )

@@ -487,3 +487,49 @@ def test_labels_persisted_as_tblproperties(spark, sf_small):
     }
     assert props.get("label.team") == "data-eng"
     assert props.get("label.cost_center") == "ml-42"
+
+
+# -- dbt Slim CI: --state / state:modified --------------------------------
+
+
+def test_state_modified_selects_changed_and_downstream(spark, sf_small, tmp_path):
+    from dataclasses import replace as dc_replace
+
+    import pytest
+
+    from dbt_bigquery_udf_spark.catalog import EngineError
+    from dbt_bigquery_udf_spark.models.reference import TEST_TABLE_FUNCTION
+
+    engine = bootstrap(spark, sf_small)
+    state = str(tmp_path / "state.json")
+    engine.write_state(state)
+    assert engine.modified_models(state) == []
+
+    # Touch the TVF body: it becomes modified; the datamart refs it.
+    engine.register(
+        dc_replace(
+            TEST_TABLE_FUNCTION,
+            sql=TEST_TABLE_FUNCTION.sql.replace(
+                "id = id_param", "id = id_param AND 1 = 1"
+            ),
+        ),
+        replace=True,
+    )
+    assert engine.modified_models(state) == ["test_table_function"]
+
+    built = engine.build(select=["state:modified"], state=state)
+    # Upstream closure comes along (parse_datetime is an input), but the
+    # datamart (downstream) is NOT selected by the bare form.
+    assert "test_table_function" in built
+    assert "test_datamart" not in built
+
+    built_plus = engine.build(select=["state:modified+"], state=state)
+    assert {"test_table_function", "test_datamart"} <= set(built_plus)
+
+    # Selector without --state is an explicit error.
+    with pytest.raises(EngineError, match="requires --state"):
+        engine.build(select=["state:modified"])
+
+    # Re-saving the state clears the diff.
+    engine.write_state(state)
+    assert engine.modified_models(state) == []

@@ -57,6 +57,10 @@ HEADLINE = [
     "sim_topk_batch",
     "mm_decode_features",
     "mm_props_extract",
+    "q12_ship_priority",
+    "train_split_shards",
+    "emb_kmeans_step",
+    "fuzzy_name_pairs",
 ]
 
 

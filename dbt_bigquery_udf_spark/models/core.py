@@ -720,6 +720,30 @@ class Engine:
                             out["partitions"].append(f"{full}/{first}")
         return out
 
+    def delete_rows(self, model_name: str, keys, key_col: str | None = None) -> int:
+        """Targeted deletion (GDPR erasure) from a built model's table:
+        rewrites only the partitions the keys live in
+        (models/incremental.py::delete_keys). ``key_col`` defaults to
+        the model's unique_key."""
+        from .incremental import delete_keys
+
+        spec = self.models.get(model_name)
+        if spec is None:
+            raise EngineError(f"delete_rows: no model {model_name!r}")
+        col = key_col or spec.unique_key
+        if not col:
+            raise EngineError(
+                f"delete_rows: {model_name} has no unique_key; pass key_col"
+            )
+        return delete_keys(
+            self.spark,
+            f"{self.database_for(spec)}.{spec.name}",
+            col,
+            keys,
+            partition_by=spec.partition_by
+            or (("batch_key",) if spec.incremental_strategy == "microbatch" else ()),
+        )
+
     def enforce_partition_filters(self, df: DataFrame) -> None:
         """Raise if ``df``'s plan scans a require_partition_filter table
         without pruning partitions (BigQuery rejects such queries at

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..catalog import EngineError
 from .table_swap import rm_default_location, swap_table
 
-__all__ = ["reconcile_schema", "merge_upsert", "run_microbatch"]
+__all__ = ["reconcile_schema", "merge_upsert", "run_microbatch", "delete_keys"]
 
 _ON_SCHEMA_CHANGE = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
@@ -259,3 +259,73 @@ def run_microbatch(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return batches
+
+
+# -- targeted deletion (GDPR / right-to-be-forgotten) ---------------------
+
+
+def delete_keys(
+    spark: SparkSession,
+    target: str,
+    key_col: str,
+    keys,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Delete every row of ``target`` whose ``key_col`` is in ``keys``
+    (a Python list or a single-column DataFrame). Returns the number of
+    rows deleted.
+
+    The erasure-request shape: the key set is tiny (it broadcasts), the
+    table is huge. One semi-join scan finds the matching rows AND the
+    partitions they live in; then only those partitions are rewritten
+    (staging + dynamic partition overwrite) — unpartitioned tables fall
+    back to one rewrite-and-swap. At 100 TB deleting a user rewrites
+    the handful of partitions that user appears in, not the table; with
+    a partition layout keyed on the deletion key (or a key-to-partition
+    index) the finding scan prunes too. Delta/Iceberg DELETE is the
+    drop-in upgrade.
+    """
+    tgt = spark.table(target)
+    if key_col not in tgt.columns:
+        raise EngineError(f"{target}: delete key {key_col!r} not a column")
+    if isinstance(keys, DataFrame):
+        kdf = keys.toDF(key_col).distinct()
+    else:
+        ktype = dict(tgt.dtypes)[key_col]
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], f"{key_col} {ktype}"
+        ).distinct()
+    matches = tgt.join(F.broadcast(kdf), key_col, "left_semi")
+
+    if not partition_by:
+        n = matches.count()
+        if n:
+            swap_table(spark, target, tgt.join(F.broadcast(kdf), key_col, "left_anti"))
+        return n
+
+    # One scan: count matches and collect the partitions they live in.
+    hit = matches.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("__n"))
+    hit_rows = hit.collect()
+    n = sum(r["__n"] for r in hit_rows)
+    if not n:
+        return 0
+    parts = spark.createDataFrame(
+        [tuple(r[c] for c in partition_by) for r in hit_rows],
+        tgt.select(*partition_by).schema,
+    )
+    kept_slice = tgt.join(F.broadcast(parts), list(partition_by), "left_semi").join(
+        F.broadcast(kdf), key_col, "left_anti"
+    )
+    staging = f"{target}__delete_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    rm_default_location(spark, staging)
+    kept_slice.write.format("parquet").saveAsTable(staging)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        order = ", ".join(tgt.columns)
+        spark.sql(f"INSERT OVERWRITE {target} SELECT {order} FROM {staging}")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    return n

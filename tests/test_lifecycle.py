@@ -99,3 +99,68 @@ def test_require_partition_filter_guard(spark, sf_small):
     engine.enforce_partition_filters(pruned)  # no raise
     # Unrelated tables stay unguarded.
     engine.enforce_partition_filters(spark.sql("SELECT 1"))
+
+
+# -- targeted deletion (GDPR erasure) -------------------------------------
+
+
+def test_delete_rows_partition_scoped(spark, sf_small):
+    """Deleting a key rewrites only the partitions that key lives in;
+    other partitions keep their files byte-identical."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    engine = prepared_engine(spark, sf_small)
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")],
+        "k int, v string, p string",
+    ).createOrReplaceTempView("del_v")
+    spec = ModelSpec(
+        name="del_tbl",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        unique_key="k",
+        partition_by=("p",),
+        sql="SELECT * FROM del_v",
+    )
+    _build(engine, spec)
+
+    loc = urlparse(
+        next(
+            r[1]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED datamart.del_tbl").collect()
+            if r[0] == "Location"
+        )
+    ).path
+    p1 = os.path.join(loc, "p=p1")
+    before = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(p1, "*.parquet"))}
+    assert before
+
+    assert engine.delete_rows("del_tbl", [3]) == 1
+    got = sorted(r.k for r in spark.table("datamart.del_tbl").collect())
+    assert got == [1, 2, 4]
+    after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(p1, "*.parquet"))}
+    assert after == before  # p1 untouched
+
+    # Absent key: no-op, nothing rewritten.
+    assert engine.delete_rows("del_tbl", [999]) == 0
+
+
+def test_delete_rows_unpartitioned_swap(spark, sf_small):
+    engine = prepared_engine(spark, sf_small)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).createOrReplaceTempView("del2_v")
+    spec = ModelSpec(
+        name="del2_tbl",
+        kind="table",
+        database="datamart",
+        dialect="spark",
+        unique_key="k",
+        sql="SELECT * FROM del2_v",
+    )
+    _build(engine, spec)
+    assert engine.delete_rows("del2_tbl", [1, 3, 42]) == 2
+    assert [r.k for r in spark.table("datamart.del2_tbl").collect()] == [2]

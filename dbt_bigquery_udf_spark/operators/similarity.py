@@ -556,3 +556,58 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_norm")
     )
     return counts.join(norms, "cluster_id").orderBy("cluster_id")
+
+
+# -- multi-probe LSH (the recall dial) -------------------------------------
+
+
+@register(
+    "sim_lsh_multiprobe",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_duck_bucket('(embedding::DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qv, bucket AS qb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    FROM e, q
+    WHERE e.bucket IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: probe the query's bucket plus every bucket
+    at Hamming distance 1 (flip each of the {LSH_BITS} hyperplane bits)
+    — 5 of 16 buckets, ~31% of the corpus scored instead of ~6%.
+
+    This is the recall dial ANN search runs on: a vector near a
+    hyperplane lands on either side with ~equal probability, and
+    distance-1 probes recover exactly those boundary misses — recall
+    rises monotonically with probe count at proportional scan cost
+    (pinned by tests/test_recall.py). At 100 TB nothing changes
+    structurally: the probe set is still a partition-pruned IN filter
+    on the bucket key; nprobe is chosen from the measured
+    recall/latency curve, not re-architecture. NOTE the driver's
+    synthetic embeddings are near-random (no cluster structure), so
+    absolute recall here is fraction-scanned-proportional by design;
+    on real embedding corpora the same dial saturates much faster.
+    """
+    e = _emb(spark, sf_dir).withColumn("bucket", F.expr(_spark_bucket("emb")))
+    row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb", "bucket").head()
+    qv, qb = row[0], int(row[1])
+    probes = [qb] + [qb ^ (1 << i) for i in range(LSH_BITS)]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv]).alias("qv")
+    return (
+        e.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "emb", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

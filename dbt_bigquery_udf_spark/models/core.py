@@ -123,6 +123,10 @@ class ModelSpec:
     # dbt-bigquery's merge_update_columns: restrict which columns a
     # MATCHED row takes from the batch (empty = all columns).
     merge_update_columns: tuple[str, ...] = ()
+    # dbt's incremental_predicates (merge strategy): SQL predicates over
+    # target columns that bound the target-side join input — rows they
+    # exclude are carried through the rewrite untouched, never deleted.
+    incremental_predicates: tuple[str, ...] = ()
     # Microbatch strategy only (dbt >= 1.9): the model is processed one
     # time batch at a time, each batch replacing its own partition
     # (models/incremental.py::run_microbatch).
@@ -284,6 +288,8 @@ class Engine:
         spark: SparkSession,
         env: str | None = None,
         source_database: str = "src",
+        on_run_start: tuple[str, ...] = (),
+        on_run_end: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         env_database("udf", env)  # validate env eagerly, not at build time
@@ -293,6 +299,11 @@ class Engine:
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
         self._fingerprints: dict[str, str] = {}  # incremental-build state (§4)
         self.skipped: set[str] = set()  # models skipped by the last build
+        # dbt's project-level hooks (dbt_project.yml on-run-start /
+        # on-run-end): run once per build() invocation, bracketing the
+        # whole DAG — unlike per-model pre/post hooks (F6).
+        self.on_run_start = tuple(on_run_start)
+        self.on_run_end = tuple(on_run_end)
 
     # -- registration -----------------------------------------------------
 
@@ -490,6 +501,7 @@ class Engine:
                             spec.unique_key,
                             partition_by=spec.partition_by,
                             update_columns=spec.merge_update_columns,
+                            predicates=spec.incremental_predicates,
                         )
                     elif spec.incremental_strategy == "append":
                         if spec.unique_key:
@@ -894,6 +906,7 @@ class Engine:
                 spec.on_schema_change,
                 repr(spec.merge_update_columns),
                 repr((spec.event_time, spec.batch_size, spec.lookback, spec.begin)),
+                repr(spec.incremental_predicates),
                 repr(
                     (
                         spec.hours_to_expiration,
@@ -935,38 +948,46 @@ class Engine:
         schema changes or corrupted state.
         """
         graph = self._subgraph(select, state=state)
-        if full_refresh:
-            for spec in graph.values():
-                if spec.kind in ("incremental", "snapshot"):
-                    db = self.database_for(spec)
-                    self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                    self._clean_stale_location(db, spec.name)
-        ts = TopologicalSorter({n: set(s.refs) & graph.keys() for n, s in graph.items()})
-        ts.prepare()
-        results: dict[str, BuiltRelation] = {}
+        for hook in self.on_run_start:  # dbt on-run-start
+            self.spark.sql(hook)
+        try:
+            if full_refresh:
+                for spec in graph.values():
+                    if spec.kind in ("incremental", "snapshot"):
+                        db = self.database_for(spec)
+                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                        self._clean_stale_location(db, spec.name)
+            ts = TopologicalSorter(
+                {n: set(s.refs) & graph.keys() for n, s in graph.items()}
+            )
+            ts.prepare()
+            results: dict[str, BuiltRelation] = {}
 
-        def _build_one(spec: ModelSpec) -> tuple[BuiltRelation, bool]:
-            fp = self._model_fingerprint(spec)
-            if (
-                skip_unchanged
-                and self._fingerprints.get(spec.name) == fp
-                and spec.name in self.relations
-            ):
-                return self.relations[spec.name], True
-            rel = self._materialize(spec, replace)
-            self._fingerprints[spec.name] = fp
-            return rel, False
+            def _build_one(spec: ModelSpec) -> tuple[BuiltRelation, bool]:
+                fp = self._model_fingerprint(spec)
+                if (
+                    skip_unchanged
+                    and self._fingerprints.get(spec.name) == fp
+                    and spec.name in self.relations
+                ):
+                    return self.relations[spec.name], True
+                rel = self._materialize(spec, replace)
+                self._fingerprints[spec.name] = fp
+                return rel, False
 
-        self.skipped: set[str] = set()
-        with ThreadPoolExecutor(max_workers=threads) as pool:
-            while ts.is_active():
-                ready = list(ts.get_ready())
-                if not ready:
-                    break
-                futures = {n: pool.submit(_build_one, graph[n]) for n in ready}
-                for n, fut in futures.items():
-                    results[n], was_skipped = fut.result()
-                    if was_skipped:
-                        self.skipped.add(n)
-                    ts.done(n)
-        return results
+            self.skipped: set[str] = set()
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                while ts.is_active():
+                    ready = list(ts.get_ready())
+                    if not ready:
+                        break
+                    futures = {n: pool.submit(_build_one, graph[n]) for n in ready}
+                    for n, fut in futures.items():
+                        results[n], was_skipped = fut.result()
+                        if was_skipped:
+                            self.skipped.add(n)
+                        ts.done(n)
+            return results
+        finally:
+            for hook in self.on_run_end:  # dbt on-run-end (even on failure)
+                self.spark.sql(hook)

@@ -101,14 +101,20 @@ def merge_upsert(
     unique_key: str,
     partition_by: tuple[str, ...] = (),
     update_columns: tuple[str, ...] = (),
+    predicates: tuple[str, ...] = (),
 ) -> None:
     """Upsert ``batch`` into ``target`` keyed on ``unique_key``
     (comma-separated for composite keys).
 
     ``update_columns`` restricts which columns a MATCHED row takes from
     the batch (dbt-bigquery's merge_update_columns); empty = all.
-    ``batch`` must already be schema-aligned via :func:`reconcile_schema`
-    — on the unpartitioned path the swap adopts the batch's column set,
+    ``predicates`` (dbt's incremental_predicates) bound the TARGET-side
+    join input: rows they exclude skip the full-outer join entirely and
+    are carried through the rewrite unmodified — at 100 TB that turns
+    the merge's target shuffle from "every row of the touched
+    partitions" into "the slice that can possibly match". ``batch``
+    must already be schema-aligned via :func:`reconcile_schema` — on
+    the unpartitioned path the swap adopts the batch's column set,
     which is how sync_all_columns drops land.
     """
     keys = [k.strip() for k in unique_key.split(",")]
@@ -125,6 +131,17 @@ def merge_upsert(
         # values — a handful of rows — so it broadcasts.
         parts = batch.select(*partition_by).distinct()
         tgt = tgt.join(F.broadcast(parts), list(partition_by), "left_semi")
+
+    carried = None
+    if predicates:
+        # NULL-safe complement: a predicate evaluating to NULL must not
+        # lose the row — it is carried, not merged.
+        p = F.lit(True)
+        for pred in predicates:
+            p = p & F.expr(pred)
+        p = F.coalesce(p, F.lit(False))
+        carried = tgt.filter(~p)
+        tgt = tgt.filter(p)
 
     s = batch.withColumn("__s", F.lit(True)).alias("s")
     t = tgt.withColumn("__t", F.lit(True)).alias("t")
@@ -145,6 +162,9 @@ def merge_upsert(
             for c in out_cols
         ]
     )
+
+    if carried is not None:
+        merged = merged.unionByName(carried)
 
     if not partition_by:
         swap_table(spark, target, merged)

@@ -533,3 +533,29 @@ def test_state_modified_selects_changed_and_downstream(spark, sf_small, tmp_path
     # Re-saving the state clears the diff.
     engine.write_state(state)
     assert engine.modified_models(state) == []
+
+
+def test_on_run_start_end_hooks(spark, sf_small, tmp_path):
+    """dbt's project-level on-run-start / on-run-end hooks bracket the
+    whole build exactly once (per-model hooks are separate, F6)."""
+    from dbt_bigquery_udf_spark.models.reference import REFERENCE_MODELS
+    from dbt_bigquery_udf_spark.sources.registry import register_sources_catalog
+
+    engine = Engine(
+        spark,
+        on_run_start=(
+            "CREATE TABLE IF NOT EXISTS datamart.run_audit (ev STRING) USING parquet",
+            "INSERT INTO datamart.run_audit VALUES ('start')",
+        ),
+        on_run_end=("INSERT INTO datamart.run_audit VALUES ('end')",),
+    )
+    from dbt_bigquery_udf_spark.models.table_swap import rm_default_location
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS datamart")
+    spark.sql("DROP TABLE IF EXISTS datamart.run_audit")
+    rm_default_location(spark, "datamart.run_audit")  # stale-dir gotcha
+    register_sources_catalog(spark, sf_small)
+    engine.register(*REFERENCE_MODELS, replace=True)
+    engine.build()
+    evs = sorted(r.ev for r in spark.table("datamart.run_audit").collect())
+    assert evs == ["end", "start"]

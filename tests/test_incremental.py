@@ -460,3 +460,47 @@ def test_microbatch_begin_bounds_first_run(spark, sf_small):
     _register_and_build(engine, spec)
     got = {r.event_id for r in spark.table("datamart.mb_begin").collect()}
     assert got == {2, 3}
+
+
+def test_merge_incremental_predicates_bound_join_but_keep_rows(spark, sf_small):
+    """incremental_predicates narrow the target-side join input; rows
+    they exclude must survive the rewrite untouched — even when the
+    batch carries their key (outside the predicate window, the merge
+    must not see them)."""
+    engine = prepared_engine(spark, sf_small)
+    spec = ModelSpec(
+        name="merge_pred",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="merge",
+        unique_key="k",
+        incremental_predicates=("seg = 'hot'",),
+        sql="SELECT * FROM merge_pred_v",
+    )
+    _set_view(
+        spark,
+        "merge_pred_v",
+        [(1, "a", "hot"), (2, "b", "cold"), (3, "c", None)],
+        "k int, v string, seg string",
+    )
+    _register_and_build(engine, spec)
+    # Batch updates keys 1 (hot: merged) and 2 (cold: OUTSIDE the
+    # predicate -> target row carried, batch row inserts as unmatched).
+    _set_view(
+        spark,
+        "merge_pred_v",
+        [(1, "A", "hot"), (2, "B", "hot"), (4, "d", "hot")],
+        "k int, v string, seg string",
+    )
+    _register_and_build(engine, spec)
+    got = sorted(
+        (r.k, r.v, r.seg) for r in spark.table("datamart.merge_pred").collect()
+    )
+    assert got == [
+        (1, "A", "hot"),  # matched inside predicate: updated
+        (2, "B", "hot"),  # batch row inserted (target row was out of scope)
+        (2, "b", "cold"),  # carried untouched — NOT deleted, NOT updated
+        (3, "c", None),  # NULL predicate: carried, not lost
+        (4, "d", "hot"),  # new key inserted
+    ]

@@ -163,3 +163,40 @@ def test_q1_stays_in_codegen(spark, sf_small):
     executed plan, so this runs the query."""
     f = plan_facts(Q.QUERIES["q1_pricing_summary"](spark, sf_small), execute=True)
     assert f.codegen_spans >= 1, f.text
+
+
+def test_train_split_is_scan_parallel(spark, sf_small):
+    """Split/shard assignment must be pure per-row arithmetic: exactly
+    one exchange (the 48-cell aggregate), no join, no global sort
+    before it."""
+    f = _facts(spark, sf_small, "train_split_shards")
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    # partial agg -> exchange -> final agg -> (tiny) result sort
+    assert f.exchanges <= 2
+
+
+def test_q12_single_join_shuffle_with_pushdown(spark, sf_small):
+    """Q12 shape: the year filter reaches the lineitem scan; the only
+    join is orderkey-to-orderkey; both sides carry 2 columns."""
+    f = _facts(spark, sf_small, "q12_ship_priority")
+    assert any("l_shipdate" in p for p in f.pushed_filters)
+    cols = f.scan_columns()
+    assert "l_extendedprice" not in cols and "o_totalprice" not in cols
+
+
+def test_kmeans_assignment_is_join_free(spark, sf_small):
+    """Centroids are plan literals: the assignment pass must contain no
+    join of any kind (the only joins allowed are the final k-row
+    counts-to-norms combine)."""
+    f = _facts(spark, sf_small, "emb_kmeans_step")
+    assert f.nested_loop_joins == 0 and f.sort_merge_joins == 0
+    # counts ⋈ norms over k=4 rows broadcasts.
+    assert f.broadcast_joins <= 1
+
+
+def test_fuzzy_pairs_is_equi_join_not_cross(spark, sf_small):
+    """Blocking must keep the self-join an equi join — a nested-loop
+    (cross) join here would be the quadratic blowup the blocking keys
+    exist to prevent."""
+    f = _facts(spark, sf_small, "fuzzy_name_pairs")
+    assert f.nested_loop_joins == 0

@@ -611,3 +611,72 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+IVF_NPROBE = 3
+
+
+@register(
+    "sim_ivf_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS av FROM (
+        SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+      ) GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(av ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    best AS (
+      SELECT carr.label FROM carr, q
+      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    FROM e, q
+    WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe={IVF_NPROBE}: search the query's {IVF_NPROBE}
+    nearest inverted lists instead of one — IVF's recall dial, the
+    twin of sim_lsh_multiprobe's Hamming probes.
+
+    The centroid ranking is a |lists|-row sort (driver-cheap); the
+    probe is still a partition-prunable IN filter on the list key, now
+    matching nprobe partitions. Recall monotonicity vs nprobe=1 is
+    pinned by tests/test_recall.py; the same synthetic-corpus caveat
+    applies (near-random vectors -> recall tracks fraction scanned).
+    """
+    e = _emb(spark, sf_dir)
+    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
+        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = [
+        int(r["label"])
+        for r in carr.withColumn("qv", q_lit)
+        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(IVF_NPROBE)
+        .collect()
+    ]
+    return (
+        e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -24,3 +24,10 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_small):
     # near-random; see sim_lsh_multiprobe docstring.)
     assert r_multi >= r_single
     assert single <= multi or len(multi) == 10
+
+
+def test_ivf_nprobe_recall_dominates_single_list(spark, sf_small):
+    brute = _ids(spark, "sim_topk_brute", sf_small)
+    single = _ids(spark, "sim_ivf_topk", sf_small)
+    multi = _ids(spark, "sim_ivf_multiprobe", sf_small)
+    assert len(brute & multi) >= len(brute & single)

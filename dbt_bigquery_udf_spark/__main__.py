@@ -169,6 +169,34 @@ def main(argv: list[str] | None = None) -> int:
                     },
                     "params": list(spec.params),
                     "return_type": spec.return_type,
+                    "config": {
+                        k: v
+                        for k, v in {
+                            "incremental_strategy": (
+                                spec.incremental_strategy
+                                if spec.kind == "incremental"
+                                else None
+                            ),
+                            "partition_by": list(spec.partition_by) or None,
+                            "cluster_by": list(spec.cluster_by) or None,
+                            "unique_key": spec.unique_key,
+                            "on_schema_change": (
+                                spec.on_schema_change
+                                if spec.kind == "incremental"
+                                else None
+                            ),
+                            "event_time": spec.event_time,
+                            "hours_to_expiration": spec.hours_to_expiration,
+                            "partition_expiration_days": (
+                                spec.partition_expiration_days
+                            ),
+                            "require_partition_filter": (
+                                spec.require_partition_filter or None
+                            ),
+                            "labels": dict(spec.labels) or None,
+                        }.items()
+                        if v is not None
+                    },
                 }
                 for name, spec in engine.models.items()
             }
@@ -198,6 +226,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.show_sql:
             print(sql, file=sys.stderr)
         df = spark.sql(sql)
+        if args.build:
+            # BigQuery rejects unpruned queries on require_partition_filter
+            # tables at submission; mirror that for ad-hoc SQL.
+            engine.enforce_partition_filters(df)
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0

@@ -95,7 +95,7 @@ class ModelSpec:
 
     name: str
     kind: str  # 'function' | 'table_function' | 'table' | 'view' | 'seed'
-    #           | 'incremental' | 'snapshot' | 'ephemeral' | 'python'
+    #           | 'incremental' | 'snapshot' | 'ephemeral' | 'python' | 'copy'
     sql: str  # model body; for kind='seed', the CSV file path; '' for python
     database: str = "udf"  # logical dataset; env suffix applied at build
     params: tuple[str, ...] = ()  # 'name TYPE' (BQ types), function kinds only
@@ -167,6 +167,10 @@ class ModelSpec:
     hours_to_expiration: int | None = None
     partition_expiration_days: int | None = None
     require_partition_filter: bool = False
+    # dbt's grants config. OSS Spark has no SQL ACL engine, so grants
+    # persist as TBLPROPERTIES ('grant.<privilege>' = grantees) — the
+    # audit trail an external enforcer (Ranger, Unity, etc.) consumes.
+    grants: tuple[tuple[str, str], ...] = ()  # (privilege, grantee-csv)
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -179,8 +183,16 @@ class ModelSpec:
             "snapshot",
             "ephemeral",
             "python",
+            "copy",
         ):
             raise EngineError(f"model {self.name}: unknown kind {self.kind!r}")
+        if self.kind == "copy" and not _REF_RE.fullmatch(
+            self.sql.strip()
+        ) and not _SOURCE_RE.fullmatch(self.sql.strip()):
+            raise EngineError(
+                f"model {self.name}: copy models take exactly one "
+                "{{ ref(...) }} or {{ source(...) }} as their body"
+            )
         if self.kind == "python" and not callable(self.python_body):
             raise EngineError(f"model {self.name}: python models require python_body")
         if self.kind == "incremental":
@@ -578,6 +590,24 @@ class Engine:
                 self._clean_stale_location(db, spec.name)
                 df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
                 self._persist_docs(spec, db)
+            elif spec.kind == "copy":
+                # dbt-bigquery's `copy` materialization (BQ table copy
+                # jobs). Spark has no server-side copy for managed
+                # parquet; a SELECT * CTAS is the honest equivalent —
+                # still zero transform logic, and partitioning carries
+                # via partition_by. body is the resolved relation name.
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
+                self._clean_stale_location(db, spec.name)
+                part = (
+                    f" PARTITIONED BY ({', '.join(spec.partition_by)})"
+                    if spec.partition_by
+                    else ""
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {db}.{spec.name} USING parquet{part} "
+                    f"AS SELECT * FROM {body}"
+                )
+                self._persist_docs(spec, db)
             elif spec.kind in ("table", "view"):
                 # The body may invoke TVFs, which resolve against the
                 # *referenced model's* database — switch there for the build.
@@ -644,7 +674,7 @@ class Engine:
         models/datamart/schema.yml:4-10). Function descriptions are
         embedded in the CREATE (F10) because, as in BigQuery, they cannot
         be altered after the fact."""
-        if spec.kind not in ("table", "view", "seed", "incremental", "snapshot", "python"):
+        if spec.kind not in ("table", "view", "seed", "incremental", "snapshot", "python", "copy"):
             return
         props: list[str] = []
         if spec.kind != "view":
@@ -665,6 +695,10 @@ class Engine:
                 )
             if spec.require_partition_filter:
                 props.append("'bigquery.require_partition_filter' = 'true'")
+            props += [
+                "'grant.{}' = '{}'".format(priv, str(who).replace("'", "''"))
+                for priv, who in spec.grants
+            ]
         if props:
             self.spark.sql(
                 f"ALTER TABLE {db}.{spec.name} SET TBLPROPERTIES ({', '.join(props)})"
@@ -672,7 +706,7 @@ class Engine:
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
             self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
-        if spec.kind in ("table", "seed", "incremental", "snapshot", "python"):
+        if spec.kind in ("table", "seed", "incremental", "snapshot", "python", "copy"):
             for col, doc in spec.columns.items():
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(
@@ -907,6 +941,7 @@ class Engine:
                 repr(spec.merge_update_columns),
                 repr((spec.event_time, spec.batch_size, spec.lookback, spec.begin)),
                 repr(spec.incremental_predicates),
+                repr(spec.grants),
                 repr(
                     (
                         spec.hours_to_expiration,

@@ -559,3 +559,43 @@ def test_on_run_start_end_hooks(spark, sf_small, tmp_path):
     engine.build()
     evs = sorted(r.ev for r in spark.table("datamart.run_audit").collect())
     assert evs == ["end", "start"]
+
+
+def test_copy_materialization_and_grants(spark, sf_small):
+    """dbt-bigquery's `copy` materialization: body is exactly one ref;
+    the table is a zero-transform duplicate. grants persist as
+    TBLPROPERTIES (OSS Spark has no ACL engine — the properties are the
+    enforcement hand-off)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.catalog import EngineError
+
+    engine = prepared_engine(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="datamart_copy",
+            kind="copy",
+            database="datamart",
+            dialect="spark",
+            sql="{{ ref('test_datamart') }}",
+            grants=(("select", "analyst_role"),),
+        ),
+        replace=True,
+    )
+    engine.build(select=["datamart_copy"])
+    src = spark.table("datamart.test_datamart")
+    cp = spark.table("datamart.datamart_copy")
+    assert cp.schema == src.schema and cp.count() == src.count()
+    props = {
+        r[0]: r[1]
+        for r in spark.sql("SHOW TBLPROPERTIES datamart.datamart_copy").collect()
+    }
+    assert props.get("grant.select") == "analyst_role"
+
+    with pytest.raises(EngineError, match="exactly one"):
+        ModelSpec(
+            name="bad_copy",
+            kind="copy",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT * FROM {{ ref('test_datamart') }}",
+        )

@@ -516,3 +516,43 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "dedup_keep_best",
+    """
+    SELECT md5(text) AS content_hash,
+           9999999999 - CAST(substr(max(printf('%010d|%010d', n_chars,
+                              9999999999 - doc_id)), 12, 10) AS BIGINT)
+             AS survivor_doc_id,
+           max(n_chars) AS survivor_n_chars,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with quality-aware survivor selection: within each
+    content-hash group keep the LONGEST copy (ties -> lowest doc_id),
+    not an arbitrary one — the curation-grade variant of dedup_exact,
+    where "which duplicate survives" decides what the training set
+    keeps (dedup_exact's min(doc_id) can discard the best-extracted
+    copy of a page).
+
+    The argmax is the engine-neutral fixed-width string trick
+    ('%010d|%010d' over (quality, inverted doc_id)) so a single
+    map-side-combinable max() aggregate carries both the decision and
+    the tie-break — no window, no self-join, one shuffle of one string
+    per group. Swap n_chars for any scalar quality score
+    (text_quality_score) without changing the shape.
+    """
+    d = _docs(spark, sf_dir)
+    inv = F.lit(9999999999) - F.col("doc_id")
+    enc = F.format_string("%010d|%010d", F.col("n_chars"), inv)
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        (F.lit(9999999999) - F.substring(F.max(enc), 12, 10).cast("bigint")).alias(
+            "survivor_doc_id"
+        ),
+        F.max("n_chars").alias("survivor_n_chars"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )

@@ -78,7 +78,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        # "timestamp_ltz" is spelled out: the session sets
+        # spark.sql.timestampType=TIMESTAMP_NTZ, which rebinds the bare
+        # "timestamp" keyword to NTZ — and watermarks require LTZ.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return ev
 
 

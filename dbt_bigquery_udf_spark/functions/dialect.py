@@ -178,8 +178,17 @@ def translate_param_list(params: list[str]) -> list[tuple[str, str]]:
 
 
 _PARSE_DT_RE = re.compile(
-    r"(?P<safe>SAFE\.)?PARSE_DATETIME\s*\(\s*'(?P<fmt>[^']*)'\s*,", re.IGNORECASE
+    r"(?P<safe>SAFE\.)?PARSE_(?P<kind>DATETIME|DATE|TIMESTAMP)\s*\(\s*'(?P<fmt>[^']*)'\s*,",
+    re.IGNORECASE,
 )
+# BQ PARSE_* return types: DATETIME is civil time, DATE a date,
+# TIMESTAMP an absolute instant (parsed in UTC absent %Z/%Ez — our
+# sessions run UTC, so the LTZ cast is faithful).
+_PARSE_CAST_TARGET: dict[str, str] = {
+    "DATETIME": "timestamp_ntz",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ltz",
+}
 _SAFE_CAST_RE = re.compile(r"\bSAFE_CAST\s*\(", re.IGNORECASE)
 # Only inside a CAST — the type keyword sits immediately before the
 # closing paren, which distinguishes it from a column alias like
@@ -191,12 +200,13 @@ _CAST_TYPE_RE = re.compile(
 
 def _parse_dt_repl(m: re.Match) -> str:
     safe = bool(m.group("safe"))
+    cast_to = _PARSE_CAST_TARGET[m.group("kind").upper()]
     pattern = bq_format_to_spark(m.group("fmt"))
     sql_literal = "'" + pattern.replace("'", "''") + "'"
     fn = "try_to_timestamp" if safe else "to_timestamp"
     # Swap argument order: BQ is (format, string); Spark is (string, format).
     # Emit a marker the argument-swapper resolves below.
-    return f"{fn}(@@FMT@@{sql_literal}@@,"
+    return f"{fn}(@@FMT@@{cast_to}@@{sql_literal}@@,"
 
 
 def transpile_bq_expr(sql: str) -> str:
@@ -216,7 +226,7 @@ def transpile_bq_expr(sql: str) -> str:
 
 
 def _swap_format_args(sql: str) -> str:
-    """Rewrite ``fn(@@FMT@@'p'@@, <arg>)`` to ``cast(fn(<arg>, 'p') as timestamp_ntz)``.
+    """Rewrite ``fn(@@FMT@@t@@'p'@@, <arg>)`` to ``cast(fn(<arg>, 'p') as t)``.
 
     The argument may itself contain balanced parentheses (e.g. a nested
     function call), so scan to the matching close paren.
@@ -224,8 +234,10 @@ def _swap_format_args(sql: str) -> str:
     marker = "@@FMT@@"
     while marker in sql:
         i = sql.index(marker)
-        j = sql.index("@@,", i)
-        pattern = sql[i + len(marker) : j]
+        cast_end = sql.index("@@", i + len(marker))
+        cast_to = sql[i + len(marker) : cast_end]
+        j = sql.index("@@,", cast_end)
+        pattern = sql[cast_end + 2 : j]
         # find the function-name start (scan back to the opening paren)
         open_paren = sql.rindex("(", 0, i)
         fn_start = open_paren
@@ -245,7 +257,10 @@ def _swap_format_args(sql: str) -> str:
                 k = sql.index("'", k + 1)
             k += 1
         arg = sql[j + 3 : k - 1].strip()
-        replacement = f"cast({fn}({arg}, {pattern}) as timestamp_ntz)"
+        parts, _ = _split_top_args("(" + arg + ")", 0)
+        if len(parts) != 1:
+            raise ValueError("PARSE_DATE/DATETIME/TIMESTAMP with a timezone argument is not supported")
+        replacement = f"cast({fn}({arg}, {pattern}) as {cast_to})"
         sql = sql[:fn_start] + replacement + sql[k:]
     return sql
 
@@ -282,6 +297,9 @@ _BQ_FN_NAME_MAP: dict[str, str] = {
     "CHARACTER_LENGTH": "length",
     "STRPOS": "instr",
     "LOWER_CASE": "lower",  # seen in the wild as a BQ UDF alias
+    "FROM_HEX": "unhex",
+    "TO_BASE64": "base64",
+    "FROM_BASE64": "unbase64",
     # BQ ARRAY_TO_STRING skips NULL elements unless null_text is given;
     # Spark array_join has exactly the same two/three-arg behavior.
     "ARRAY_TO_STRING": "array_join",
@@ -304,8 +322,22 @@ _DT_DIFF_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_DIFF\s*\(", re.IGNORECASE)
 _DT_TRUNC_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_TRUNC\s*\(", re.IGNORECASE)
 _DT_ADDSUB_RE = re.compile(r"\b(DATETIME|TIMESTAMP)_(ADD|SUB)\s*\(", re.IGNORECASE)
 _GEN_ARRAY_RE = re.compile(r"\bGENERATE_ARRAY\s*\(", re.IGNORECASE)
-_FORMAT_DT_RE = re.compile(r"\bFORMAT_DATETIME\s*\(", re.IGNORECASE)
+_FORMAT_DT_RE = re.compile(r"\bFORMAT_(DATETIME|DATE|TIMESTAMP)\s*\(", re.IGNORECASE)
 _INTERVAL_RE = re.compile(r"^\s*INTERVAL\s+(.+?)\s+(\w+)\s*$", re.IGNORECASE | re.S)
+_STRING_AGG_RE = re.compile(r"\bSTRING_AGG\s*\(", re.IGNORECASE)
+_ARRAY_AGG_RE = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
+_TO_HEX_RE = re.compile(r"\bTO_HEX\s*\(", re.IGNORECASE)
+_UNIX_DATE_RE = re.compile(r"\bUNIX_DATE\s*\(", re.IGNORECASE)
+_DATE_FROM_UNIX_RE = re.compile(r"\bDATE_FROM_UNIX_DATE\s*\(", re.IGNORECASE)
+# TO_HEX over a BQ bytes-returning hash: the composition is exactly
+# Spark's hex-string hash function (md5/sha1/sha2 return lowercase hex).
+_HEX_HASH_ARG_RE = re.compile(
+    r"^(?P<fn>MD5|SHA1|SHA256|SHA512)\s*\((?P<inner>.*)\)$", re.IGNORECASE | re.S
+)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"\bLIMIT\b", re.IGNORECASE)
+_IGNORE_NULLS_RE = re.compile(r"\s+IGNORE\s+NULLS\s*$", re.IGNORECASE)
+_DISTINCT_PREFIX_RE = re.compile(r"^\s*DISTINCT\b", re.IGNORECASE)
 
 
 def _split_top_args(sql: str, open_paren: int) -> tuple[list[str], int]:
@@ -332,13 +364,21 @@ def _split_top_args(sql: str, open_paren: int) -> tuple[list[str], int]:
 
 def _rewrite_calls(sql: str, pattern: re.Pattern, repl) -> str:
     """Replace every ``pattern``-matched call; ``repl(match, args) ->
-    str`` builds the replacement from the parsed top-level args."""
+    str`` builds the replacement from the parsed top-level args.
+    ``repl`` may return None to leave that call untouched (the search
+    resumes after it, so an unrewritten call cannot loop forever)."""
+    pos = 0
     while True:
-        m = pattern.search(sql)
+        m = pattern.search(sql, pos)
         if m is None:
             return sql
         args, end = _split_top_args(sql, m.end() - 1)
-        sql = sql[: m.start()] + repl(m, args) + sql[end:]
+        new = repl(m, args)
+        if new is None:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + new + sql[end:]
+        pos = m.start()
 
 
 def transpile_bq_functions(sql: str) -> str:
@@ -382,17 +422,111 @@ def transpile_bq_functions(sql: str) -> str:
     out = _rewrite_calls(out, _GEN_ARRAY_RE, _gen_array)
 
     def _format_dt(m: re.Match, a: list[str]) -> str:
+        if len(a) > 2:
+            raise ValueError(
+                f"{m.group(0).strip()} with a timezone argument is not supported"
+            )
         fmt = a[0].strip()
         if not (fmt.startswith("'") and fmt.endswith("'")):
-            raise ValueError("FORMAT_DATETIME requires a literal format string")
+            raise ValueError(f"{m.group(0).strip()} requires a literal format string")
         spark_fmt = bq_format_to_spark(fmt[1:-1])
         return f"date_format({a[1]}, '" + spark_fmt.replace("'", "''") + "')"
 
     out = _rewrite_calls(out, _FORMAT_DT_RE, _format_dt)
+
+    def _string_agg(m: re.Match, a: list[str]) -> str:
+        # BQ: STRING_AGG([DISTINCT] e [, delim] [ORDER BY ...] [LIMIT n])
+        # -> Spark: listagg([DISTINCT] e, delim) WITHIN GROUP (ORDER BY ...)
+        # listagg skips NULLs like STRING_AGG; BQ's default delim is ','
+        # while Spark's is '' — always pass it explicitly.
+        expr, delim = a[0], "','"
+        if len(a) > 1:
+            delim = a[1]
+        if len(a) > 2:
+            raise ValueError("STRING_AGG supports at most (expr, delimiter)")
+        order = ""
+        tail = delim
+        mo = _ORDER_BY_RE.search(tail)
+        if mo is None and len(a) == 1:
+            mo = _ORDER_BY_RE.search(expr)
+            if mo:
+                expr, order = expr[: mo.start()], expr[mo.end() :]
+                delim = "','"
+        elif mo is not None:
+            delim, order = tail[: mo.start()], tail[mo.end() :]
+        if _LIMIT_RE.search(order):
+            raise ValueError("STRING_AGG ... LIMIT is not supported")
+        out_call = f"listagg({expr.strip()}, {delim.strip()})"
+        if order:
+            out_call += f" WITHIN GROUP (ORDER BY {order.strip()})"
+        return out_call
+
+    out = _rewrite_calls(out, _STRING_AGG_RE, _string_agg)
+
+    def _array_agg(m: re.Match, a: list[str]) -> str | None:
+        # Only the IGNORE NULLS form maps: Spark's collect_list skips
+        # NULLs, which is BQ ARRAY_AGG(... IGNORE NULLS) exactly. Plain
+        # ARRAY_AGG *errors* on NULL elements in BQ but silently drops
+        # them in Spark's same-named array_agg — left untouched so
+        # already-Spark SQL keeps its meaning (idempotency guarantee).
+        if len(a) == 1:
+            mo = _IGNORE_NULLS_RE.search(a[0])
+            if mo:
+                return f"collect_list({a[0][: mo.start()].strip()})"
+        return None
+
+    out = _rewrite_calls(out, _ARRAY_AGG_RE, _array_agg)
+
+    def _to_hex(m: re.Match, a: list[str]) -> str:
+        mh = _HEX_HASH_ARG_RE.match(a[0].strip())
+        if mh and _balanced(mh.group("inner")):
+            fn = mh.group("fn").upper()
+            inner = mh.group("inner")
+            if fn == "MD5":
+                return f"md5({inner})"
+            if fn == "SHA1":
+                return f"sha1({inner})"
+            return f"sha2({inner}, {fn[3:]})"
+        # BQ TO_HEX emits lowercase; Spark hex uppercase.
+        return f"lower(hex({a[0]}))"
+
+    out = _rewrite_calls(out, _TO_HEX_RE, _to_hex)
+    out = _rewrite_calls(
+        out,
+        _UNIX_DATE_RE,
+        # days since epoch; BQ's UNIX_DATE is DATE-only, datediff matches.
+        lambda m, a: f"datediff({a[0]}, DATE '1970-01-01')",
+    )
+    out = _rewrite_calls(
+        out,
+        _DATE_FROM_UNIX_RE,
+        lambda m, a: f"date_add(DATE '1970-01-01', {a[0]})",
+    )
     out = _BQ_FN_NAME_RE.sub(
         lambda m: _BQ_FN_NAME_MAP[m.group(1).upper()] + "(", out
     )
-    return transpile_bq_arrays_datetime(out)
+    return transpile_qualify(transpile_bq_arrays_datetime(out))
+
+
+def _balanced(s: str) -> bool:
+    """True when parens in ``s`` are balanced outside string literals —
+    distinguishes ``MD5(x)`` from ``MD5(x)) || to_hex((y``."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                return False
+            i = j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
 
 
 # Array indexing: BQ requires a[OFFSET(i)] (0-based) / a[ORDINAL(i)]
@@ -483,3 +617,113 @@ def transpile_bq_arrays_datetime(sql: str) -> str:
     out = _DATETIME_LIT_RE.sub("TIMESTAMP_NTZ '", out)
     out = _DATETIME_CTOR_RE.sub("make_timestamp_ntz(", out)
     return out
+
+
+# -- QUALIFY (BigQuery window-filter clause) -------------------------------
+#
+# Spark has no QUALIFY; the standard rewrite pushes the predicate into
+# the select list of a subquery and filters outside:
+#
+#   SELECT <list> FROM ... [WHERE/GROUP BY/HAVING] QUALIFY <pred> [tail]
+#   ->
+#   SELECT * EXCEPT(__qualify__) FROM (
+#     SELECT <list>, (<pred>) AS __qualify__ FROM ... [WHERE/GROUP BY/HAVING]
+#   ) WHERE __qualify__ [tail]
+#
+# Window functions are legal in a select list, `* EXCEPT(col)` and
+# lateral column aliases (for predicates referencing select aliases,
+# which BQ allows) are both supported by Spark 4 (probed). QUALIFY is
+# not a Spark keyword, so this rewrite preserves the transpiler's
+# idempotency guarantee. ORDER BY / LIMIT after QUALIFY stay on the
+# outer query — same result set either way.
+
+_QUALIFY_KEYWORD_RE = re.compile(
+    r"\b(SELECT|FROM|QUALIFY|ORDER\s+BY|LIMIT)\b", re.IGNORECASE
+)
+
+
+def _scan_clause_keywords(sql: str) -> list[tuple[int, int, str, int]]:
+    """(pos, paren_depth, normalized_keyword, end_pos) for every
+    clause keyword outside string literals."""
+    events: list[tuple[int, int, str, int]] = []
+    depth = i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j >= 0 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch.isalpha() and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            m = _QUALIFY_KEYWORD_RE.match(sql, i)
+            if m:
+                word = re.sub(r"\s+", " ", m.group(1).upper())
+                events.append((i, depth, word, m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return events
+
+
+def _scope_end(sql: str, start: int) -> int:
+    """Index where the enclosing paren scope closes (or end of string)."""
+    depth, i, n = 0, start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j >= 0 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        i += 1
+    return n
+
+
+def transpile_qualify(sql: str) -> str:
+    """Rewrite every QUALIFY clause (innermost first) into the
+    subquery-filter form above."""
+    while True:
+        events = _scan_clause_keywords(sql)
+        quals = [e for e in events if e[2] == "QUALIFY"]
+        if not quals:
+            return sql
+        qpos, qdepth, _, qend = max(quals, key=lambda e: (e[1], e[0]))
+        sels = [e for e in events if e[2] == "SELECT" and e[1] == qdepth and e[0] < qpos]
+        if not sels:
+            raise ValueError("QUALIFY without an enclosing SELECT")
+        sel = max(sels, key=lambda e: e[0])
+        froms = [
+            e
+            for e in events
+            if e[2] == "FROM" and e[1] == qdepth and sel[0] < e[0] < qpos
+        ]
+        if not froms:
+            raise ValueError("QUALIFY requires a FROM clause")
+        frm = min(froms, key=lambda e: e[0])
+        if re.match(r"\s*DISTINCT\b", sql[sel[3] :], re.IGNORECASE):
+            raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+        tails = [
+            e
+            for e in events
+            if e[1] == qdepth and e[0] > qpos and e[2] in ("ORDER BY", "LIMIT")
+        ]
+        end = min((e[0] for e in tails), default=None)
+        if end is None:
+            end = _scope_end(sql, qend)
+        pred = sql[qend:end].strip()
+        select_list = sql[sel[3] : frm[0]].strip()
+        body = sql[frm[0] : qpos].rstrip()
+        inner = f"SELECT {select_list}, ({pred}) AS __qualify__ {body}"
+        replacement = (
+            f"SELECT * EXCEPT(__qualify__) FROM ( {inner} ) WHERE __qualify__ "
+        )
+        sql = sql[: sel[0]] + replacement + sql[end:]

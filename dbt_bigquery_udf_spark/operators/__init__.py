@@ -7,9 +7,11 @@ in :mod:`..queries`.
 """
 
 from . import analytics  # noqa: F401
+from . import bq_sql  # noqa: F401
 from . import dedup  # noqa: F401
 from . import extras  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import profiling  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401
 from . import tpch  # noqa: F401

@@ -1,0 +1,78 @@
+"""End-to-end BigQuery-dialect SQL queries.
+
+The dialect layer (functions/dialect.py) is unit-tested expression by
+expression; these queries put whole BigQuery *statements* through
+``transpile_bq_expr`` -> ``spark.sql`` under the driver's DuckDB oracle
+gate — the workflow a user migrating the reference's 1000-model
+production project (reference: README.md:329) actually runs: paste the
+BigQuery model body, get Spark results.
+
+Both queries exercise constructs Spark lacks natively:
+
+- ``QUALIFY`` (window filter clause) — rewritten to a subquery filter;
+  DuckDB supports QUALIFY natively, so the oracle states the same
+  intent in its own dialect.
+- ``STRING_AGG(expr, delim ORDER BY ...)`` — rewritten to
+  ``listagg ... WITHIN GROUP``.
+
+Scale: both rewrites are pure plan transformations. The QUALIFY
+subquery adds no shuffle beyond the window itself (one exchange on the
+partition key); the ordered STRING_AGG sorts only within each group's
+collected values, never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import transpile_bq_expr
+from ..queries import register
+from .analytics import _src
+
+
+@register(
+    "bq_dialect_qualify",
+    """
+    SELECT user_id, ts, event_type FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+    """,
+)
+def bq_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user, stated with BigQuery's QUALIFY clause.
+
+    The transpiler rewrites QUALIFY into
+    ``SELECT * EXCEPT(__qualify__) FROM (...) WHERE __qualify__``;
+    Catalyst then plans the usual window-rank dedup: one shuffle on
+    user_id, rank inside each partition, filter before anything else
+    consumes the rows. Same physical plan as dedup_latest_version's
+    DataFrame formulation — the clause is sugar, not a new operator.
+    """
+    _src(spark, sf_dir)
+    bq = """
+    SELECT user_id, ts, event_type FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+    """
+    return spark.sql(transpile_bq_expr(bq))
+
+
+@register(
+    "bq_dialect_string_agg",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def bq_dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via BigQuery's STRING_AGG.
+
+    ``STRING_AGG(x, d ORDER BY k)`` -> ``listagg(x, d) WITHIN GROUP
+    (ORDER BY k)``. The ORDER BY is per-group (sorts each group's
+    collected values), so the plan is a plain hash aggregate — no
+    global sort at any scale.
+    """
+    _src(spark, sf_dir)
+    bq = """
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """
+    return spark.sql(transpile_bq_expr(bq))

@@ -63,6 +63,31 @@ CASES = [
     ("GENERATE_ARRAY(1, 5, -1)", []),
     ("ARRAY_TO_STRING(array('a', NULL, 'b'), '-')", "a-b"),
     ("ARRAY_TO_STRING(array('a', NULL, 'b'), '-', 'x')", "a-x-b"),
+    # PARSE_DATE / PARSE_TIMESTAMP (typed returns; TIMESTAMP round-trips
+    # through FORMAT_TIMESTAMP to stay timezone-repr-agnostic)
+    ("PARSE_DATE('%Y-%m-%d', '2024-03-05')", datetime.date(2024, 3, 5)),
+    ("SAFE.PARSE_DATE('%Y-%m-%d', 'garbage')", None),
+    (
+        "FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', "
+        "PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', '2024-03-05 01:02:03'))",
+        "2024-03-05 01:02:03",
+    ),
+    ("FORMAT_DATE('%Y/%m/%d', DATE '2024-03-05')", "2024/03/05"),
+    # hex / base64 / hash compositions (BQ hashes return BYTES; the
+    # TO_HEX composition collapses to Spark's hex-string hash)
+    ("TO_HEX(MD5('abc'))", "900150983cd24fb0d6963f7d28e17f72"),
+    (
+        "TO_HEX(SHA256('abc'))",
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
+    ),
+    ("TO_HEX(FROM_HEX('1f2a'))", "1f2a"),
+    ("TO_BASE64(FROM_BASE64('YWI='))", "YWI="),
+    ("UNIX_DATE(DATE '2024-01-02')", 19724),
+    ("DATE_FROM_UNIX_DATE(19724)", datetime.date(2024, 1, 2)),
+    # STRING_AGG / ARRAY_AGG over the implicit one-row relation
+    ("STRING_AGG('a')", "a"),
+    ("STRING_AGG('a', '|')", "a"),
+    ("ARRAY_AGG('x' IGNORE NULLS)", ["x"]),
 ]
 
 
@@ -122,6 +147,70 @@ def test_index_rewrite_edge_cases():
         == "element_at(element_at(a, (0) + 1), (1) + 1)"
     )
     assert t("m.arr[SAFE_ORDINAL(n + 1)]") == "try_element_at(m.arr, (n + 1))"
+
+
+QUALIFY_CASES = [
+    # basic window filter
+    (
+        "SELECT a, b FROM VALUES (1,'x'),(2,'x'),(3,'y') t(a,b) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) = 1",
+        {(1, "x"), (3, "y")},
+    ),
+    # predicate referencing a select alias (BQ allows; Spark lateral
+    # column aliases make the rewrite faithful)
+    (
+        "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn "
+        "FROM VALUES (3),(1),(2) t(a) QUALIFY rn <= 2",
+        {(1, 1), (2, 2)},
+    ),
+    # WHERE + GROUP BY + QUALIFY over an aggregate window, ORDER BY tail
+    (
+        "SELECT b, SUM(a) AS s FROM VALUES (1,'x'),(2,'x'),(2,'y'),(-9,'z') t(a,b) "
+        "WHERE a > 0 GROUP BY b "
+        "QUALIFY RANK() OVER (ORDER BY SUM(a) DESC) = 1 ORDER BY b",
+        {("x", 3)},
+    ),
+    # QUALIFY inside a subquery, outer query plain
+    (
+        "SELECT count(*) AS n FROM (SELECT a FROM VALUES (1),(2),(3) t(a) "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a DESC) <= 2)",
+        {(2,)},
+    ),
+]
+
+
+@pytest.mark.parametrize("bq,expected", QUALIFY_CASES, ids=[c[0][:50] for c in QUALIFY_CASES])
+def test_qualify_rewrite(spark, bq, expected):
+    out = spark.sql(transpile_bq_expr(bq)).collect()
+    assert {tuple(r) for r in out} == expected, transpile_bq_expr(bq)
+
+
+def test_string_agg_order_by(spark):
+    bq = (
+        "SELECT STRING_AGG(b, '|' ORDER BY a DESC) AS s "
+        "FROM VALUES (1,'x'),(2,'y'),(3,'z') t(a,b)"
+    )
+    assert spark.sql(transpile_bq_expr(bq)).collect()[0][0] == "z|y|x"
+
+
+def test_string_agg_limit_raises():
+    with pytest.raises(ValueError, match="LIMIT"):
+        transpile_bq_expr("SELECT STRING_AGG(x, ',' ORDER BY x LIMIT 5) FROM t")
+
+
+def test_qualify_distinct_raises():
+    with pytest.raises(ValueError, match="DISTINCT"):
+        transpile_bq_expr(
+            "SELECT DISTINCT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+        )
+
+
+def test_plain_array_agg_left_alone():
+    # Plain ARRAY_AGG errors on NULL elements in BQ but not in Spark's
+    # same-named function — pass through untouched (visible divergence
+    # beats a silent one); only the IGNORE NULLS form is mapped.
+    sql = "SELECT ARRAY_AGG(a) FROM t"
+    assert transpile_bq_functions(sql) == sql
 
 
 def test_transpile_idempotent_on_spark_sql():

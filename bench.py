@@ -61,6 +61,10 @@ HEADLINE = [
     "train_split_shards",
     "emb_kmeans_step",
     "fuzzy_name_pairs",
+    "pii_scan",
+    "market_basket_pairs",
+    "profile_columns",
+    "bq_dialect_qualify",
 ]
 
 

@@ -1,0 +1,267 @@
+"""Data-profiling, quality-scan, and diagnostics operators.
+
+Production pipelines at 100 TB spend as much time *inspecting* data as
+transforming it: column profiles before schema changes, PII scans
+before egress, skew diagnostics before big joins, anomaly flags on the
+metrics the pipeline emits. The reference has none of this
+(SURVEY.md §2.3); these are engine extensions in the same
+oracle-checked registry as everything else.
+
+Design rule shared by all five: the profile/diagnostic output is
+*small* (rows = columns, sources, days, or top-k keys), so every query
+reduces before it shuffles — the scan is the only full-data pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..queries import register
+from .analytics import _src
+
+# Orders columns profiled (closed list: a profiler that discovers
+# columns at runtime would need a schema read, which is fine, but a
+# stable list keeps the oracle exact).
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@register(
+    "profile_columns",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (nulls, distincts, min/max) of ``orders``.
+
+    One scan for all columns: a single ``agg`` computes every
+    per-column statistic (the multi-count-distinct goes through one
+    Expand), then the wide row unpivots to the (col, stats) long form
+    driver-side via ``stack``. The DuckDB oracle states the same
+    profile as a UNION ALL of per-column scans — N scans there, ONE
+    here, same rows.
+
+    Scale: output is |columns| rows; the expand factor equals the
+    number of distinct-counted columns, the standard Spark trade for
+    exact multi-column NDV in one pass. At 100 TB swap the exact
+    count(DISTINCT) for approx_count_distinct and the Expand
+    disappears — documented, not silently done, because the oracle
+    pins exact values.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_s"),
+            F.max(c).cast("string").alias(f"{c}__max_s"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min_s, {c}__max_s"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+# Patterns kept to the regex subset Java (Spark) and RE2 (DuckDB) parse
+# identically: character classes, bounded repeats, \\d, word boundaries.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IDLIKE_RE = r"\b\d{9,16}\b"
+
+
+@register(
+    "pii_scan",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS n_emails,
+           sum(len(regexp_extract_all(text, '{_PHONE_RE}'))) AS n_phones,
+           sum(len(regexp_extract_all(text, '{_IDLIKE_RE}'))) AS n_idlike,
+           count(*) FILTER (WHERE regexp_matches(text, '{_EMAIL_RE}')
+                               OR regexp_matches(text, '{_PHONE_RE}')) AS docs_flagged
+    FROM documents GROUP BY source
+    """,
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure scan over the document corpus, rolled up by source.
+
+    Counts email / phone / long-digit-run matches per source plus how
+    many documents are flagged at all — the report a pre-egress or
+    pre-training compliance gate consumes (the masking counterpart is
+    ``text_clean``).
+
+    Scale: regexp_count is JVM-side codegen over each document exactly
+    once; the rollup output is |sources| rows. The patterns stay in the
+    regex subset Java and RE2 interpret identically, which is what
+    makes the DuckDB oracle exact.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    email_n = F.expr(f"regexp_count(text, '{_EMAIL_RE}')")
+    phone_n = F.expr(f"regexp_count(text, '{_PHONE_RE}')")
+    idlike_n = F.expr(f"regexp_count(text, '{_IDLIKE_RE}')")
+    return (
+        d.select("source", email_n.alias("e"), phone_n.alias("p"), idlike_n.alias("i"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_idlike"),
+            F.count_if((F.col("e") > 0) | (F.col("p") > 0)).alias("docs_flagged"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_orderdate
+    ), scored AS (
+      SELECT day, revenue,
+             avg(revenue) OVER w AS mu,
+             stddev_samp(revenue) OVER w AS sigma
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, revenue, round((revenue - mu) / sigma, 4) AS z
+    FROM scored
+    WHERE sigma > 0 AND abs((revenue - mu) / sigma) > 2
+    """,
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomalies on daily order revenue.
+
+    Each day scores against the mean/stddev of the preceding 30 days
+    (never itself — no self-masking); |z| > 2 flags. This is the
+    standard drift/incident detector for pipeline output metrics.
+
+    Scale: the group-by first reduces 100 TB of orders to |days| rows
+    (a few thousand); only THEN comes the unpartitioned window — a
+    single-reducer sort of a provably tiny series, which is the correct
+    plan, not an accident. The full-data pass remains one partial agg.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(-30, -1)
+    scored = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return scored.filter((F.col("sigma") > 0) & (F.abs(z) > 2)).select(
+        "day", "revenue", F.round(z, 4).alias("z")
+    )
+
+
+@register(
+    "join_skew_profile",
+    """
+    WITH freq AS (
+      SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM freq)
+    SELECT key, n, round(n / total, 6) AS share,
+           round(n * n_keys / total, 2) AS x_avg
+    FROM freq, tot
+    ORDER BY n DESC, key LIMIT 10
+    """,
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key (lineitem.l_partkey): top keys
+    by row count, their share of the table, and their multiple of the
+    mean key frequency.
+
+    This is the pre-join diagnostic that decides the physical strategy:
+    x_avg in the hundreds means salting or AQE skew-join handling;
+    share near 1/n_keys means plain hash join is safe.
+
+    Scale: one partial-aggregated group-by (|keys| rows out), a
+    broadcast of the 1-row total, and a TakeOrdered top-k — no global
+    sort, no second scan.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = freq.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("total"), 2).alias("x_avg"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 15
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: part pairs appearing together in at least
+    two orders (the item-item affinity input for recommenders and
+    negative-sampling schemes).
+
+    Scale: the self-join is equi on l_orderkey, so it shuffles both
+    sides once on the basket id and explodes only *within* baskets —
+    cost O(sum k_i^2) for basket sizes k_i, bounded because TPC-H
+    baskets hold <= 7 items (production guard: cap basket size before
+    pairing; a 10k-item basket contributes 50M pairs). The distinct
+    collapses duplicate (order, part) rows map-side first, and the
+    HAVING prunes the pair tail before the top-k.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(15)
+    )

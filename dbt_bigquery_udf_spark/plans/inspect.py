@@ -76,7 +76,9 @@ def plan_facts(df: DataFrame, execute: bool = False) -> PlanFacts:
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
         facts.codegen_spans = len(set(re.findall(r"\*\((\d+)\)", executed)))
-    facts.scans = len(re.findall(r"Scan parquet|FileScan parquet", text))
+    # Count in the tree section only — the detail section repeats each
+    # operator's name, which would double-count every scan.
+    facts.scans = len(re.findall(r"Scan parquet|FileScan parquet", tree))
     facts.pushed_filters = [
         m.strip() for m in re.findall(r"PushedFilters: \[([^\]]*)\]", detail or text)
     ]

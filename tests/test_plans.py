@@ -200,3 +200,38 @@ def test_fuzzy_pairs_is_equi_join_not_cross(spark, sf_small):
     exist to prevent."""
     f = _facts(spark, sf_small, "fuzzy_name_pairs")
     assert f.nested_loop_joins == 0
+
+
+def test_profile_is_single_scan(spark, sf_small):
+    """The column profiler computes every per-column statistic in ONE
+    scan of orders (the DuckDB oracle does N scans; ours must not)."""
+    f = _facts(spark, sf_small, "profile_columns")
+    assert f.scans == 1, f.text
+
+
+def test_pii_scan_reduces_before_shuffle(spark, sf_small):
+    """PII scan: regexp counting happens scan-side; only the per-source
+    partial aggregates shuffle (one exchange), reading (source, text)."""
+    f = _facts(spark, sf_small, "pii_scan")
+    assert f.exchanges == 1, f.text
+    assert f.scan_columns() <= {"source", "text"}, f.read_schemas
+
+
+def test_anomaly_reduces_then_windows(spark, sf_small):
+    """The z-score window must run AFTER the daily reduction: the plan
+    aggregates (partial+final) before the single-partition window sort,
+    never windows raw orders."""
+    f = _facts(spark, sf_small, "anomaly_zscore_daily")
+    assert "Window" in f.text
+    agg_pos = f.text.index("HashAggregate")
+    win_pos = f.text.index("Window")
+    assert win_pos < agg_pos  # formatted plans print top-down: window consumes the agg
+    assert f.scan_columns() <= {"o_orderdate", "o_totalprice"}, f.read_schemas
+
+
+def test_market_basket_joins_on_basket_id(spark, sf_small):
+    """Pair mining must be an equi join on the basket id (shuffle or
+    broadcast hash), never a cartesian product."""
+    f = _facts(spark, sf_small, "market_basket_pairs")
+    assert "CartesianProduct" not in f.text and "BroadcastNestedLoopJoin" not in f.text
+    assert f.scan_columns() <= {"l_orderkey", "l_partkey"}, f.read_schemas

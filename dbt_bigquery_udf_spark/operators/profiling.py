@@ -265,3 +265,61 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(15)
     )
+
+
+@register(
+    "chi2_event_dow",
+    """
+    WITH c AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY event_type),
+       ct AS (SELECT dow, sum(n) AS cn FROM c GROUP BY dow),
+       t  AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.event_type, c.dow, c.n,
+           round(rt.rn * ct.cn / t.tot, 4) AS expected,
+           round(pow(c.n - rt.rn * ct.cn / t.tot, 2) / (rt.rn * ct.cn / t.tot), 6)
+             AS chi2_term
+    FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+    """,
+)
+def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency decomposition: event_type x day-of-week
+    observed vs expected counts, with each cell's chi-square term —
+    the independence check behind drift detection ("did the weekly
+    traffic mix change?").
+
+    Dialect note: Spark ``dayofweek`` is 1=Sunday..7; DuckDB's is
+    0-based, so the oracle adds 1 (same mapping as date_funcs_orders).
+
+    Scale: one full pass reduces events to |types x 7| cells; the
+    margins (row/column/grand totals) are WINDOW sums over those cells
+    — re-deriving them as separate aggregates would re-scan events once
+    per margin (the oracle's CTE formulation does exactly that; DuckDB
+    materializes the CTE, Spark would not). The unpartitioned grand
+    total window is over the bounded cell set, not raw data. The
+    chi-square statistic itself is sum(chi2_term) — left decomposed per
+    cell so the oracle pins every intermediate.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    c = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    withm = c.select(
+        "event_type",
+        "dow",
+        "n",
+        F.sum("n").over(W.partitionBy("event_type")).alias("rn"),
+        F.sum("n").over(W.partitionBy("dow")).alias("cn"),
+        F.sum("n").over(W.partitionBy()).alias("tot"),
+    )
+    expected = F.col("rn") * F.col("cn") / F.col("tot")
+    return (
+        withm.select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(expected, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+        )
+    )

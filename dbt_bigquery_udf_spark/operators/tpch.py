@@ -1,7 +1,9 @@
-"""TPC-H-shaped analytics, wave 4: the remaining canonical query shapes
-expressible over the driver's trimmed schema (no partsupp table, no
-commit/receipt dates — Q2/Q20 need those and are adapted or
-out of scope; adaptations are noted per query).
+"""TPC-H-shaped analytics, wave 4+: the remaining canonical query shapes
+over the driver's trimmed schema (no partsupp table, no commit/receipt
+dates). Q2 and Q20 — the two that fundamentally need partsupp — are
+adapted with lineitem-derived part-supplier relations (unit cost /
+shipped volume standing in for ps_supplycost / ps_availqty), completing
+all 22 canonical shapes; adaptations are noted per query.
 
 The reference itself has no joins or aggregations (SURVEY.md §2.3); these
 extend the engine's analytics surface with the classic multi-join /
@@ -656,4 +658,128 @@ def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("ship_class")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           round(c.unit_cost, 4) AS unit_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size = 3
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (reference schema has no partsupp table): the
+    minimum-cost supplier per part, with supply cost derived as each
+    (part, supplier)'s best observed unit price in lineitem.
+
+    Shape parity with canonical Q2: a correlated min-subquery over the
+    part-supplier cost relation. The oracle states it as the classic
+    decorrelated aggregate + equality join; the Spark plan computes the
+    per-part min as a WINDOW over the cost aggregate instead — same
+    rows (ties kept both ways), but lineitem is scanned ONCE, where the
+    self-joining formulation scans the 100 TB fact table twice.
+
+    Scale: one fact scan -> partial agg on (partkey, suppkey) -> window
+    min on partkey (a reshuffle of the already-aggregated relation, not
+    of raw data). part filters before its join (pushed p_size
+    predicate); supplier/nation/region broadcast. The float-equality
+    filter is safe cross-engine because both sides are min() over the
+    identical double set. Final top-20 is a TakeOrdered.
+    """
+    s = _src(spark, sf_dir)
+    li = s["lineitem"]
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    return (
+        best.join(s["part"].filter(F.col("p_size") == 3), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(s["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, sum(sq) AS tq FROM vol GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM vol v
+    JOIN tot t ON v.l_partkey = t.l_partkey
+    JOIN part p ON p.p_partkey = v.l_partkey AND p.p_size <= 10
+    JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE v.sq > 0.5 * t.tq
+    ORDER BY s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp.ps_availqty in the reference
+    schema): suppliers who shipped more than half of some small part's
+    total 1995 volume — canonical Q20's "excess share of a part's
+    supply" predicate with observed volume standing in for availqty.
+
+    Scale: the year filter pushes into the scan, and the part total is
+    a WINDOW sum over the (partkey, suppkey) aggregate — one fact scan,
+    where the oracle's vol-tot self-join formulation scans lineitem
+    twice. part prunes via a pushed p_size range; supplier/nation
+    broadcast; DISTINCT collapses map-side. Quantities are integral
+    doubles, so the 0.5*total comparison is exact cross-engine.
+    """
+    s = _src(spark, sf_dir)
+    li = s["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    return (
+        vol.withColumn("tq", F.sum("sq").over(W.partitionBy("l_partkey")))
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .join(s["part"].filter(F.col("p_size") <= 10), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
     )

@@ -235,3 +235,23 @@ def test_market_basket_joins_on_basket_id(spark, sf_small):
     f = _facts(spark, sf_small, "market_basket_pairs")
     assert "CartesianProduct" not in f.text and "BroadcastNestedLoopJoin" not in f.text
     assert f.scan_columns() <= {"l_orderkey", "l_partkey"}, f.read_schemas
+
+
+def test_q2_q20_scan_fact_once(spark, sf_small):
+    """The adapted Q2/Q20 compute their per-part extremum/total as a
+    window over the aggregate, so lineitem is scanned exactly once
+    (the oracle's self-join formulation scans it twice)."""
+    f2 = _facts(spark, sf_small, "q2_min_cost_supplier")
+    assert f2.scans == 5, f2.text  # lineitem + part + supplier + nation + region
+    assert f2.sort_merge_joins == 0, f2.text
+    f20 = _facts(spark, sf_small, "q20_dominant_suppliers")
+    assert f20.scans == 4, f20.text  # lineitem + part + supplier + nation
+    assert f20.sort_merge_joins == 0, f20.text
+
+
+def test_chi2_margins_are_windows(spark, sf_small):
+    """Chi-square margins derive from the reduced cell set via windows:
+    one events scan, no joins at all."""
+    f = _facts(spark, sf_small, "chi2_event_dow")
+    assert f.scans == 1, f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text

@@ -238,27 +238,34 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two orders (the item-item affinity input for recommenders and
     negative-sampling schemes).
 
-    Scale: the self-join is equi on l_orderkey, so it shuffles both
-    sides once on the basket id and explodes only *within* baskets —
-    cost O(sum k_i^2) for basket sizes k_i, bounded because TPC-H
+    Scale: items shuffle ONCE, on the basket id, into a
+    ``collect_set`` per order (dedup for free); the ordered pairs are
+    exploded from each basket with JVM-side array ``transform`` /
+    ``slice`` — the self-join formulation the DuckDB oracle uses would
+    shuffle the item set twice more (distinct is keyed on
+    (order, part), the join on order — different partitionings). Pair
+    cost is O(sum k_i^2) for basket sizes k_i, bounded because TPC-H
     baskets hold <= 7 items (production guard: cap basket size before
-    pairing; a 10k-item basket contributes 50M pairs). The distinct
-    collapses duplicate (order, part) rows map-side first, and the
-    HAVING prunes the pair tail before the top-k.
+    pairing; a 10k-item basket contributes 50M pairs). The HAVING
+    prunes the pair tail before the top-k.
     """
     li = _src(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        pairs.groupBy(
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)

@@ -229,11 +229,13 @@ def test_anomaly_reduces_then_windows(spark, sf_small):
     assert f.scan_columns() <= {"o_orderdate", "o_totalprice"}, f.read_schemas
 
 
-def test_market_basket_joins_on_basket_id(spark, sf_small):
-    """Pair mining must be an equi join on the basket id (shuffle or
-    broadcast hash), never a cartesian product."""
+def test_market_basket_is_joinless(spark, sf_small):
+    """Pair mining shuffles the items exactly once (collect_set on the
+    basket id) and explodes pairs JVM-side — no join operator of any
+    kind, and certainly no cartesian product."""
     f = _facts(spark, sf_small, "market_basket_pairs")
-    assert "CartesianProduct" not in f.text and "BroadcastNestedLoopJoin" not in f.text
+    assert "Join" not in f.text and "CartesianProduct" not in f.text, f.text
+    assert f.exchanges == 2, f.text  # basket-id shuffle + pair-count shuffle
     assert f.scan_columns() <= {"l_orderkey", "l_partkey"}, f.read_schemas
 
 

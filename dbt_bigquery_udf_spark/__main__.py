@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("test", help="run schema tests against the built DAG")
     t.add_argument("--env", default=None)
     t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    t.add_argument(
+        "--store-failures",
+        action="store_true",
+        help="materialize each failing test's violating rows to "
+        "dbt_test__audit.<test_name> (dbt's store_failures config)",
+    )
 
     d = sub.add_parser(
         "docs", help="emit the model manifest (dbt docs generate analogue)"
@@ -134,21 +140,24 @@ def main(argv: list[str] | None = None) -> int:
         from .models.quality import run_tests
         from .models.reference import reference_tests
 
+        from .models.reference import reference_singular_tests
+
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         engine.build()
         failed = 0
-        for res in run_tests(spark, engine, reference_tests()):
-            status = "PASS" if res.passed else "FAIL"
-            failed += 0 if res.passed else 1
-            print(
-                json.dumps(
-                    {
-                        "test": res.test.name,
-                        "status": status,
-                        "failures": res.n_failures,
-                    }
-                )
-            )
+        suite = reference_tests() + reference_singular_tests()
+        for res in run_tests(
+            spark, engine, suite, store_failures=args.store_failures
+        ):
+            failed += 1 if res.status == "fail" else 0
+            out = {
+                "test": res.test.name,
+                "status": res.status.upper(),
+                "failures": res.n_failures,
+            }
+            if res.audit_table:
+                out["audit_table"] = res.audit_table
+            print(json.dumps(out))
         return 1 if failed else 0
 
     if args.cmd == "docs":
@@ -194,12 +203,24 @@ def main(argv: list[str] | None = None) -> int:
                                 spec.require_partition_filter or None
                             ),
                             "labels": dict(spec.labels) or None,
+                            "sql_header": list(spec.sql_header) or None,
                         }.items()
                         if v is not None
                     },
                 }
                 for name, spec in engine.models.items()
-            }
+            },
+            "exposures": {
+                name: {
+                    "type": e.exposure_type,
+                    "depends_on": list(e.depends_on),
+                    "owner": e.owner,
+                    "url": e.url,
+                    "description": e.description,
+                    "maturity": e.maturity,
+                }
+                for name, e in engine.exposures.items()
+            },
         }
         print(json.dumps(manifest, indent=2, sort_keys=True))
         return 0

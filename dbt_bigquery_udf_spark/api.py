@@ -12,7 +12,11 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 from .models.core import Engine
-from .models.reference import REFERENCE_MODELS, register_test_table
+from .models.reference import (
+    REFERENCE_MODELS,
+    reference_exposures,
+    register_test_table,
+)
 from .session import apply_engine_confs
 from .sources.registry import register_sources, register_sources_catalog
 
@@ -40,6 +44,7 @@ def bootstrap(
         register_test_table(spark, persistent=True)
     engine = Engine(spark, env=env)
     engine.register(*REFERENCE_MODELS)
+    engine.register_exposures(*reference_exposures())
     return engine
 
 

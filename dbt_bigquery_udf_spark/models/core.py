@@ -53,7 +53,7 @@ from ..catalog import (
 )
 from ..functions.dialect import translate_param_list, transpile_bq_expr
 
-__all__ = ["ModelSpec", "Engine"]
+__all__ = ["ModelSpec", "Engine", "Exposure"]
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
@@ -171,6 +171,18 @@ class ModelSpec:
     # persist as TBLPROPERTIES ('grant.<privilege>' = grantees) — the
     # audit trail an external enforcer (Ranger, Unity, etc.) consumes.
     grants: tuple[tuple[str, str], ...] = ()  # (privilege, grantee-csv)
+    # dbt's sql_header config — statements executed in the same session
+    # immediately before the main statement. On BigQuery this is THE
+    # documented mechanism for temporary UDFs a single model needs
+    # (`CREATE TEMP FUNCTION ...` prefixed to the script), i.e. the
+    # lightweight cousin of the reference's whole persistent-UDF
+    # framework. Spark analogue: `CREATE TEMPORARY FUNCTION` (SQL-bodied
+    # temp UDFs, session-scoped rather than statement-scoped — the one
+    # semantic difference, documented here). Only table-producing kinds
+    # may use it: persistent functions and views cannot reference temp
+    # objects (probed on 4.1.2: INVALID_TEMP_OBJ_REFERENCE), exactly
+    # why the reference built persistent UDFs instead.
+    sql_header: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -232,6 +244,12 @@ class ModelSpec:
             # Mirrors config.require('return_type')
             # (reference: macros/udf/get_create_function_as_sql.sql:3-5).
             raise EngineError(f"model {self.name}: scalar functions require return_type")
+        if self.sql_header and self.kind in ("function", "table_function", "view"):
+            raise EngineError(
+                f"model {self.name}: sql_header is only valid on table-producing "
+                "kinds — persistent functions/views cannot reference the temp "
+                "objects a header creates (INVALID_TEMP_OBJ_REFERENCE)"
+            )
 
     @property
     def refs(self) -> tuple[str, ...]:
@@ -240,6 +258,39 @@ class ModelSpec:
     @property
     def sources(self) -> tuple[tuple[str, str], ...]:
         return tuple(dict.fromkeys(_SOURCE_RE.findall(self.sql)))
+
+
+@dataclass(frozen=True)
+class Exposure:
+    """dbt exposure: a declared downstream consumer of the DAG — a
+    dashboard, ML pipeline, or application fed by built models. Pure
+    metadata (nothing materializes), but it participates in lineage:
+    the docs manifest lists it, and ``Engine.exposures_affected_by``
+    answers the operational question exposures exist for — "which
+    dashboards break if this model changes?".
+    """
+
+    name: str
+    exposure_type: str  # 'dashboard' | 'ml' | 'application' | 'analysis' | 'notebook'
+    depends_on: tuple[str, ...]  # model names (ref()s)
+    owner: str = ""
+    url: str = ""
+    description: str = ""
+    maturity: str = ""  # 'low' | 'medium' | 'high'
+
+    def __post_init__(self) -> None:
+        if self.exposure_type not in (
+            "dashboard",
+            "ml",
+            "application",
+            "analysis",
+            "notebook",
+        ):
+            raise EngineError(
+                f"exposure {self.name}: unknown type {self.exposure_type!r}"
+            )
+        if not self.depends_on:
+            raise EngineError(f"exposure {self.name}: depends_on is required")
 
 
 @dataclass
@@ -308,6 +359,7 @@ class Engine:
         self.env = env
         self.source_database = source_database
         self.models: dict[str, ModelSpec] = {}
+        self.exposures: dict[str, Exposure] = {}
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
         self._fingerprints: dict[str, str] = {}  # incremental-build state (§4)
         self.skipped: set[str] = set()  # models skipped by the last build
@@ -329,6 +381,30 @@ class Engine:
                 raise EngineError(f"duplicate model name {spec.name!r}")
             self.models[spec.name] = spec
         return self
+
+    def register_exposures(self, *exposures: Exposure) -> "Engine":
+        """Declare downstream consumers. depends_on is validated lazily
+        at registration against already-registered models (register
+        exposures after their models, as dbt parses models first)."""
+        for e in exposures:
+            missing = [m for m in e.depends_on if m not in self.models]
+            if missing:
+                raise EngineError(
+                    f"exposure {e.name}: depends_on unknown models {missing}"
+                )
+            self.exposures[e.name] = e
+        return self
+
+    def exposures_affected_by(self, model_names: list[str]) -> list[str]:
+        """Which exposures sit downstream of these models (directly or
+        transitively) — the blast-radius answer for a proposed change,
+        and the lineage edge dbt draws in its docs site."""
+        closure = self._downstream_closure(set(model_names))
+        return sorted(
+            e.name
+            for e in self.exposures.values()
+            if closure & set(e.depends_on)
+        )
 
     # -- name resolution (F12/F13/F14) ------------------------------------
 
@@ -428,6 +504,11 @@ class Engine:
                 check_name_conflict(self.spark, db, spec.name)  # F5
             for hook in spec.pre_hooks:  # F6
                 self.spark.sql(hook)
+            for stmt in spec.sql_header:
+                # dbt sql_header: runs immediately before the main
+                # statement (BQ prefixes it to the same script; Spark
+                # temp functions are session-scoped — see ModelSpec).
+                self.spark.sql(transpile_bq_expr(stmt) if spec.dialect == "bigquery" else stmt)
 
             if spec.kind == "function":
                 params = self._spark_params(spec)
@@ -933,6 +1014,7 @@ class Engine:
                 repr(sorted(spec.columns.items())),
                 repr(spec.pre_hooks),
                 repr(spec.post_hooks),
+                repr(spec.sql_header),
                 repr(spec.partition_by),
                 repr(spec.cluster_by),
                 repr(spec.labels),

@@ -29,6 +29,7 @@ from .core import Engine, EngineError
 
 __all__ = [
     "SchemaTest",
+    "SingularTest",
     "unique",
     "not_null",
     "accepted_values",
@@ -40,7 +41,12 @@ __all__ = [
 
 @dataclass(frozen=True)
 class SchemaTest:
-    """One generic test bound to a model column."""
+    """One generic test bound to a model column.
+
+    ``severity`` is dbt's test config: ``'error'`` (default) fails the
+    run on violations; ``'warn'`` reports them without failing —
+    the standard dial for advisory checks on known-dirty sources.
+    """
 
     test_type: str  # 'unique' | 'not_null' | 'accepted_values' | 'relationships'
     model: str
@@ -48,6 +54,7 @@ class SchemaTest:
     values: tuple[str, ...] = ()  # accepted_values only
     to_model: str = ""  # relationships only: parent model
     to_column: str = ""  # relationships only: parent key
+    severity: str = "error"  # 'error' | 'warn'
 
     @property
     def name(self) -> str:
@@ -56,28 +63,30 @@ class SchemaTest:
             suffix = f"__{self.to_model}_{self.to_column}"
         return f"{self.test_type}_{self.model}_{self.column}{suffix}"
 
-    def failures_sql(self, engine: Engine) -> str:
+    def failing_rows_sql(self, engine: Engine) -> str:
+        """The dbt-compiled test query: one row per violation (or per
+        violating value for the grouped tests). ``failures_sql`` counts
+        it; ``store_failures`` materializes it."""
         rel = engine.relations.get(self.model)
         if rel is None:
             raise EngineError(f"test {self.name}: model {self.model!r} not built")
         q = rel.qualified
         c = self.column
         if self.test_type == "unique":
-            # Violations = rows beyond the first per duplicated value
-            # (dbt counts each duplicated value's rows; NULLs exempt —
-            # that's not_null's job).
+            # One row per duplicated value, n = its row count (dbt's
+            # compiled unique test; NULLs exempt — that's not_null's job).
             return (
-                f"SELECT coalesce(sum(n), 0) FROM (SELECT count(*) AS n "
+                f"SELECT {c} AS value, count(*) AS n "
                 f"FROM {q} WHERE {c} IS NOT NULL GROUP BY {c} "
-                f"HAVING count(*) > 1)"
+                f"HAVING count(*) > 1"
             )
         if self.test_type == "not_null":
-            return f"SELECT count(*) FROM {q} WHERE {c} IS NULL"
+            return f"SELECT * FROM {q} WHERE {c} IS NULL"
         if self.test_type == "accepted_values":
             quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in self.values)
             return (
-                f"SELECT count(*) FROM {q} "
-                f"WHERE {c} IS NOT NULL AND {c} NOT IN ({quoted})"
+                f"SELECT {c} AS value, count(*) AS n FROM {q} "
+                f"WHERE {c} IS NOT NULL AND {c} NOT IN ({quoted}) GROUP BY {c}"
             )
         if self.test_type == "relationships":
             parent = engine.relations.get(self.to_model)
@@ -97,11 +106,24 @@ class SchemaTest:
             # scale both sides shuffle on the key — same story as any
             # integrity check.
             return (
-                f"SELECT count(*) FROM (SELECT {c} FROM {q} "
+                f"SELECT c.{c} AS value FROM (SELECT {c} FROM {q} "
                 f"WHERE {c} IS NOT NULL) c LEFT ANTI JOIN "
                 f"{parent_qualified} p ON c.{self.column} = p.{self.to_column}"
             )
         raise EngineError(f"unknown test type {self.test_type!r}")
+
+    def failures_sql(self, engine: Engine) -> str:
+        if self.test_type == "unique":
+            # dbt counts every row of each duplicated value, not the
+            # number of duplicated values.
+            return (
+                f"SELECT coalesce(sum(n), 0) FROM ({self.failing_rows_sql(engine)})"
+            )
+        if self.test_type == "accepted_values":
+            return (
+                f"SELECT coalesce(sum(n), 0) FROM ({self.failing_rows_sql(engine)})"
+            )
+        return f"SELECT count(*) FROM ({self.failing_rows_sql(engine)})"
 
 
 def unique(model: str, column: str) -> SchemaTest:
@@ -122,29 +144,87 @@ def relationships(model: str, column: str, to_model: str, to_column: str) -> Sch
     )
 
 
+@dataclass(frozen=True)
+class SingularTest:
+    """dbt singular (data) test: a hand-written SQL query whose result
+    rows ARE the violations (dbt: a .sql file under test-paths — the
+    reference configures ``test-paths: ["tests"]`` but ships the
+    directory empty). ``{{ ref('model') }}`` placeholders resolve
+    against the engine exactly as in model bodies.
+    """
+
+    name: str
+    sql: str  # returns violating rows; empty result = pass
+    severity: str = "error"
+
+    test_type: str = "singular"
+
+    def failing_rows_sql(self, engine: Engine) -> str:
+        import re as _re
+
+        sql = _re.sub(
+            r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}",
+            lambda m: engine._resolve_ref(m.group(1), for_call=False),
+            self.sql,
+        )
+        return sql.strip().rstrip(";")
+
+    def failures_sql(self, engine: Engine) -> str:
+        return f"SELECT count(*) FROM ({self.failing_rows_sql(engine)})"
+
+
 @dataclass
 class TestResult:
-    test: SchemaTest
+    test: object  # SchemaTest | SingularTest
     n_failures: int
+    audit_table: str | None = None  # store_failures target, when written
 
     @property
     def passed(self) -> bool:
         return self.n_failures == 0
 
+    @property
+    def status(self) -> str:
+        """dbt's three-state outcome: severity='warn' violations warn
+        instead of failing the run."""
+        if self.n_failures == 0:
+            return "pass"
+        return "warn" if self.test.severity == "warn" else "fail"
+
 
 def run_tests(
-    spark: SparkSession, engine: Engine, tests: list[SchemaTest]
+    spark: SparkSession,
+    engine: Engine,
+    tests: list,
+    store_failures: bool = False,
+    audit_database: str = "dbt_test__audit",
 ) -> list[TestResult]:
     """Execute a test suite against the engine's built relations.
 
     LEFT ANTI JOIN in relationships needs no database switch: relations
     are addressed fully qualified, so the current database is irrelevant
     (unlike TVF calls — F14).
+
+    ``store_failures=True`` is dbt's config of the same name: each
+    failing test's violating rows are materialized to
+    ``<audit_database>.<test_name>`` (dbt's dbt_test__audit schema) for
+    post-mortem without re-running the query. Only failing tests write
+    — the audit schema stays O(problems), not O(tests).
     """
     results = []
     for t in tests:
-        n = spark.sql(t.failures_sql(engine)).collect()[0][0]
-        results.append(TestResult(t, int(n)))
+        n = int(spark.sql(t.failures_sql(engine)).collect()[0][0])
+        audit = None
+        if store_failures and n > 0:
+            from ..catalog import ensure_database
+
+            ensure_database(spark, audit_database)
+            audit = f"{audit_database}.{t.name.replace('.', '_')}"
+            spark.sql(f"DROP TABLE IF EXISTS {audit}")
+            spark.sql(
+                f"CREATE TABLE {audit} USING parquet AS {t.failing_rows_sql(engine)}"
+            )
+        results.append(TestResult(t, n, audit))
     return results
 
 

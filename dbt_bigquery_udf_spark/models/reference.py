@@ -163,6 +163,45 @@ def reference_tests():
     ]
 
 
+def reference_singular_tests():
+    """dbt singular (data) tests — the hand-written .sql files the
+    reference's empty tests/ directory would hold. One cross-model
+    invariant a generic test can't state: the datamart must not contain
+    events newer than its source slice allows (datetime parse produced
+    a future timestamp => a format branch misfired)."""
+    from .quality import SingularTest
+
+    return [
+        SingularTest(
+            name="datamart_no_future_datetimes",
+            sql="""
+                SELECT column1, datetime FROM {{ ref('test_datamart') }}
+                WHERE datetime > timestamp'2030-01-01 00:00:00'
+            """,
+        ),
+    ]
+
+
+def reference_exposures():
+    """dbt exposures for the reference DAG: the datamart feeds a
+    dashboard — the downstream consumer the reference's datamart
+    models exist for (its schema.yml documents the table as a serving
+    artifact)."""
+    from .core import Exposure
+
+    return (
+        Exposure(
+            name="click_events_dashboard",
+            exposure_type="dashboard",
+            depends_on=("test_datamart",),
+            owner="analytics",
+            url="https://dashboards.example/click-events",
+            description="Click-event datamart consumer (lineage terminal)",
+            maturity="high",
+        ),
+    )
+
+
 def reference_unit_tests():
     """dbt unit tests for the reference DAG, anchored on the golden I/O
     example the reference documents (models/udf/schema.yml:10-12:

@@ -599,3 +599,91 @@ def test_copy_materialization_and_grants(spark, sf_small):
             dialect="spark",
             sql="SELECT * FROM {{ ref('test_datamart') }}",
         )
+
+
+def test_sql_header_temp_function(spark, sf_small):
+    """dbt's sql_header config — BigQuery's temp-UDF mechanism. Header
+    statements run in-session right before the main statement; a CTAS
+    may call the temp function (the body inlines at analysis), while
+    persistent kinds reject the config up front."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    engine = bootstrap(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="hdr_scored_events",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql_header=(
+                "CREATE OR REPLACE TEMPORARY FUNCTION hdr_score(v DOUBLE) "
+                "RETURNS DOUBLE RETURN round(v * 2.0, 2)",
+            ),
+            sql="""
+                SELECT event_id, hdr_score(value) AS score
+                FROM {{ source('joshua_dataset', 'events') }} LIMIT 50
+            """,
+        )
+    )
+    engine.build(select=["hdr_scored_events"])
+    df = spark.table("datamart.hdr_scored_events")
+    assert df.count() == 50
+    row = df.filter("score IS NOT NULL").first()
+    assert row is not None  # temp fn actually evaluated
+    # Persistent function/view kinds cannot take a header (Spark:
+    # INVALID_TEMP_OBJ_REFERENCE) — rejected at spec construction.
+    with pytest.raises(EngineError, match="sql_header"):
+        ModelSpec(
+            name="bad_view",
+            kind="view",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT 1",
+            sql_header=("CREATE TEMPORARY FUNCTION f() RETURNS INT RETURN 1",),
+        )
+    # sql_header participates in the content fingerprint (a header
+    # change must rebuild the model under skip_unchanged).
+    spec = engine.models["hdr_scored_events"]
+    import dataclasses
+
+    changed = dataclasses.replace(
+        spec,
+        sql_header=(
+            "CREATE OR REPLACE TEMPORARY FUNCTION hdr_score(v DOUBLE) "
+            "RETURNS DOUBLE RETURN round(v * 3.0, 2)",
+        ),
+    )
+    assert engine._model_fingerprint(spec) != engine._model_fingerprint(changed)
+
+
+def test_exposures_lineage(spark, sf_small):
+    """dbt exposures: declared downstream consumers participate in
+    lineage (blast-radius queries) and are validated against the DAG."""
+    from dbt_bigquery_udf_spark.models.core import EngineError, Exposure
+
+    engine = bootstrap(spark, sf_small)
+    assert "click_events_dashboard" in engine.exposures
+    # The dashboard sits downstream of the whole reference chain:
+    # changing the UDF reaches it transitively.
+    assert engine.exposures_affected_by(["parse_datetime"]) == [
+        "click_events_dashboard"
+    ]
+    assert engine.exposures_affected_by(["test_datamart"]) == [
+        "click_events_dashboard"
+    ]
+    # An unrelated model touches nothing.
+    engine.register(
+        ModelSpec(
+            name="island", kind="view", database="datamart",
+            dialect="spark", sql="SELECT 1 AS one",
+        )
+    )
+    assert engine.exposures_affected_by(["island"]) == []
+    with pytest.raises(EngineError, match="unknown models"):
+        engine.register_exposures(
+            Exposure(
+                name="bad", exposure_type="dashboard", depends_on=("ghost",)
+            )
+        )
+    with pytest.raises(EngineError, match="unknown type"):
+        Exposure(name="bad2", exposure_type="tv-show", depends_on=("test_datamart",))

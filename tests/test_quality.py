@@ -126,6 +126,56 @@ def test_seed_materialization(spark, sf_small, tmp_path):
     assert got == {"JP", "DE"}
 
 
+def test_store_failures_and_severity(spark, sf_small):
+    """dbt's store_failures: a failing test materializes its violating
+    rows to the audit schema; severity='warn' downgrades the outcome
+    without hiding the count."""
+    engine = prepared_engine(spark, sf_small)
+    n_rows = spark.table(engine.relations["test_datamart"].qualified).count()
+    failing = accepted_values("test_datamart", "column1", ["-1"])
+    import dataclasses
+
+    warn_only = dataclasses.replace(failing, severity="warn")
+    res, wres = run_tests(
+        spark, engine, [failing, warn_only], store_failures=True
+    )
+    assert res.status == "fail" and wres.status == "warn"
+    assert res.n_failures == n_rows == wres.n_failures
+    # Violating rows landed in the audit schema, queryable post-mortem.
+    assert res.audit_table == f"dbt_test__audit.{failing.name}"
+    audit = spark.table(res.audit_table)
+    assert audit.columns == ["value", "n"]
+    assert audit.agg({"n": "sum"}).collect()[0][0] == n_rows
+    # Passing tests never write audit tables.
+    ok = run_tests(
+        spark, engine, [not_null("test_datamart", "column1")], store_failures=True
+    )[0]
+    assert ok.status == "pass" and ok.audit_table is None
+
+
+def test_singular_data_test(spark, sf_small):
+    """dbt singular tests: hand-written SQL whose rows are violations,
+    with ref() resolution against the engine."""
+    from dbt_bigquery_udf_spark.models.quality import SingularTest
+    from dbt_bigquery_udf_spark.models.reference import reference_singular_tests
+
+    engine = prepared_engine(spark, sf_small)
+    results = run_tests(spark, engine, reference_singular_tests())
+    assert all(r.passed for r in results), [
+        (r.test.name, r.n_failures) for r in results
+    ]
+    # A deliberately-failing singular test counts its rows.
+    bad = SingularTest(
+        name="datamart_everything_fails",
+        sql="SELECT column1 FROM {{ ref('test_datamart') }}",
+    )
+    res = run_tests(spark, engine, [bad])[0]
+    assert res.n_failures == spark.table(
+        engine.relations["test_datamart"].qualified
+    ).count()
+    assert res.status == "fail"
+
+
 def test_source_freshness(spark, sf_small):
     from datetime import timedelta
 

@@ -13,5 +13,6 @@ from . import extras  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import profiling  # noqa: F401
 from . import similarity  # noqa: F401
+from . import spark_native  # noqa: F401
 from . import text  # noqa: F401
 from . import tpch  # noqa: F401

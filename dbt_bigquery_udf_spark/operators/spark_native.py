@@ -1,0 +1,110 @@
+"""Spark-native scale primitives the reference's warehouse (BigQuery)
+provides as built-ins: bitmap-based exact distinct counting and VARIANT
+semi-structured access. Engine extensions (SURVEY.md §2.3 — the
+reference itself has no aggregates), registered with exact DuckDB
+oracles like every other operator.
+
+Why these two matter at 100 TB:
+
+- **Bitmap distinct** (`bitmap_construct_agg` family, Spark 3.5+) makes
+  exact COUNT(DISTINCT) *mergeable*: per-(group, bucket) bitmaps are a
+  materializable rollup that re-aggregates to any coarser grain with
+  `bitmap_or_agg` — no rescan of the fact table, unlike plain
+  count(DISTINCT) whose partial state is the value set itself. This is
+  BigQuery's HLL++-sketch pattern but exact. One pitfall, handled here:
+  bit positions are 1-based (value 0 maps to bit -1 of bucket 0 and is
+  silently dropped), so values are offset by +1 before bucketing.
+- **VARIANT** (`parse_json`/`variant_get`, Spark 4.0+) stores JSON as a
+  typed binary encoding: paths are navigated without re-parsing text
+  per access, and no upfront schema is required (vs `from_json`, which
+  needs one — see mm_props_extract for that pattern). BigQuery's JSON
+  type has the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from .analytics import _src
+
+
+@register(
+    "distinct_bitmap_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via two-level bitmap
+    aggregation: (type, day, bucket) bitmaps first — the mergeable
+    rollup a real pipeline would materialize — then OR-merged across
+    days and counted, summing across buckets.
+
+    The oracle states the same number as a plain count(DISTINCT): the
+    bitmap path must agree exactly (it is exact, not a sketch).
+
+    Scale: the day-level rollup is the artifact. A 100 TB events table
+    aggregates once to |types x days x buckets| fixed-width (4 KB
+    bitmap) rows; every coarser re-aggregation (weekly, monthly,
+    all-time, per-type) is bitmap_or_agg over THAT, never a rescan.
+    Plain count(DISTINCT) shuffles the full value set per regrouping.
+    user_id+1: bitmap positions are 1-based (see module docstring).
+    """
+    ev = _src(spark, sf_dir)["events"]
+    level1 = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id + 1)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id + 1)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = level1.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("bucket_users")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("bucket_users").alias("n_users")
+    )
+
+
+@register(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_hits
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON access via VARIANT: parse ``props`` once into the
+    binary VARIANT encoding, extract typed paths with ``variant_get``
+    (and ``try_variant_get`` for absent paths — NULL, counted as 0
+    hits, never an error).
+
+    vs ``from_json`` (mm_props_extract): no upfront schema; unknown /
+    evolving keys cost nothing until accessed. At 100 TB the parse
+    happens once per row inside codegen and each path access walks the
+    binary encoding — no repeated text parsing, which is exactly the
+    reason BigQuery's JSON type (and Spark's VARIANT) exists.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count("m").alias("n_missing_hits"),
+        )
+    )

@@ -327,6 +327,7 @@ _INTERVAL_RE = re.compile(r"^\s*INTERVAL\s+(.+?)\s+(\w+)\s*$", re.IGNORECASE | r
 _STRING_AGG_RE = re.compile(r"\bSTRING_AGG\s*\(", re.IGNORECASE)
 _ARRAY_AGG_RE = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
 _TO_HEX_RE = re.compile(r"\bTO_HEX\s*\(", re.IGNORECASE)
+_APPROX_QUANTILES_RE = re.compile(r"\bAPPROX_QUANTILES\s*\(", re.IGNORECASE)
 _UNIX_DATE_RE = re.compile(r"\bUNIX_DATE\s*\(", re.IGNORECASE)
 _DATE_FROM_UNIX_RE = re.compile(r"\bDATE_FROM_UNIX_DATE\s*\(", re.IGNORECASE)
 # TO_HEX over a BQ bytes-returning hash: the composition is exactly
@@ -491,6 +492,23 @@ def transpile_bq_functions(sql: str) -> str:
         return f"lower(hex({a[0]}))"
 
     out = _rewrite_calls(out, _TO_HEX_RE, _to_hex)
+
+    def _approx_quantiles(m: re.Match, a: list[str]) -> str:
+        # BQ: APPROX_QUANTILES(x, n) -> n+1 boundaries [min, q1/n, ..., max].
+        # Spark: percentile_approx(x, array(0, 1/n, ..., 1)). Both are
+        # approximate (different sketches), so the mapping is contract-
+        # faithful, not bit-faithful — same as migrating between any two
+        # warehouses' approx aggregates. Requires a literal n to build
+        # the probability array.
+        if len(a) != 2 or not a[1].strip().isdigit():
+            raise ValueError(
+                "APPROX_QUANTILES requires (expr, literal_int_number)"
+            )
+        n = int(a[1])
+        probs = ", ".join(f"{i}D / {n}D" for i in range(n + 1))
+        return f"percentile_approx({a[0]}, array({probs}))"
+
+    out = _rewrite_calls(out, _APPROX_QUANTILES_RE, _approx_quantiles)
     out = _rewrite_calls(
         out,
         _UNIX_DATE_RE,

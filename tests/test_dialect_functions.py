@@ -84,6 +84,21 @@ CASES = [
     ("TO_BASE64(FROM_BASE64('YWI='))", "YWI="),
     ("UNIX_DATE(DATE '2024-01-02')", 19724),
     ("DATE_FROM_UNIX_DATE(19724)", datetime.date(2024, 1, 2)),
+    # Epoch conversion family: same name AND same semantics in both
+    # dialects — the vectors pin that the pass-through is correct.
+    ("UNIX_SECONDS(TIMESTAMP '1970-01-01 00:01:00 UTC')", 60),
+    ("UNIX_MILLIS(TIMESTAMP '1970-01-01 00:00:01 UTC')", 1000),
+    ("UNIX_MICROS(TIMESTAMP '1970-01-01 00:00:01 UTC')", 1000000),
+    ("CAST(TIMESTAMP_SECONDS(86400) AS DATE)", datetime.date(1970, 1, 2)),
+    ("CAST(TIMESTAMP_MILLIS(86400000) AS DATE)", datetime.date(1970, 1, 2)),
+    ("CAST(TIMESTAMP_MICROS(86400000000) AS DATE)", datetime.date(1970, 1, 2)),
+    ("IFNULL(NULL, 7)", 7),
+    ("NULLIF(3, 3)", None),
+    ("MOD(10, 3)", 1),
+    ("DIV(10, 3)", 3),
+    # APPROX_QUANTILES(x, n) -> n+1 boundaries via percentile_approx;
+    # composes with OFFSET indexing (single-row aggregate here).
+    ("APPROX_QUANTILES(5, 2)[OFFSET(1)]", 5),
     # STRING_AGG / ARRAY_AGG over the implicit one-row relation
     ("STRING_AGG('a')", "a"),
     ("STRING_AGG('a', '|')", "a"),

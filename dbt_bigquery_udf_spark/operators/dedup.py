@@ -556,3 +556,105 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("survivor_n_chars"),
         F.count(F.lit(1)).alias("dup_count"),
     )
+
+
+# -- semantic dedup (SemDeDup: cluster-blocked embedding pruning) ----------
+
+SEMDEDUP_K = 8  # k-means blocking clusters (deterministic init: lowest vec_ids)
+SEMDEDUP_COS = 0.40  # within-cluster cosine prune threshold
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
+    pick AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c GROUP BY e.vec_id
+    ),
+    a AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cluster_id FROM pick),
+    pairs AS (
+      SELECT y.vec_id AS vb
+      FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(ex.emb, ey.emb), 4) >= {SEMDEDUP_COS}
+    )
+    SELECT a.vec_id, a.cluster_id FROM a
+    WHERE a.vec_id NOT IN (SELECT vb FROM pairs)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding corpus, then prune within-cluster pairs whose cosine
+    exceeds the threshold (lowest vec_id survives). Returns the
+    surviving (vec_id, cluster_id) rows.
+
+    This is the published recipe for embedding-level dedup of web-scale
+    corpora (SemDeDup, Abbas et al. 2023): exact dedup misses
+    paraphrases; pairwise cosine over the corpus is O(n^2); clustering
+    first makes the pair space O(sum |cluster_i|^2) and finds the same
+    near-dups because near-dup pairs land in the same cluster (their
+    distance to every centroid is nearly equal).
+
+    Shape: centroid assignment folds k literal centroids into the plan
+    (argmin via the engine-neutral '%015.6f|%05d' string-min, as
+    emb_kmeans_step) — a scan-side projection, no join. The pair join
+    is equi on cluster_id, the verify is a JVM-side zip_with cosine,
+    and the prune is one anti join on the higher-id side.
+
+    Scale: k grows with the corpus (SemDeDup used 50k clusters for
+    LAION) keeping |cluster| bounded, so the equi join never degrades
+    toward n^2; assignment stays one broadcast (switch literals to a
+    broadcast join past ~100k centroid floats). Threshold 0.40 is a
+    demo value for the synthetic fixture (max pair cosine ~0.51 —
+    random vectors have no true dups); production SemDeDup uses ~0.95+.
+    """
+    e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    e = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < SEMDEDUP_K).collect()
+    ]
+    zero = F.lit(0.0)
+    picks = []
+    for cid, cv in cents:
+        cvec = F.array(*[F.lit(x) for x in cv])
+        sq = F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda s, x: s + x,
+        )
+        picks.append(
+            F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
+        )
+    assigned = e.select(
+        "vec_id",
+        "emb",
+        F.substring(F.least(*picks), 17, 5).cast("int").alias("cluster_id"),
+    ).persist()
+    assigned.count()  # materialize once: both join sides read it
+
+    dot = "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+    nrm = "sqrt(aggregate(transform({side}.emb, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+    cos = F.expr(f"{dot} / ({nrm.format(side='a')} * {nrm.format(side='b')})")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 4) >= SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id"
+    )

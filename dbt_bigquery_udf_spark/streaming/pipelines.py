@@ -589,3 +589,160 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_start", "event_type", "n")
         .orderBy("w_start", F.col("n").desc(), "event_type")
     )
+
+
+# -- transformWithState (Spark 4 arbitrary-state API) ----------------------
+#
+# transformWithStateInPandas is the successor to applyInPandasWithState:
+# named state variables (value/list/map) instead of one tuple, timers,
+# TTL, and initial-state bootstrap, over the RocksDB state store. Its
+# Python<->JVM state protocol needs google.protobuf, which this
+# container does not ship (and installs are off), so the query GATES on
+# that import: the real TWS pipeline when available, else a documented
+# fallback to the applyInPandasWithState formulation with identical
+# output — same oracle either way.
+
+
+def _tws_available() -> bool:
+    try:  # TWS state protocol dependency (pyspark requires it lazily)
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_user_stats_processor():
+    """Build the StatefulProcessor class lazily (importable only matters
+    when TWS runs; keeps module import dependency-free)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        """Per-user running (n_events, value_sum, max value) via a named
+        ValueState — the TWS analogue of _update_user_state, plus the
+        max() that applyInPandasWithState's single-tuple state makes
+        awkward to extend."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n BIGINT, vsum DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vsum, vmax = 0, 0.0, float("-inf")
+            if self._st.exists():
+                n, vsum, vmax = self._st.get()
+            for pdf in rows:
+                n += len(pdf)
+                vsum += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._st.update((n, vsum, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(vsum, 2)],
+                    "value_max": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStats
+
+
+@register(
+    "stream_transform_with_state",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS value_sum,
+           round(max(value), 2) AS value_max
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming on the Spark 4 transformWithState
+    API: per-user running totals in a named ValueState.
+
+    vs applyInPandasWithState (stream_user_state): state is N named,
+    independently-typed variables (value/list/map) instead of one
+    positional tuple — adding a metric touches one state var, not every
+    call site; timers replace timeout polling; TTL and initial-state
+    bootstrap are first-class. The state store is RocksDB (required by
+    TWS; also the right choice at scale — state spills to disk +
+    changelog-checkpoints to object storage instead of living on the
+    JVM heap).
+
+    Availability gate: TWS's state protocol imports google.protobuf; in
+    environments without it this falls back to the
+    applyInPandasWithState formulation with the same output schema and
+    semantics (single microbatch over the staged source => both equal
+    the batch GROUP BY oracle).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    if _tws_available():
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = (
+                ev.select("user_id", "value")
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=_make_user_stats_processor()(),
+                    outputStructType=(
+                        "user_id bigint, n_events bigint, "
+                        "value_sum double, value_max double"
+                    ),
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            return _run_to_memory(out, "update")
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    def _update(key, pdfs, state):
+        n, vsum, vmax = 0, 0.0, float("-inf")
+        if state.exists:
+            n, vsum, vmax = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vsum, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [round(vsum, 2)],
+                "value_max": [round(vmax, 2)],
+            }
+        )
+
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "value_sum double, value_max double"
+            ),
+            stateStructType="n bigint, vsum double, vmax double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")

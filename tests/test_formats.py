@@ -27,6 +27,11 @@ def _sorted_rows(df, cols):
 
 @pytest.mark.parametrize("fmt", FORMATS)
 def test_orders_roundtrip(spark, sf_small, tmp_path, fmt):
+    if fmt == "avro":
+        from dbt_bigquery_udf_spark.sources.formats import avro_available
+
+        if not avro_available(spark):
+            pytest.skip("spark-avro module not on the classpath (gated format)")
     orig = read_source(spark, sf_small, "orders")
     path = str(tmp_path / f"orders_{fmt}")
     schema = orig.schema if fmt != "csv" else csv_safe_schema(orig.schema)
@@ -58,4 +63,30 @@ def test_read_any_rejects_inference(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_any(spark, str(tmp_path), "csv")
     with pytest.raises(ValueError, match="unsupported"):
-        read_any(spark, str(tmp_path), "avro")
+        read_any(spark, str(tmp_path), "xml")
+
+
+def test_avro_gate(spark, sf_small, tmp_path):
+    """Avro is a gated format: round-trips when the spark-avro module is
+    on the classpath, raises a clear actionable error when not (pip
+    pyspark does not bundle it)."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.sources.formats import (
+        avro_available,
+        read_any,
+        write_any,
+    )
+
+    df = spark.range(10).selectExpr("id", "cast(id * 1.5 as double) AS v")
+    path = str(tmp_path / "avro_out")
+    if avro_available(spark):
+        write_any(df, path, "avro")
+        back = read_any(spark, path, "avro")
+        assert back.count() == 10
+        assert dict(back.dtypes) == dict(df.dtypes)
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_any(df, path, "avro")
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            read_any(spark, path, "avro")

@@ -10,6 +10,7 @@ from . import analytics  # noqa: F401
 from . import bq_sql  # noqa: F401
 from . import dedup  # noqa: F401
 from . import extras  # noqa: F401
+from . import graph  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import profiling  # noqa: F401
 from . import similarity  # noqa: F401

@@ -1,0 +1,152 @@
+"""Graph analytics over behavioral data: transition graphs and
+PageRank — engine extensions (the reference has no aggregates at all,
+SURVEY.md §2.3), oracle-checked like everything else.
+
+The graph here is derived, which is the realistic shape: raw 100 TB
+event logs in, a small weighted graph out (nodes = event types). The
+expensive step is the *derivation* (a per-user window over the full
+log); the iteration that follows runs on the reduced graph. The same
+split powers the connected-components operator (dedup_components):
+derive edges once at scale, iterate on the small result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..queries import register
+from .analytics import _src
+
+PAGERANK_DAMPING = 0.85
+
+
+@register(
+    "graph_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), e AS (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM e
+    """,
+)
+def graph_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition graph: for each user-session stream, count
+    consecutive (prev_type -> type) pairs and row-normalize into a
+    Markov transition matrix — the substrate for next-action prediction,
+    funnel drop-off analysis, and the PageRank step below.
+
+    Scale: ONE shuffle of (user_id)-partitioned windows derives the
+    edges from the full log (ts, event_id ordering makes ties
+    deterministic); the groupBy reduces to |types|^2 rows and the
+    row-normalization window runs on that reduced relation — same
+    reduce-before-window discipline as anomaly_zscore_daily.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    e = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return e.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(W.partitionBy("src")), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "graph_pagerank_step",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), e AS (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+      SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS p FROM e
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+    ), nn AS (SELECT count(*) AS n_nodes FROM nodes)
+    SELECT p.dst AS node,
+           round((1 - {PAGERANK_DAMPING}) / nn.n_nodes
+                 + {PAGERANK_DAMPING} * sum(p.p / nn.n_nodes), 6) AS rank
+    FROM p CROSS JOIN nn
+    GROUP BY p.dst, nn.n_nodes
+    """,
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration over the transition graph, from the
+    uniform start vector r0 = 1/N: r1(v) = (1-d)/N + d * sum over
+    in-edges (r0(u) * p(u, v)). Iterating this step to a fixed point is
+    full PageRank; one step is exactly oracle-checkable (the same
+    argument as emb_kmeans_step — iterative algorithms verify per
+    step).
+
+    Shape: ranks join edges on src, aggregate on dst — at graph scale
+    these are THE two shuffles of every distributed PageRank round
+    (here the rank vector is uniform, so the join folds into the edge
+    aggregation; with a materialized rank table it becomes an explicit
+    broadcast-or-shuffle join on src). N arrives as a broadcast 1-row
+    cross join, never a collect.
+
+    Scale: the event-log derivation dominates (one windowed pass, as
+    graph_event_transitions); each PageRank round then moves
+    O(|edges|) rows. For web-scale graphs the same loop runs with the
+    rank vector as a partitioned table and AQE handling the in-degree
+    skew of hub nodes.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    e = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = e.select(
+        "src", "dst", (F.col("n") / F.sum("n").over(W.partitionBy("src"))).alias("p")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    d = F.lit(PAGERANK_DAMPING)
+    return (
+        p.crossJoin(F.broadcast(nn))
+        .groupBy(F.col("dst").alias("node"), "n_nodes")
+        .agg(F.sum(F.col("p") / F.col("n_nodes")).alias("mass"))
+        .select(
+            "node",
+            F.round((F.lit(1) - d) / F.col("n_nodes") + d * F.col("mass"), 6).alias(
+                "rank"
+            ),
+        )
+    )

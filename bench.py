@@ -65,6 +65,10 @@ HEADLINE = [
     "market_basket_pairs",
     "profile_columns",
     "bq_dialect_qualify",
+    "dedup_semantic",
+    "distinct_bitmap_users",
+    "events_variant_extract",
+    "graph_pagerank_step",
 ]
 
 

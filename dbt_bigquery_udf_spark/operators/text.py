@@ -541,3 +541,68 @@ def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
         .orderBy("split", "shard")
     )
+
+
+# -- chunking (RAG / training-window preparation) --------------------------
+
+CHUNK_TOKENS = 64  # window size in whitespace tokens
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words
+      FROM documents
+    ), o AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, greatest(len(words) - 1, 0),
+                                    {CHUNK_STRIDE})) AS off
+      FROM w
+    )
+    SELECT doc_id,
+           off / {CHUNK_STRIDE} AS chunk_idx,
+           len(words[off + 1 : off + {CHUNK_TOKENS}]) AS n_tokens,
+           md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
+             AS chunk_hash
+    FROM o
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: every document becomes
+    ceil(len/stride) chunks of up to CHUNK_TOKENS whitespace tokens
+    with CHUNK_TOKENS-CHUNK_STRIDE tokens of overlap — the preparation
+    step for RAG indexing and fixed-window pretraining, with md5 chunk
+    fingerprints for downstream chunk-level dedup.
+
+    Shape: per-row split -> sequence(0, n-1, stride) -> explode ->
+    slice + concat_ws, all inside whole-stage codegen; zero shuffles
+    (the chunk relation inherits the scan's partitioning). The chunk
+    *hash* is emitted rather than the chunk text so the operator's
+    output stays fixed-width — the downstream joiner (dedup, index
+    build) decides whether to re-materialize text.
+
+    Scale: output rows = total_tokens/stride; the operator is
+    scan-bandwidth-bound with no aggregate state. Pairing it with
+    dedup_exact's groupBy on chunk_hash gives chunk-level exact dedup
+    at the same single-shuffle cost.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.split(F.trim("text"), " ").alias("words"))
+    o = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(size(words) - 1, 0), {CHUNK_STRIDE})"
+            )
+        ).alias("off"),
+    )
+    chunk = F.expr(f"slice(words, off + 1, {CHUNK_TOKENS})")
+    return o.select(
+        "doc_id",
+        (F.col("off") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

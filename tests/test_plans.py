@@ -257,3 +257,11 @@ def test_chi2_margins_are_windows(spark, sf_small):
     f = _facts(spark, sf_small, "chi2_event_dow")
     assert f.scans == 1, f.text
     assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text
+
+
+def test_chunking_is_narrow(spark, sf_small):
+    """Token-window chunking must stay a per-row explode: no shuffle,
+    scan pruned to (doc_id, text)."""
+    f = _facts(spark, sf_small, "text_chunk_windows")
+    assert f.exchanges == 0, f.text
+    assert f.scan_columns() <= {"doc_id", "text"}, f.read_schemas

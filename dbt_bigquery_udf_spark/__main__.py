@@ -26,7 +26,19 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="materialize the model DAG")
-    b.add_argument("--select", nargs="*", default=None, help="model subset (upstream closure included)")
+    b.add_argument(
+        "--select",
+        nargs="*",
+        default=None,
+        help="model subset: NAME (with upstream closure), NAME+ (plus "
+        "downstream), +NAME, tag:T, state:modified[+]",
+    )
+    b.add_argument(
+        "--exclude",
+        nargs="*",
+        default=None,
+        help="models dropped from the selection after closure (dbt --exclude)",
+    )
     b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
     b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     b.add_argument("--threads", type=int, default=8)
@@ -61,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--env", default=None)
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    cp = sub.add_parser(
+        "compile",
+        help="print each model's rendered Spark SQL without building "
+        "(dbt compile analogue)",
+    )
+    cp.add_argument("--select", nargs="*", default=None)
+    cp.add_argument("--env", default=None)
+    cp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     q_ = sub.add_parser(
         "sql",
@@ -122,7 +143,12 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        rels = engine.build(select=args.select, threads=args.threads, state=args.state)
+        rels = engine.build(
+            select=args.select,
+            threads=args.threads,
+            state=args.state,
+            exclude=args.exclude,
+        )
         for name, rel in sorted(rels.items()):
             print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
         return 0
@@ -223,6 +249,25 @@ def main(argv: list[str] | None = None) -> int:
             },
         }
         print(json.dumps(manifest, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "compile":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        graph = engine._subgraph(args.select)
+        for name in sorted(graph):
+            spec = graph[name]
+            print(
+                json.dumps(
+                    {
+                        "model": name,
+                        "kind": spec.kind,
+                        "relation": f"{engine.database_for(spec)}.{name}",
+                        "compiled_sql": engine.render(spec),
+                    }
+                )
+            )
         return 0
 
     if args.cmd == "sql":

@@ -145,6 +145,16 @@ class ModelSpec:
     snapshot_strategy: str = "timestamp"  # 'timestamp' | 'check'
     updated_at: str | None = None  # timestamp strategy
     check_cols: tuple[str, ...] = ()  # check strategy
+    # dbt's invalidate_hard_deletes snapshot config: close the history
+    # row (at the run clock) for keys the source no longer returns.
+    invalidate_hard_deletes: bool = False
+    # dbt model contracts (dbt 1.5 `contract: {enforced: true}` +
+    # per-column data_type): the declared (column, BQ type) list is
+    # checked against the ANALYZED schema of the rendered body BEFORE
+    # anything materializes — a drifted upstream fails the build, not
+    # the downstream consumer. Order-insensitive; extra or missing
+    # columns fail like dbt's contract error.
+    contract_columns: tuple[tuple[str, str], ...] = ()
     # Python models only (dbt's python-model surface: def model(dbt,
     # session) -> DataFrame, materialized as a table). The callable
     # receives (spark, ctx) where ctx.ref()/ctx.source() resolve
@@ -244,6 +254,11 @@ class ModelSpec:
             # Mirrors config.require('return_type')
             # (reference: macros/udf/get_create_function_as_sql.sql:3-5).
             raise EngineError(f"model {self.name}: scalar functions require return_type")
+        if self.contract_columns and self.kind in ("function", "table_function"):
+            raise EngineError(
+                f"model {self.name}: contracts apply to relation-producing kinds "
+                "(function signatures are already declared via params/return_type)"
+            )
         if self.sql_header and self.kind in ("function", "table_function", "view"):
             raise EngineError(
                 f"model {self.name}: sql_header is only valid on table-producing "
@@ -477,6 +492,44 @@ class Engine:
         escaped = spec.description.strip().replace("'", "''")
         return f" COMMENT '{escaped}'"
 
+    def _enforce_contract(self, spec: ModelSpec, schema) -> None:
+        """dbt model contract: declared (column, type) set must equal
+        the produced schema exactly (order-insensitive). Runs BEFORE
+        the write — contract violations fail the build, never the
+        downstream reader."""
+        if not spec.contract_columns:
+            return
+        declared = {
+            c: t
+            for c, t in translate_param_list(
+                [f"{c} {t}" for c, t in spec.contract_columns]
+            )
+        }
+        actual = {f.name: f.dataType.simpleString() for f in schema.fields}
+        missing = sorted(set(declared) - set(actual))
+        extra = sorted(set(actual) - set(declared))
+        if missing or extra:
+            raise EngineError(
+                f"model {spec.name}: contract violated — missing columns "
+                f"{missing}, undeclared columns {extra}"
+            )
+        bad = [
+            (c, declared[c], actual[c])
+            for c in declared
+            if declared[c].lower() != actual[c].lower()
+        ]
+        if bad:
+            raise EngineError(
+                f"model {spec.name}: contract violated — type mismatches "
+                + ", ".join(f"{c}: declared {d}, got {a}" for c, d, a in bad)
+            )
+
+    def _check_contract_sql(self, spec: ModelSpec, body: str) -> None:
+        if spec.contract_columns:
+            self._enforce_contract(
+                spec, self.spark.sql(f"SELECT * FROM ({body}) LIMIT 0").schema
+            )
+
     def _infer_tvf_schema(self, spec: ModelSpec, body: str) -> str:
         """BigQuery infers a TVF's output schema from its body
         (reference: get_create_table_function_as_sql.sql:11 emits no
@@ -548,6 +601,7 @@ class Engine:
                 # Incremental runs route through reconcile_schema first
                 # (dbt's on_schema_change).
                 target = f"{db}.{spec.name}"
+                self._check_contract_sql(spec, body)
                 if spec.incremental_strategy == "microbatch":
                     # Owns its own first-run path (batch-by-batch from
                     # `begin`), so it never takes the CTAS below.
@@ -635,6 +689,7 @@ class Engine:
                     strategy=spec.snapshot_strategy,
                     updated_at=spec.updated_at,
                     check_cols=spec.check_cols,
+                    invalidate_hard_deletes=spec.invalidate_hard_deletes,
                 )
                 self._persist_docs(spec, db)
             elif spec.kind == "seed":
@@ -667,6 +722,7 @@ class Engine:
                         f"model {spec.name}: python_body must return a DataFrame, "
                         f"got {type(df).__name__}"
                     )
+                self._enforce_contract(spec, df.schema)
                 self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
                 self._clean_stale_location(db, spec.name)
                 df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
@@ -697,6 +753,7 @@ class Engine:
                 if call_db:
                     self.spark.sql(f"USE {call_db}")
                 try:
+                    self._check_contract_sql(spec, body)
                     if spec.kind == "table":
                         self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
                         self._clean_stale_location(db, spec.name)
@@ -945,14 +1002,33 @@ class Engine:
     # -- DAG build (F12/F16/F17) -------------------------------------------
 
     def _subgraph(
-        self, select: list[str] | None, state: str | None = None
+        self,
+        select: list[str] | None,
+        state: str | None = None,
+        exclude: list[str] | None = None,
     ) -> dict[str, ModelSpec]:
         if select is None:
-            return dict(self.models)
+            out = dict(self.models)
+            for name in exclude or ():
+                out.pop(name, None)
+            return out
         out: dict[str, ModelSpec] = {}
         stack: list[str] = []
         for sel in select:
-            if sel in ("state:modified", "state:modified+"):
+            if sel.endswith("+") and sel not in ("state:modified+",):
+                # dbt graph operator `model+`: the model and everything
+                # downstream of it (its blast radius). Upstream deps of
+                # every selected node still join via the closure below,
+                # so the subgraph is always buildable.
+                root = sel[:-1]
+                if root not in self.models:
+                    raise EngineError(f"--select {sel}: no such model")
+                stack.extend(self._downstream_closure({root}))
+            elif sel.startswith("+"):
+                # dbt `+model`: the model and its ancestors — which is
+                # exactly the default closure; accepted for parity.
+                stack.append(sel[1:])
+            elif sel in ("state:modified", "state:modified+"):
                 # dbt state selector: diff against a saved manifest.
                 # The bare form selects the modified nodes; the '+'
                 # suffix adds everything downstream of them (Slim CI
@@ -983,6 +1059,10 @@ class Engine:
                 raise EngineError(f"--select {name}: no such model")
             out[name] = spec
             stack.extend(spec.refs)  # upstream closure
+        for name in exclude or ():
+            # dbt --exclude: dropped AFTER closure — an excluded
+            # upstream is assumed already built (dbt's own contract).
+            out.pop(name, None)
         return out
 
     def _model_fingerprint(self, spec: ModelSpec) -> str:
@@ -1024,6 +1104,8 @@ class Engine:
                 repr((spec.event_time, spec.batch_size, spec.lookback, spec.begin)),
                 repr(spec.incremental_predicates),
                 repr(spec.grants),
+                repr(spec.contract_columns),
+                repr(spec.invalidate_hard_deletes),
                 repr(
                     (
                         spec.hours_to_expiration,
@@ -1043,6 +1125,7 @@ class Engine:
         skip_unchanged: bool = False,
         full_refresh: bool = False,
         state: str | None = None,
+        exclude: list[str] | None = None,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -1064,7 +1147,7 @@ class Engine:
         their is_incremental() blocks stripped — the recovery path for
         schema changes or corrupted state.
         """
-        graph = self._subgraph(select, state=state)
+        graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
             self.spark.sql(hook)
         try:

@@ -58,9 +58,16 @@ def build_snapshot(
     strategy: str = "timestamp",
     updated_at: str | None = None,
     check_cols: tuple[str, ...] = (),
+    invalidate_hard_deletes: bool = False,
 ) -> None:
     """Create or advance the SCD2 snapshot table ``target`` from the
-    rendered model ``body``."""
+    rendered model ``body``.
+
+    ``invalidate_hard_deletes`` (dbt config of the same name): keys
+    present in the snapshot but MISSING from the body close at the
+    run's clock instead of staying open — source deletions become
+    visible in history (both strategies stamp hard deletes with the
+    clock, as dbt does: the vanished row carries no data timestamp)."""
     src = spark.sql(body)
     if unique_key not in src.columns:
         raise EngineError(f"snapshot {target}: unique_key {unique_key!r} not in body")
@@ -110,11 +117,25 @@ def build_snapshot(
     sel_cur = [F.col(f"cur.{c}").alias(c) for c in data_cols]
     sel_new = [F.col(f"new.{c}").alias(c) for c in data_cols]
 
-    # Unchanged current rows (or keys absent from the body: dbt keeps
-    # them open unless invalidate_hard_deletes — same default here).
-    kept = joined.filter(
-        cur_key.isNotNull() & (new_key.isNull() | ~F.coalesce(changed, F.lit(False)))
-    ).select(*sel_cur, F.col("cur.dbt_valid_from"), F.col("cur.dbt_valid_to"))
+    # Unchanged current rows (keys absent from the body stay open by
+    # default; with invalidate_hard_deletes they close at the clock).
+    if invalidate_hard_deletes:
+        kept = joined.filter(
+            cur_key.isNotNull()
+            & new_key.isNotNull()
+            & ~F.coalesce(changed, F.lit(False))
+        ).select(*sel_cur, F.col("cur.dbt_valid_from"), F.col("cur.dbt_valid_to"))
+        hard_closed = joined.filter(cur_key.isNotNull() & new_key.isNull()).select(
+            *sel_cur,
+            F.col("cur.dbt_valid_from"),
+            F.current_timestamp().cast("timestamp_ntz").alias("dbt_valid_to"),
+        )
+        kept = kept.unionByName(hard_closed)
+    else:
+        kept = joined.filter(
+            cur_key.isNotNull()
+            & (new_key.isNull() | ~F.coalesce(changed, F.lit(False)))
+        ).select(*sel_cur, F.col("cur.dbt_valid_from"), F.col("cur.dbt_valid_to"))
     # Changed keys: the old version closes at the new version's start.
     closed = joined.filter(
         cur_key.isNotNull() & new_key.isNotNull() & changed

@@ -687,3 +687,85 @@ def test_exposures_lineage(spark, sf_small):
         )
     with pytest.raises(EngineError, match="unknown type"):
         Exposure(name="bad2", exposure_type="tv-show", depends_on=("test_datamart",))
+
+
+def test_model_contract_enforced(spark, sf_small):
+    """dbt model contracts: the declared (column, type) set is checked
+    against the analyzed body BEFORE materialization; drift fails the
+    build and nothing is written."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    engine = bootstrap(spark, sf_small)
+    good = ModelSpec(
+        name="contracted_events",
+        kind="table",
+        database="datamart",
+        dialect="spark",
+        contract_columns=(("event_id", "INT64"), ("value", "FLOAT64")),
+        sql="SELECT event_id, value FROM {{ source('joshua_dataset', 'events') }} LIMIT 10",
+    )
+    engine.register(good)
+    engine.build(select=["contracted_events"])
+    assert spark.table("datamart.contracted_events").count() == 10
+
+    import dataclasses
+
+    # Type drift (value declared INT64 but body yields DOUBLE).
+    bad_type = dataclasses.replace(
+        good, contract_columns=(("event_id", "INT64"), ("value", "INT64"))
+    )
+    engine.register(bad_type, replace=True)
+    with pytest.raises(EngineError, match="type mismatches"):
+        engine.build(select=["contracted_events"])
+    # Column drift (undeclared column in the body).
+    bad_cols = dataclasses.replace(
+        good, contract_columns=(("event_id", "INT64"),)
+    )
+    engine.register(bad_cols, replace=True)
+    with pytest.raises(EngineError, match="undeclared columns"):
+        engine.build(select=["contracted_events"])
+    # Contracts are meaningless on function kinds.
+    with pytest.raises(EngineError, match="contract"):
+        ModelSpec(
+            name="f", kind="function", database="udf", params=("x STRING",),
+            return_type="STRING", sql="x", dialect="spark",
+            contract_columns=(("x", "STRING"),),
+        )
+
+
+def test_graph_selectors_and_exclude(spark, sf_small):
+    """dbt graph operators: NAME+ selects the downstream closure,
+    --exclude drops nodes after closure."""
+    engine = bootstrap(spark, sf_small)
+    # parse_datetime+ must reach the whole reference chain.
+    g = engine._subgraph(["parse_datetime+"])
+    assert set(g) == {"parse_datetime", "test_table_function", "test_datamart"}
+    # +test_datamart == upstream closure (the default select semantics).
+    g2 = engine._subgraph(["+test_datamart"])
+    assert set(g2) == {"parse_datetime", "test_table_function", "test_datamart"}
+    # exclude drops a node from the closed selection.
+    g3 = engine._subgraph(["+test_datamart"], exclude=["test_datamart"])
+    assert set(g3) == {"parse_datetime", "test_table_function"}
+    g4 = engine._subgraph(None, exclude=["test_datamart"])
+    assert "test_datamart" not in g4 and "parse_datetime" in g4
+
+
+def test_cli_compile(spark, sf_small, capsys):
+    """`compile` prints rendered SQL without materializing."""
+    import json as _json
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    rc = main(["compile", "--select", "test_table_function", "--sf-dir", sf_small])
+    assert rc == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    by_name = {r["model"]: r for r in lines}
+    assert set(by_name) == {"parse_datetime", "test_table_function"}
+    body = by_name["test_table_function"]["compiled_sql"]
+    assert "src.test_table" in body  # source() resolved
+    assert "try_to_timestamp" not in body  # function body not inlined here
+    assert "udf.parse_datetime" in body or "parse_datetime" in body

@@ -162,3 +162,36 @@ def test_snapshot_schema_drift_raises(spark, sf_small):
     )
     with pytest.raises(EngineError, match="do not match"):
         engine.build(select=["drift_snap"])
+
+
+def test_snapshot_invalidate_hard_deletes(spark, sf_small):
+    """dbt's invalidate_hard_deletes: keys the source stops returning
+    close at the run clock (default keeps them open forever)."""
+    engine = prepared_engine(spark, sf_small)
+    # Run 1: users 0..9 present.
+    base = """
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_seen
+    FROM {{ source('joshua_dataset', 'events') }}
+    WHERE user_id < %d GROUP BY user_id
+    """
+    engine.register(
+        _spec(base % 10, name="hd_snap", invalidate_hard_deletes=True),
+        replace=True,
+    )
+    engine.build(select=["hd_snap"])
+    assert spark.table("datamart.hd_snap").filter(
+        "dbt_valid_to IS NOT NULL"
+    ).count() == 0
+
+    # Run 2: users 5..9 vanish from the source.
+    engine.register(
+        _spec(base % 5, name="hd_snap", invalidate_hard_deletes=True),
+        replace=True,
+    )
+    engine.build(select=["hd_snap"])
+    snap = spark.table("datamart.hd_snap")
+    gone = snap.filter("user_id >= 5")
+    assert gone.count() > 0
+    # Every vanished key's row is closed; surviving keys stay open.
+    assert gone.filter("dbt_valid_to IS NULL").count() == 0
+    assert snap.filter("user_id < 5 AND dbt_valid_to IS NULL").count() > 0

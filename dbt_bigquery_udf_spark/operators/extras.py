@@ -1198,3 +1198,61 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wau"))
         .orderBy("wau_day")
     )
+
+
+# -- winsorization (outlier clamping for feature pipelines) ----------------
+
+
+@register(
+    "stats_winsorize",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice < lo OR o_totalprice > hi)
+             AS n_clamped,
+           round(avg(o_totalprice), 2) AS raw_avg,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 2) AS wins_avg
+    FROM orders, b
+    GROUP BY o_orderstatus
+    """,
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp a metric to its [p1, p99] band and report
+    per-group raw vs clamped means plus how many rows were clamped —
+    the standard outlier treatment before a feature lands in a model
+    (means after clamping are robust; rows are never dropped).
+
+    Shape: one exact-percentile aggregate produces the 1-row bounds
+    (linear-interpolated, same definition as the oracle's
+    quantile_cont); the bounds broadcast into the main scan, and the
+    per-group stats are one partial-aggregated groupBy. Two scans
+    total — the bounds pass is unavoidable for exact quantiles.
+
+    Scale: at 100 TB swap the bounds pass to approx_percentile (one
+    fixed-memory sketch, same broadcast shape) — documented, not
+    silently done, because the oracle pins exact interpolation.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi"))
+            ).alias("n_clamped"),
+            F.round(F.avg("o_totalprice"), 2).alias("raw_avg"),
+            F.round(F.avg(clamped), 2).alias("wins_avg"),
+        )
+    )

@@ -680,3 +680,65 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# -- PCA (one power-iteration step, the embedding-reduction inner loop) ----
+
+PCA_DIMS = 64
+
+
+@register(
+    "emb_pca_power_step",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    -- deterministic start vector v0 = 1/sqrt(d) in every dimension
+    s AS (
+      SELECT vec_id, emb,
+             round(list_sum(emb) / sqrt({PCA_DIMS}), 10) AS score
+      FROM e
+    ),
+    acc AS (
+      SELECT i, sum(s.score * s.emb[i]) AS av
+      FROM s, generate_series(1, {PCA_DIMS}) g(i)
+      GROUP BY i
+    ),
+    nrm AS (SELECT sqrt(sum(av * av)) AS n FROM acc)
+    SELECT acc.i AS dim, round(acc.av / nrm.n, 6) AS v1
+    FROM acc, nrm
+    """,
+)
+def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal direction of
+    the (uncentered) embedding second-moment matrix: v1 =
+    normalize(X^T X v0), from the deterministic start v0 =
+    (1/sqrt(d), ...). Iterating to a fixed point is the full power
+    method (the PCA/spectral-embedding inner loop); one step is exactly
+    oracle-checkable — the same per-step verification contract as
+    emb_kmeans_step and graph_pagerank_step.
+
+    Shape: X^T X v0 never materializes the d x d covariance — each row
+    contributes score = <x, v0> (a row-local sum, v0 folded in as a
+    constant) times its own vector, accumulated per-dimension by ONE
+    posexplode + groupBy(dim) aggregate: shuffle volume is d partials
+    per input partition, constant in corpus size. The normalization is
+    a 1-row aggregate over d values.
+
+    Scale: at 100 TB per iteration = one scan + a d-cell aggregate
+    (the same budget as a column sum); subsequent iterations fold the
+    previous v as literals exactly like the k-means centroids. For
+    top-k components, orthogonalize k vectors per round (block power /
+    subspace iteration) — same plan, k x d cells.
+    """
+    e = _emb(spark, sf_dir)
+    inv_sqrt_d = 1.0 / (PCA_DIMS ** 0.5)
+    score = F.round(
+        F.aggregate("emb", F.lit(0.0), lambda s, x: s + x) * inv_sqrt_d, 10
+    )
+    scored = e.select(score.alias("score"), F.posexplode("emb").alias("pos", "x"))
+    acc = scored.groupBy((F.col("pos") + 1).alias("dim")).agg(
+        F.sum(F.col("score") * F.col("x")).alias("av")
+    )
+    nrm = acc.agg(F.sqrt(F.sum(F.col("av") * F.col("av"))).alias("n"))
+    return acc.crossJoin(F.broadcast(nrm)).select(
+        "dim", F.round(F.col("av") / F.col("n"), 6).alias("v1")
+    )

@@ -304,8 +304,6 @@ _BQ_FN_NAME_MAP: dict[str, str] = {
     # Spark array_join has exactly the same two/three-arg behavior.
     "ARRAY_TO_STRING": "array_join",
     # NOT mapped, besides the divergent functions noted above:
-    # - FORMAT -> format_string: Spark types numeric literals as
-    #   DECIMAL, which Java's %f rejects — faithful only with casts.
     # - DATE_TRUNC/DATE_ADD/DATE_SUB/DATE_DIFF: Spark has SAME-NAME
     #   functions with different argument order, so the rewrite cannot
     #   distinguish BQ input from already-Spark SQL (breaks the
@@ -328,6 +326,17 @@ _STRING_AGG_RE = re.compile(r"\bSTRING_AGG\s*\(", re.IGNORECASE)
 _ARRAY_AGG_RE = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
 _TO_HEX_RE = re.compile(r"\bTO_HEX\s*\(", re.IGNORECASE)
 _APPROX_QUANTILES_RE = re.compile(r"\bAPPROX_QUANTILES\s*\(", re.IGNORECASE)
+_FORMAT_RE = re.compile(r"\bFORMAT\s*\(", re.IGNORECASE)
+# printf specifiers we translate; BQ %t/%T (value-to-text) have no Java
+# counterpart and block the rewrite. Java printf rejects DECIMAL for %d
+# and Spark types integer literals as INT/DECIMAL contextually, so every
+# argument gets an explicit cast matched to its specifier.
+_FORMAT_SPEC_RE = re.compile(r"%[-+ #0]*\d*(?:\.\d+)?([a-zA-Z])|%%")
+_FORMAT_CASTS = {
+    "d": "BIGINT", "i": "BIGINT", "o": "BIGINT", "x": "BIGINT", "X": "BIGINT",
+    "f": "DOUBLE", "e": "DOUBLE", "E": "DOUBLE", "g": "DOUBLE", "G": "DOUBLE",
+    "s": "STRING",
+}
 _UNIX_DATE_RE = re.compile(r"\bUNIX_DATE\s*\(", re.IGNORECASE)
 _DATE_FROM_UNIX_RE = re.compile(r"\bDATE_FROM_UNIX_DATE\s*\(", re.IGNORECASE)
 # TO_HEX over a BQ bytes-returning hash: the composition is exactly
@@ -509,6 +518,33 @@ def transpile_bq_functions(sql: str) -> str:
         return f"percentile_approx({a[0]}, array({probs}))"
 
     out = _rewrite_calls(out, _APPROX_QUANTILES_RE, _approx_quantiles)
+
+    def _format(m: re.Match, a: list[str]) -> str | None:
+        # BQ FORMAT(fmt, args...) -> format_string(fmt, casts...). The
+        # format string must be a literal so each argument can be cast
+        # to the Java-printf-compatible type for its specifier (Spark
+        # types numeric literals as INT/DECIMAL, which Java %d/%f
+        # reject). %i normalizes to %d (Java has no %i). Non-literal
+        # formats and %t/%T (BQ value-to-text, no Java counterpart)
+        # pass through untouched — visible divergence over silent.
+        if not a:
+            return None
+        fmt = a[0].strip()
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            return None
+        specs = [
+            g for g in _FORMAT_SPEC_RE.findall(fmt[1:-1]) if g
+        ]  # '' entries are literal %%
+        if any(s in ("t", "T") for s in specs) or len(specs) != len(a) - 1:
+            return None
+        casts = [
+            f"CAST({arg} AS {_FORMAT_CASTS[s]})" if s in _FORMAT_CASTS else arg
+            for s, arg in zip(specs, a[1:])
+        ]
+        java_fmt = fmt.replace("%i", "%d")
+        return f"format_string({java_fmt}" + "".join(f", {c}" for c in casts) + ")"
+
+    out = _rewrite_calls(out, _FORMAT_RE, _format)
     out = _rewrite_calls(
         out,
         _UNIX_DATE_RE,

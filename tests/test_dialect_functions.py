@@ -99,6 +99,12 @@ CASES = [
     # APPROX_QUANTILES(x, n) -> n+1 boundaries via percentile_approx;
     # composes with OFFSET indexing (single-row aggregate here).
     ("APPROX_QUANTILES(5, 2)[OFFSET(1)]", 5),
+    # FORMAT -> format_string with specifier-matched casts (Spark types
+    # 7 as INT and 2.5 as DECIMAL; Java printf needs BIGINT/DOUBLE).
+    ("FORMAT('%d items', 7)", "7 items"),
+    ("FORMAT('%05d|%.2f|%s', 42, 2.5, 'x')", "00042|2.50|x"),
+    ("FORMAT('100%% of %d', 3)", "100% of 3"),
+    ("FORMAT('%x', 255)", "ff"),
     # STRING_AGG / ARRAY_AGG over the implicit one-row relation
     ("STRING_AGG('a')", "a"),
     ("STRING_AGG('a', '|')", "a"),

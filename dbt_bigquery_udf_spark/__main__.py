@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--env", default=None)
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    d.add_argument(
+        "--catalog",
+        action="store_true",
+        help="build the DAG and add warehouse-observed columns + "
+        "ANALYZE statistics (dbt catalog.json analogue)",
+    )
 
     cp = sub.add_parser(
         "compile",
@@ -248,6 +254,9 @@ def main(argv: list[str] | None = None) -> int:
                 for name, e in engine.exposures.items()
             },
         }
+        if args.catalog:
+            engine.build()
+            manifest["catalog"] = engine.catalog_info()
         print(json.dumps(manifest, indent=2, sort_keys=True))
         return 0
 

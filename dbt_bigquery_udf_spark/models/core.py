@@ -851,6 +851,58 @@ class Engine:
                     f"ALTER TABLE {db}.{spec.name} ALTER COLUMN {col} COMMENT '{escaped}'"
                 )
 
+    def catalog_info(self) -> dict[str, dict]:
+        """dbt `docs generate` catalog analogue: per built relation, the
+        warehouse-observed columns (name, type, comment) and, for
+        physical tables, size/row statistics via ANALYZE TABLE — the
+        half of dbt docs that comes from the warehouse rather than the
+        project files (the manifest half is the CLI `docs` payload).
+
+        Cost model matches BigQuery's metadata endpoints: ANALYZE on a
+        parquet table is a file-metadata pass (row counts come from
+        parquet footers, not a scan)."""
+        out: dict[str, dict] = {}
+        for name, rel in self.relations.items():
+            if rel.kind == "ephemeral":
+                continue
+            if rel.kind in ("function", "table_function"):
+                rows = self.spark.sql(
+                    f"DESCRIBE FUNCTION EXTENDED {rel.qualified}"
+                ).collect()
+                out[name] = {
+                    "kind": rel.kind,
+                    "function_info": [r[0] for r in rows],
+                }
+                continue
+            entry: dict = {"kind": rel.kind, "columns": {}}
+            if rel.kind != "view":
+                self.spark.sql(
+                    f"ANALYZE TABLE {rel.qualified} COMPUTE STATISTICS"
+                )
+            # DESCRIBE EXTENDED prints the column rows first, then a
+            # '#'-headed detail section (Catalog/Provider/Statistics/…).
+            in_columns = True
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {rel.qualified}"
+            ).collect():
+                cname = (r.col_name or "").strip()
+                if not cname or cname.startswith("#"):
+                    in_columns = False
+                    continue
+                if in_columns:
+                    entry["columns"][cname] = {
+                        "type": r.data_type,
+                        "comment": r.comment,
+                    }
+                elif cname == "Statistics":
+                    m = re.search(r"(\d+) bytes(?:, (\d+) rows)?", r.data_type or "")
+                    if m:
+                        entry["num_bytes"] = int(m.group(1))
+                        if m.group(2):
+                            entry["num_rows"] = int(m.group(2))
+            out[name] = entry
+        return out
+
     # -- lifecycle (dbt-bigquery table options) -----------------------------
 
     def sweep_expired(self, now: float | None = None) -> dict[str, list[str]]:

@@ -769,3 +769,21 @@ def test_cli_compile(spark, sf_small, capsys):
     assert "src.test_table" in body  # source() resolved
     assert "try_to_timestamp" not in body  # function body not inlined here
     assert "udf.parse_datetime" in body or "parse_datetime" in body
+
+
+def test_catalog_info(spark, sf_small):
+    """dbt catalog analogue: warehouse-observed columns + ANALYZE
+    statistics for every built relation."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+
+    engine = prepared_engine(spark, sf_small)
+    cat = engine.catalog_info()
+    dm = cat["test_datamart"]
+    assert dm["kind"] == "table"
+    assert set(dm["columns"]) == {"column1", "datetime"}
+    assert dm["columns"]["column1"]["type"] == "bigint"
+    assert "unique event identifier" in (dm["columns"]["column1"]["comment"] or "")
+    assert dm.get("num_rows", 0) > 0 and dm.get("num_bytes", 0) > 0
+    fn = cat["parse_datetime"]
+    assert fn["kind"] == "function"
+    assert any("convert a string" in line for line in fn["function_info"])

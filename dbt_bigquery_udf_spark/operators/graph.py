@@ -113,9 +113,14 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the event-log derivation dominates (one windowed pass, as
     graph_event_transitions); each PageRank round then moves
-    O(|edges|) rows. For web-scale graphs the same loop runs with the
-    rank vector as a partitioned table and AQE handling the in-degree
-    skew of hub nodes.
+    O(|edges|) rows. The reduced edge relation is persisted BEFORE the
+    rank expressions — Spark does not share subtrees across a plan, so
+    without it the edge derivation (the 100 TB window pass) would run
+    three times: once for the transition probabilities and once per
+    side of the node-set union (measured: 3 scans -> 1, pinned by
+    plan test). For web-scale graphs the same loop runs with the rank
+    vector as a partitioned table and AQE handling the in-degree skew
+    of hub nodes.
     """
     ev = _src(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -128,7 +133,9 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
+    e.count()  # materialize the one full-log pass; all else reads |types|^2 rows
     p = e.select(
         "src", "dst", (F.col("n") / F.sum("n").over(W.partitionBy("src"))).alias("p")
     )

@@ -265,3 +265,41 @@ def test_chunking_is_narrow(spark, sf_small):
     f = _facts(spark, sf_small, "text_chunk_windows")
     assert f.exchanges == 0, f.text
     assert f.scan_columns() <= {"doc_id", "text"}, f.read_schemas
+
+
+def test_bitmap_rollup_bounded_shuffles(spark, sf_small):
+    """The two-level bitmap distinct: exactly three aggregations'
+    exchanges (cells -> bucket merge -> final), one scan, pruned to
+    the three needed columns, no joins."""
+    f = _facts(spark, sf_small, "distinct_bitmap_users")
+    assert f.exchanges == 3, f.text
+    assert f.scans == 1, f.text
+    assert f.scan_columns() <= {"event_type", "ts", "user_id"}, f.read_schemas
+
+
+def test_variant_extract_single_shuffle(spark, sf_small):
+    """VARIANT extraction stays a scan-side projection: one groupBy
+    exchange, scan pruned to (event_type, props)."""
+    f = _facts(spark, sf_small, "events_variant_extract")
+    assert f.exchanges == 1, f.text
+    assert f.scan_columns() <= {"event_type", "props"}, f.read_schemas
+
+
+def test_pagerank_derives_edges_once(spark, sf_small):
+    """The PageRank step must read the persisted edge relation, not
+    re-derive it per consumer: every plan branch that needs edges
+    consumes the InMemoryRelation (the parquet lineage only appears
+    inside the cache's printed provenance — the windowed derivation
+    executed once, at persist time)."""
+    f = _facts(spark, sf_small, "graph_pagerank_step")
+    assert f.text.count("InMemoryTableScan") >= 2, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_pca_step_is_one_pass(spark, sf_small):
+    """X^T X v0 without materializing the covariance: the d-cell
+    aggregate plus the 1-row norm — no sort-merge join, embedding-only
+    read schema."""
+    f = _facts(spark, sf_small, "emb_pca_power_step")
+    assert f.sort_merge_joins == 0, f.text
+    assert f.scan_columns() <= {"embedding"}, f.read_schemas

@@ -154,10 +154,15 @@ def main(argv: list[str] | None = None) -> int:
             threads=args.threads,
             state=args.state,
             exclude=args.exclude,
+            fail_fast=False,  # dbt default: keep going, report, exit 1
         )
         for name, rel in sorted(rels.items()):
             print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
-        return 0
+        for name, exc in sorted(engine.errors.items()):
+            print(json.dumps({"model": name, "status": "ERROR", "message": str(exc)[:300]}))
+        for name in sorted(engine.skipped_errors):
+            print(json.dumps({"model": name, "status": "SKIP", "reason": "upstream error"}))
+        return 1 if engine.errors else 0
 
     if args.cmd == "write-state":
         from .api import bootstrap

@@ -1178,6 +1178,7 @@ class Engine:
         full_refresh: bool = False,
         state: str | None = None,
         exclude: list[str] | None = None,
+        fail_fast: bool = True,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -1198,6 +1199,13 @@ class Engine:
         and snapshot targets first, so they rebuild from scratch with
         their is_incremental() blocks stripped — the recovery path for
         schema changes or corrupted state.
+
+        ``fail_fast=False`` is dbt's default run semantics: a failing
+        model records an ERROR (``self.errors``), its descendants are
+        SKIPped (``self.skipped_errors``), and every independent branch
+        still builds — at 1000+ models one broken model must not sink
+        the nightly run. ``fail_fast=True`` (this API's default, kept
+        for programmatic callers) re-raises the first failure.
         """
         graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
@@ -1228,16 +1236,36 @@ class Engine:
                 return rel, False
 
             self.skipped: set[str] = set()
+            self.errors: dict[str, Exception] = {}
+            self.skipped_errors: set[str] = set()
             with ThreadPoolExecutor(max_workers=threads) as pool:
                 while ts.is_active():
                     ready = list(ts.get_ready())
                     if not ready:
                         break
-                    futures = {n: pool.submit(_build_one, graph[n]) for n in ready}
+                    runnable = []
+                    for n in ready:
+                        bad = self.errors.keys() | self.skipped_errors
+                        if set(graph[n].refs) & bad:
+                            # Descendant of a failure: SKIP (dbt's
+                            # status), but mark done so the sorter
+                            # keeps feeding unrelated branches.
+                            self.skipped_errors.add(n)
+                            ts.done(n)
+                        else:
+                            runnable.append(n)
+                    if not runnable:
+                        continue
+                    futures = {n: pool.submit(_build_one, graph[n]) for n in runnable}
                     for n, fut in futures.items():
-                        results[n], was_skipped = fut.result()
-                        if was_skipped:
-                            self.skipped.add(n)
+                        try:
+                            results[n], was_skipped = fut.result()
+                            if was_skipped:
+                                self.skipped.add(n)
+                        except Exception as exc:  # noqa: BLE001 — dbt keep-going
+                            if fail_fast:
+                                raise
+                            self.errors[n] = exc
                         ts.done(n)
             return results
         finally:

@@ -787,3 +787,37 @@ def test_catalog_info(spark, sf_small):
     fn = cat["parse_datetime"]
     assert fn["kind"] == "function"
     assert any("convert a string" in line for line in fn["function_info"])
+
+
+def test_keep_going_build(spark, sf_small):
+    """dbt run semantics: a failing model ERRORs, its descendants SKIP,
+    independent branches still build; fail_fast=True re-raises."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    engine = bootstrap(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="broken_base", kind="view", database="datamart",
+            dialect="spark", sql="SELECT no_such_column FROM src.events",
+        ),
+        ModelSpec(
+            name="broken_child", kind="view", database="datamart",
+            dialect="spark", sql="SELECT * FROM {{ ref('broken_base') }}",
+        ),
+        ModelSpec(
+            name="healthy_island", kind="view", database="datamart",
+            dialect="spark", sql="SELECT 1 AS one",
+        ),
+    )
+    sel = ["broken_child", "healthy_island", "test_datamart"]
+    rels = engine.build(select=sel, fail_fast=False)
+    assert "healthy_island" in rels and "test_datamart" in rels
+    assert "broken_base" in engine.errors
+    assert engine.skipped_errors == {"broken_child"}
+    assert "broken_base" not in rels and "broken_child" not in rels
+    # fail_fast re-raises the underlying failure.
+    with pytest.raises(Exception):
+        engine.build(select=["broken_base"], fail_fast=True)
+    # EngineError sanity: selecting junk still raises regardless of mode.
+    with pytest.raises(EngineError, match="no such model"):
+        engine.build(select=["ghost"], fail_fast=False)

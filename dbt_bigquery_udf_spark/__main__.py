@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="models dropped from the selection after closure (dbt --exclude)",
     )
+    b.add_argument(
+        "--vars",
+        default=None,
+        help="JSON object for {{ var('name') }} resolution (dbt --vars)",
+    )
     b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
     b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     b.add_argument("--threads", type=int, default=8)
@@ -148,7 +153,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .api import bootstrap
 
-        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        engine = bootstrap(
+            spark,
+            args.sf_dir,
+            env=args.env,
+            vars=json.loads(args.vars) if args.vars else None,
+        )
         rels = engine.build(
             select=args.select,
             threads=args.threads,

@@ -35,6 +35,7 @@ def bootstrap(
     sf_dir: str,
     env: str | None = None,
     catalog_sources: bool = True,
+    vars: dict[str, object] | None = None,
 ) -> Engine:
     """Prepare a session: engine confs, source registration, model registry."""
     apply_engine_confs(spark)
@@ -42,7 +43,7 @@ def bootstrap(
     if catalog_sources:
         register_sources_catalog(spark, sf_dir)
         register_test_table(spark, persistent=True)
-    engine = Engine(spark, env=env)
+    engine = Engine(spark, env=env, vars=vars)
     engine.register(*REFERENCE_MODELS)
     engine.register_exposures(*reference_exposures())
     return engine

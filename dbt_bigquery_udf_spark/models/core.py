@@ -58,6 +58,11 @@ __all__ = ["ModelSpec", "Engine", "Exposure"]
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+# dbt's var(): {{ var('name') }} / {{ var('name', <default>) }} where
+# the default is a quoted string or a bare number/identifier token.
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s]+)\s*)?\)\s*\}\}"
+)
 def _partition_epoch(value: str) -> float | None:
     """Epoch seconds for a civil date-ish partition value ('2026-01-01',
     '2026-01-01 08' possibly URL-encoded, '2026-01'), else None."""
@@ -368,11 +373,17 @@ class Engine:
         source_database: str = "src",
         on_run_start: tuple[str, ...] = (),
         on_run_end: tuple[str, ...] = (),
+        vars: dict[str, object] | None = None,
     ) -> None:
         self.spark = spark
         env_database("udf", env)  # validate env eagerly, not at build time
         self.env = env
         self.source_database = source_database
+        # dbt's --vars: {{ var('name'[, default]) }} in model bodies
+        # resolves from here (reference invocation: `dbt run --vars
+        # '{env: staging}'`, README.md:325-327). Values render as SQL
+        # literals: strings quoted, numbers/bools bare.
+        self.vars: dict[str, object] = dict(vars or {})
         self.models: dict[str, ModelSpec] = {}
         self.exposures: dict[str, Exposure] = {}
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
@@ -449,6 +460,22 @@ class Engine:
         # the reference's BQ dataset name (recorded for traceability).
         return f"{self.source_database}.{table}"
 
+    def _resolve_var(self, spec: ModelSpec, m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in self.vars:
+            v = self.vars[name]
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            return "'" + str(v).replace("'", "''") + "'"
+        if default is not None:
+            return default  # already SQL-literal-shaped (quoted or bare)
+        raise EngineError(
+            f"model {spec.name}: var('{name}') has no value and no default "
+            "(dbt: Required var not found)"
+        )
+
     def render(self, spec: ModelSpec) -> str:
         """Compile the model body: dialect transpile + ref/source resolution.
 
@@ -469,6 +496,7 @@ class Engine:
             f"{self.database_for(spec)}.{spec.name}"
         )
         sql = _INCR_RE.sub((lambda m: m.group(1)) if is_incremental else "", sql)
+        sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
         sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)

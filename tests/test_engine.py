@@ -821,3 +821,44 @@ def test_keep_going_build(spark, sf_small):
     # EngineError sanity: selecting junk still raises regardless of mode.
     with pytest.raises(EngineError, match="no such model"):
         engine.build(select=["ghost"], fail_fast=False)
+
+
+def test_vars_resolution(spark, sf_small):
+    """dbt --vars: {{ var('name'[, default]) }} renders to SQL
+    literals; missing var without default fails like dbt."""
+    from dbt_bigquery_udf_spark.models.core import Engine, EngineError
+
+    engine = bootstrap(spark, sf_small)
+    engine.vars.update({"min_value": 50, "channel": "click", "flag": True})
+    engine.register(
+        ModelSpec(
+            name="vars_model", kind="view", database="datamart",
+            dialect="spark",
+            sql="""
+                SELECT event_id FROM {{ source('joshua_dataset', 'events') }}
+                WHERE value > {{ var('min_value') }}
+                  AND event_type = {{ var('channel') }}
+                  AND {{ var('flag') }}
+                  AND user_id >= {{ var('floor', 0) }}
+            """,
+        )
+    )
+    body = engine.render(engine.models["vars_model"])
+    assert "value > 50" in body and "event_type = 'click'" in body
+    assert "AND true" in body and "user_id >= 0" in body
+    engine.build(select=["vars_model"])
+    assert spark.table("datamart.vars_model").count() >= 0
+    # A var change re-renders -> refingerprints (Slim CI correctness).
+    fp1 = engine._model_fingerprint(engine.models["vars_model"])
+    engine.vars["min_value"] = 60
+    assert engine._model_fingerprint(engine.models["vars_model"]) != fp1
+    # Missing var without default fails loudly.
+    e2 = Engine(spark)
+    e2.register(
+        ModelSpec(
+            name="vm2", kind="view", database="datamart", dialect="spark",
+            sql="SELECT {{ var('nope') }} AS x",
+        )
+    )
+    with pytest.raises(EngineError, match="var\\('nope'\\)"):
+        e2.render(e2.models["vm2"])

@@ -1256,3 +1256,51 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clamped), 2).alias("wins_avg"),
         )
     )
+
+
+# -- group-wise linear regression (trend estimation) -----------------------
+
+
+@register(
+    "stats_regression_trend",
+    """
+    SELECT o_orderstatus,
+           round(regr_slope(o_totalprice,
+                            date_diff('day', DATE '1970-01-01', o_orderdate)), 4)
+             AS slope_per_day,
+           round(regr_intercept(o_totalprice,
+                                date_diff('day', DATE '1970-01-01', o_orderdate)), 2)
+             AS intercept,
+           round(regr_r2(o_totalprice,
+                         date_diff('day', DATE '1970-01-01', o_orderdate)), 6) AS r2,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope/intercept/R^2 of
+    order value against time, via the SQL-standard ``regr_*``
+    aggregates — the closed-form regression every metrics pipeline
+    runs before reaching for ML ("is revenue drifting, and does time
+    explain it?").
+
+    Shape: regr_* aggregates carry fixed-size moment state
+    (n, sum x, sum y, sum xy, sum x^2) with map-side partials — ONE
+    shuffle of a few doubles per group, identical plan budget to avg.
+    The x axis is integer days-since-epoch so both engines regress on
+    exactly the same values.
+
+    Scale: closed-form moments at any size; for millions of groups it
+    is still one partial-aggregated groupBy. R^2 near zero on TPC-H is
+    the honest answer (order values are not time-trended) — the
+    operator's job is computing it, not finding a story.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    x = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("double")
+    y = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--select", nargs="*", default=None)
     cp.add_argument("--env", default=None)
     cp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cp.add_argument(
+        "--vars",
+        default=None,
+        help="JSON object for {{ var('name') }} resolution (dbt --vars)",
+    )
 
     q_ = sub.add_parser(
         "sql",
@@ -278,7 +283,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compile":
         from .api import bootstrap
 
-        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        engine = bootstrap(
+            spark,
+            args.sf_dir,
+            env=args.env,
+            vars=json.loads(args.vars) if args.vars else None,
+        )
         graph = engine._subgraph(args.select)
         for name in sorted(graph):
             spec = graph[name]

@@ -502,17 +502,16 @@ def transpile_bq_functions(sql: str) -> str:
 
     out = _rewrite_calls(out, _TO_HEX_RE, _to_hex)
 
-    def _approx_quantiles(m: re.Match, a: list[str]) -> str:
+    def _approx_quantiles(m: re.Match, a: list[str]) -> str | None:
         # BQ: APPROX_QUANTILES(x, n) -> n+1 boundaries [min, q1/n, ..., max].
         # Spark: percentile_approx(x, array(0, 1/n, ..., 1)). Both are
         # approximate (different sketches), so the mapping is contract-
         # faithful, not bit-faithful — same as migrating between any two
-        # warehouses' approx aggregates. Requires a literal n to build
-        # the probability array.
+        # warehouses' approx aggregates. Requires a literal n; other
+        # valid BQ forms (DISTINCT, IGNORE/RESPECT NULLS, computed n)
+        # pass through untouched — visible divergence over a hard stop.
         if len(a) != 2 or not a[1].strip().isdigit():
-            raise ValueError(
-                "APPROX_QUANTILES requires (expr, literal_int_number)"
-            )
+            return None
         n = int(a[1])
         probs = ", ".join(f"{i}D / {n}D" for i in range(n + 1))
         return f"percentile_approx({a[0]}, array({probs}))"
@@ -541,7 +540,17 @@ def transpile_bq_functions(sql: str) -> str:
             f"CAST({arg} AS {_FORMAT_CASTS[s]})" if s in _FORMAT_CASTS else arg
             for s, arg in zip(specs, a[1:])
         ]
-        java_fmt = fmt.replace("%i", "%d")
+        # Java printf has no %i: normalize the conversion letter inside
+        # each matched specifier (flags/width preserved; literal %%
+        # never matches a lettered specifier, so it cannot corrupt).
+        java_fmt = _FORMAT_SPEC_RE.sub(
+            lambda sm: (
+                sm.group(0)[:-1] + "d"
+                if sm.group(1) == "i"
+                else sm.group(0)
+            ),
+            fmt,
+        )
         return f"format_string({java_fmt}" + "".join(f", {c}" for c in casts) + ")"
 
     out = _rewrite_calls(out, _FORMAT_RE, _format)

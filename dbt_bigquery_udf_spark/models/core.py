@@ -389,6 +389,11 @@ class Engine:
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
         self._fingerprints: dict[str, str] = {}  # incremental-build state (§4)
         self.skipped: set[str] = set()  # models skipped by the last build
+        # Keep-going run state (reset per build; initialized here so a
+        # build that fails before the loop leaves them inspectable, not
+        # AttributeError/stale).
+        self.errors: dict[str, Exception] = {}
+        self.skipped_errors: set[str] = set()
         # dbt's project-level hooks (dbt_project.yml on-run-start /
         # on-run-end): run once per build() invocation, bracketing the
         # whole DAG — unlike per-model pre/post hooks (F6).
@@ -1096,14 +1101,22 @@ class Engine:
         stack: list[str] = []
         for sel in select:
             if sel.endswith("+") and sel not in ("state:modified+",):
-                # dbt graph operator `model+`: the model and everything
-                # downstream of it (its blast radius). Upstream deps of
-                # every selected node still join via the closure below,
-                # so the subgraph is always buildable.
+                # dbt graph operator `X+`: the selection and everything
+                # downstream of it (its blast radius). X may be a model
+                # or a tag: selector. Upstream deps of every selected
+                # node still join via the closure below, so the
+                # subgraph is always buildable.
                 root = sel[:-1]
-                if root not in self.models:
+                if root.startswith("tag:"):
+                    tag = root[4:]
+                    roots = {n for n, s in self.models.items() if tag in s.tags}
+                    if not roots:
+                        raise EngineError(f"--select {sel}: no model carries that tag")
+                elif root in self.models:
+                    roots = {root}
+                else:
                     raise EngineError(f"--select {sel}: no such model")
-                stack.extend(self._downstream_closure({root}))
+                stack.extend(self._downstream_closure(roots))
             elif sel.startswith("+"):
                 # dbt `+model`: the model and its ancestors — which is
                 # exactly the default closure; accepted for parity.
@@ -1235,6 +1248,9 @@ class Engine:
         the nightly run. ``fail_fast=True`` (this API's default, kept
         for programmatic callers) re-raises the first failure.
         """
+        self.skipped = set()
+        self.errors = {}
+        self.skipped_errors = set()
         graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
             self.spark.sql(hook)
@@ -1263,9 +1279,6 @@ class Engine:
                 self._fingerprints[spec.name] = fp
                 return rel, False
 
-            self.skipped: set[str] = set()
-            self.errors: dict[str, Exception] = {}
-            self.skipped_errors: set[str] = set()
             with ThreadPoolExecutor(max_workers=threads) as pool:
                 while ts.is_active():
                     ready = list(ts.get_ready())

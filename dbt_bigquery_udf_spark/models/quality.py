@@ -160,12 +160,17 @@ class SingularTest:
     test_type: str = "singular"
 
     def failing_rows_sql(self, engine: Engine) -> str:
-        import re as _re
+        # Reuse the engine's own ref()/source() grammar (models/core.py
+        # _REF_RE/_SOURCE_RE) — one syntax definition, and singular
+        # tests may address sources exactly as dbt allows.
+        from .core import _REF_RE, _SOURCE_RE
 
-        sql = _re.sub(
-            r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}",
+        sql = _REF_RE.sub(
             lambda m: engine._resolve_ref(m.group(1), for_call=False),
             self.sql,
+        )
+        sql = _SOURCE_RE.sub(
+            lambda m: engine._resolve_source(*m.groups()), sql
         )
         return sql.strip().rstrip(";")
 
@@ -219,8 +224,13 @@ def run_tests(
             from ..catalog import ensure_database
 
             ensure_database(spark, audit_database)
-            audit = f"{audit_database}.{t.name.replace('.', '_')}"
+            table = t.name.replace(".", "_")
+            audit = f"{audit_database}.{table}"
             spark.sql(f"DROP TABLE IF EXISTS {audit}")
+            # A fresh metastore + leftover warehouse dir from a previous
+            # process makes the DROP a no-op and the CTAS fail with
+            # LOCATION_ALREADY_EXISTS — same cleanup as Engine CTAS.
+            engine._clean_stale_location(audit_database, table)
             spark.sql(
                 f"CREATE TABLE {audit} USING parquet AS {t.failing_rows_sql(engine)}"
             )

@@ -88,12 +88,15 @@ def graph_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS p FROM e
     ), nodes AS (
       SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
-    ), nn AS (SELECT count(*) AS n_nodes FROM nodes)
-    SELECT p.dst AS node,
+    ), nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    mass AS (
+      SELECT p.dst AS node, sum(p.p) AS m FROM p GROUP BY p.dst
+    )
+    SELECT nodes.node,
            round((1 - {PAGERANK_DAMPING}) / nn.n_nodes
-                 + {PAGERANK_DAMPING} * sum(p.p / nn.n_nodes), 6) AS rank
-    FROM p CROSS JOIN nn
-    GROUP BY p.dst, nn.n_nodes
+                 + {PAGERANK_DAMPING} * coalesce(mass.m, 0) / nn.n_nodes, 6)
+             AS rank
+    FROM nodes LEFT JOIN mass ON nodes.node = mass.node CROSS JOIN nn
     """,
 )
 def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +112,10 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here the rank vector is uniform, so the join folds into the edge
     aggregation; with a materialized rank table it becomes an explicit
     broadcast-or-shuffle join on src). N arrives as a broadcast 1-row
-    cross join, never a collect.
+    cross join, never a collect. The aggregated in-mass LEFT JOINs
+    back to the full node set so source-only nodes (no in-edges) keep
+    their (1-d)/N teleport rank — dropping them would shrink the
+    vector on every iteration.
 
     Scale: the event-log derivation dominates (one windowed pass, as
     graph_event_transitions); each PageRank round then moves
@@ -146,14 +152,16 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     d = F.lit(PAGERANK_DAMPING)
+    mass = p.groupBy(F.col("dst").alias("node")).agg(F.sum("p").alias("m"))
     return (
-        p.crossJoin(F.broadcast(nn))
-        .groupBy(F.col("dst").alias("node"), "n_nodes")
-        .agg(F.sum(F.col("p") / F.col("n_nodes")).alias("mass"))
+        nodes.join(mass, "node", "left")
+        .crossJoin(F.broadcast(nn))
         .select(
             "node",
-            F.round((F.lit(1) - d) / F.col("n_nodes") + d * F.col("mass"), 6).alias(
-                "rank"
-            ),
+            F.round(
+                (F.lit(1) - d) / F.col("n_nodes")
+                + d * F.coalesce(F.col("m"), F.lit(0.0)) / F.col("n_nodes"),
+                6,
+            ).alias("rank"),
         )
     )

@@ -105,6 +105,9 @@ CASES = [
     ("FORMAT('%05d|%.2f|%s', 42, 2.5, 'x')", "00042|2.50|x"),
     ("FORMAT('100%% of %d', 3)", "100% of 3"),
     ("FORMAT('%x', 255)", "ff"),
+    # %i normalizes per-specifier (flags/width kept; literal %% safe).
+    ("FORMAT('%05i', 42)", "00042"),
+    ("FORMAT('100%%iced %d', 3)", "100%iced 3"),
     # STRING_AGG / ARRAY_AGG over the implicit one-row relation
     ("STRING_AGG('a')", "a"),
     ("STRING_AGG('a', '|')", "a"),
@@ -247,3 +250,15 @@ def test_transpile_idempotent_on_spark_sql():
     ]:
         assert t(sql) == sql
         assert t(t(sql)) == t(sql)
+
+
+def test_unsupported_bq_forms_pass_through():
+    """Valid-but-unmapped BQ forms pass through untouched rather than
+    aborting the transpile (visible divergence over a hard stop)."""
+    for sql in [
+        "SELECT APPROX_QUANTILES(x, 100 IGNORE NULLS) FROM t",
+        "SELECT APPROX_QUANTILES(DISTINCT x, n) FROM t",
+        "SELECT FORMAT('%t', x) FROM t",
+        "SELECT FORMAT(fmt_col, x) FROM t",
+    ]:
+        assert transpile_bq_functions(sql) == sql

@@ -862,3 +862,19 @@ def test_vars_resolution(spark, sf_small):
     )
     with pytest.raises(EngineError, match="var\\('nope'\\)"):
         e2.render(e2.models["vm2"])
+
+
+def test_tag_plus_selector(spark, sf_small):
+    """`tag:T+` composes the tag selector with the downstream graph
+    operator (dbt selector syntax)."""
+    engine = bootstrap(spark, sf_small)
+    tagged = [n for n, s in engine.models.items() if "udf" in s.tags]
+    if not tagged:  # reference models carry no tags by default: add one
+        import dataclasses
+
+        spec = dataclasses.replace(
+            engine.models["parse_datetime"], tags=("udf",)
+        )
+        engine.register(spec, replace=True)
+    g = engine._subgraph(["tag:udf+"])
+    assert {"parse_datetime", "test_table_function", "test_datamart"} <= set(g)

@@ -303,6 +303,11 @@ _BQ_FN_NAME_MAP: dict[str, str] = {
     # BQ ARRAY_TO_STRING skips NULL elements unless null_text is given;
     # Spark array_join has exactly the same two/three-arg behavior.
     "ARRAY_TO_STRING": "array_join",
+    # NULL input -> NULL output in both engines for these three.
+    "ARRAY_CONCAT": "concat",
+    "ARRAY_REVERSE": "reverse",
+    "STARTS_WITH": "startswith",
+    "ENDS_WITH": "endswith",
     # NOT mapped, besides the divergent functions noted above:
     # - DATE_TRUNC/DATE_ADD/DATE_SUB/DATE_DIFF: Spark has SAME-NAME
     #   functions with different argument order, so the rewrite cannot

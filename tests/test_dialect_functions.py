@@ -108,6 +108,10 @@ CASES = [
     # %i normalizes per-specifier (flags/width kept; literal %% safe).
     ("FORMAT('%05i', 42)", "00042"),
     ("FORMAT('100%%iced %d', 3)", "100%iced 3"),
+    ("ARRAY_CONCAT(array(1, 2), array(3))", [1, 2, 3]),
+    ("ARRAY_REVERSE(array(1, 2, 3))", [3, 2, 1]),
+    ("STARTS_WITH('spark', 'sp')", True),
+    ("ENDS_WITH('spark', 'ark')", True),
     # STRING_AGG / ARRAY_AGG over the implicit one-row relation
     ("STRING_AGG('a')", "a"),
     ("STRING_AGG('a', '|')", "a"),

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="JSON object for {{ var('name') }} resolution (dbt --vars)",
     )
+    b.add_argument(
+        "--full-refresh",
+        action="store_true",
+        help="drop incremental/snapshot targets first and rebuild from "
+        "scratch (dbt --full-refresh)",
+    )
     b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
     b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     b.add_argument("--threads", type=int, default=8)
@@ -169,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             threads=args.threads,
             state=args.state,
             exclude=args.exclude,
+            full_refresh=args.full_refresh,
             fail_fast=False,  # dbt default: keep going, report, exit 1
         )
         for name, rel in sorted(rels.items()):

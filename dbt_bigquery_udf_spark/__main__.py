@@ -129,6 +129,17 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--env", default=None)
     u.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    fr = sub.add_parser(
+        "source-freshness",
+        help="age of the newest row per source vs warn/error thresholds "
+        "(dbt source freshness analogue)",
+    )
+    fr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    fr.add_argument("--relation", default="src.events")
+    fr.add_argument("--ts-column", default="ts")
+    fr.add_argument("--warn-after-hours", type=float, default=24.0)
+    fr.add_argument("--error-after-hours", type=float, default=72.0)
+
     sw = sub.add_parser(
         "sweep-expired",
         help="drop tables/partitions past their BigQuery-style TTL "
@@ -361,6 +372,32 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         return 1 if failed else 0
+
+    if args.cmd == "source-freshness":
+        from .models.quality import check_source_freshness
+        from .sources.registry import register_sources_catalog
+        from .session import apply_engine_confs
+
+        apply_engine_confs(spark)
+        register_sources_catalog(spark, args.sf_dir)
+        res = check_source_freshness(
+            spark,
+            args.relation,
+            args.ts_column,
+            args.warn_after_hours,
+            args.error_after_hours,
+        )
+        print(
+            json.dumps(
+                {
+                    "relation": res.relation,
+                    "max_loaded_at": str(res.max_ts),
+                    "age_hours": res.age_hours,
+                    "status": res.status,
+                }
+            )
+        )
+        return 1 if res.status == "error" else 0
 
     if args.cmd == "sweep-expired":
         from .api import bootstrap

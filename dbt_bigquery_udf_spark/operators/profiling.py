@@ -330,3 +330,56 @@ def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    """
+    SELECT count(*) AS n_input,
+           count(*) FILTER (WHERE n_chars >= 200 AND lang = 'en') AS n_kept,
+           round(count(*) FILTER (WHERE n_chars >= 200 AND lang = 'en')
+                 / CAST(count(*) AS DOUBLE), 4) AS kept_pct
+    FROM documents
+    """,
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline QA metrics via ``DataFrame.observe``: the
+    quality gate's input/kept counts are collected DURING the filtering
+    job itself — zero extra scans, zero extra shuffles — instead of the
+    usual "run the pipeline, then run a second aggregation to report
+    what it did".
+
+    At 100 TB this is the difference between free metrics and paying a
+    second full pass per QA counter: observe attaches accumulator-style
+    aggregates to a plan edge, every executor contributes as rows flow
+    through, and the driver reads one tiny struct at job end. The same
+    mechanism powers Structured Streaming's per-batch observed metrics.
+
+    The observed values are returned as a 1-row DataFrame so the
+    driver's DuckDB oracle (a plain conditional aggregate over the same
+    table) pins them exactly.
+    """
+    from pyspark.sql import Observation
+
+    d = _src(spark, sf_dir)["documents"]
+    keep = (F.col("n_chars") >= 200) & (F.col("lang") == "en")
+    obs = Observation("quality_gate")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(keep).alias("n_kept"),
+    ).filter(keep)
+    # Any action on the observed plan materializes the metrics; the
+    # write/count IS the pipeline run the metrics piggyback on.
+    gated.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_input"],
+                m["n_kept"],
+                round(m["n_kept"] / m["n_input"], 4) if m["n_input"] else None,
+            )
+        ],
+        "n_input bigint, n_kept bigint, kept_pct double",
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned", "write_bucketed"]
+__all__ = ["write_partitioned", "write_bucketed", "write_zordered", "zorder_expr"]
 
 
 def write_partitioned(
@@ -68,3 +68,71 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def zorder_expr(cols: list[str], bits: int = 12) -> str:
+    """SQL expression interleaving ``cols`` (numeric) into one Z-order
+    (Morton) value: each column min-max-normalizes to ``bits`` bits
+    (expects ``__{col}_min`` / ``__{col}_max`` companion columns, see
+    :func:`write_zordered`), then bit i of column j lands at position
+    i * n_cols + j. Pure integer arithmetic — whole-stage codegen, no
+    UDF."""
+    n = len(cols)
+    scaled = [
+        (
+            f"CAST(round(({c} - __{c}_min) * {(1 << bits) - 1} / "
+            f"greatest(__{c}_max - __{c}_min, 1e-12), 0) AS BIGINT)"
+        )
+        for c in cols
+    ]
+    terms = []
+    for j, s in enumerate(scaled):
+        for i in range(bits):
+            terms.append(f"(shiftleft(shiftright({s}, {i}) & 1, {i * n + j}))")
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 12,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet range-sorted on a Z-order (Morton)
+    interleave of ``zorder_by`` — multi-column data skipping (the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout), on plain parquet.
+
+    A single-column sort (``cluster_by``) gives each file a narrow
+    min/max range on THAT column only; filters on a second column scan
+    every file. Interleaving the bits of k columns gives every file a
+    narrow range on EVERY zorder column simultaneously (each file is a
+    small k-dimensional tile), so parquet row-group min/max pruning
+    works for filters on any of them — at the cost of each range being
+    ~2^(bits/k) wider than a dedicated sort's.
+
+    Cost: one 2-row stats pass (min/max per column, broadcast), then
+    the same repartitionByRange + in-partition sort any clustered write
+    pays. The Morton value is throwaway — not written.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_by:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__{c}_min"),
+            F.max(F.col(c).cast("double")).alias(f"__{c}_max"),
+        ]
+    bounds = df.agg(*aggs)
+    z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__z", F.expr(zorder_expr(zorder_by, bits))
+    )
+    n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__{c}_min" for c in zorder_by], *[f"__{c}_max" for c in zorder_by])
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -47,3 +47,58 @@ def test_bucketed_join_avoids_shuffle(spark, docs):
     # Equal bucketing on the join key: no Exchange on either side.
     assert f.exchanges == 0, f.text
     assert joined.count() == docs.count()
+
+
+def test_zordered_write_tiles_both_columns(spark, sf_small, tmp_path):
+    """Z-order layout: every output file covers a narrow min/max range
+    on BOTH zorder columns (k-dimensional tiles), where a plain
+    single-column sort leaves the second column's per-file ranges at
+    ~the full domain — the property parquet row-group pruning needs
+    for filters on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.sources.registry import read_source
+    from dbt_bigquery_udf_spark.sources.sinks import write_zordered
+
+    li = read_source(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+
+    def file_ranges(path, col):
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                widths.append(hi - lo)
+        assert len(widths) >= 4, "need multiple files to measure tiling"
+        return sum(widths) / len(widths)
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    # Baseline: range-sort on l_partkey only (the cluster_by layout).
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    g_part = li.agg({"l_partkey": "max"}).collect()[0][0]
+    g_supp = li.agg({"l_suppkey": "max"}).collect()[0][0]
+    # Both dimensions tile under z-order...
+    assert file_ranges(zpath, "l_partkey") < 0.6 * g_part
+    assert file_ranges(zpath, "l_suppkey") < 0.6 * g_supp
+    # ...single-column sort tiles its own column but NOT the other.
+    assert file_ranges(spath, "l_partkey") < 0.3 * g_part
+    assert file_ranges(spath, "l_suppkey") > 0.8 * g_supp
+    # Layout is a pure reordering: same rows.
+    assert spark.read.parquet(zpath).count() == li.count()

@@ -148,6 +148,17 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--env", default=None)
     sw.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    dl = sub.add_parser(
+        "delete-rows",
+        help="GDPR-style targeted deletion: remove rows by key from a "
+        "built model, rewriting only the partitions the keys live in",
+    )
+    dl.add_argument("model")
+    dl.add_argument("keys", nargs="+", help="key values to delete")
+    dl.add_argument("--key-col", default=None, help="defaults to the model's unique_key")
+    dl.add_argument("--env", default=None)
+    dl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -404,6 +415,15 @@ def main(argv: list[str] | None = None) -> int:
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         print(json.dumps(engine.sweep_expired()))
+        return 0
+
+    if args.cmd == "delete-rows":
+        from .api import bootstrap
+
+        engine = bootstrap(spark, args.sf_dir, env=args.env)
+        engine.build(select=[args.model])
+        n = engine.delete_rows(args.model, args.keys, key_col=args.key_col)
+        print(json.dumps({"model": args.model, "rows_deleted": n}))
         return 0
 
     if args.cmd == "run-query":

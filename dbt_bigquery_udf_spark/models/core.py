@@ -122,6 +122,13 @@ class ModelSpec:
     # here a partition-scoped or full rewrite, models/incremental.py).
     incremental_strategy: str = "append"  # | 'insert_overwrite' | 'merge'
     partition_by: tuple[str, ...] = ()
+    # dbt-bigquery's `partitions` config (insert_overwrite only): a
+    # STATIC list of partition values to replace this run. Unlike
+    # dynamic mode (replace whatever partitions the batch produced),
+    # the listed partitions are cleared even if the batch has no rows
+    # for them — the semantics a fixed-date-range backfill needs
+    # ("rebuild the last 3 days" must erase a day that went empty).
+    partitions: tuple[str, ...] = ()
     # dbt's on_schema_change config (incremental runs only):
     # 'ignore' | 'fail' | 'append_new_columns' | 'sync_all_columns'.
     on_schema_change: str = "ignore"
@@ -244,6 +251,11 @@ class ModelSpec:
             if self.incremental_strategy == "microbatch" and not self.event_time:
                 raise EngineError(
                     f"model {self.name}: microbatch requires event_time"
+                )
+            if self.partitions and self.incremental_strategy != "insert_overwrite":
+                raise EngineError(
+                    f"model {self.name}: the static `partitions` config is "
+                    "only valid with insert_overwrite"
                 )
         if (
             self.partition_expiration_days is not None
@@ -693,7 +705,32 @@ class Engine:
                             )
                             batch = batch.join(existing, keys, "left_anti")
                         batch.write.insertInto(target)
-                    else:  # insert_overwrite
+                    elif spec.partitions:
+                        # insert_overwrite with STATIC partitions
+                        # (dbt-bigquery `partitions` config): clear the
+                        # listed partitions unconditionally, then append
+                        # the batch — a listed day with no batch rows
+                        # still empties (dynamic mode would keep it).
+                        pcol = spec.partition_by[0]
+                        for val in spec.partitions:
+                            quoted = str(val).replace("'", "''")
+                            self.spark.sql(
+                                f"ALTER TABLE {target} DROP IF EXISTS "
+                                f"PARTITION ({pcol}='{quoted}')"
+                            )
+                        # Rows outside the declared list never write —
+                        # they would duplicate partitions this run did
+                        # not clear (dbt expects the model body to
+                        # produce only the listed partitions; enforce
+                        # instead of trusting).
+                        from pyspark.sql import functions as _F
+
+                        batch.filter(
+                            _F.col(pcol).cast("string").isin(
+                                [str(v) for v in spec.partitions]
+                            )
+                        ).write.insertInto(target)
+                    else:  # insert_overwrite, dynamic partition mode
                         prev_mode = self.spark.conf.get(
                             "spark.sql.sources.partitionOverwriteMode", "static"
                         )
@@ -1199,6 +1236,7 @@ class Engine:
                 repr(spec.grants),
                 repr(spec.contract_columns),
                 repr(spec.invalidate_hard_deletes),
+                repr(spec.partitions),
                 repr(
                     (
                         spec.hours_to_expiration,

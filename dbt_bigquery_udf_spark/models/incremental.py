@@ -311,10 +311,17 @@ def delete_keys(
     if isinstance(keys, DataFrame):
         kdf = keys.toDF(key_col).distinct()
     else:
+        # Keys arrive as whatever the caller had (CLI args are strings,
+        # programmatic callers pass native values) — stage as strings
+        # and cast to the table column's type so both work.
         ktype = dict(tgt.dtypes)[key_col]
-        kdf = spark.createDataFrame(
-            [(k,) for k in keys], f"{key_col} {ktype}"
-        ).distinct()
+        kdf = (
+            spark.createDataFrame(
+                [(str(k),) for k in keys], f"{key_col} string"
+            )
+            .select(F.col(key_col).cast(ktype).alias(key_col))
+            .distinct()
+        )
     matches = tgt.join(F.broadcast(kdf), key_col, "left_semi")
 
     if not partition_by:

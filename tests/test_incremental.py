@@ -504,3 +504,62 @@ def test_merge_incremental_predicates_bound_join_but_keep_rows(spark, sf_small):
         (3, "c", None),  # NULL predicate: carried, not lost
         (4, "d", "hot"),  # new key inserted
     ]
+
+
+def test_insert_overwrite_static_partitions(spark, sf_small):
+    """dbt-bigquery `partitions` config: the LISTED partitions are
+    replaced even when the batch has no rows for them (dynamic mode
+    would leave an emptied day stale), unlisted partitions untouched,
+    and out-of-list batch rows never write."""
+    import dataclasses
+
+    engine = prepared_engine(spark, sf_small)
+    base_sql = """
+SELECT CAST(event_id AS BIGINT) AS event_id, value,
+       CAST(ts AS DATE) AS day
+FROM {{ source('joshua_dataset', 'events') }}
+"""
+    spec = ModelSpec(
+        name="events_static_ow",
+        kind="incremental",
+        database="datamart",
+        dialect="spark",
+        incremental_strategy="insert_overwrite",
+        partition_by=("day",),
+        sql=base_sql,
+    )
+    _register_and_build(engine, spec)
+    days = [
+        r.day for r in spark.sql(
+            "SELECT DISTINCT day FROM datamart.events_static_ow ORDER BY day"
+        ).collect()
+    ]
+    assert len(days) >= 3
+    d0, d1, d2 = str(days[0]), str(days[1]), str(days[2])
+    before_d0 = spark.table("datamart.events_static_ow").filter(
+        f"day = '{d0}'"
+    ).count()
+
+    # Run 2: declare [d1, d2] static, but produce rows ONLY for d1
+    # (and a decoy row for d0, which must be filtered out).
+    run2 = dataclasses.replace(
+        spec,
+        partitions=(d1, d2),
+        sql=f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(-999.0 AS DOUBLE) AS value,
+       CAST(ts AS DATE) AS day
+FROM {{{{ source('joshua_dataset', 'events') }}}}
+WHERE CAST(ts AS DATE) IN (DATE '{d0}', DATE '{d1}')
+""",
+    )
+    _register_and_build(engine, run2)
+    t = spark.table("datamart.events_static_ow")
+    # d2 was listed and the batch had no rows for it -> emptied.
+    assert t.filter(f"day = '{d2}'").count() == 0
+    # d1 replaced with the sentinel-valued rows only.
+    assert t.filter(f"day = '{d1}' AND value != -999.0").count() == 0
+    assert t.filter(f"day = '{d1}'").count() > 0
+    # d0 untouched: not listed, decoy rows filtered out.
+    assert t.filter(f"day = '{d0}'").count() == before_d0
+    assert t.filter(f"day = '{d0}' AND value = -999.0").count() == 0

@@ -742,3 +742,66 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.crossJoin(F.broadcast(nrm)).select(
         "dim", F.round(F.col("av") / F.col("n"), 6).alias("v1")
     )
+
+
+# -- pure-SQL ML inference (linear probe over embeddings) ------------------
+
+# Deterministic probe weights (no RNG: derived from the dimension
+# index) — stands in for any trained linear classifier's coefficients.
+PROBE_W = [(((i * 37) % 19) - 9) / 10.0 for i in range(64)]
+PROBE_B = 0.1
+
+
+@register(
+    "emb_linear_probe_score",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    w AS (SELECT {str(PROBE_W).replace('[', 'ARRAY[')} AS wv),
+    s AS (
+      SELECT label,
+             1.0 / (1.0 + exp(-(list_dot_product(emb, wv) + {PROBE_B}))) AS p
+      FROM e, w
+    )
+    SELECT label, count(*) AS n,
+           round(avg(p), 4) AS mean_score,
+           count(*) FILTER (WHERE p > 0.5) AS n_positive
+    FROM s GROUP BY label
+    """,
+)
+def emb_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML inference as pure SQL: score every embedding with a linear
+    probe (sigmoid(w . x + b)) and roll up per label — the
+    classifier-scoring pass of a quality/topic/safety filter, with the
+    model's coefficients fused into the plan as literals (the
+    operator-fusion-in-SQL pattern: no Python, no UDF, no batch
+    server — inference rides the scan).
+
+    Shape: the dot product is one fold over the row's own array (a
+    per-ROW higher-order function — the acceptable side of the HOF
+    rule: |rows| evaluations, unlike per-PAIR in joins), the sigmoid is
+    scalar arithmetic, and the rollup is a partial-aggregated groupBy
+    of |labels| cells.
+
+    Scale: scoring 100 TB costs exactly one scan; swapping coefficients
+    is a plan literal change (or a 1-row broadcast for a model registry
+    lookup). For k probes at once, emit k fused score columns — still
+    one scan, the batching trick model servers cannot match on cold
+    data.
+    """
+    e = _emb(spark, sf_dir)
+    wvec = F.array(*[F.lit(x) for x in PROBE_W])
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), wvec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(PROBE_B))))
+    return (
+        e.select("label", p.alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_score"),
+            F.count_if(F.col("p") > 0.5).alias("n_positive"),
+        )
+    )

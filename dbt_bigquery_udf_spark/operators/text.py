@@ -606,3 +606,72 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+@register(
+    "text_chunk_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ), o AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, greatest(len(words) - 1, 0),
+                                    {CHUNK_STRIDE})) AS off
+      FROM w
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
+               AS chunk_hash
+      FROM o
+    )
+    SELECT chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM c
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: token-window chunks appearing in two
+    or more DISTINCT documents — the boilerplate / shared-template
+    detector (headers, licenses, navigation text) that document-level
+    dedup cannot see (Lee et al. 2022's core observation: most
+    duplication in web corpora is substring-level).
+
+    Shape: the chunking explode composes directly with one groupBy on
+    the chunk fingerprint — hash + counts shuffle, never chunk text
+    (the same fixed-width discipline as text_chunk_windows). The
+    HAVING prunes the unique-chunk tail (the vast majority) before
+    anything returns.
+
+    Scale: shuffle volume is one (16-byte hash, doc_id) pair per chunk
+    = total_tokens/stride rows; flagged chunks join back to
+    (doc_id, chunk_idx) for surgical removal, leaving the rest of each
+    document in the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.split(F.trim("text"), " ").alias("words"))
+    o = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(size(words) - 1, 0), {CHUNK_STRIDE})"
+            )
+        ).alias("off"),
+    )
+    c = o.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.expr(f"slice(words, off + 1, {CHUNK_TOKENS})"))
+        ).alias("chunk_hash"),
+    )
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

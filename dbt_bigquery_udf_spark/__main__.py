@@ -398,12 +398,16 @@ def main(argv: list[str] | None = None) -> int:
             args.warn_after_hours,
             args.error_after_hours,
         )
+        import math
+
         print(
             json.dumps(
                 {
                     "relation": res.relation,
-                    "max_loaded_at": str(res.max_ts),
-                    "age_hours": res.age_hours,
+                    # Empty source: max_ts None / age inf — emit null,
+                    # not the non-JSON token `Infinity`.
+                    "max_loaded_at": None if res.max_ts is None else str(res.max_ts),
+                    "age_hours": res.age_hours if math.isfinite(res.age_hours) else None,
                     "status": res.status,
                 }
             )
@@ -421,7 +425,21 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        engine.build(select=[args.model])
+        # Deletion must NEVER trigger a build: re-running an incremental
+        # batch as a side effect of an erasure request mutates the table
+        # beyond the deletion (and re-runs the pipeline at full scale).
+        spec = engine.models.get(args.model)
+        if spec is None:
+            print(f"unknown model {args.model!r}", file=sys.stderr)
+            return 2
+        target = f"{engine.database_for(spec)}.{spec.name}"
+        if not spark.catalog.tableExists(target):
+            print(
+                f"{target} is not built — run `build --select {args.model}` "
+                "first; delete-rows never builds",
+                file=sys.stderr,
+            )
+            return 2
         n = engine.delete_rows(args.model, args.keys, key_col=args.key_col)
         print(json.dumps({"model": args.model, "rows_deleted": n}))
         return 0

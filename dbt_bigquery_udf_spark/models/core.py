@@ -722,14 +722,26 @@ class Engine:
                         # they would duplicate partitions this run did
                         # not clear (dbt expects the model body to
                         # produce only the listed partitions; enforce
-                        # instead of trusting).
+                        # instead of trusting). Values compare after an
+                        # ENGINE-side cast to the partition column's
+                        # type — the same coercion DROP PARTITION's
+                        # literal got, so '2025-1-3' means the same
+                        # day in both places.
+                        from functools import reduce
+
                         from pyspark.sql import functions as _F
 
-                        batch.filter(
-                            _F.col(pcol).cast("string").isin(
-                                [str(v) for v in spec.partitions]
-                            )
-                        ).write.insertInto(target)
+                        ptype = dict(batch.dtypes)[pcol]
+                        match = reduce(
+                            lambda a, b: a | b,
+                            [
+                                _F.col(pcol).eqNullSafe(
+                                    _F.lit(str(v)).cast(ptype)
+                                )
+                                for v in spec.partitions
+                            ],
+                        )
+                        batch.filter(match).write.insertInto(target)
                     else:  # insert_overwrite, dynamic partition mode
                         prev_mode = self.spark.conf.get(
                             "spark.sql.sources.partitionOverwriteMode", "static"

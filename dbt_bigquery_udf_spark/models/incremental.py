@@ -313,15 +313,27 @@ def delete_keys(
     else:
         # Keys arrive as whatever the caller had (CLI args are strings,
         # programmatic callers pass native values) — stage as strings
-        # and cast to the table column's type so both work.
+        # and cast to the table column's type so both work. A key that
+        # does not survive the cast must RAISE: an erasure request that
+        # silently matches nothing reports success on a no-op.
         ktype = dict(tgt.dtypes)[key_col]
+        staged = [str(k) for k in keys if k is not None]
         kdf = (
-            spark.createDataFrame(
-                [(str(k),) for k in keys], f"{key_col} string"
+            spark.createDataFrame([(k,) for k in staged], f"{key_col} string")
+            .select(
+                # try_cast, not cast: under ANSI a malformed key would
+                # raise a raw CAST_INVALID_INPUT mid-job; the explicit
+                # null-check below turns it into the engine's own error.
+                F.expr(f"try_cast({key_col} AS {ktype})").alias(key_col)
             )
-            .select(F.col(key_col).cast(ktype).alias(key_col))
             .distinct()
         )
+        n_bad = kdf.filter(F.col(key_col).isNull()).count()
+        if n_bad:
+            raise EngineError(
+                f"delete_keys: {n_bad} key(s) not castable to {key_col} "
+                f"({ktype}) — refusing a deletion that cannot match"
+            )
     matches = tgt.join(F.broadcast(kdf), key_col, "left_semi")
 
     if not partition_by:

@@ -548,10 +548,11 @@ def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64  # window size in whitespace tokens
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
-
-@register(
-    "text_chunk_windows",
-    f"""
+# One chunking definition, shared by both operators (Spark side below,
+# oracle CTEs here): a tokenizer/stride/tail-policy change edits ONE
+# place, so text_chunk_windows' chunk ids and text_chunk_dedup's
+# flagged hashes can never diverge.
+_DUCK_CHUNKS = f"""
     WITH w AS (
       SELECT doc_id, string_split(trim(text), ' ') AS words
       FROM documents
@@ -560,34 +561,20 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
              unnest(generate_series(0, greatest(len(words) - 1, 0),
                                     {CHUNK_STRIDE})) AS off
       FROM w
+    ), chunks AS (
+      SELECT doc_id,
+             off / {CHUNK_STRIDE} AS chunk_idx,
+             len(words[off + 1 : off + {CHUNK_TOKENS}]) AS n_tokens,
+             md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
+               AS chunk_hash
+      FROM o
     )
-    SELECT doc_id,
-           off / {CHUNK_STRIDE} AS chunk_idx,
-           len(words[off + 1 : off + {CHUNK_TOKENS}]) AS n_tokens,
-           md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
-             AS chunk_hash
-    FROM o
-    """,
-)
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking: every document becomes
-    ceil(len/stride) chunks of up to CHUNK_TOKENS whitespace tokens
-    with CHUNK_TOKENS-CHUNK_STRIDE tokens of overlap — the preparation
-    step for RAG indexing and fixed-window pretraining, with md5 chunk
-    fingerprints for downstream chunk-level dedup.
+"""
 
-    Shape: per-row split -> sequence(0, n-1, stride) -> explode ->
-    slice + concat_ws, all inside whole-stage codegen; zero shuffles
-    (the chunk relation inherits the scan's partitioning). The chunk
-    *hash* is emitted rather than the chunk text so the operator's
-    output stays fixed-width — the downstream joiner (dedup, index
-    build) decides whether to re-materialize text.
 
-    Scale: output rows = total_tokens/stride; the operator is
-    scan-bandwidth-bound with no aggregate state. Pairing it with
-    dedup_exact's groupBy on chunk_hash gives chunk-level exact dedup
-    at the same single-shuffle cost.
-    """
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_hash), one row per
+    token-window chunk — the Spark twin of ``_DUCK_CHUNKS``."""
     d = _docs(spark, sf_dir)
     w = d.select("doc_id", F.split(F.trim("text"), " ").alias("words"))
     o = w.select(
@@ -609,25 +596,39 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    _DUCK_CHUNKS + "SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM chunks",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: every document becomes
+    ceil(len/stride) chunks of up to CHUNK_TOKENS whitespace tokens
+    with CHUNK_TOKENS-CHUNK_STRIDE tokens of overlap — the preparation
+    step for RAG indexing and fixed-window pretraining, with md5 chunk
+    fingerprints for downstream chunk-level dedup.
+
+    Shape: per-row split -> sequence(0, n-1, stride) -> explode ->
+    slice + concat_ws, all inside whole-stage codegen; zero shuffles
+    (the chunk relation inherits the scan's partitioning). The chunk
+    *hash* is emitted rather than the chunk text so the operator's
+    output stays fixed-width — the downstream joiner (dedup, index
+    build) decides whether to re-materialize text.
+
+    Scale: output rows = total_tokens/stride; the operator is
+    scan-bandwidth-bound with no aggregate state. Pairing it with
+    dedup_exact's groupBy on chunk_hash gives chunk-level exact dedup
+    at the same single-shuffle cost.
+    """
+    return _chunk_frame(spark, sf_dir)
+
+
+@register(
     "text_chunk_dedup",
-    f"""
-    WITH w AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
-    ), o AS (
-      SELECT doc_id, words,
-             unnest(generate_series(0, greatest(len(words) - 1, 0),
-                                    {CHUNK_STRIDE})) AS off
-      FROM w
-    ), c AS (
-      SELECT doc_id,
-             md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
-               AS chunk_hash
-      FROM o
-    )
+    _DUCK_CHUNKS
+    + """
     SELECT chunk_hash,
            count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_occurrences
-    FROM c
+    FROM chunks
     GROUP BY chunk_hash
     HAVING count(DISTINCT doc_id) >= 2
     """,
@@ -639,36 +640,20 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup cannot see (Lee et al. 2022's core observation: most
     duplication in web corpora is substring-level).
 
-    Shape: the chunking explode composes directly with one groupBy on
-    the chunk fingerprint — hash + counts shuffle, never chunk text
-    (the same fixed-width discipline as text_chunk_windows). The
-    HAVING prunes the unique-chunk tail (the vast majority) before
-    anything returns.
+    Shape: the shared chunking frame (``_chunk_frame`` — identical
+    definition to text_chunk_windows by construction) composes with
+    one groupBy on the chunk fingerprint — hash + counts shuffle,
+    never chunk text. The HAVING prunes the unique-chunk tail (the
+    vast majority) before anything returns.
 
     Scale: shuffle volume is one (16-byte hash, doc_id) pair per chunk
     = total_tokens/stride rows; flagged chunks join back to
     (doc_id, chunk_idx) for surgical removal, leaving the rest of each
     document in the corpus.
     """
-    d = _docs(spark, sf_dir)
-    w = d.select("doc_id", F.split(F.trim("text"), " ").alias("words"))
-    o = w.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.expr(
-                f"sequence(0, greatest(size(words) - 1, 0), {CHUNK_STRIDE})"
-            )
-        ).alias("off"),
-    )
-    c = o.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.expr(f"slice(words, off + 1, {CHUNK_TOKENS})"))
-        ).alias("chunk_hash"),
-    )
     return (
-        c.groupBy("chunk_hash")
+        _chunk_frame(spark, sf_dir)
+        .groupBy("chunk_hash")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -76,8 +76,15 @@ def zorder_expr(cols: list[str], bits: int = 12) -> str:
     (expects ``__{col}_min`` / ``__{col}_max`` companion columns, see
     :func:`write_zordered`), then bit i of column j lands at position
     i * n_cols + j. Pure integer arithmetic — whole-stage codegen, no
-    UDF."""
+    UDF. ``len(cols) * bits`` must fit a BIGINT's 63 value bits:
+    shiftleft wraps its shift count mod 64, so overflowing positions
+    would silently alias onto low bits and corrupt the sort key."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_expr: {n} columns x {bits} bits = {n * bits} bit "
+            "positions > 63 (BIGINT); lower bits or drop columns"
+        )
     scaled = [
         (
             f"CAST(round(({c} - __{c}_min) * {(1 << bits) - 1} / "
@@ -114,10 +121,13 @@ def write_zordered(
 
     Cost: one 2-row stats pass (min/max per column, broadcast), then
     the same repartitionByRange + in-partition sort any clustered write
-    pays. The Morton value is throwaway — not written.
+    pays. The Morton value is throwaway — not written. ``bits`` is
+    clamped so all columns fit a BIGINT (63 // k bits each at k
+    columns — granularity shrinks, correctness holds).
     """
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // max(len(zorder_by), 1))
     aggs = []
     for c in zorder_by:
         aggs += [

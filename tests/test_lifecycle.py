@@ -164,3 +164,17 @@ def test_delete_rows_unpartitioned_swap(spark, sf_small):
     _build(engine, spec)
     assert engine.delete_rows("del2_tbl", [1, 3, 42]) == 2
     assert [r.k for r in spark.table("datamart.del2_tbl").collect()] == [2]
+
+
+def test_delete_rows_uncastable_key_raises(spark, sf_small):
+    """An erasure key that cannot cast to the key column's type must
+    raise — a deletion that silently matches nothing would report
+    success on a no-op (GDPR compliance failure)."""
+    import pytest
+
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    engine = prepared_engine(spark, sf_small)
+    with pytest.raises(EngineError, match="not castable"):
+        engine.delete_rows("test_datamart", ["not-a-number"], key_col="column1")

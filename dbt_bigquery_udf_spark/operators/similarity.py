@@ -682,6 +682,105 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- two-stage retrieval: cheap shortlist -> exact re-rank -----------------
+
+RERANK_DIMS = 16  # stage-1 score uses only the first 16 of 64 dims
+RERANK_SHORTLIST = 50
+
+
+@register(
+    "sim_ivf_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (
+      SELECT label, pos, round(avg(v), 6) AS av FROM (
+        SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+      ) GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(av ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    best AS (
+      SELECT carr.label FROM carr, q
+      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
+      LIMIT {IVF_NPROBE}
+    ),
+    shortlist AS (
+      SELECT e.vec_id, e.emb,
+             list_cosine_similarity(e.emb[1:{RERANK_DIMS}],
+                                    q.qv[1:{RERANK_DIMS}]) AS approx
+      FROM e, q
+      WHERE e.label IN (SELECT label FROM best)
+        AND e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY approx DESC, e.vec_id
+      LIMIT {RERANK_SHORTLIST}
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.emb, q.qv), 4) AS cosine
+    FROM shortlist s, q
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving architecture:
+    IVF probing bounds the SCAN (nprobe lists), a cheap
+    first-{RERANK_DIMS}-dims score bounds the COMPUTE (shortlist of
+    {RERANK_SHORTLIST}), and exact cosine runs only on the shortlist.
+    The two dials are independent: nprobe trades recall against bytes
+    read, shortlist size against full-precision math — exactly how
+    FAISS-style IVF-PQ systems split the budget (the truncated-dims
+    score stands in for the PQ/int8 approximate distance; swap in the
+    emb_quantize_int8 codes for the real thing).
+
+    Shape: stage 1 is a filtered scan + TakeOrdered of
+    {RERANK_SHORTLIST} rows carrying their vectors; stage 2 re-scores
+    those rows driver-free in the same plan (no second scan — the
+    shortlist flows, never re-fetches). Both tie-breaks are on vec_id
+    so the result is engine-deterministic.
+    """
+    e = _emb(spark, sf_dir)
+    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
+        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = [
+        int(r["label"])
+        for r in carr.withColumn("qv", q_lit)
+        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(IVF_NPROBE)
+        .collect()
+    ]
+    shortlist = (
+        e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("qv", q_lit)
+        .withColumn("emb16", F.expr(f"slice(emb, 1, {RERANK_DIMS})"))
+        .withColumn("qv16", F.expr(f"slice(qv, 1, {RERANK_DIMS})"))
+        .select(
+            "vec_id",
+            "emb",
+            "qv",
+            F.expr(_cosine_expr("emb16", "qv16")).alias("approx"),
+        )
+        .orderBy(F.col("approx").desc(), "vec_id")
+        .limit(RERANK_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 # -- PCA (one power-iteration step, the embedding-reduction inner loop) ----
 
 PCA_DIMS = 64

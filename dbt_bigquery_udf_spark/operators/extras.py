@@ -1304,3 +1304,62 @@ def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# -- RFM segmentation (recency / frequency / monetary) ---------------------
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile-score every customer on recency
+    (last order date), frequency (order count), and monetary (total
+    spend), then count the population of each (R, F, M) cell — the
+    classic churn/VIP segmentation grid.
+
+    Determinism note: ntile over a metric with ties is
+    order-dependent, so every window's ORDER BY carries o_custkey as
+    the tiebreak — both engines then assign identical quintiles.
+
+    Scale: orders reduce to |customers| rows in one partial-aggregated
+    pass; the three ntile windows are unpartitioned (global quantile
+    ranks) over that reduced relation — at billions of customers swap
+    ntile for a two-pass percentile-boundary join (approx_percentile
+    the boundaries, then a scan-side CASE), which removes the global
+    sort entirely. The cell rollup is |5^3| rows.
+    """
+    o = _src(spark, sf_dir)["orders"]
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -112,6 +112,13 @@ CASES = [
     ("ARRAY_REVERSE(array(1, 2, 3))", [3, 2, 1]),
     ("STARTS_WITH('spark', 'sp')", True),
     ("ENDS_WITH('spark', 'ark')", True),
+    # Same-name same-semantics string functions: pin the pass-through.
+    ("LEFT('engine', 3)", "eng"),
+    ("RIGHT('engine', 3)", "ine"),
+    ("REPEAT('ab', 3)", "ababab"),
+    ("INITCAP('hello world')", "Hello World"),
+    ("TRANSLATE('abcd', 'bd', 'xy')", "axcy"),
+    ("SOUNDEX('Robert')", "R163"),
     # STRING_AGG / ARRAY_AGG over the implicit one-row relation
     ("STRING_AGG('a')", "a"),
     ("STRING_AGG('a', '|')", "a"),

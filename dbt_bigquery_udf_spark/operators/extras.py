@@ -1363,3 +1363,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# -- correlated LATERAL subquery join --------------------------------------
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_custkey <= 200
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: each customer's top-3 orders
+    by value, stated as a per-row subquery with ORDER BY + LIMIT — the
+    SQL shape ORMs and migrated Postgres/BQ workloads produce (the
+    window-rank formulation of the same question is
+    window_top_parts_per_brand).
+
+    Catalyst decorrelates the lateral into a join + per-key rank — no
+    per-customer re-execution survives into the physical plan, which
+    is the entire point: the nested-loop the syntax implies would be
+    |customers| separate order scans at 100 TB; the decorrelated plan
+    is one shuffle each side. Through the SQL front door so the
+    DecorrelateLateralSubquery path itself is what's under test.
+    """
+    _src(spark, sf_dir)  # registers temp views: customer, orders
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey <= 200
+        """
+    )

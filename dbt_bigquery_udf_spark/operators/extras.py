@@ -1404,3 +1404,74 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+# -- exponentially weighted moving average (time-series smoothing) ---------
+
+EWMA_ALPHA = 0.2  # weight on the most recent observation
+EWMA_WINDOW = 30  # trailing days in the (truncated) weight sum
+
+
+@register(
+    "timeseries_ewma",
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_orderdate
+    ), arr AS (
+      SELECT day, revenue,
+             list(revenue) OVER (ORDER BY day
+                                 ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                                 AND CURRENT ROW) AS win
+      FROM daily
+    )
+    SELECT day, revenue,
+           round(
+             list_sum([win[i] * pow(1 - {EWMA_ALPHA}, len(win) - i)
+                       for i in generate_series(1, len(win))])
+             / list_sum([pow(1 - {EWMA_ALPHA}, len(win) - i) + 0.0
+                         for i in generate_series(1, len(win))]),
+             4) AS ewma
+    FROM arr
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue
+    (alpha={EWMA_ALPHA}, truncated at {EWMA_WINDOW} trailing days) —
+    the smoothing curve behind alerting baselines and trend charts,
+    where a plain moving average lags regime changes.
+
+    EWMA's textbook form is a recursion (s_t = a*x_t + (1-a)*s_t-1),
+    which SQL windows cannot express; the truncated-weight identity
+    (weights (1-a)^lag over a bounded window, renormalized) is exact
+    for the truncated series and fully declarative: collect the
+    trailing window into an array, fold weights over it per row.
+
+    Scale: the full-data pass is the daily group-by reduction; the
+    window + per-row fold run over |days| rows with <= {EWMA_WINDOW}
+    elements each — the same reduce-before-window discipline as
+    anomaly_zscore_daily (the per-row HOF is over a bounded array on
+    a bounded relation, not data-sized).
+    """
+    o = _src(spark, sf_dir)["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(-(EWMA_WINDOW - 1), 0)
+    arr = daily.select(
+        "day", "revenue", F.collect_list("revenue").over(w).alias("win")
+    )
+    decay = 1.0 - EWMA_ALPHA
+    num = F.expr(
+        "aggregate(zip_with(win, sequence(1, size(win)), "
+        f"(x, i) -> x * pow({decay}, size(win) - i)), "
+        "cast(0 as double), (s, x) -> s + x)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(1, size(win)), "
+        f"i -> pow({decay}, size(win) - i)), "
+        "cast(0 as double), (s, x) -> s + x)"
+    )
+    return arr.select(
+        "day", "revenue", F.round(num / den, 4).alias("ewma")
+    )

@@ -1368,17 +1368,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- correlated LATERAL subquery join --------------------------------------
 
 
-@register(
-    "lateral_top_orders",
-    """
+# One SQL text, both engines: Spark and DuckDB accept the identical
+# LATERAL statement, so the query body IS the oracle (no drift risk).
+_LATERAL_SQL = """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
     FROM customer c,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              WHERE o.o_custkey = c.c_custkey
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
     WHERE c.c_custkey <= 200
-    """,
-)
+"""
+
+
+@register("lateral_top_orders", _LATERAL_SQL)
 def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery join: each customer's top-3 orders
     by value, stated as a per-row subquery with ORDER BY + LIMIT — the
@@ -1394,22 +1396,22 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     DecorrelateLateralSubquery path itself is what's under test.
     """
     _src(spark, sf_dir)  # registers temp views: customer, orders
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM customer c,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
-                 WHERE o.o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
-        WHERE c.c_custkey <= 200
-        """
-    )
+    return spark.sql(_LATERAL_SQL)
 
 
 # -- exponentially weighted moving average (time-series smoothing) ---------
 
 EWMA_ALPHA = 0.2  # weight on the most recent observation
 EWMA_WINDOW = 30  # trailing days in the (truncated) weight sum
+
+# Decay weights precomputed ONCE in Python and inlined as literals into
+# BOTH engines' expressions: JVM Math.pow and DuckDB/glibc pow are
+# bitwise-divergent for pow(0.8, k) at several k (verified on this
+# machine), so letting each engine exponentiate would make the two
+# sides compute genuinely different weight vectors — a half-boundary
+# rounding flake waiting for the right dataset. W[j] = decay^j (lag j).
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_WINDOW)]
+_EWMA_W_SQL = ", ".join(repr(w) for w in _EWMA_W)
 
 
 @register(
@@ -1424,15 +1426,15 @@ EWMA_WINDOW = 30  # trailing days in the (truncated) weight sum
                                  ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
                                  AND CURRENT ROW) AS win
       FROM daily
-    )
+    ), wlit AS (SELECT [{_EWMA_W_SQL}] AS wv)
     SELECT day, revenue,
            round(
-             list_sum([win[i] * pow(1 - {EWMA_ALPHA}, len(win) - i)
+             list_sum([win[i] * wv[len(win) - i + 1]
                        for i in generate_series(1, len(win))])
-             / list_sum([pow(1 - {EWMA_ALPHA}, len(win) - i) + 0.0
+             / list_sum([wv[len(win) - i + 1] + 0.0
                          for i in generate_series(1, len(win))]),
              4) AS ewma
-    FROM arr
+    FROM arr, wlit
     """,
 )
 def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,15 +1463,15 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = daily.select(
         "day", "revenue", F.collect_list("revenue").over(w).alias("win")
     )
-    decay = 1.0 - EWMA_ALPHA
+    wv = "array(" + _EWMA_W_SQL + ")"
     num = F.expr(
         "aggregate(zip_with(win, sequence(1, size(win)), "
-        f"(x, i) -> x * pow({decay}, size(win) - i)), "
+        f"(x, i) -> x * element_at({wv}, size(win) - i + 1)), "
         "cast(0 as double), (s, x) -> s + x)"
     )
     den = F.expr(
         "aggregate(transform(sequence(1, size(win)), "
-        f"i -> pow({decay}, size(win) - i)), "
+        f"i -> element_at({wv}, size(win) - i + 1)), "
         "cast(0 as double), (s, x) -> s + x)"
     )
     return arr.select(

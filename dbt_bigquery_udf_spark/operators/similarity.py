@@ -615,11 +615,9 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NPROBE = 3
 
-
-@register(
-    "sim_ivf_multiprobe",
-    f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+# Shared oracle prefix: IVF centroid build + nprobe probe selection --
+# the DuckDB twin of _ivf_probe_lists, defined once for both IVF oracles.
+_DUCK_IVF_PROBES = f"""\n    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
     cent AS (
       SELECT label, pos, round(avg(v), 6) AS av FROM (
         SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
@@ -633,7 +631,40 @@ IVF_NPROBE = 3
       SELECT carr.label FROM carr, q
       ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
       LIMIT {IVF_NPROBE}
+    )"""
+
+
+
+
+def _ivf_probe_lists(e: DataFrame):
+    """Shared IVF stage: per-label centroids (posexplode build), query
+    vector as a plan literal, and the nprobe nearest list ids — used by
+    both sim_ivf_multiprobe and sim_ivf_rerank so the probe-selection
+    semantics (centroid rounding, csim tie-break) live in ONE place.
+    Returns (q_lit, probes)."""
+    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
+        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
     )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = [
+        int(r["label"])
+        for r in carr.withColumn("qv", q_lit)
+        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(IVF_NPROBE)
+        .collect()
+    ]
+    return q_lit, probes
+
+
+@register(
+    "sim_ivf_multiprobe",
+    _DUCK_IVF_PROBES + f"""
     SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
     FROM e, q
     WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> {QUERY_VEC_ID}
@@ -653,23 +684,7 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies (near-random vectors -> recall tracks fraction scanned).
     """
     e = _emb(spark, sf_dir)
-    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
-    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
-    carr = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
-        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
-    )
-    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
-    q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    probes = [
-        int(r["label"])
-        for r in carr.withColumn("qv", q_lit)
-        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), "label")
-        .limit(IVF_NPROBE)
-        .collect()
-    ]
+    q_lit, probes = _ivf_probe_lists(e)
     return (
         e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
         .withColumn("qv", q_lit)
@@ -690,22 +705,7 @@ RERANK_SHORTLIST = 50
 
 @register(
     "sim_ivf_rerank",
-    f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-    cent AS (
-      SELECT label, pos, round(avg(v), 6) AS av FROM (
-        SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
-      ) GROUP BY label, pos
-    ),
-    carr AS (
-      SELECT label, list(av ORDER BY pos) AS cvec FROM cent GROUP BY label
-    ),
-    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
-    best AS (
-      SELECT carr.label FROM carr, q
-      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
-      LIMIT {IVF_NPROBE}
-    ),
+    _DUCK_IVF_PROBES + f""",
     shortlist AS (
       SELECT e.vec_id, e.emb,
              list_cosine_similarity(e.emb[1:{RERANK_DIMS}],
@@ -740,39 +740,26 @@ def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result is engine-deterministic.
     """
     e = _emb(spark, sf_dir)
-    pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
-    cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
-    carr = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pa"))
-        .select("label", F.expr("transform(pa, x -> x.av)").alias("cvec"))
-    )
-    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
-    q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    probes = [
-        int(r["label"])
-        for r in carr.withColumn("qv", q_lit)
-        .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), "label")
-        .limit(IVF_NPROBE)
-        .collect()
-    ]
+    q_lit, probes = _ivf_probe_lists(e)
+    # Stage 1 carries only (vec_id, emb, approx) through the TakeOrdered
+    # heap — the query vector is a plan constant, its sliced prefix
+    # folds into the approx expression, and the full literal attaches
+    # AFTER the shortlist limit, where stage 2 (its only consumer) runs.
     shortlist = (
         e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
-        .withColumn("qv", q_lit)
         .withColumn("emb16", F.expr(f"slice(emb, 1, {RERANK_DIMS})"))
-        .withColumn("qv16", F.expr(f"slice(qv, 1, {RERANK_DIMS})"))
+        .withColumn("qv16", F.slice(q_lit, 1, RERANK_DIMS))
         .select(
             "vec_id",
             "emb",
-            "qv",
             F.expr(_cosine_expr("emb16", "qv16")).alias("approx"),
         )
         .orderBy(F.col("approx").desc(), "vec_id")
         .limit(RERANK_SHORTLIST)
     )
     return (
-        shortlist.select(
+        shortlist.withColumn("qv", q_lit)
+        .select(
             "vec_id",
             F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
         )

@@ -102,3 +102,16 @@ def test_zordered_write_tiles_both_columns(spark, sf_small, tmp_path):
     assert file_ranges(spath, "l_suppkey") > 0.8 * g_supp
     # Layout is a pure reordering: same rows.
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_expr_bit_bounds():
+    """shiftleft wraps shift counts mod 64, so the expression builder
+    must refuse layouts whose interleave exceeds BIGINT's 63 value
+    bits (write_zordered clamps instead)."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.sources.sinks import zorder_expr
+
+    assert "shiftleft" in zorder_expr(["a", "b"], bits=12)
+    with _pytest.raises(ValueError, match="> 63"):
+        zorder_expr(["a", "b", "c", "d", "e", "f"], bits=12)

@@ -121,6 +121,18 @@ def main(argv: list[str] | None = None) -> int:
     q_.add_argument("--limit", type=int, default=20)
     q_.add_argument("--show-sql", action="store_true", help="print the transpiled SQL")
 
+    sh = sub.add_parser(
+        "show",
+        help="run a model's compiled SQL inline and print the first rows "
+        "without materializing (dbt show analogue; upstream relations "
+        "must already be built)",
+    )
+    sh.add_argument("model")
+    sh.add_argument("--limit", type=int, default=5)
+    sh.add_argument("--env", default=None)
+    sh.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sh.add_argument("--vars", default=None)
+
     u = sub.add_parser(
         "unit-test",
         help="run dbt-style unit tests (given/expect fixtures) for the "
@@ -361,6 +373,38 @@ def main(argv: list[str] | None = None) -> int:
             engine.enforce_partition_filters(df)
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "show":
+        from .api import bootstrap
+        from .catalog import env_database
+
+        engine = bootstrap(
+            spark,
+            args.sf_dir,
+            env=args.env,
+            vars=json.loads(args.vars) if args.vars else None,
+        )
+        spec = engine.models.get(args.model)
+        if spec is None:
+            print(f"unknown model {args.model!r}", file=sys.stderr)
+            return 2
+        if spec.kind in ("function", "table_function", "seed", "python"):
+            print(
+                f"show supports SQL relation kinds; {args.model} is {spec.kind}",
+                file=sys.stderr,
+            )
+            return 2
+        body = engine.render(spec)
+        # TVF calls resolve unqualified: route through the udf database
+        # like the materializer does.
+        call_db = engine._tvf_call_database(spec)
+        if call_db:
+            spark.sql(f"USE {call_db}")
+        else:
+            spark.sql(f"USE {env_database('udf', args.env)}")
+        for row in spark.sql(f"SELECT * FROM ({body}) LIMIT {args.limit}").collect():
+            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
         return 0
 
     if args.cmd == "unit-test":

@@ -878,3 +878,23 @@ def test_tag_plus_selector(spark, sf_small):
         engine.register(spec, replace=True)
     g = engine._subgraph(["tag:udf+"])
     assert {"parse_datetime", "test_table_function", "test_datamart"} <= set(g)
+
+
+def test_cli_show(spark, sf_small, capsys):
+    """`show` runs a model's compiled SQL inline without materializing
+    (dbt show): rows print, nothing new lands in the catalog."""
+    import json as _json
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    build_reference_dag(spark, sf_small)  # upstream relations exist
+    rc = main(["show", "test_datamart", "--limit", "3", "--sf-dir", sf_small])
+    assert rc == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(rows) == 3 and "column1" in rows[0]
+    # Unsupported kinds are a clear error, not a crash.
+    assert main(["show", "parse_datetime", "--sf-dir", sf_small]) == 2

@@ -898,3 +898,38 @@ def test_cli_show(spark, sf_small, capsys):
     assert len(rows) == 3 and "column1" in rows[0]
     # Unsupported kinds are a clear error, not a crash.
     assert main(["show", "parse_datetime", "--sf-dir", sf_small]) == 2
+
+
+def test_multi_param_tvf(spark, sf_small):
+    """F2/F4 beyond the reference's single-param TVF: two typed
+    parameters (STRING + INT64), schema inferred by binding both to
+    typed NULLs, invoked with two literals from a downstream table."""
+    engine = bootstrap(spark, sf_small)
+    engine.register(
+        ModelSpec(
+            name="top_events_by_type",
+            kind="table_function",
+            database="udf",
+            dialect="spark",
+            params=("kind_param STRING", "min_value INT64"),
+            sql="""
+                SELECT event_id, value
+                FROM {{ source('joshua_dataset', 'events') }}
+                WHERE event_type = kind_param AND value >= min_value
+            """,
+        ),
+        ModelSpec(
+            name="big_clicks",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT * FROM {{ ref('top_events_by_type') }}('click', 50)",
+        ),
+    )
+    engine.build(select=["big_clicks"])
+    got = spark.table("datamart.big_clicks")
+    expected = spark.sql(
+        "SELECT count(*) FROM src.events WHERE event_type = 'click' AND value >= 50"
+    ).collect()[0][0]
+    assert got.count() == expected
+    assert dict(got.dtypes) == {"event_id": "bigint", "value": "double"}

@@ -165,3 +165,51 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
+
+
+# One SQL text, both engines: Spark 4's WITH RECURSIVE and DuckDB's
+# accept the identical statement, so the query body IS the oracle.
+_REACHABILITY_SQL = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), e AS (
+      SELECT DISTINCT prev_type AS src, event_type AS dst
+      FROM seq WHERE prev_type IS NOT NULL
+    ), reach(node, hops) AS (
+      SELECT CAST('signup' AS STRING), 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.hops < 4
+    )
+    SELECT node, min(hops) AS min_hops
+    FROM reach GROUP BY node
+"""
+
+
+@register("graph_reachable_types", _REACHABILITY_SQL)
+def graph_reachable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reachability via Spark 4's ``WITH RECURSIVE``: which
+    event types are reachable from 'signup' through observed
+    transitions, and in how few hops — BFS stated declaratively, where
+    dedup_components hand-rolls the same fixpoint as a driver-side
+    join loop (both shapes belong in the inventory: the CTE is
+    terser; the explicit loop controls persistence and convergence).
+
+    Termination on a CYCLIC transition graph comes from the hop bound
+    (hops < 4): UNION ALL recursion re-visits nodes per path, so the
+    bound caps work at O(|types|^hops) path rows — fine for a small
+    node set. At scale (or unbounded depth) switch to the label-
+    propagation loop, whose per-round state is O(|nodes|), never
+    O(|paths|): recursive CTEs do not subsume iterative graph
+    algorithms, they sugar the small-graph cases.
+
+    Each recursion step is one join against the (reduced, distinct)
+    edge relation — the full-data window pass runs once inside the
+    seq/e derivation exactly as in graph_event_transitions.
+    """
+    _src(spark, sf_dir)  # temp views: events
+    return spark.sql(_REACHABILITY_SQL)

@@ -674,3 +674,73 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id"
     )
+
+
+# -- n-gram novelty (memorization / duplication risk scoring) --------------
+
+
+@register(
+    "text_novelty_ratio",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+            FROM documents)
+    ), g AS (
+      SELECT doc_id, unnest(sh) AS s FROM base
+    ), freq AS (
+      SELECT s, count(*) AS corpus_n FROM g GROUP BY s
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE freq.corpus_n = 1) AS n_unique,
+           round(count(*) FILTER (WHERE freq.corpus_n = 1)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM g JOIN freq USING (s)
+    GROUP BY g.doc_id
+    """,
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's distinct word
+    3-grams that appear NOWHERE else in the corpus — low novelty marks
+    boilerplate-heavy or near-duplicated documents that inflate
+    memorization risk; the score complements pair-level dedup (a doc
+    can evade every pairwise threshold yet be 90% recycled fragments).
+
+    Shape: one shingle explode feeds BOTH sides — the corpus-frequency
+    aggregate and the per-doc join-back; grams travel as the shared
+    shingle text (hash them for the production corpus: the
+    minhash pipeline's md5-int trick applies unchanged). Two shuffles
+    on the gram key plus one per-doc aggregate.
+
+    Scale: corpus frequency is a partial-aggregated groupBy (gram
+    cardinality-bound, not corpus-bound); the join back is equi on the
+    gram. At trillion-gram scale, count-min sketch the frequencies and
+    broadcast the sketch — same score, one shuffle fewer; exact kept
+    here for the oracle.
+    """
+    d = ensure_min_partitions(_docs(spark, sf_dir))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                _SPARK_SHINGLES.replace(
+                    "words", "split(lower(trim(text)), ' ')"
+                )
+            )
+        ).alias("s"),
+    ).persist()
+    g.count()  # both consumers read the exploded grams once
+    freq = g.groupBy("s").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        g.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("corpus_n") == 1).alias("n_unique"),
+            F.round(
+                F.count_if(F.col("corpus_n") == 1) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )

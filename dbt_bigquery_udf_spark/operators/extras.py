@@ -1477,3 +1477,66 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(
         "day", "revenue", F.round(num / den, 4).alias("ewma")
     )
+
+
+# -- grouped Pandas UDF (applyInPandas) ------------------------------------
+
+
+@register(
+    "pandas_user_trend",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(regr_slope(value, epoch(ts)), 6) AS slope_per_sec
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def pandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time, computed in a
+    grouped Pandas UDF (``applyInPandas``) — the batch grouped-map API
+    (mapInPandas = per-partition, applyInPandasWithState = stateful
+    streaming; this is the third Arrow surface, the one per-entity
+    model fitting uses when the math outgrows SQL).
+
+    The slope itself IS SQL-expressible (regr_slope — exactly what the
+    oracle runs), which is deliberate: the Python path must reproduce
+    the closed-form answer bit-for-rounded-bit, so the test proves the
+    Arrow round-trip, the float math, and the grouping semantics all
+    line up before anyone trusts this surface with real scipy.
+
+    Scale: one shuffle on the grouping key; each group's pandas frame
+    is bounded by per-user event counts (skewed users are the risk —
+    cap or pre-aggregate per the join_skew_profile diagnostic). Arrow
+    batches bound executor memory as in mapInPandas.
+    """
+    import pandas as pd
+
+    ev = _src(spark, sf_dir)["events"]
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "slope_per_sec"]
+            )
+        x = pdf["ts"].astype("int64") / 1e9  # epoch seconds (ns -> s)
+        y = pdf["value"].astype("float64")
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "slope_per_sec": [round(slope, 6)],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _fit, "user_id bigint, n_events bigint, slope_per_sec double"
+        )
+    )

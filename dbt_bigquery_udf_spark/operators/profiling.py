@@ -383,3 +383,53 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_input bigint, n_kept bigint, kept_pct double",
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), share AS (
+      SELECT l_partkey, l_suppkey,
+             q / sum(q) OVER (PARTITION BY l_partkey) AS s
+      FROM qty
+    )
+    SELECT l_partkey,
+           count(*) AS n_suppliers,
+           round(sum(s * s), 4) AS hhi
+    FROM share
+    GROUP BY l_partkey
+    HAVING round(sum(s * s), 4) >= 0.9
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: the Herfindahl-Hirschman index of
+    each part's supplier mix (sum of squared quantity shares), flagging
+    parts at HHI >= 0.9 — effectively single-sourced, the supply-chain
+    analogue of the join-skew profile (one dominant key = one fragile
+    dependency).
+
+    Shape: one partial-aggregated groupBy reduces lineitem to
+    (part, supplier) cells; the share window partitions by part over
+    that reduced relation (reduce-before-window, as everywhere); the
+    final rollup is |parts| rows with the HAVING pruning the healthy
+    tail before anything returns.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    share = qty.select(
+        "l_partkey",
+        (F.col("q") / F.sum("q").over(W.partitionBy("l_partkey"))).alias("s"),
+    )
+    return (
+        share.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("s") * F.col("s")), 4).alias("hhi"),
+        )
+        .filter(F.col("hhi") >= 0.9)
+    )

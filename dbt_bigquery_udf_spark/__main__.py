@@ -397,13 +397,18 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         body = engine.render(spec)
         # TVF calls resolve unqualified: route through the udf database
-        # like the materializer does.
+        # like the materializer does — and restore the caller's database
+        # after, also like the materializer.
         call_db = engine._tvf_call_database(spec)
-        if call_db:
-            spark.sql(f"USE {call_db}")
-        else:
-            spark.sql(f"USE {env_database('udf', args.env)}")
-        for row in spark.sql(f"SELECT * FROM ({body}) LIMIT {args.limit}").collect():
+        prev_db = spark.catalog.currentDatabase()
+        spark.sql(f"USE {call_db or env_database('udf', args.env)}")
+        try:
+            rows = spark.sql(
+                f"SELECT * FROM ({body}) LIMIT {args.limit}"
+            ).collect()
+        finally:
+            spark.sql(f"USE {prev_db}")
+        for row in rows:
             print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
         return 0
 

@@ -45,6 +45,18 @@ class Metric:
     description: str = ""
 
 
+import re as _re
+
+# Bare words allowed in an ad-hoc `where` besides declared dimensions:
+# SQL connectives/predicate keywords and literals. Anything else
+# identifier-shaped must be a declared dimension — the same governance
+# group_by gets (function calls in filters therefore fail closed).
+_WHERE_KEYWORDS = frozenset(
+    "and or not in is null between like ilike true false".split()
+)
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 _GRAIN_FN = {
     "day": "CAST({col} AS DATE)",
     "week": "date_trunc('week', {col})",
@@ -61,9 +73,29 @@ class MetricRegistry:
         self.engine = engine
         self.metrics: dict[str, Metric] = {}
 
+    _RELATION_KINDS = (
+        "table",
+        "view",
+        "seed",
+        "incremental",
+        "snapshot",
+        "python",
+        "copy",
+    )
+
     def register(self, *metrics: Metric) -> "MetricRegistry":
         for m in metrics:
-            if m.model not in self.engine.models and "." not in m.model:
+            spec = self.engine.models.get(m.model)
+            if spec is not None:
+                if spec.kind not in self._RELATION_KINDS:
+                    # Functions/TVFs have no relation; ephemerals never
+                    # materialize — a metric over them would compile to
+                    # a name that does not exist in the catalog.
+                    raise EngineError(
+                        f"metric {m.name}: model {m.model!r} is kind "
+                        f"{spec.kind!r}, not a queryable relation"
+                    )
+            elif "." not in m.model:
                 raise EngineError(
                     f"metric {m.name}: model {m.model!r} is not registered"
                 )
@@ -88,6 +120,29 @@ class MetricRegistry:
                 raise EngineError(
                     f"metric {m.name}: {d!r} is not a declared dimension "
                     f"(allowed: {sorted(m.dimensions)})"
+                )
+        if where:
+            # Governance holds for filters too: every identifier in the
+            # ad-hoc predicate (string literals stripped) must be a
+            # declared dimension or the time dimension.
+            stripped = _re.sub(r"'[^']*'", "''", where)
+            # Columns feeding the measure expression are part of the
+            # metric's own definition — filterable like dimensions.
+            allowed = (
+                set(m.dimensions)
+                | ({m.time_dimension} - {None})
+                | set(_IDENT_RE.findall(m.expression))
+                | _WHERE_KEYWORDS
+            )
+            bad = sorted(
+                t
+                for t in set(_IDENT_RE.findall(stripped))
+                if t.lower() not in _WHERE_KEYWORDS and t not in allowed
+            )
+            if bad:
+                raise EngineError(
+                    f"metric {m.name}: where references undeclared "
+                    f"identifiers {bad} (allowed: {sorted(m.dimensions)})"
                 )
         select, keys = [], []
         if grain:

@@ -707,34 +707,34 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization risk; the score complements pair-level dedup (a doc
     can evade every pairwise threshold yet be 90% recycled fragments).
 
-    Shape: one shingle explode feeds BOTH sides — the corpus-frequency
-    aggregate and the per-doc join-back; grams travel as the shared
-    shingle text (hash them for the production corpus: the
-    minhash pipeline's md5-int trick applies unchanged). Two shuffles
-    on the gram key plus one per-doc aggregate.
+    Shape: ONE shingle explode (the minhash path's two-step
+    words-projection, so _SPARK_SHINGLES is used verbatim), then
+    corpus frequency as a count window PARTITIONED BY the gram — no
+    self-join, no persist: the exploded stream shuffles once on the
+    gram key, each gram row learns its corpus count in place, and the
+    per-doc aggregate shuffles the (doc, flags) remainder.
 
-    Scale: corpus frequency is a partial-aggregated groupBy (gram
-    cardinality-bound, not corpus-bound); the join back is equi on the
-    gram. At trillion-gram scale, count-min sketch the frequencies and
-    broadcast the sketch — same score, one shuffle fewer; exact kept
-    here for the oracle.
+    Scale: the gram-key shuffle is the data-sized cost (gram text —
+    hash it with the minhash md5-int trick for production); hot grams
+    ("of the and") are the skew case, AQE's or a salted pre-count's.
+    At trillion-gram scale, count-min sketch the frequencies and
+    broadcast the sketch — same score, no gram shuffle at all; exact
+    kept here for the oracle.
     """
+    from pyspark.sql import Window as W
+
     d = ensure_min_partitions(_docs(spark, sf_dir))
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                _SPARK_SHINGLES.replace(
-                    "words", "split(lower(trim(text)), ' ')"
-                )
-            )
-        ).alias("s"),
-    ).persist()
-    g.count()  # both consumers read the exploded grams once
-    freq = g.groupBy("s").agg(F.count(F.lit(1)).alias("corpus_n"))
+    words = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("words")
+    )
+    g = words.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
+    )
+    counted = g.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("s")).alias("corpus_n")
+    )
     return (
-        g.join(freq, "s")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count_if(F.col("corpus_n") == 1).alias("n_unique"),

@@ -1524,12 +1524,17 @@ def pandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = pdf["ts"].astype("int64") / 1e9  # epoch seconds (ns -> s)
         y = pdf["value"].astype("float64")
         xm, ym = x.mean(), y.mean()
-        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+        denom = ((x - xm) ** 2).sum()
+        # Zero time-variance (all events share a timestamp): regr_slope
+        # is NULL, never NaN/inf — match the oracle exactly.
+        slope = None if denom == 0 else round(
+            float(((x - xm) * (y - ym)).sum() / denom), 6
+        )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [n],
-                "slope_per_sec": [round(slope, 6)],
+                "slope_per_sec": [slope],
             }
         )
 

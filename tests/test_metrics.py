@@ -73,3 +73,20 @@ def test_metric_dimension_governance(spark, registry):
         registry.compile("revenue", grain="fortnight")
     with pytest.raises(EngineError, match="time_dimension"):
         registry.compile("urgent_orders", grain="month")
+
+
+def test_metric_where_governance_and_kind_checks(spark, registry):
+    """Filters obey the same governance as group_by; non-relation
+    model kinds are rejected at registration."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+
+    with pytest.raises(EngineError, match="undeclared identifiers"):
+        registry.compile("revenue", where="o_clerk = 'Clerk#1'")
+    # Measure-input columns are filterable (part of the definition).
+    registry.compile("revenue", where="o_totalprice > 100")
+    engine = prepared_engine(spark, "/root/testdata/sf0.001")
+    reg2 = MetricRegistry(engine)
+    with pytest.raises(EngineError, match="not a queryable relation"):
+        reg2.register(
+            Metric(name="bad", model="parse_datetime", expression="count(*)")
+        )

@@ -303,3 +303,19 @@ def test_pca_step_is_one_pass(spark, sf_small):
     f = _facts(spark, sf_small, "emb_pca_power_step")
     assert f.sort_merge_joins == 0, f.text
     assert f.scan_columns() <= {"embedding"}, f.read_schemas
+
+
+def test_lateral_decorrelates(spark, sf_small):
+    """The correlated LATERAL subquery must decorrelate: no nested-loop
+    join survives into the physical plan."""
+    f = _facts(spark, sf_small, "lateral_top_orders")
+    assert f.nested_loop_joins == 0, f.text
+
+
+def test_novelty_is_joinless_window(spark, sf_small):
+    """Corpus gram frequency rides a window over the exploded stream —
+    no self-join; three exchanges (the single-file parallelize
+    repartition, the gram-key window shuffle, the doc rollup)."""
+    f = _facts(spark, sf_small, "text_novelty_ratio")
+    assert "Join" not in f.text, f.text
+    assert f.exchanges == 3, f.text

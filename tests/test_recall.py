@@ -31,3 +31,22 @@ def test_ivf_nprobe_recall_dominates_single_list(spark, sf_small):
     single = _ids(spark, "sim_ivf_topk", sf_small)
     multi = _ids(spark, "sim_ivf_multiprobe", sf_small)
     assert len(brute & multi) >= len(brute & single)
+
+
+def test_rerank_results_come_from_probed_lists(spark, sf_small):
+    """Two-stage rerank is a refinement of the multiprobe scan: its
+    top-k must be drawn from the SAME probed lists (a result outside
+    them would mean the shortlist leaked), its exact-cosine ordering
+    of the shortlist cannot beat multiprobe's direct exact ordering of
+    the full probed set (shortlist truncation only removes candidates),
+    and the cheap-score stage must still agree with the full-precision
+    ranking on most of the top-k (the dims-prefix score is a usable
+    surrogate)."""
+    brute = _ids(spark, "sim_topk_brute", sf_small)
+    multi = _ids(spark, "sim_ivf_multiprobe", sf_small)
+    rerank = _ids(spark, "sim_ivf_rerank", sf_small)
+    assert len(rerank) == len(multi) == 10
+    assert len(brute & rerank) <= len(brute & multi)
+    # The surrogate stage keeps most of the exact top-k of the probed
+    # set: majority overlap, not equality (that's the compute trade).
+    assert len(rerank & multi) >= 5, (rerank, multi)

@@ -258,6 +258,10 @@ def test_transpile_idempotent_on_spark_sql():
         "SELECT date_trunc('hour', ts), count(*) FROM e GROUP BY 1",
         "SELECT CASE WHEN a THEN 'x' ELSE 'y' END FROM t",
         "SELECT try_cast(x AS BIGINT), coalesce(a, b) FROM t",
+        # Outputs of the transpiler's own rewrites must not re-match.
+        "SELECT format_string('%05d', CAST(7 AS BIGINT)) FROM t",
+        "SELECT percentile_approx(x, array(0D / 2D, 1D / 2D, 2D / 2D)) FROM t",
+        "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM t",
     ]:
         assert t(sql) == sql
         assert t(t(sql)) == t(sql)

@@ -314,6 +314,21 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 for name, e in engine.exposures.items()
             },
+            "metrics": {
+                name: {
+                    "model": m.model,
+                    "expression": m.expression,
+                    "dimensions": list(m.dimensions),
+                    "time_dimension": m.time_dimension,
+                    "filter": m.filter,
+                    "description": m.description,
+                }
+                for name, m in getattr(
+                    engine, "metric_registry", None
+                ).metrics.items()
+            }
+            if getattr(engine, "metric_registry", None)
+            else {},
         }
         if args.catalog:
             engine.build()

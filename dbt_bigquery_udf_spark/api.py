@@ -15,6 +15,7 @@ from .models.core import Engine
 from .models.reference import (
     REFERENCE_MODELS,
     reference_exposures,
+    reference_metrics,
     register_test_table,
 )
 from .session import apply_engine_confs
@@ -46,6 +47,9 @@ def bootstrap(
     engine = Engine(spark, env=env, vars=vars)
     engine.register(*REFERENCE_MODELS)
     engine.register_exposures(*reference_exposures())
+    from .models.metrics import MetricRegistry
+
+    engine.metric_registry = MetricRegistry(engine).register(*reference_metrics())
     return engine
 
 

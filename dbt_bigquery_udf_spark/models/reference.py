@@ -240,3 +240,20 @@ def reference_unit_tests():
             ),
         ),
     )
+
+
+def reference_metrics():
+    """Semantic-layer metrics for the reference DAG: the measures its
+    datamart consumers would otherwise each hand-write."""
+    from .metrics import Metric
+
+    return (
+        Metric(
+            name="parsed_events",
+            model="test_datamart",
+            expression="count(*)",
+            dimensions=(),
+            time_dimension="datetime",
+            description="events successfully parsed into the datamart",
+        ),
+    )

@@ -1545,3 +1545,62 @@ def pandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fit, "user_id bigint, n_events bigint, slope_per_sec double"
         )
     )
+
+
+# -- forward fill (last observation carried forward) -----------------------
+
+
+@register(
+    "timeseries_locf",
+    """
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT s.day,
+           d.revenue AS observed,
+           last_value(d.revenue IGNORE NULLS)
+             OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS filled
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): join the daily
+    series onto a dense day spine and fill gaps with the most recent
+    observed value via an IGNORE NULLS window — the resampling step
+    sensor/price/metric series need before any rolling computation
+    (zero-filling, as timeseries_gapfill does for counts, is wrong for
+    level metrics: a missing reading is not a zero reading).
+
+    Shape: the spine derives from a 1-row min/max aggregate (sequence +
+    explode, broadcast into the join, same as gapfill); the fill is one
+    ordered window with last(ignorenulls=True) — Spark's ignore-nulls
+    frame navigation, DuckDB's IGNORE NULLS, same semantics. The
+    window is unpartitioned over |days| rows — bounded by calendar,
+    not data (reduce-before-window as always).
+    """
+    o = _src(spark, sf_dir)["orders"]
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    ).select(F.col("day").cast("date").alias("day"))
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.col("revenue").alias("observed"),
+            F.last("revenue", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

@@ -319,3 +319,30 @@ def test_novelty_is_joinless_window(spark, sf_small):
     f = _facts(spark, sf_small, "text_novelty_ratio")
     assert "Join" not in f.text, f.text
     assert f.exchanges == 3, f.text
+
+
+def test_rfm_reduces_before_windows(spark, sf_small):
+    """RFM: orders reduce to |customers| before the ntile windows —
+    two exchanges total (customer groupBy + single-partition windows),
+    one scan, no joins."""
+    f = _facts(spark, sf_small, "customer_rfm_segments")
+    assert f.exchanges == 2, f.text
+    assert f.scans == 1 and f.sort_merge_joins == 0, f.text
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_small):
+    """Winsorization: the 1-row quantile bounds broadcast into the
+    clamping scan — no sort-merge join, exactly the two scans the
+    exact-quantile bounds pass requires."""
+    f = _facts(spark, sf_small, "stats_winsorize")
+    assert f.broadcast_joins >= 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+    assert f.scans == 2, f.text
+
+
+def test_hhi_single_scan(spark, sf_small):
+    """HHI: one lineitem scan; cell reduction, share window, and part
+    rollup ride two exchanges with no join."""
+    f = _facts(spark, sf_small, "supplier_concentration_hhi")
+    assert f.exchanges == 2 and f.scans == 1, f.text
+    assert "Join" not in f.text, f.text

@@ -13,6 +13,7 @@ from . import extras  # noqa: F401
 from . import graph  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import profiling  # noqa: F401
+from . import python_tvf  # noqa: F401
 from . import similarity  # noqa: F401
 from . import spark_native  # noqa: F401
 from . import text  # noqa: F401

@@ -108,3 +108,72 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("m").alias("n_missing_hits"),
         )
     )
+
+
+@register(
+    "global_row_ids",
+    """
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS global_id
+    FROM documents
+    """,
+)
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ordinals 1..N in key order WITHOUT a global
+    sort — the DataFrame equivalent of RDD ``zipWithIndex`` (which the
+    DataFrame API lacks; ``monotonically_increasing_id`` is neither
+    contiguous nor order-correct, and ``row_number() OVER (ORDER BY
+    ...)`` collapses 100 TB onto one task).
+
+    Two-pass histogram scheme, fully deterministic (no sampling):
+      1. one aggregate finds min/max, rows land in k fixed value-range
+         buckets; per-bucket counts (k tiny rows) come back to the
+         driver and prefix-sum into per-bucket starting offsets;
+      2. rows are hash-partitioned by bucket, sorted (bucket, key)
+         within partitions, and a mapInPandas pass assigns
+         offset[bucket] + running-count-in-bucket.
+
+    Scale: the only collected state is k counts; the only shuffle is
+    one hash repartition by bucket; the sort is partition-local. Bucket
+    skew affects balance, never correctness — raise k (or split hot
+    buckets on a second histogram round) to rebalance. This is the
+    standard pattern for assigning stable training-example ids / shard
+    ordinals to a 100 TB corpus.
+    """
+    docs = _src(spark, sf_dir)["documents"].select("doc_id")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    k = 8
+    span = int(hi) - int(lo) + 1
+    bucket = F.least(
+        F.floor((F.col("doc_id") - F.lit(int(lo))) * k / F.lit(span)),
+        F.lit(k - 1),
+    ).cast("int")
+    withb = docs.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in withb.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def assign(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            within = pdf.groupby("_b").cumcount()
+            base = pdf["_b"].map(
+                lambda b: offsets[int(b)] + seen.get(int(b), 0)
+            )
+            pdf["global_id"] = base + within + 1
+            for b, n in pdf["_b"].value_counts().items():
+                seen[int(b)] = seen.get(int(b), 0) + int(n)
+            yield pdf[["doc_id", "global_id"]]
+
+    return (
+        withb.repartition(k, "_b")
+        .sortWithinPartitions("_b", "doc_id")
+        .mapInPandas(assign, "doc_id bigint, global_id bigint")
+    )

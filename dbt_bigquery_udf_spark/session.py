@@ -39,6 +39,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime row-level pruning for non-broadcast joins: the selective
+    # side's keys become a bloom filter applied on the probe side's scan
+    # stage. Size thresholds stay at Spark's production defaults (the
+    # mechanism targets >=10 GB scans); pinned by
+    # tests/test_plans.py::test_runtime_bloom_filter_join.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # events.parquet ships timestamp[ns]; see module docstring.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # BigQuery datetime parsing is Java-time-like, not legacy SimpleDateFormat.

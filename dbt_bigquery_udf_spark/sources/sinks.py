@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned", "write_bucketed", "write_zordered", "zorder_expr"]
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "write_zordered",
+    "zorder_expr",
+    "compact_files",
+]
 
 
 def write_partitioned(
@@ -146,3 +152,78 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _list_data_files(spark, path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) of data files under ``path``, via the
+    Hadoop FileSystem API — scheme-agnostic (local, HDFS, s3a:// all
+    answer the same call), so the measurement works wherever the real
+    table lives."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += f.getLen()
+    return n, total
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Bin-pack a parquet location's small files — the ``OPTIMIZE``
+    pass every incrementally-written lake table needs.
+
+    Incremental/streaming writers (microbatch, foreachBatch, hourly
+    appends) each land a few rows per trigger; after a month a 100 TB
+    table is millions of KB-sized files and every scan pays one
+    open/seek/footer-parse per file, which dominates IO. This rewrites
+    the location into ``ceil(total_bytes / target_file_bytes)`` files
+    (per partition directory when ``partition_by`` is given, preserving
+    the pruning layout), then swaps directories via an O(1) filesystem
+    rename.
+
+    Scale: the rewrite is one shuffle-free-read → repartition → write
+    over only this location (compact partitions selectively by calling
+    with a partition subdirectory path); driver state is two longs from
+    a recursive listing. Returns {files_before, bytes, files_after}.
+    """
+    import math
+
+    files_before, total = _list_data_files(spark, path)
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
+    staging = path.rstrip("/") + "__compact_staging"
+    if partition_by:
+        # One writing task per partition value; a hot partition still
+        # splits via maxRecordsPerFile sized from the observed average
+        # row width.
+        rows = df.count()
+        per_file = max(1, int(rows * target_file_bytes / max(total, 1)))
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", per_file)
+            .partitionBy(*partition_by)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jdst = jvm.org.apache.hadoop.fs.Path(path)
+    jsrc = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jdst.getFileSystem(conf)
+    fs.delete(jdst, True)
+    fs.rename(jsrc, jdst)
+    files_after, _ = _list_data_files(spark, path)
+    return {"files_before": files_before, "bytes": total, "files_after": files_after}

@@ -346,3 +346,64 @@ def test_hhi_single_scan(spark, sf_small):
     f = _facts(spark, sf_small, "supplier_concentration_hhi")
     assert f.exchanges == 2 and f.scans == 1, f.text
     assert "Join" not in f.text, f.text
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-layout-aware joins: a fact table partitioned on the
+    join key, joined to a filtered dimension, must get a DynamicPruning
+    subquery on its scan — at 100 TB this is what turns a full-corpus
+    scan into reading only the partitions the dimension selects
+    (BigQuery's clustered-join pruning analogue; on by default via
+    session.py's AQE config, pinned here so a conf regression fails)."""
+    fact_dir = str(tmp_path / "fact_part")
+    dim_dir = str(tmp_path / "dim")
+    spark.range(0, 5000).selectExpr("id", "id % 20 AS part").write.partitionBy(
+        "part"
+    ).parquet(fact_dir)
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "part long, tag string"
+    ).write.parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter("tag = 't3'")
+    q = fact.join(dim, "part")
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed.lower(), executed
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Shuffle joins where neither side broadcasts: the selective side
+    must inject a bloom filter (`might_contain`) into the probe side's
+    scan stage so non-matching rows die before the shuffle. The size
+    thresholds are production-tuned (10 GB application side), so this
+    test lowers them to make the sf fixture eligible — pinning that the
+    engine session leaves the mechanism ON."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

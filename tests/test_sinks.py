@@ -115,3 +115,30 @@ def test_zorder_expr_bit_bounds():
     assert "shiftleft" in zorder_expr(["a", "b"], bits=12)
     with _pytest.raises(ValueError, match="> 63"):
         zorder_expr(["a", "b", "c", "d", "e", "f"], bits=12)
+
+
+def test_compact_files_flat_and_partitioned(spark, tmp_path):
+    """compact_files must shrink a small-file explosion to the
+    bin-packed count while preserving every row, flat and partitioned."""
+    from dbt_bigquery_udf_spark.sources.sinks import compact_files, _list_data_files
+
+    flat = str(tmp_path / "flat")
+    spark.range(0, 10000).repartition(64).write.parquet(flat)
+    before, total = _list_data_files(spark, flat)
+    assert before >= 64
+    stats = compact_files(spark, flat, target_file_bytes=total)  # 1 bin
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
+    assert spark.read.parquet(flat).count() == 10000
+
+    part = str(tmp_path / "part")
+    spark.range(0, 10000).selectExpr("id", "id % 4 AS p").repartition(
+        32
+    ).write.partitionBy("p").parquet(part)
+    before_p, _ = _list_data_files(spark, part)
+    assert before_p >= 32
+    stats = compact_files(spark, part, target_file_bytes=1 << 30, partition_by=["p"])
+    assert stats["files_after"] == 4, stats  # one file per partition dir
+    out = spark.read.parquet(part)
+    assert out.count() == 10000
+    assert out.select("p").distinct().count() == 4

@@ -331,6 +331,9 @@ _STRING_AGG_RE = re.compile(r"\bSTRING_AGG\s*\(", re.IGNORECASE)
 _ARRAY_AGG_RE = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
 _TO_HEX_RE = re.compile(r"\bTO_HEX\s*\(", re.IGNORECASE)
 _APPROX_QUANTILES_RE = re.compile(r"\bAPPROX_QUANTILES\s*\(", re.IGNORECASE)
+_HLL_COUNT_RE = re.compile(
+    r"\bHLL_COUNT\s*\.\s*(INIT|MERGE_PARTIAL|MERGE|EXTRACT)\s*\(", re.IGNORECASE
+)
 _FORMAT_RE = re.compile(r"\bFORMAT\s*\(", re.IGNORECASE)
 # printf specifiers we translate; BQ %t/%T (value-to-text) have no Java
 # counterpart and block the rewrite. Java printf rejects DECIMAL for %d
@@ -570,6 +573,33 @@ def transpile_bq_functions(sql: str) -> str:
         _DATE_FROM_UNIX_RE,
         lambda m, a: f"date_add(DATE '1970-01-01', {a[0]})",
     )
+    def _hll(m: re.Match, a: list[str]) -> str | None:
+        # BigQuery HLL_COUNT.* -> Spark Datasketches HLL (3.5+). The
+        # sketch CONTRACT maps 1:1 (INIT = partial sketch, MERGE =
+        # union+estimate, MERGE_PARTIAL = union, EXTRACT = estimate);
+        # the sketch BYTES do not — both are HLL++-family but different
+        # serializations, so sketches must be produced and consumed on
+        # the same engine (true of any warehouse migration; re-INIT from
+        # the raw column once). BQ precision 10..24 maps to lgConfigK
+        # directly; >21 exceeds Spark's max and passes through untouched
+        # (visible failure over silent precision loss).
+        verb = m.group(1).upper()
+        if verb == "INIT":
+            if len(a) == 1:
+                return f"hll_sketch_agg({a[0]})"
+            p = a[1].strip()
+            if p.isdigit() and int(p) <= 21:
+                return f"hll_sketch_agg({a[0]}, {p})"
+            return None
+        if len(a) != 1:
+            return None
+        if verb == "MERGE":
+            return f"hll_sketch_estimate(hll_union_agg({a[0]}))"
+        if verb == "MERGE_PARTIAL":
+            return f"hll_union_agg({a[0]})"
+        return f"hll_sketch_estimate({a[0]})"  # EXTRACT
+
+    out = _rewrite_calls(out, _HLL_COUNT_RE, _hll)
     out = _BQ_FN_NAME_RE.sub(
         lambda m: _BQ_FN_NAME_MAP[m.group(1).upper()] + "(", out
     )

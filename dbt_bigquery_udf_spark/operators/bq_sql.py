@@ -76,3 +76,32 @@ def bq_dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation GROUP BY n_regionkey
     """
     return spark.sql(transpile_bq_expr(bq))
+
+
+@register("bq_dialect_hll_rollup")  # no oracle: sketch estimates are engine-specific
+def bq_dialect_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's mergeable approximate-distinct workflow, verbatim:
+    ``HLL_COUNT.INIT`` per (event_type, day) — the sketch table a real
+    pipeline materializes — then ``HLL_COUNT.MERGE`` rolls days up to
+    per-type estimates without rescanning the facts. The transpiler
+    maps the family onto Spark's Datasketches HLL (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate); sketch bytes are
+    engine-internal, so the driver records rows-only and
+    tests/test_sketches.py pins the estimates to within 5% of exact.
+
+    Scale: identical argument to distinct_bitmap_users, with fixed-size
+    (~2^lgConfigK bytes) sketch state instead of exact bitmaps — the
+    trade every 100 TB audience-counting pipeline chooses when keys are
+    unbounded (the day-level sketch table re-aggregates to any grain).
+    """
+    _src(spark, sf_dir)
+    bq = """
+    WITH daily AS (
+      SELECT event_type, DATE(ts) AS day,
+             HLL_COUNT.INIT(user_id, 14) AS sk
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, HLL_COUNT.MERGE(sk) AS approx_users
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """
+    return spark.sql(transpile_bq_expr(bq))

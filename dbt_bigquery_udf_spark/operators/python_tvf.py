@@ -87,3 +87,73 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@udtf(returnType="lang: string, doc_id: bigint, n_chars: bigint, rnk: int")
+class TopDocsPerLang:
+    """Grouped UDTF: top-3 documents by (n_chars DESC, doc_id ASC) per
+    language partition. State is a bounded heap of k entries — O(k)
+    memory per group regardless of group size, the property that makes
+    the operator safe on a 100 TB partition."""
+
+    K = 3
+
+    def __init__(self):
+        import heapq
+
+        self._heapq = heapq
+        # (n_chars, -doc_id): heap root is the worst entry kept —
+        # smallest n_chars, ties broken toward evicting larger doc_id.
+        self.heap: list[tuple[int, int]] = []
+        # PARTITION BY guarantees one language per UDTF instance.
+        self.lang = None
+
+    def eval(self, row):
+        self.lang = row["lang"]
+        self._heapq.heappush(self.heap, (row["n_chars"], -row["doc_id"]))
+        if len(self.heap) > self.K:
+            self._heapq.heappop(self.heap)
+
+    def terminate(self):
+        top = sorted(self.heap, key=lambda t: (-t[0], -t[1]))
+        for i, (n, neg_id) in enumerate(top):
+            yield self.lang, -neg_id, n, i + 1
+
+
+@register(
+    "udtf_grouped_topk",
+    """
+    SELECT lang, doc_id, n_chars, rnk FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+             ) AS INT) AS rnk
+      FROM documents
+    ) WHERE rnk <= 3
+    """,
+)
+def udtf_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language longest documents via a UDTF *table argument* with
+    ``PARTITION BY`` (Spark 4 polymorphic-UDTF calling convention):
+    ``FROM top_docs_per_lang(TABLE(docs) PARTITION BY lang)`` runs one
+    UDTF instance per language group, each seeing only its group's rows
+    — the distributed grouped-Python-logic surface, same shape as
+    ``applyInPandas`` but row-streamed and SQL-invocable like the
+    reference's TVFs.
+
+    The oracle restates the semantics as a rank window, so the grouped
+    execution (partitioning, per-group isolation, heap correctness) is
+    hash-checked exactly.
+
+    Scale: Spark shuffles once on the PARTITION BY key; each group
+    streams through its instance with O(k) state (bounded heap — see
+    class docstring), so a billion-doc language costs k entries of
+    memory, not a buffer of the group.
+    """
+    spark.udtf.register("top_docs_per_lang", TopDocsPerLang)
+    _src(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    ).createOrReplaceTempView("__docs_topk")
+    return spark.sql(
+        "SELECT * FROM top_docs_per_lang(TABLE(__docs_topk) PARTITION BY lang)"
+    )

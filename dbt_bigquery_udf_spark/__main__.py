@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         "scratch (dbt --full-refresh)",
     )
     b.add_argument("--env", default=None, help="environment (staging/dev/ci)")
+    b.add_argument(
+        "--project",
+        default=None,
+        help="dbt-style project directory (dbt_project.yml + models/**/*.sql "
+        "+ schema.yml) loaded on top of the built-in registry",
+    )
     b.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     b.add_argument("--threads", type=int, default=8)
     b.add_argument(
@@ -71,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
 
     t = sub.add_parser("test", help="run schema tests against the built DAG")
     t.add_argument("--env", default=None)
+    t.add_argument(
+        "--project",
+        default=None,
+        help="dbt-style project directory: its schema.yml tests run "
+        "instead of the built-in reference suite",
+    )
     t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     t.add_argument(
         "--store-failures",
@@ -204,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
+        if args.project:
+            from .project import load_project
+
+            proj = load_project(args.project)
+            # project vars fill in under CLI --vars (dbt precedence)
+            for k, v in proj.vars.items():
+                engine.vars.setdefault(k, v)
+            engine.register(*proj.models, replace=True)
         rels = engine.build(
             select=args.select,
             threads=args.threads,
@@ -236,9 +256,19 @@ def main(argv: list[str] | None = None) -> int:
         from .models.reference import reference_singular_tests
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        engine.build()
+        if args.project:
+            from .project import load_project
+
+            proj = load_project(args.project)
+            for k, v in proj.vars.items():
+                engine.vars.setdefault(k, v)
+            engine.register(*proj.models, replace=True)
+            engine.build()
+            suite = proj.tests
+        else:
+            engine.build()
+            suite = reference_tests() + reference_singular_tests()
         failed = 0
-        suite = reference_tests() + reference_singular_tests()
         for res in run_tests(
             spark, engine, suite, store_failures=args.store_failures
         ):

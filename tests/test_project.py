@@ -1,0 +1,204 @@
+"""dbt-style project loader: directory tree -> specs -> built DAG.
+
+The fixture mirrors the reference's layout (dbt_project.yml config
+tree, models/udf/{function,table_function}, datamart, schema.yml docs
++ tests, source declaration) with this engine's own model content, and
+runs it end to end: load -> register -> build -> query -> data tests.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+
+from dbt_bigquery_udf_spark.api import prepared_engine
+from dbt_bigquery_udf_spark.models.quality import run_tests
+from dbt_bigquery_udf_spark.project import load_project
+
+
+def _write(root, rel, content):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(textwrap.dedent(content))
+
+
+@pytest.fixture(scope="module")
+def project_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fixture_proj"))
+    _write(
+        root,
+        "dbt_project.yml",
+        """\
+        name: fixture_proj
+        model-paths: ["models"]
+        seed-paths: ["seeds"]
+        vars:
+          pick_type: click
+        models:
+          fixture_proj:
+            udf:
+              +schema: udf
+              +tags: ["udf"]
+              function:
+                +materialized: function
+              table_function:
+                +materialized: table_function
+            datamart:
+              +schema: datamart
+              +materialized: table
+        """,
+    )
+    _write(
+        root,
+        "models/udf/function/clean_upper.sql",
+        """\
+        {{
+            config(
+                params=['s STRING'],
+                return_type='STRING'
+            )
+        }}
+        UPPER(TRIM(s))
+        """,
+    )
+    _write(
+        root,
+        "models/udf/table_function/events_of_type.sql",
+        """\
+        {{ config(params=['kind STRING']) }}
+        SELECT
+          CAST(column1 AS INT64) AS column1,
+          {{ ref('clean_upper') }}(id) AS id_upper
+        FROM {{ source('joshua_dataset', 'test_table') }}
+        WHERE id = kind
+        """,
+    )
+    _write(
+        root,
+        "models/datamart/fixture_mart.sql",
+        """\
+        SELECT column1, id_upper
+        FROM {{ ref('events_of_type') }}({{ var('pick_type') }})
+        """,
+    )
+    _write(
+        root,
+        "models/udf/schema.yml",
+        """\
+        version: 2
+        models:
+          - name: clean_upper
+            description: uppercase + trim helper
+        sources:
+          - name: joshua_dataset
+            tables:
+              - name: test_table
+        """,
+    )
+    _write(
+        root,
+        "models/datamart/schema.yml",
+        """\
+        version: 2
+        models:
+          - name: fixture_mart
+            description: click slice with uppercased type
+            columns:
+              - name: column1
+                description: event id
+                tests:
+                  - unique
+                  - not_null
+              - name: id_upper
+                tests:
+                  - accepted_values:
+                      values: ['CLICK']
+        """,
+    )
+    _write(root, "seeds/status_codes.csv", "code,label\n1,ok\n2,bad\n")
+    return root
+
+
+def test_load_project_specs(project_dir):
+    proj = load_project(project_dir)
+    assert proj.name == "fixture_proj"
+    assert proj.vars == {"pick_type": "click"}
+    specs = {m.name: m for m in proj.models}
+    assert set(specs) == {
+        "clean_upper",
+        "events_of_type",
+        "fixture_mart",
+        "status_codes",
+    }
+    fn = specs["clean_upper"]
+    assert fn.kind == "function"  # folder tree config
+    assert fn.params == ("s STRING",)  # in-file config
+    assert fn.return_type == "STRING"
+    assert fn.database == "udf"
+    assert fn.tags == ("udf",)
+    assert fn.description == "uppercase + trim helper"
+    assert "config" not in fn.sql and fn.sql.startswith("UPPER")
+    tvf = specs["events_of_type"]
+    assert tvf.kind == "table_function" and tvf.params == ("kind STRING",)
+    mart = specs["fixture_mart"]
+    assert mart.kind == "table" and mart.database == "datamart"
+    assert mart.columns["column1"] == "event id"
+    assert specs["status_codes"].kind == "seed"
+    assert ("joshua_dataset", "test_table") in proj.sources
+    kinds = {(t.test_type, t.model, t.column) for t in proj.tests}
+    assert ("unique", "fixture_mart", "column1") in kinds
+    assert ("not_null", "fixture_mart", "column1") in kinds
+    assert ("accepted_values", "fixture_mart", "id_upper") in kinds
+
+
+def test_loaded_project_builds_and_passes_tests(spark, sf_small, project_dir):
+    proj = load_project(project_dir)
+    engine = prepared_engine(spark, sf_small)
+    engine.vars.update(proj.vars)
+    engine.register(*proj.models, replace=True)
+    engine.build(
+        select=["fixture_mart", "status_codes"], fail_fast=True
+    )
+    rows = spark.sql(
+        "SELECT column1, id_upper FROM datamart.fixture_mart"
+    ).collect()
+    assert rows and all(r.id_upper == "CLICK" for r in rows)
+    expected = spark.sql(
+        "SELECT count(*) AS n FROM src.test_table WHERE id = 'click'"
+    ).first().n
+    assert len(rows) == expected
+    assert spark.table("udf.status_codes").count() == 2
+    results = run_tests(spark, engine, proj.tests)
+    assert results and all(r.passed for r in results), results
+
+
+def test_cli_build_with_project(spark, sf_small, project_dir):
+    """`build --project DIR` loads the tree on top of the built-in
+    registry and materializes the selected closure."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "build",
+                "--project",
+                project_dir,
+                "--select",
+                "fixture_mart",
+                "--sf-dir",
+                sf_small,
+            ]
+        )
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    built = {l["model"]: l for l in lines if "model" in l}
+    assert "fixture_mart" in built and built["fixture_mart"]["kind"] == "table"
+    assert "events_of_type" in built  # upstream closure came along

@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="saved state file for state:modified selectors (dbt Slim CI)",
     )
+    b.add_argument(
+        "--run-results",
+        default=None,
+        help="write a dbt run_results.json-style artifact (per-model "
+        "status + execution time) to this path",
+    )
 
     ws = sub.add_parser(
         "write-state",
@@ -232,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
             full_refresh=args.full_refresh,
             fail_fast=False,  # dbt default: keep going, report, exit 1
         )
+        if args.run_results:
+            with open(args.run_results, "w") as fh:
+                json.dump(engine.run_results(), fh, indent=2)
         for name, rel in sorted(rels.items()):
             print(json.dumps({"model": name, "relation": rel.qualified, "kind": rel.kind}))
         for name, exc in sorted(engine.errors.items()):

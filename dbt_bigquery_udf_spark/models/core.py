@@ -400,6 +400,8 @@ class Engine:
         self.exposures: dict[str, Exposure] = {}
         self.relations: dict[str, BuiltRelation] = {}  # F9 relation cache
         self._fingerprints: dict[str, str] = {}  # incremental-build state (§4)
+        self.timings: dict[str, float] = {}  # last build's per-model wall (s)
+        self.elapsed: float = 0.0  # last build's total wall (s)
         self.skipped: set[str] = set()  # models skipped by the last build
         # Keep-going run state (reset per build; initialized here so a
         # build that fails before the loop leaves them inspectable, not
@@ -1301,6 +1303,8 @@ class Engine:
         self.skipped = set()
         self.errors = {}
         self.skipped_errors = set()
+        self.timings = {}
+        build_started = time.perf_counter()
         graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
             self.spark.sql(hook)
@@ -1325,7 +1329,9 @@ class Engine:
                     and spec.name in self.relations
                 ):
                     return self.relations[spec.name], True
+                started = time.perf_counter()
                 rel = self._materialize(spec, replace)
+                self.timings[spec.name] = time.perf_counter() - started
                 self._fingerprints[spec.name] = fp
                 return rel, False
 
@@ -1360,5 +1366,45 @@ class Engine:
                         ts.done(n)
             return results
         finally:
+            self.elapsed = time.perf_counter() - build_started
             for hook in self.on_run_end:  # dbt on-run-end (even on failure)
                 self.spark.sql(hook)
+
+    def run_results(self) -> dict:
+        """dbt ``run_results.json`` analogue for the last :meth:`build`:
+        per-node status (success / skipped / error / skip-upstream) with
+        wall-clock execution time, plus total elapsed — the artifact CI
+        systems diff to spot regressing models (the reference's run log,
+        dbt_run_result.png, is exactly this rendered as text)."""
+        nodes = []
+        for name, rel in sorted(self.relations.items()):
+            if name in self.skipped:
+                status, t = "skipped", 0.0
+            elif name in self.timings:
+                status, t = "success", round(self.timings[name], 3)
+            else:
+                continue  # built in an earlier run, not this one
+            nodes.append(
+                {
+                    "name": name,
+                    "status": status,
+                    "execution_time": t,
+                    "relation": rel.qualified,
+                    "kind": rel.kind,
+                }
+            )
+        for name, exc in sorted(self.errors.items()):
+            nodes.append(
+                {
+                    "name": name,
+                    "status": "error",
+                    "execution_time": round(self.timings.get(name, 0.0), 3),
+                    "message": str(exc)[:300],
+                }
+            )
+        for name in sorted(self.skipped_errors):
+            nodes.append({"name": name, "status": "skip-upstream"})
+        return {
+            "elapsed": round(getattr(self, "elapsed", 0.0), 3),
+            "results": nodes,
+        }

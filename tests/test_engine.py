@@ -933,3 +933,31 @@ def test_multi_param_tvf(spark, sf_small):
     ).collect()[0][0]
     assert got.count() == expected
     assert dict(got.dtypes) == {"event_id": "bigint", "value": "double"}
+
+
+def test_run_results_artifact(spark, sf_small, tmp_path):
+    """dbt run_results.json analogue: per-model status + timing from the
+    last build, including error and skip-upstream statuses."""
+    engine = bootstrap(spark, sf_small, env="dev")
+    engine.build()
+    rr = engine.run_results()
+    assert rr["elapsed"] > 0
+    by_name = {n["name"]: n for n in rr["results"]}
+    assert by_name["parse_datetime"]["status"] == "success"
+    assert by_name["parse_datetime"]["execution_time"] >= 0
+    assert by_name["test_datamart"]["kind"] == "table"
+    # error path: a broken model records error, its consumer skip-upstream
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+
+    engine.register(
+        ModelSpec(name="rr_broken", kind="table", database="datamart",
+                  sql="SELECT no_such_col FROM {{ source('joshua_dataset','test_table') }}"),
+        ModelSpec(name="rr_child", kind="table", database="datamart",
+                  sql="SELECT * FROM {{ ref('rr_broken') }}"),
+        replace=True,
+    )
+    engine.build(select=["rr_child"], fail_fast=False)
+    rr2 = engine.run_results()
+    by_name2 = {n["name"]: n for n in rr2["results"]}
+    assert by_name2["rr_broken"]["status"] == "error"
+    assert by_name2["rr_child"]["status"] == "skip-upstream"

@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs", help="emit the model manifest (dbt docs generate analogue)"
     )
     d.add_argument("--env", default=None)
+    d.add_argument("--project", default=None, help="dbt-style project directory")
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     d.add_argument(
         "--catalog",
@@ -116,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--select", nargs="*", default=None)
     cp.add_argument("--env", default=None)
+    cp.add_argument("--project", default=None, help="dbt-style project directory")
     cp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     cp.add_argument(
         "--vars",
@@ -201,6 +203,18 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    def _overlay_project(engine):
+        """Register --project models/vars on top of the built-in registry."""
+        if getattr(args, "project", None):
+            from .project import load_project
+
+            proj = load_project(args.project)
+            for k, v in proj.vars.items():
+                engine.vars.setdefault(k, v)
+            engine.register(*proj.models, replace=True)
+            return proj
+        return None
+
     if args.cmd == "list":
         from . import queries as q
 
@@ -222,14 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
-        if args.project:
-            from .project import load_project
-
-            proj = load_project(args.project)
-            # project vars fill in under CLI --vars (dbt precedence)
-            for k, v in proj.vars.items():
-                engine.vars.setdefault(k, v)
-            engine.register(*proj.models, replace=True)
+        _overlay_project(engine)
         rels = engine.build(
             select=args.select,
             threads=args.threads,
@@ -265,18 +272,11 @@ def main(argv: list[str] | None = None) -> int:
         from .models.reference import reference_singular_tests
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        if args.project:
-            from .project import load_project
-
-            proj = load_project(args.project)
-            for k, v in proj.vars.items():
-                engine.vars.setdefault(k, v)
-            engine.register(*proj.models, replace=True)
-            engine.build()
-            suite = proj.tests
-        else:
-            engine.build()
-            suite = reference_tests() + reference_singular_tests()
+        proj = _overlay_project(engine)
+        engine.build()
+        suite = (
+            proj.tests if proj else reference_tests() + reference_singular_tests()
+        )
         failed = 0
         for res in run_tests(
             spark, engine, suite, store_failures=args.store_failures
@@ -296,6 +296,7 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
+        _overlay_project(engine)
         manifest = {
             "models": {
                 name: {
@@ -384,6 +385,7 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
+        _overlay_project(engine)
         graph = engine._subgraph(args.select)
         for name in sorted(graph):
             spec = graph[name]

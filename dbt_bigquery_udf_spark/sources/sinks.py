@@ -223,7 +223,15 @@ def compact_files(
     jdst = jvm.org.apache.hadoop.fs.Path(path)
     jsrc = jvm.org.apache.hadoop.fs.Path(staging)
     fs = jdst.getFileSystem(conf)
-    fs.delete(jdst, True)
-    fs.rename(jsrc, jdst)
+    # Two renames, never delete-before-swap: the original survives any
+    # failure (as <path>__compact_old) until the new data is in place.
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    fs.delete(old, True)  # stale leftover from a crashed run
+    if not fs.rename(jdst, old):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(jsrc, jdst):
+        fs.rename(old, jdst)  # roll back
+        raise IOError(f"compact_files: could not install {staging}")
+    fs.delete(old, True)
     files_after, _ = _list_data_files(spark, path)
     return {"files_before": files_before, "bytes": total, "files_after": files_after}

@@ -69,6 +69,9 @@ HEADLINE = [
     "distinct_bitmap_users",
     "events_variant_extract",
     "graph_pagerank_step",
+    "udtf_sentence_stats",
+    "global_row_ids",
+    "bq_dialect_hll_rollup",
 ]
 
 

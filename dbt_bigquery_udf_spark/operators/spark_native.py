@@ -140,14 +140,21 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinals to a 100 TB corpus.
     """
     docs = _src(spark, sf_dir)["documents"].select("doc_id")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    k = 8
+    return _number_by_key(docs, "doc_id", k=8)
+
+
+def _number_by_key(df: DataFrame, key: str, k: int = 8) -> DataFrame:
+    """The two-pass histogram numbering behind :func:`global_row_ids`,
+    reusable on any DataFrame with a unique integer ``key`` column.
+    Returns ``(key, global_id)`` with global_id = 1..N in key order.
+    ``k`` buckets bound the driver state and set write parallelism."""
+    lo, hi = df.agg(F.min(key), F.max(key)).first()
     span = int(hi) - int(lo) + 1
     bucket = F.least(
-        F.floor((F.col("doc_id") - F.lit(int(lo))) * k / F.lit(span)),
+        F.floor((F.col(key) - F.lit(int(lo))) * k / F.lit(span)),
         F.lit(k - 1),
     ).cast("int")
-    withb = docs.withColumn("_b", bucket)
+    withb = df.select(key).withColumn("_b", bucket)
     counts = {
         r["_b"]: r["cnt"]
         for r in withb.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
@@ -170,10 +177,10 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["global_id"] = base + within + 1
             for b, n in pdf["_b"].value_counts().items():
                 seen[int(b)] = seen.get(int(b), 0) + int(n)
-            yield pdf[["doc_id", "global_id"]]
+            yield pdf[[pdf.columns[0], "global_id"]]
 
     return (
         withb.repartition(k, "_b")
-        .sortWithinPartitions("_b", "doc_id")
-        .mapInPandas(assign, "doc_id bigint, global_id bigint")
+        .sortWithinPartitions("_b", key)
+        .mapInPandas(assign, f"{key} bigint, global_id bigint")
     )

@@ -85,6 +85,27 @@ def main() -> None:
             "o_orderpriority"
         ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)),
     )
+    # Global-ordinal shape: two-pass histogram numbering (one tiny
+    # collect + one bucket shuffle; should scale ~linearly, never
+    # collapse to a single task the way row_number() OVER (ORDER BY)
+    # does)
+    docs = replicate(src["documents"], n, {"doc_id": 10_000_000})
+    from dbt_bigquery_udf_spark.operators.spark_native import _number_by_key
+
+    timed(f"global_row_ids x{n}", _number_by_key(docs, "doc_id", k=32))
+    # Python-UDTF LATERAL shape: partition-local row expansion through
+    # the Arrow boundary; scales with input partitions
+    from dbt_bigquery_udf_spark.operators.python_tvf import SplitSentences
+
+    spark.udtf.register("split_sentences_probe", SplitSentences)
+    docs.createOrReplaceTempView("__probe_docs")
+    timed(
+        f"udtf_lateral x{n}",
+        spark.sql(
+            "SELECT d.doc_id, count(*) AS n FROM __probe_docs d, "
+            "LATERAL split_sentences_probe(d.text) s GROUP BY d.doc_id"
+        ),
+    )
 
 
 if __name__ == "__main__":

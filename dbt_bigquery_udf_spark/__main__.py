@@ -77,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ws.add_argument("path")
     ws.add_argument("--env", default=None)
+    ws.add_argument("--project", default=None, help="dbt-style project directory")
     ws.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     sub.add_parser("list", help="list registered driver-contract queries")
@@ -260,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
+        _overlay_project(engine)
         engine.write_state(args.path)
         print(json.dumps({"state": args.path, "models": len(engine.models)}))
         return 0

@@ -1330,8 +1330,12 @@ class Engine:
                 ):
                     return self.relations[spec.name], True
                 started = time.perf_counter()
-                rel = self._materialize(spec, replace)
-                self.timings[spec.name] = time.perf_counter() - started
+                try:
+                    rel = self._materialize(spec, replace)
+                finally:
+                    # recorded on failure too: a model that grinds before
+                    # erroring must not report 0.0 in run_results
+                    self.timings[spec.name] = time.perf_counter() - started
                 self._fingerprints[spec.name] = fp
                 return rel, False
 
@@ -1378,6 +1382,8 @@ class Engine:
         dbt_run_result.png, is exactly this rendered as text)."""
         nodes = []
         for name, rel in sorted(self.relations.items()):
+            if name in self.errors:
+                continue  # reported below (stale relation from a prior build)
             if name in self.skipped:
                 status, t = "skipped", 0.0
             elif name in self.timings:

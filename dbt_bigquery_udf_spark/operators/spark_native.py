@@ -148,11 +148,26 @@ def _number_by_key(df: DataFrame, key: str, k: int = 8) -> DataFrame:
     reusable on any DataFrame with a unique integer ``key`` column.
     Returns ``(key, global_id)`` with global_id = 1..N in key order.
     ``k`` buckets bound the driver state and set write parallelism."""
+    spark = df.sparkSession
     lo, hi = df.agg(F.min(key), F.max(key)).first()
-    span = int(hi) - int(lo) + 1
-    bucket = F.least(
-        F.floor((F.col(key) - F.lit(int(lo))) * k / F.lit(span)),
-        F.lit(k - 1),
+    if lo is None:  # empty input: empty output, same schema
+        return spark.createDataFrame([], f"{key} bigint, global_id bigint")
+    # Bucket in DOUBLE space: (key - lo) * k would overflow int64 when
+    # keys span most of the long range (hash-derived ids). The double
+    # mapping is monotone non-decreasing in key and identical in both
+    # passes, which is all bucketing needs — boundary rounding only
+    # shifts which bucket a boundary key lands in, never its order.
+    span = float(int(hi) - int(lo) + 1)
+    bucket = (
+        F.greatest(
+            F.least(
+                F.floor(
+                    (F.col(key).cast("double") - F.lit(float(lo))) * k / F.lit(span)
+                ),
+                F.lit(k - 1),
+            ),
+            F.lit(0),
+        )
     ).cast("int")
     withb = df.select(key).withColumn("_b", bucket)
     counts = {

@@ -218,11 +218,18 @@ def load_project(project_dir: str) -> LoadedProject:
     author's production scale, README.md:329) parses in well under a
     second.
     """
+    if not os.path.isdir(project_dir):
+        raise EngineError(f"project directory does not exist: {project_dir}")
     proj_path = os.path.join(project_dir, "dbt_project.yml")
     proj: dict = {}
     if os.path.exists(proj_path):
         with open(proj_path) as fh:
             proj = yaml.safe_load(fh) or {}
+    else:
+        # dbt refuses to run without dbt_project.yml; a typo'd path must
+        # not silently load an empty project (and let `test --project`
+        # pass CI with zero tests).
+        raise EngineError(f"no dbt_project.yml in {project_dir}")
     name = proj.get("name", os.path.basename(os.path.abspath(project_dir)))
     model_paths = proj.get("model-paths", proj.get("source-paths", ["models"]))
     seed_paths = proj.get("seed-paths", ["seeds"])
@@ -257,8 +264,17 @@ def load_project(project_dir: str) -> LoadedProject:
             for t in s.get("tables", []) or []:
                 sources.append((s["name"], t["name"]))
 
+    seen_stems: dict[str, str] = {}
     for path, parts in sql_files:
         stem = os.path.splitext(os.path.basename(path))[0]
+        if stem in seen_stems:
+            # dbt fails compilation on duplicate model names; last-wins
+            # would silently drop a model (register(replace=True) is for
+            # overriding BUILT-INS, not intra-project collisions).
+            raise EngineError(
+                f"duplicate model name {stem!r}: {seen_stems[stem]} and {path}"
+            )
+        seen_stems[stem] = path
         with open(path) as fh:
             text = fh.read()
         cfg_inline, body = _split_config_block(text)

@@ -202,3 +202,24 @@ def test_cli_build_with_project(spark, sf_small, project_dir):
     built = {l["model"]: l for l in lines if "model" in l}
     assert "fixture_mart" in built and built["fixture_mart"]["kind"] == "table"
     assert "events_of_type" in built  # upstream closure came along
+
+
+def test_load_project_rejects_bad_trees(tmp_path):
+    """Typo'd paths and duplicate model stems must fail loudly, not
+    load an empty/last-wins project."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    with _pytest.raises(EngineError, match="does not exist"):
+        load_project(str(tmp_path / "nope"))
+    root = str(tmp_path / "noyml")
+    os.makedirs(root)
+    with _pytest.raises(EngineError, match="dbt_project.yml"):
+        load_project(root)
+    dup = str(tmp_path / "dup")
+    _write(dup, "dbt_project.yml", "name: dup\n")
+    _write(dup, "models/a/users.sql", "SELECT 1 AS x\n")
+    _write(dup, "models/b/users.sql", "SELECT 2 AS x\n")
+    with _pytest.raises(EngineError, match="duplicate model name"):
+        load_project(dup)

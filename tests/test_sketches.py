@@ -8,7 +8,9 @@ from dbt_bigquery_udf_spark import queries as Q
 
 def test_hll_count_transpile_vectors():
     t = transpile_bq_expr
-    assert t("HLL_COUNT.INIT(x)") == "hll_sketch_agg(x)"
+    # bare INIT emits BQ's default precision 15 explicitly (Spark's
+    # default lgConfigK is 12 — a silent 2.8x accuracy downgrade)
+    assert t("HLL_COUNT.INIT(x)") == "hll_sketch_agg(x, 15)"
     assert t("HLL_COUNT.INIT(x, 14)") == "hll_sketch_agg(x, 14)"
     assert t("HLL_COUNT.MERGE(sk)") == "hll_sketch_estimate(hll_union_agg(sk))"
     assert t("HLL_COUNT.MERGE_PARTIAL(sk)") == "hll_union_agg(sk)"

@@ -160,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         "reference models",
     )
     u.add_argument("--env", default=None)
+    u.add_argument("--project", default=None, help="dbt-style project directory: run its unit_tests: suites")
     u.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     fr = sub.add_parser(
@@ -476,8 +477,10 @@ def main(argv: list[str] | None = None) -> int:
         from .models.unit_tests import run_unit_tests
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
+        proj = _overlay_project(engine)
+        suite = proj.unit_tests if proj else reference_unit_tests()
         failed = 0
-        for res in run_unit_tests(spark, engine, reference_unit_tests()):
+        for res in run_unit_tests(spark, engine, suite):
             failed += 0 if res.passed else 1
             print(
                 json.dumps(

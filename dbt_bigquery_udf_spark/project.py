@@ -42,6 +42,7 @@ import yaml
 
 from .models.core import EngineError, ModelSpec
 from .models.quality import SchemaTest
+from .models.unit_tests import UnitTest
 
 __all__ = ["LoadedProject", "load_project"]
 
@@ -53,6 +54,7 @@ class LoadedProject:
     tests: list[SchemaTest]
     sources: list[tuple[str, str]]  # declared (dataset, table) pairs
     vars: dict = field(default_factory=dict)
+    unit_tests: list[UnitTest] = field(default_factory=list)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -210,6 +212,75 @@ def _schema_tests(model_name: str, col: dict) -> list[SchemaTest]:
     return out
 
 
+_INPUT_REF_RE = re.compile(r"ref\s*\(\s*'([^']+)'\s*\)")
+_INPUT_SOURCE_RE = re.compile(r"source\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
+
+
+def _infer_schema_ddl(rows: list[dict], declared: dict | None = None) -> str:
+    """Schema DDL for dict-shaped fixture rows (dbt 1.8 unit tests ship
+    no schema — dbt uses the warehouse's; we type from the literals,
+    overridable per column via a non-standard ``schema:`` mapping)."""
+    declared = declared or {}
+    cols: dict[str, str] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k in cols and cols[k] != "string":
+                continue
+            if isinstance(v, bool):
+                cols[k] = "boolean"
+            elif isinstance(v, int):
+                cols[k] = "bigint"
+            elif isinstance(v, float):
+                cols[k] = "double"
+            elif v is not None:
+                cols[k] = "string"
+            else:
+                cols.setdefault(k, "string")
+    for k, t in declared.items():
+        cols[k] = t
+    return ", ".join(f"{k} {t}" for k, t in cols.items())
+
+
+def _parse_unit_tests(doc: dict) -> list[UnitTest]:
+    """dbt 1.8 ``unit_tests:`` YAML -> engine UnitTests."""
+    out: list[UnitTest] = []
+    for ut in doc.get("unit_tests", []) or []:
+        given: dict[str, tuple[str, list]] = {}
+        for g in ut.get("given", []) or []:
+            inp = str(g.get("input", ""))
+            m = _INPUT_REF_RE.search(inp)
+            if m:
+                key = f"ref:{m.group(1)}"
+            else:
+                ms = _INPUT_SOURCE_RE.search(inp)
+                if not ms:
+                    raise EngineError(
+                        f"unit test {ut.get('name')}: unparseable input {inp!r}"
+                    )
+                key = f"source:{ms.group(1)}.{ms.group(2)}"
+            rows = g.get("rows", []) or []
+            given[key] = (_infer_schema_ddl(rows, g.get("schema")), rows)
+        exp_rows = (ut.get("expect", {}) or {}).get("rows", []) or []
+        out.append(
+            UnitTest(
+                name=ut["name"],
+                model=ut["model"],
+                given=given,
+                expect=(
+                    _infer_schema_ddl(
+                        exp_rows, (ut.get("expect", {}) or {}).get("schema")
+                    ),
+                    exp_rows,
+                ),
+                params={
+                    str(k): str(v) for k, v in (ut.get("params", {}) or {}).items()
+                },
+                description=ut.get("description", ""),
+            )
+        )
+    return out
+
+
 def load_project(project_dir: str) -> LoadedProject:
     """Parse a dbt-style project directory into engine specs.
 
@@ -255,6 +326,7 @@ def load_project(project_dir: str) -> LoadedProject:
                     parts = [] if rel == "." else rel.split(os.sep)
                     sql_files.append((full, parts))
 
+    unit_tests: list[UnitTest] = []
     for path in yml_files:
         with open(path) as fh:
             doc = yaml.safe_load(fh) or {}
@@ -263,6 +335,7 @@ def load_project(project_dir: str) -> LoadedProject:
         for s in doc.get("sources", []) or []:
             for t in s.get("tables", []) or []:
                 sources.append((s["name"], t["name"]))
+        unit_tests.extend(_parse_unit_tests(doc))
 
     seen_stems: dict[str, str] = {}
     for path, parts in sql_files:
@@ -324,4 +397,5 @@ def load_project(project_dir: str) -> LoadedProject:
         tests=tests,
         sources=sources,
         vars=dict(proj.get("vars", {}) or {}),
+        unit_tests=unit_tests,
     )

@@ -223,3 +223,54 @@ def test_load_project_rejects_bad_trees(tmp_path):
     _write(dup, "models/b/users.sql", "SELECT 2 AS x\n")
     with _pytest.raises(EngineError, match="duplicate model name"):
         load_project(dup)
+
+
+def test_project_unit_tests_yaml(spark, sf_small, tmp_path):
+    """dbt 1.8 unit_tests: YAML fixtures load and run through the unit
+    test framework (schema inferred from dict literals)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.unit_tests import run_unit_tests
+
+    root = str(tmp_path / "utproj")
+    _write(root, "dbt_project.yml", "name: utproj\n")
+    _write(
+        root,
+        "models/double_val.sql",
+        """\
+        {{ config(materialized='table', schema='datamart') }}
+        SELECT id, val * 2 AS doubled FROM {{ ref('ut_base') }}
+        """,
+    )
+    _write(
+        root,
+        "models/ut_base.sql",
+        "{{ config(materialized='table', schema='datamart') }}\n"
+        "SELECT 0 AS id, 0.0 AS val\n",
+    )
+    _write(
+        root,
+        "models/schema.yml",
+        """\
+        version: 2
+        unit_tests:
+          - name: doubles_values
+            model: double_val
+            given:
+              - input: ref('ut_base')
+                rows:
+                  - {id: 1, val: 2.5}
+                  - {id: 2, val: -1.0}
+            expect:
+              rows:
+                - {id: 1, doubled: 5.0}
+                - {id: 2, doubled: -2.0}
+        """,
+    )
+    proj = load_project(root)
+    assert len(proj.unit_tests) == 1
+    ut = proj.unit_tests[0]
+    assert ut.given["ref:ut_base"][0] == "id bigint, val double"
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    results = run_unit_tests(spark, engine, proj.unit_tests)
+    assert len(results) == 1 and results[0].passed, results[0]

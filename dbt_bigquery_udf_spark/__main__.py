@@ -214,6 +214,10 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in proj.vars.items():
                 engine.vars.setdefault(k, v)
             engine.register(*proj.models, replace=True)
+            if proj.exposures:
+                engine.register_exposures(*proj.exposures)
+            if proj.metrics and getattr(engine, "metric_registry", None):
+                engine.metric_registry.register(*proj.metrics)
             return proj
         return None
 

@@ -21,7 +21,10 @@ as Python. This module reads the same layout:
 - ``models/**/*.yml``: ``models:`` descriptions + column docs (persisted
   to the warehouse, the reference's F10) and column ``tests:``
   (unique / not_null / accepted_values / relationships);
-  ``sources:`` declarations (`models/udf/source.yml:4-9`).
+  ``sources:`` declarations (`models/udf/source.yml:4-9`);
+  dbt 1.8 ``unit_tests:`` (given/expect dict-row fixtures);
+  ``exposures:`` (downstream lineage) and ``metrics:`` (semantic-layer
+  definitions for the MetricRegistry).
 - ``seed-paths/**/*.csv``: seed models.
 
 Config parsing is ``ast``-based (Jinja config arguments are literals in
@@ -40,8 +43,9 @@ from dataclasses import dataclass, field
 
 import yaml
 
-from .models.core import EngineError, ModelSpec
+from .models.core import EngineError, Exposure, ModelSpec
 from .models.quality import SchemaTest
+from .models.metrics import Metric
 from .models.unit_tests import UnitTest
 
 __all__ = ["LoadedProject", "load_project"]
@@ -55,6 +59,8 @@ class LoadedProject:
     sources: list[tuple[str, str]]  # declared (dataset, table) pairs
     vars: dict = field(default_factory=dict)
     unit_tests: list[UnitTest] = field(default_factory=list)
+    exposures: list[Exposure] = field(default_factory=list)
+    metrics: list[Metric] = field(default_factory=list)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -327,6 +333,8 @@ def load_project(project_dir: str) -> LoadedProject:
                     sql_files.append((full, parts))
 
     unit_tests: list[UnitTest] = []
+    exposures: list[Exposure] = []
+    metrics: list[Metric] = []
     for path in yml_files:
         with open(path) as fh:
             doc = yaml.safe_load(fh) or {}
@@ -336,6 +344,36 @@ def load_project(project_dir: str) -> LoadedProject:
             for t in s.get("tables", []) or []:
                 sources.append((s["name"], t["name"]))
         unit_tests.extend(_parse_unit_tests(doc))
+        for e in doc.get("exposures", []) or []:
+            deps = [
+                _INPUT_REF_RE.search(d).group(1)
+                for d in (e.get("depends_on", []) or [])
+                if _INPUT_REF_RE.search(str(d))
+            ]
+            owner = e.get("owner", {}) or {}
+            exposures.append(
+                Exposure(
+                    name=e["name"],
+                    exposure_type=e.get("type", "dashboard"),
+                    depends_on=tuple(deps),
+                    owner=owner.get("name", "") if isinstance(owner, dict) else str(owner),
+                    url=e.get("url", ""),
+                    description=e.get("description", ""),
+                    maturity=e.get("maturity", ""),
+                )
+            )
+        for mt in doc.get("metrics", []) or []:
+            metrics.append(
+                Metric(
+                    name=mt["name"],
+                    model=mt["model"],
+                    expression=mt["expression"],
+                    dimensions=tuple(mt.get("dimensions", []) or []),
+                    time_dimension=mt.get("time_dimension"),
+                    filter=mt.get("filter"),
+                    description=mt.get("description", ""),
+                )
+            )
 
     seen_stems: dict[str, str] = {}
     for path, parts in sql_files:
@@ -398,4 +436,6 @@ def load_project(project_dir: str) -> LoadedProject:
         sources=sources,
         vars=dict(proj.get("vars", {}) or {}),
         unit_tests=unit_tests,
+        exposures=exposures,
+        metrics=metrics,
     )

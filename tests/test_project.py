@@ -274,3 +274,36 @@ def test_project_unit_tests_yaml(spark, sf_small, tmp_path):
     engine.register(*proj.models, replace=True)
     results = run_unit_tests(spark, engine, proj.unit_tests)
     assert len(results) == 1 and results[0].passed, results[0]
+
+
+def test_project_exposures_and_metrics(tmp_path):
+    root = str(tmp_path / "semproj")
+    _write(root, "dbt_project.yml", "name: semproj\n")
+    _write(root, "models/rev.sql",
+           "{{ config(materialized='table', schema='datamart') }}\nSELECT 1 AS a\n")
+    _write(
+        root,
+        "models/schema.yml",
+        """\
+        version: 2
+        exposures:
+          - name: revenue_dashboard
+            type: dashboard
+            depends_on: ["ref('rev')"]
+            owner:
+              name: data-team
+            url: https://example.invalid/dash
+        metrics:
+          - name: total_rev
+            model: rev
+            expression: sum(a)
+            dimensions: [a]
+        """,
+    )
+    proj = load_project(root)
+    assert len(proj.exposures) == 1
+    e = proj.exposures[0]
+    assert e.depends_on == ("rev",) and e.owner == "data-team"
+    assert len(proj.metrics) == 1
+    m = proj.metrics[0]
+    assert m.expression == "sum(a)" and m.dimensions == ("a",)

@@ -307,3 +307,35 @@ def test_project_exposures_and_metrics(tmp_path):
     assert len(proj.metrics) == 1
     m = proj.metrics[0]
     assert m.expression == "sum(a)" and m.dimensions == ("a",)
+
+
+def test_project_incremental_model_roundtrip(spark, sf_small, tmp_path):
+    """An incremental model with {% if is_incremental() %} / {{ this }}
+    in its FILE body builds full on run 1 and inserts nothing new on
+    run 2 (static source) — the loader composes with the incremental
+    machinery."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+
+    root = str(tmp_path / "incproj")
+    _write(root, "dbt_project.yml", "name: incproj\n")
+    _write(
+        root,
+        "models/ev_incr_proj.sql",
+        """\
+        {{ config(materialized='incremental', schema='datamart', dialect='spark') }}
+        SELECT event_id, ts, user_id, event_type
+        FROM {{ source('joshua_dataset', 'events') }}
+        {% if is_incremental() %}
+        WHERE ts > (SELECT max(ts) FROM {{ this }})
+        {% endif %}
+        """,
+    )
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["ev_incr_proj"])
+    n1 = spark.table("datamart.ev_incr_proj").count()
+    assert n1 == spark.table("src.events").count()
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["ev_incr_proj"])
+    assert spark.table("datamart.ev_incr_proj").count() == n1

@@ -407,3 +407,23 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_udtf_lateral_single_exchange(spark, sf_small):
+    """Python-UDTF LATERAL expansion is partition-local: the only
+    exchange is the per-doc aggregate after it."""
+    f = _facts(spark, sf_small, "udtf_sentence_stats")
+    assert f.exchanges == 1, f.text
+    assert "Join" not in f.text, f.text
+
+
+def test_global_row_ids_single_shuffle(spark, sf_small):
+    """Ordinal assignment shuffles once (bucket repartition); the sort
+    is partition-local — never a global single-task sort."""
+    f = _facts(spark, sf_small, "global_row_ids")
+    assert f.exchanges == 1, f.text
+    assert "TakeOrdered" not in f.text, f.text
+    # every Sort node must be partition-local (global flag false):
+    # "Sort [...], true" would be the single-task global sort this
+    # operator exists to avoid
+    assert "], true" not in f.text, f.text

@@ -1604,3 +1604,78 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("revenue", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH lc AS (
+      SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n_total) AS big_n, sum(pow(n_total, 0.7)) AS z FROM lc
+    ), rates AS (
+      SELECT lang, n_total,
+             least(1.0, 0.5 * big_n * pow(n_total, 0.7) / z / n_total) AS r
+      FROM lc, tot
+    )
+    SELECT d.lang,
+           any_value(rates.n_total) AS n_total,
+           count(*) AS n_kept,
+           round(any_value(rates.r), 6) AS rate
+    FROM documents d JOIN rates ON d.lang = rates.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < CAST(floor(rates.r * 1000000) AS BIGINT)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mT5/XLM-R alpha
+    sampling): target share of language l is p_l^alpha renormalized
+    (alpha=0.7), so head languages are downsampled and tail languages
+    keep ~all their data; beta=0.5 sets the corpus-wide keep fraction.
+    Per-doc keep is the deterministic md5-bucket trick (reproducible
+    across engines and re-runs, like sample_weighted_mix), with the
+    per-language rate r_l = min(1, beta * N * p_l^alpha / Z / n_l)
+    computed FROM corpus statistics rather than hand-set tiers.
+
+    Scale: language counts are |langs| rows; the rates table broadcasts
+    into a scan-side filter — the only full-data shuffle is the final
+    per-language count. Changing alpha/beta re-plans nothing.
+    """
+    d = _src(spark, sf_dir)["documents"].select("doc_id", "lang")
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = lc.agg(
+        F.sum("n_total").alias("big_n"),
+        F.sum(F.pow("n_total", F.lit(0.7))).alias("z"),
+    )
+    rates = (
+        lc.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.col("big_n")
+                * F.pow("n_total", F.lit(0.7))
+                / F.col("z")
+                / F.col("n_total"),
+            ),
+        )
+        .select("lang", "n_total", "r")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("r") * 1000000).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.any_value(F.col("n_total")).alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.any_value(F.col("r")), 6).alias("rate"),
+        )
+        .orderBy("lang")
+    )

@@ -334,6 +334,12 @@ _APPROX_QUANTILES_RE = re.compile(r"\bAPPROX_QUANTILES\s*\(", re.IGNORECASE)
 _HLL_COUNT_RE = re.compile(
     r"\bHLL_COUNT\s*\.\s*(INIT|MERGE_PARTIAL|MERGE|EXTRACT)\s*\(", re.IGNORECASE
 )
+_DATE_DIFF_RE = re.compile(r"\bDATE_DIFF\s*\(", re.IGNORECASE)
+_DATE_TRUNC_RE = re.compile(r"\bDATE_TRUNC\s*\(", re.IGNORECASE)
+_DATE_ADDSUB_RE = re.compile(r"\bDATE_(ADD|SUB)\s*\(", re.IGNORECASE)
+_BARE_PART_RE = re.compile(
+    r"(?i)(DAY|WEEK|MONTH|QUARTER|YEAR|ISOYEAR|ISOWEEK)"
+)
 _FORMAT_RE = re.compile(r"\bFORMAT\s*\(", re.IGNORECASE)
 # printf specifiers we translate; BQ %t/%T (value-to-text) have no Java
 # counterpart and block the rewrite. Java printf rejects DECIMAL for %d
@@ -425,6 +431,73 @@ def transpile_bq_functions(sql: str) -> str:
         return f"timestampadd({part}, {n}, {a[0]})"
 
     out = _rewrite_calls(out, _DT_ADDSUB_RE, _addsub)
+
+    # DATE_DIFF/DATE_TRUNC/DATE_ADD/DATE_SUB: Spark has SAME-NAME
+    # functions with different shapes, so only the forms that are
+    # *unambiguously BigQuery* rewrite — 3-arg DIFF with a bare part
+    # keyword, TRUNC with a bare part keyword second, ADD/SUB with an
+    # INTERVAL argument. Every rewritten output no longer matches these
+    # patterns, so the transpiler stays idempotent on its own output
+    # (and on native Spark SQL, whose date_trunc part is a quoted
+    # string and whose date_add second arg is a plain integer).
+    def _date_diff(m: re.Match, a: list[str]) -> str | None:
+        # BQ DATE_DIFF counts BOUNDARY CROSSINGS (Jan 31 -> Feb 1 is 1
+        # MONTH), not full periods — timestampdiff would be wrong, so
+        # each part gets its exact closed form. WEEK boundaries are
+        # Sundays (1970-01-04 anchors the epoch to a Sunday).
+        if len(a) != 3 or not _BARE_PART_RE.fullmatch(a[2].strip()):
+            return None  # Spark's own 2-arg date_diff: leave untouched
+        part = a[2].strip().upper()
+        e, s = a[0], a[1]
+        if part == "DAY":
+            return f"datediff({e}, {s})"
+        if part == "YEAR":
+            return f"(year({e}) - year({s}))"
+        if part == "MONTH":
+            return f"((year({e}) - year({s})) * 12 + (month({e}) - month({s})))"
+        if part == "QUARTER":
+            return (
+                f"((year({e}) - year({s})) * 4 + (quarter({e}) - quarter({s})))"
+            )
+        if part == "WEEK":
+            return (
+                f"(floor(datediff({e}, DATE '1970-01-04') / 7) - "
+                f"floor(datediff({s}, DATE '1970-01-04') / 7))"
+            )
+        return None  # ISOYEAR/ISOWEEK: unmapped (visible failure)
+
+    out = _rewrite_calls(out, _DATE_DIFF_RE, _date_diff)
+
+    def _date_trunc(m: re.Match, a: list[str]) -> str | None:
+        if len(a) != 2 or not _BARE_PART_RE.fullmatch(a[1].strip()):
+            return None  # Spark's date_trunc('fmt', ts): leave untouched
+        part = a[1].strip().upper()
+        if part == "WEEK":
+            # BQ weeks start SUNDAY; Spark date_trunc('WEEK') is Monday.
+            # dayofweek: 1=Sunday, so this lands exactly on the Sunday.
+            return f"date_sub({a[0]}, dayofweek({a[0]}) - 1)"
+        if part in ("DAY", "MONTH", "QUARTER", "YEAR"):
+            return f"cast(date_trunc('{part}', {a[0]}) as date)"
+        return None  # ISO parts: unmapped
+
+    out = _rewrite_calls(out, _DATE_TRUNC_RE, _date_trunc)
+
+    def _date_addsub(m: re.Match, a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        iv = _INTERVAL_RE.match(a[1])
+        if iv is None:
+            return None  # Spark's date_add(d, n): leave untouched
+        n, part = iv.group(1), iv.group(2).upper()
+        if part not in ("DAY", "WEEK", "MONTH", "QUARTER", "YEAR"):
+            return None
+        if m.group(1).upper() == "SUB":
+            n = f"-({n})"
+        # timestampadd clamps month-end exactly like BQ (Jan 31 + 1
+        # MONTH -> Feb 29/28), and WEEK is 7 exact days in both.
+        return f"cast(timestampadd({part}, {n}, {a[0]}) as date)"
+
+    out = _rewrite_calls(out, _DATE_ADDSUB_RE, _date_addsub)
 
     def _gen_array(m: re.Match, a: list[str]) -> str:
         # BQ returns [] when the step cannot reach stop from start

@@ -277,3 +277,46 @@ def test_unsupported_bq_forms_pass_through():
         "SELECT FORMAT(fmt_col, x) FROM t",
     ]:
         assert transpile_bq_functions(sql) == sql
+
+
+def test_date_family_bq_forms_rewrite(spark):
+    """Unambiguous BQ DATE_* forms map faithfully; Spark-native forms
+    pass through; rewrites are idempotent."""
+    from dbt_bigquery_udf_spark.functions.dialect import transpile_bq_expr as t
+
+    # boundary-crossing semantics (Jan 31 -> Feb 1 is 1 MONTH in BQ)
+    vectors = [
+        ("DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', MONTH)", 1),
+        ("DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', DAY)", 1),
+        ("DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', YEAR)", 1),
+        ("DATE_DIFF(DATE '2024-04-01', DATE '2024-03-31', QUARTER)", 1),
+        # 2024-01-07 was a Sunday: one Sunday boundary crossed
+        ("DATE_DIFF(DATE '2024-01-08', DATE '2024-01-06', WEEK)", 1),
+        ("DATE_DIFF(DATE '2024-01-06', DATE '2024-01-01', WEEK)", 0),
+    ]
+    for bq, expected in vectors:
+        got = spark.sql(f"SELECT {t(bq)} AS v").first().v
+        assert got == expected, (bq, t(bq), got)
+    # BQ DATE_TRUNC weeks start Sunday (Spark's start Monday);
+    # month-end clamping for ADD/SUB
+    scalar_vectors = [
+        ("DATE_TRUNC(DATE '2024-01-10', WEEK)", "2024-01-07"),
+        ("DATE_TRUNC(DATE '2024-01-10', MONTH)", "2024-01-01"),
+        ("DATE_ADD(DATE '2024-01-31', INTERVAL 1 MONTH)", "2024-02-29"),
+        ("DATE_SUB(DATE '2024-03-31', INTERVAL 1 MONTH)", "2024-02-29"),
+    ]
+    for bq, expected in scalar_vectors:
+        sql_expr = t(bq)
+        got = spark.sql(f"SELECT {sql_expr} AS v").first().v
+        assert str(got) == expected, (bq, sql_expr, got)
+    # Spark-native same-name forms are untouched (idempotency guarantee)
+    for native in (
+        "date_diff(d1, d2)",
+        "date_trunc('week', ts)",
+        "date_add(d, 3)",
+        "date_sub(d, 3)",
+    ):
+        assert t(native).lower() == native.lower(), native
+    # rewritten output is a fixed point
+    for bq, _ in vectors:
+        assert t(t(bq)) == t(bq), bq

@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
         help="saved state file for state:modified selectors (dbt Slim CI)",
     )
     b.add_argument(
+        "--selector",
+        default=None,
+        help="named selector from the project's selectors.yml "
+        "(requires --project; dbt --selector)",
+    )
+    b.add_argument(
         "--run-results",
         default=None,
         help="write a dbt run_results.json-style artifact (per-model "
@@ -242,9 +248,18 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
-        _overlay_project(engine)
+        proj = _overlay_project(engine)
+        select = args.select
+        if getattr(args, "selector", None):
+            if not proj:
+                print("--selector requires --project", file=sys.stderr)
+                return 2
+            if args.selector not in proj.selectors:
+                print(f"no selector {args.selector!r} in selectors.yml", file=sys.stderr)
+                return 2
+            select = (select or []) + proj.selectors[args.selector]
         rels = engine.build(
-            select=args.select,
+            select=select,
             threads=args.threads,
             state=args.state,
             exclude=args.exclude,

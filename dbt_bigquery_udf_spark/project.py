@@ -61,6 +61,7 @@ class LoadedProject:
     unit_tests: list[UnitTest] = field(default_factory=list)
     exposures: list[Exposure] = field(default_factory=list)
     metrics: list[Metric] = field(default_factory=list)
+    selectors: dict[str, list[str]] = field(default_factory=dict)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -287,6 +288,46 @@ def _parse_unit_tests(doc: dict) -> list[UnitTest]:
     return out
 
 
+def _selector_atom(node) -> str:
+    """One selectors.yml definition node -> an engine selector string."""
+    if isinstance(node, str):
+        return node
+    if isinstance(node, dict) and "method" in node:
+        method = node["method"]
+        value = str(node.get("value", ""))
+        if method in ("fqn", "path"):
+            atom = value.split(".")[-1].removesuffix(".sql")
+        elif method == "tag":
+            atom = f"tag:{value}"
+        elif method == "state":
+            atom = f"state:{value}"
+        else:
+            raise EngineError(f"selectors.yml: unsupported method {method!r}")
+        if node.get("children"):
+            atom += "+"
+        if node.get("parents"):
+            atom = "+" + atom
+        return atom
+    raise EngineError(f"selectors.yml: unsupported definition node {node!r}")
+
+
+def _parse_selectors(doc: dict) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for sel in doc.get("selectors", []) or []:
+        definition = sel.get("definition")
+        if isinstance(definition, dict) and "union" in definition:
+            atoms = [_selector_atom(n) for n in definition["union"]]
+        elif isinstance(definition, dict) and "intersection" in definition:
+            raise EngineError(
+                "selectors.yml: intersection definitions are not supported "
+                "(use union / single atoms)"
+            )
+        else:
+            atoms = [_selector_atom(definition)]
+        out[sel["name"]] = atoms
+    return out
+
+
 def load_project(project_dir: str) -> LoadedProject:
     """Parse a dbt-style project directory into engine specs.
 
@@ -429,6 +470,12 @@ def load_project(project_dir: str) -> LoadedProject:
                         )
                     )
 
+    selectors: dict[str, list[str]] = {}
+    sel_path = os.path.join(project_dir, "selectors.yml")
+    if os.path.exists(sel_path):
+        with open(sel_path) as fh:
+            selectors = _parse_selectors(yaml.safe_load(fh) or {})
+
     return LoadedProject(
         name=name,
         models=models,
@@ -438,4 +485,5 @@ def load_project(project_dir: str) -> LoadedProject:
         unit_tests=unit_tests,
         exposures=exposures,
         metrics=metrics,
+        selectors=selectors,
     )

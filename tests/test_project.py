@@ -339,3 +339,43 @@ def test_project_incremental_model_roundtrip(spark, sf_small, tmp_path):
     engine.register(*proj.models, replace=True)
     engine.build(select=["ev_incr_proj"])
     assert spark.table("datamart.ev_incr_proj").count() == n1
+
+
+def test_selectors_yml(spark, sf_small, project_dir):
+    """selectors.yml named selections resolve through the engine's
+    selector syntax and drive `build --selector`."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    _write(
+        project_dir,
+        "selectors.yml",
+        """\
+        selectors:
+          - name: marts_only
+            definition:
+              union:
+                - method: fqn
+                  value: fixture_mart
+          - name: udf_tree
+            definition:
+              method: tag
+              value: udf
+              children: true
+        """,
+    )
+    proj = load_project(project_dir)
+    assert proj.selectors["marts_only"] == ["fixture_mart"]
+    assert proj.selectors["udf_tree"] == ["tag:udf+"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["build", "--project", project_dir, "--selector", "marts_only",
+             "--sf-dir", sf_small]
+        )
+    assert rc == 0
+    built = {json.loads(l)["model"] for l in buf.getvalue().splitlines() if l.startswith("{")}
+    assert "fixture_mart" in built

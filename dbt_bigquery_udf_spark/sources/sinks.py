@@ -27,6 +27,7 @@ __all__ = [
     "write_zordered",
     "zorder_expr",
     "compact_files",
+    "compact_if_fragmented",
 ]
 
 
@@ -235,3 +236,27 @@ def compact_files(
     fs.delete(old, True)
     files_after, _ = _list_data_files(spark, path)
     return {"files_before": files_before, "bytes": total, "files_after": files_after}
+
+
+def compact_if_fragmented(
+    spark,
+    path: str,
+    max_files: int = 64,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict | None:
+    """Maintenance trigger for incrementally-written locations: compact
+    only when the data-file count exceeds ``max_files``, else no-op.
+
+    This is the call a ``foreachBatch`` sink (or a scheduled job) makes
+    after each append — cheap O(listing) when healthy, a bin-pack
+    rewrite when fragmentation crosses the threshold. Keeping it here
+    (not inside the streaming query) means the maintenance cadence is
+    the operator's knob, independent of trigger cadence.
+    """
+    n, _total = _list_data_files(spark, path)
+    if n <= max_files:
+        return None
+    return compact_files(
+        spark, path, target_file_bytes=target_file_bytes, partition_by=partition_by
+    )

@@ -142,3 +142,23 @@ def test_compact_files_flat_and_partitioned(spark, tmp_path):
     out = spark.read.parquet(part)
     assert out.count() == 10000
     assert out.select("p").distinct().count() == 4
+
+
+def test_compact_if_fragmented_threshold(spark, tmp_path):
+    """The streaming-maintenance trigger: no-op while healthy, bin-pack
+    once appends fragment past the threshold."""
+    from dbt_bigquery_udf_spark.sources.sinks import (
+        compact_if_fragmented,
+        _list_data_files,
+    )
+
+    path = str(tmp_path / "landing")
+    spark.range(0, 100).repartition(4).write.parquet(path)
+    assert compact_if_fragmented(spark, path, max_files=16) is None  # healthy
+    for _ in range(5):  # simulate micro-batch appends
+        spark.range(0, 100).repartition(4).write.mode("append").parquet(path)
+    before, _ = _list_data_files(spark, path)
+    assert before > 16
+    stats = compact_if_fragmented(spark, path, max_files=16)
+    assert stats is not None and stats["files_after"] < before
+    assert spark.read.parquet(path).count() == 600

@@ -151,6 +151,14 @@ def _config_tree_for(tree: dict, project: str, rel_parts: list[str]) -> dict:
 
 def _apply_config(cfg: dict, spec_kwargs: dict) -> None:
     for raw_key, value in cfg.items():
+        if raw_key in ("database", "project"):
+            # dbt-bigquery's +database/+project is the BQ *project*
+            # (reference: dbt_project.yml `+database: joshua-1000`) —
+            # catalog-level, not a schema. The engine runs in one Spark
+            # catalog, so it is recorded nowhere; mapping it onto
+            # ModelSpec.database would clobber +schema in YAML-order-
+            # dependent ways.
+            continue
         key = _KEY_ALIASES.get(raw_key, raw_key)
         if key == "materialized":
             spec_kwargs["kind"] = value

@@ -379,3 +379,29 @@ def test_selectors_yml(spark, sf_small, project_dir):
     assert rc == 0
     built = {json.loads(l)["model"] for l in buf.getvalue().splitlines() if l.startswith("{")}
     assert "fixture_mart" in built
+
+
+def test_bq_project_database_config_ignored(tmp_path):
+    """The reference's `+database: <bq-project>` is catalog-level and
+    must not clobber `+schema` regardless of YAML key order."""
+    root = str(tmp_path / "bqproj")
+    _write(
+        root,
+        "dbt_project.yml",
+        """\
+        name: bqproj
+        models:
+          bqproj:
+            a:
+              +database: joshua-1000
+              +schema: udf
+            b:
+              +schema: udf
+              +database: joshua-1000
+        """,
+    )
+    _write(root, "models/a/m1.sql", "SELECT 1 AS x\n")
+    _write(root, "models/b/m2.sql", "SELECT 1 AS x\n")
+    specs = {m.name: m for m in load_project(root).models}
+    assert specs["m1"].database == "udf"
+    assert specs["m2"].database == "udf"

@@ -438,12 +438,14 @@ def load_project(project_dir: str) -> LoadedProject:
         with open(path) as fh:
             text = fh.read()
         cfg_inline, body = _split_config_block(text)
+        meta = docs.get(stem, {})
         kwargs: dict = {"kind": "view"}  # dbt's default materialization
+        # dbt precedence: project tree < schema.yml config: < in-file config()
         _apply_config(_config_tree_for(config_tree, name, parts), kwargs)
+        _apply_config(dict(meta.get("config", {}) or {}), kwargs)
         _apply_config(cfg_inline, kwargs)
         if not kwargs.pop("_enabled", True):
             continue
-        meta = docs.get(stem, {})
         columns = {
             c["name"]: c.get("description", "")
             for c in meta.get("columns", []) or []

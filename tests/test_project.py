@@ -405,3 +405,27 @@ def test_bq_project_database_config_ignored(tmp_path):
     specs = {m.name: m for m in load_project(root).models}
     assert specs["m1"].database == "udf"
     assert specs["m2"].database == "udf"
+
+
+def test_schema_yml_config_block(tmp_path):
+    """dbt's YAML-config style: `config:` under a schema.yml model entry
+    applies between the folder tree and the in-file config()."""
+    root = str(tmp_path / "ymlcfg")
+    _write(root, "dbt_project.yml", "name: ymlcfg\n")
+    _write(root, "models/m_yml.sql", "SELECT 1 AS x\n")
+    _write(
+        root,
+        "models/schema.yml",
+        """\
+        version: 2
+        models:
+          - name: m_yml
+            config:
+              materialized: table
+              schema: datamart
+              tags: [nightly]
+        """,
+    )
+    spec = {m.name: m for m in load_project(root).models}["m_yml"]
+    assert spec.kind == "table" and spec.database == "datamart"
+    assert spec.tags == ("nightly",)

@@ -295,10 +295,19 @@ def main(argv: list[str] | None = None) -> int:
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         proj = _overlay_project(engine)
-        engine.build()
-        suite = (
-            proj.tests if proj else reference_tests() + reference_singular_tests()
-        )
+        if proj:
+            # build only the project models (plus their upstream
+            # closure), keep-going so a broken model reports instead of
+            # raising a traceback out of the CLI
+            engine.build(select=[m.name for m in proj.models], fail_fast=False)
+            suite = proj.tests
+        else:
+            engine.build()
+            suite = reference_tests() + reference_singular_tests()
+        for bname, exc in sorted(engine.errors.items()):
+            print(json.dumps({"model": bname, "status": "ERROR", "message": str(exc)[:300]}))
+        if engine.errors:
+            return 1
         failed = 0
         for res in run_tests(
             spark, engine, suite, store_failures=args.store_failures
@@ -497,6 +506,13 @@ def main(argv: list[str] | None = None) -> int:
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         proj = _overlay_project(engine)
+        if proj:
+            engine.build(select=[m.name for m in proj.models], fail_fast=False)
+            for bname, exc in sorted(engine.errors.items()):
+                print(json.dumps({"model": bname, "status": "ERROR",
+                                  "message": str(exc)[:300]}))
+            if engine.errors:
+                return 1
         suite = proj.unit_tests if proj else reference_unit_tests()
         failed = 0
         for res in run_unit_tests(spark, engine, suite):

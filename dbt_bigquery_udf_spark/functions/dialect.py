@@ -469,8 +469,18 @@ def transpile_bq_functions(sql: str) -> str:
     out = _rewrite_calls(out, _DATE_DIFF_RE, _date_diff)
 
     def _date_trunc(m: re.Match, a: list[str]) -> str | None:
-        if len(a) != 2 or not _BARE_PART_RE.fullmatch(a[1].strip()):
-            return None  # Spark's date_trunc('fmt', ts): leave untouched
+        # Spark's native form puts a QUOTED format string first
+        # (date_trunc('month', ts)); BQ puts the date expression first
+        # and a BARE part keyword second. Requiring both discriminators
+        # keeps native SQL untouched even when columns are named like
+        # part keywords (a column called `day`), and makes the rewrite
+        # a fixed point (the emitted date_trunc has a quoted first arg).
+        if (
+            len(a) != 2
+            or not _BARE_PART_RE.fullmatch(a[1].strip())
+            or a[0].strip().startswith(("'", '"'))
+        ):
+            return None
         part = a[1].strip().upper()
         if part == "WEEK":
             # BQ weeks start SUNDAY; Spark date_trunc('WEEK') is Monday.

@@ -305,6 +305,9 @@ class Exposure:
     name: str
     exposure_type: str  # 'dashboard' | 'ml' | 'application' | 'analysis' | 'notebook'
     depends_on: tuple[str, ...]  # model names (ref()s)
+    # source()-fed inputs ('dataset.table') — lineage-only; sources are
+    # externally managed so they never gate registration like model deps
+    depends_on_sources: tuple[str, ...] = ()
     owner: str = ""
     url: str = ""
     description: str = ""

@@ -236,24 +236,33 @@ def _infer_schema_ddl(rows: list[dict], declared: dict | None = None) -> str:
     no schema — dbt uses the warehouse's; we type from the literals,
     overridable per column via a non-standard ``schema:`` mapping)."""
     declared = declared or {}
-    cols: dict[str, str] = {}
+    cols: dict[str, str | None] = {}  # None = only NULLs seen so far
     for r in rows:
         for k, v in r.items():
-            if k in cols and cols[k] != "string":
-                continue
             if isinstance(v, bool):
-                cols[k] = "boolean"
+                t = "boolean"
             elif isinstance(v, int):
-                cols[k] = "bigint"
+                t = "bigint"
             elif isinstance(v, float):
-                cols[k] = "double"
+                t = "double"
             elif v is not None:
-                cols[k] = "string"
+                t = "string"
             else:
-                cols.setdefault(k, "string")
+                cols.setdefault(k, None)
+                continue
+            prev = cols.get(k)
+            if prev is None or prev == t:
+                cols[k] = t
+            elif {prev, t} == {"bigint", "double"}:
+                cols[k] = "double"  # widen mixed numerics (amounts [1, 2.5])
+            else:
+                raise EngineError(
+                    f"unit test fixture column {k!r}: mixed literal types "
+                    f"{prev} and {t} — declare the type via schema:"
+                )
     for k, t in declared.items():
         cols[k] = t
-    return ", ".join(f"{k} {t}" for k, t in cols.items())
+    return ", ".join(f"{k} {t or 'string'}" for k, t in cols.items())
 
 
 def _parse_unit_tests(doc: dict) -> list[UnitTest]:
@@ -301,10 +310,17 @@ def _selector_atom(node) -> str:
     if isinstance(node, str):
         return node
     if isinstance(node, dict) and "method" in node:
+        unknown = set(node) - {"method", "value", "children", "parents"}
+        if unknown:
+            raise EngineError(
+                f"selectors.yml: unsupported atom keys {sorted(unknown)}"
+            )
         method = node["method"]
         value = str(node.get("value", ""))
-        if method in ("fqn", "path"):
-            atom = value.split(".")[-1].removesuffix(".sql")
+        if method == "fqn":
+            atom = value.split(".")[-1]
+        elif method == "path":
+            atom = os.path.basename(value).removesuffix(".sql")
         elif method == "tag":
             atom = f"tag:{value}"
         elif method == "state":
@@ -324,6 +340,13 @@ def _parse_selectors(doc: dict) -> dict[str, list[str]]:
     for sel in doc.get("selectors", []) or []:
         definition = sel.get("definition")
         if isinstance(definition, dict) and "union" in definition:
+            unknown = set(definition) - {"union"}
+            if unknown:
+                raise EngineError(
+                    f"selectors.yml: unsupported definition keys {sorted(unknown)} "
+                    "(exclude/intersection are not supported — fail loudly rather "
+                    "than select the wrong set)"
+                )
             atoms = [_selector_atom(n) for n in definition["union"]]
         elif isinstance(definition, dict) and "intersection" in definition:
             raise EngineError(
@@ -394,17 +417,26 @@ def load_project(project_dir: str) -> LoadedProject:
                 sources.append((s["name"], t["name"]))
         unit_tests.extend(_parse_unit_tests(doc))
         for e in doc.get("exposures", []) or []:
-            deps = [
-                _INPUT_REF_RE.search(d).group(1)
-                for d in (e.get("depends_on", []) or [])
-                if _INPUT_REF_RE.search(str(d))
-            ]
+            deps, src_deps = [], []
+            for d in e.get("depends_on", []) or []:
+                mr = _INPUT_REF_RE.search(str(d))
+                if mr:
+                    deps.append(mr.group(1))
+                    continue
+                ms = _INPUT_SOURCE_RE.search(str(d))
+                if ms:
+                    src_deps.append(f"{ms.group(1)}.{ms.group(2)}")
+                else:
+                    raise EngineError(
+                        f"exposure {e.get('name')}: unparseable depends_on {d!r}"
+                    )
             owner = e.get("owner", {}) or {}
             exposures.append(
                 Exposure(
                     name=e["name"],
                     exposure_type=e.get("type", "dashboard"),
                     depends_on=tuple(deps),
+                    depends_on_sources=tuple(src_deps),
                     owner=owner.get("name", "") if isinstance(owner, dict) else str(owner),
                     url=e.get("url", ""),
                     description=e.get("description", ""),
@@ -437,7 +469,14 @@ def load_project(project_dir: str) -> LoadedProject:
         seen_stems[stem] = path
         with open(path) as fh:
             text = fh.read()
-        cfg_inline, body = _split_config_block(text)
+        try:
+            cfg_inline, body = _split_config_block(text)
+        except EngineError:
+            raise
+        except Exception as exc:  # unbalanced parens / unterminated string
+            raise EngineError(
+                f"{path}: malformed {{{{ config(...) }}}} block ({exc})"
+            ) from exc
         meta = docs.get(stem, {})
         kwargs: dict = {"kind": "view"}  # dbt's default materialization
         # dbt precedence: project tree < schema.yml config: < in-file config()
@@ -450,8 +489,6 @@ def load_project(project_dir: str) -> LoadedProject:
             c["name"]: c.get("description", "")
             for c in meta.get("columns", []) or []
         }
-        for c in meta.get("columns", []) or []:
-            tests.extend(_schema_tests(stem, c))
         models.append(
             ModelSpec(
                 name=stem,
@@ -479,6 +516,17 @@ def load_project(project_dir: str) -> LoadedProject:
                             description=meta.get("description", ""),
                         )
                     )
+
+    # Column tests attach to every loaded model — including seeds (a
+    # schema.yml `unique`/`not_null` on seed columns is standard dbt
+    # practice; dropping them would let `test --project` pass with the
+    # tests never executed).
+    loaded_names = {m.name for m in models}
+    for entry_name, meta in docs.items():
+        if entry_name not in loaded_names:
+            continue
+        for c in meta.get("columns", []) or []:
+            tests.extend(_schema_tests(entry_name, c))
 
     selectors: dict[str, list[str]] = {}
     sel_path = os.path.join(project_dir, "selectors.yml")

@@ -180,6 +180,7 @@ def compact_files(
     path: str,
     target_file_bytes: int = 128 << 20,
     partition_by: list[str] | None = None,
+    _stats: tuple[int, int] | None = None,
 ) -> dict:
     """Bin-pack a parquet location's small files — the ``OPTIMIZE``
     pass every incrementally-written lake table needs.
@@ -200,7 +201,9 @@ def compact_files(
     """
     import math
 
-    files_before, total = _list_data_files(spark, path)
+    files_before, total = _stats if _stats is not None else _list_data_files(
+        spark, path
+    )
     df = spark.read.parquet(path)
     n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
     staging = path.rstrip("/") + "__compact_staging"
@@ -254,9 +257,15 @@ def compact_if_fragmented(
     (not inside the streaming query) means the maintenance cadence is
     the operator's knob, independent of trigger cadence.
     """
-    n, _total = _list_data_files(spark, path)
-    if n <= max_files:
+    stats = _list_data_files(spark, path)
+    if stats[0] <= max_files:
         return None
+    # pass the listing through — on object stores with millions of
+    # files the recursive listing is the dominant cost of this check
     return compact_files(
-        spark, path, target_file_bytes=target_file_bytes, partition_by=partition_by
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        partition_by=partition_by,
+        _stats=stats,
     )

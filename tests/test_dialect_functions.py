@@ -320,3 +320,18 @@ def test_date_family_bq_forms_rewrite(spark):
     # rewritten output is a fixed point
     for bq, _ in vectors:
         assert t(t(bq)) == t(bq), bq
+
+
+def test_date_trunc_part_named_columns_safe():
+    """Columns named like part keywords must not corrupt the rewrite,
+    and Spark-native date_trunc('month', col) must pass through even
+    when the column is named like a part."""
+    from dbt_bigquery_udf_spark.functions.dialect import transpile_bq_expr as t
+
+    # BQ form with a column literally named `day`
+    assert t("DATE_TRUNC(day, MONTH)") == "cast(date_trunc('MONTH', day) as date)"
+    # fixed point: rewriting the output changes nothing
+    assert t(t("DATE_TRUNC(day, MONTH)")) == t("DATE_TRUNC(day, MONTH)")
+    # Spark-native: quoted format first — untouched, even with a
+    # part-keyword column name second
+    assert t("date_trunc('month', day)") == "date_trunc('month', day)"

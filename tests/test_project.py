@@ -429,3 +429,34 @@ def test_schema_yml_config_block(tmp_path):
     spec = {m.name: m for m in load_project(root).models}["m_yml"]
     assert spec.kind == "table" and spec.database == "datamart"
     assert spec.tags == ("nightly",)
+
+
+def test_selector_path_method_and_unknown_keys(tmp_path):
+    """path-method selectors resolve to the model stem; unsupported
+    definition keys (dbt exclude) fail loudly."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+    from dbt_bigquery_udf_spark.project import _selector_atom, _parse_selectors
+
+    assert _selector_atom(
+        {"method": "path", "value": "models/marts/my_model.sql"}
+    ) == "my_model"
+    with _pytest.raises(EngineError, match="unsupported definition keys"):
+        _parse_selectors(
+            {"selectors": [{"name": "x", "definition": {
+                "union": ["a"], "exclude": ["b"]}}]}
+        )
+
+
+def test_unit_fixture_schema_widens_and_rejects_mixed(tmp_path):
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+    from dbt_bigquery_udf_spark.project import _infer_schema_ddl
+
+    assert _infer_schema_ddl([{"val": 1}, {"val": 2.5}]) == "val double"
+    assert _infer_schema_ddl([{"v": None}, {"v": 3}]) == "v bigint"
+    assert _infer_schema_ddl([{"v": None}]) == "v string"
+    with _pytest.raises(EngineError, match="mixed literal types"):
+        _infer_schema_ddl([{"id": "a"}, {"id": 7}])

@@ -744,3 +744,68 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH tagged AS (
+      SELECT md5(text) AS h, doc_id < 250 AS is_hist FROM documents
+    ), per_hash AS (
+      SELECT h,
+             sum(CASE WHEN is_hist THEN 0 ELSE 1 END) AS n_inc,
+             max(CASE WHEN is_hist THEN 1 ELSE 0 END) AS has_hist
+      FROM tagged GROUP BY h
+    )
+    SELECT sum(n_inc) AS n_incoming,
+           sum(CASE WHEN has_hist = 0 AND n_inc > 0 THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN has_hist = 1 THEN n_inc ELSE 0 END) AS n_dup_vs_history,
+           sum(CASE WHEN has_hist = 0 AND n_inc > 0 THEN n_inc - 1 ELSE 0 END)
+             AS n_dup_within_batch
+    FROM per_hash
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit an incoming batch against an already-
+    ingested corpus — the shape every CONTINUOUSLY-growing training
+    corpus runs (the other dedup operators here are whole-corpus).
+    Stand-in split: doc_id < 250 is 'history', the rest is the batch.
+
+    One scan, one shuffle: rows reduce per content hash carrying
+    (incoming count, seen-in-history flag), and the admission stats
+    fall out of that reduced table — no anti join of the batch against
+    a history table, because the groupBy IS the join. A kept row is a
+    hash with no history hit (first copy in the batch is canonical);
+    extra batch copies and history collisions are counted separately
+    (within-batch vs cross-run duplication answer different curation
+    questions).
+
+    Scale: at 100 TB history you don't rescan it per batch — the
+    per-hash table (16-byte md5 + flag) is the materialized artifact
+    this query's per_hash stage produces; each batch groupBy-merges
+    against it (or probes a bloom filter built from it, see the
+    runtime-bloom plan pin) and appends its new hashes back. State is
+    O(distinct docs), payload never moves.
+    """
+    d = _docs(spark, sf_dir)
+    tagged = d.select(
+        F.md5("text").alias("h"),
+        (F.col("doc_id") < 250).alias("is_hist"),
+    )
+    per_hash = tagged.groupBy("h").agg(
+        F.sum(F.when(F.col("is_hist"), 0).otherwise(1)).alias("n_inc"),
+        F.max(F.when(F.col("is_hist"), 1).otherwise(0)).alias("has_hist"),
+    )
+    no_hist = F.col("has_hist") == 0
+    return per_hash.agg(
+        F.sum("n_inc").alias("n_incoming"),
+        F.sum(F.when(no_hist & (F.col("n_inc") > 0), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("has_hist") == 1, F.col("n_inc")).otherwise(0)).alias(
+            "n_dup_vs_history"
+        ),
+        F.sum(
+            F.when(no_hist & (F.col("n_inc") > 0), F.col("n_inc") - 1).otherwise(0)
+        ).alias("n_dup_within_batch"),
+    )

@@ -25,6 +25,9 @@ as Python. This module reads the same layout:
   dbt 1.8 ``unit_tests:`` (given/expect dict-row fixtures);
   ``exposures:`` (downstream lineage) and ``metrics:`` (semantic-layer
   definitions for the MetricRegistry).
+- ``models/**/*.py``: dbt python models — ``def model(dbt, session)``
+  with ``dbt.ref()``/``dbt.source()``; refs discovered by static scan
+  (DAG edges must exist before anything runs, as in dbt itself).
 - ``seed-paths/**/*.csv``: seed models.
 
 Config parsing is ``ast``-based (Jinja config arguments are literals in
@@ -359,6 +362,50 @@ def _parse_selectors(doc: dict) -> dict[str, list[str]]:
     return out
 
 
+_PY_REF_RE = re.compile(r"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"]""")
+
+
+class _DbtShim:
+    """The ``dbt`` object a dbt python model receives: ref()/source()
+    resolve through the engine's build context; config() is accepted
+    and ignored at runtime (configs are read at LOAD time from the
+    folder tree / schema.yml, since the body only runs at build)."""
+
+    def __init__(self, ctx):
+        self._ctx = ctx
+
+    def ref(self, name):
+        return self._ctx.ref(name)
+
+    def source(self, dataset, table):
+        return self._ctx.source(dataset, table)
+
+    @staticmethod
+    def config(**_kwargs):
+        return None
+
+
+def _load_python_model(path: str):
+    """(python_body, declared refs) for a dbt-style python model file:
+    ``def model(dbt, session) -> DataFrame``. Refs are discovered by
+    scanning the source for ``dbt.ref('name')`` — the same reason dbt
+    itself statically parses python models for refs (DAG edges must
+    exist before anything runs)."""
+    with open(path) as fh:
+        text = fh.read()
+    namespace: dict = {}
+    code = compile(text, path, "exec")
+    exec(code, namespace)  # noqa: S102 — user project code, like dbt
+    fn = namespace.get("model")
+    if not callable(fn):
+        raise EngineError(f"{path}: python model must define model(dbt, session)")
+
+    def body(spark, ctx, _fn=fn):
+        return _fn(_DbtShim(ctx), spark)
+
+    return body, tuple(dict.fromkeys(_PY_REF_RE.findall(text)))
+
+
 def load_project(project_dir: str) -> LoadedProject:
     """Parse a dbt-style project directory into engine specs.
 
@@ -399,7 +446,7 @@ def load_project(project_dir: str) -> LoadedProject:
                 full = os.path.join(dirpath, f)
                 if f.endswith((".yml", ".yaml")):
                     yml_files.append(full)
-                elif f.endswith(".sql"):
+                elif f.endswith((".sql", ".py")):
                     rel = os.path.relpath(dirpath, root)
                     parts = [] if rel == "." else rel.split(os.sep)
                     sql_files.append((full, parts))
@@ -467,6 +514,31 @@ def load_project(project_dir: str) -> LoadedProject:
                 f"duplicate model name {stem!r}: {seen_stems[stem]} and {path}"
             )
         seen_stems[stem] = path
+        meta_early = docs.get(stem, {})
+        if path.endswith(".py"):
+            py_body, py_refs = _load_python_model(path)
+            kwargs: dict = {}
+            _apply_config(_config_tree_for(config_tree, name, parts), kwargs)
+            _apply_config(dict(meta_early.get("config", {}) or {}), kwargs)
+            if not kwargs.pop("_enabled", True):
+                continue
+            kwargs.pop("kind", None)  # python models are always tables
+            models.append(
+                ModelSpec(
+                    name=stem,
+                    kind="python",
+                    sql="",
+                    python_body=py_body,
+                    python_refs=py_refs,
+                    description=meta_early.get("description", ""),
+                    columns={
+                        c["name"]: c.get("description", "")
+                        for c in meta_early.get("columns", []) or []
+                    },
+                    **kwargs,
+                )
+            )
+            continue
         with open(path) as fh:
             text = fh.read()
         try:

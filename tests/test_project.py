@@ -460,3 +460,53 @@ def test_unit_fixture_schema_widens_and_rejects_mixed(tmp_path):
     assert _infer_schema_ddl([{"v": None}]) == "v string"
     with _pytest.raises(EngineError, match="mixed literal types"):
         _infer_schema_ddl([{"id": "a"}, {"id": 7}])
+
+
+def test_python_model_file_loads_and_builds(spark, sf_small, tmp_path):
+    """dbt python-model files (def model(dbt, session)) load with refs
+    discovered statically and build as tables."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+
+    root = str(tmp_path / "pyproj")
+    _write(root, "dbt_project.yml", "name: pyproj\n")
+    _write(
+        root,
+        "models/base_counts.sql",
+        "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+        "SELECT event_type, count(*) AS n FROM "
+        "{{ source('joshua_dataset', 'events') }} GROUP BY event_type\n",
+    )
+    _write(
+        root,
+        "models/py_enriched.py",
+        """\
+        from pyspark.sql import functions as F
+
+
+        def model(dbt, session):
+            dbt.config(materialized="table")
+            base = dbt.ref("base_counts")
+            return base.withColumn("n_pct", F.col("n") * 100.0 / F.lit(1000))
+        """,
+    )
+    _write(
+        root,
+        "models/schema.yml",
+        """\
+        version: 2
+        models:
+          - name: py_enriched
+            description: python-model enrichment
+            config:
+              schema: datamart
+        """,
+    )
+    proj = load_project(root)
+    spec = {m.name: m for m in proj.models}["py_enriched"]
+    assert spec.kind == "python" and spec.python_refs == ("base_counts",)
+    assert spec.database == "datamart"
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["py_enriched"])
+    out = spark.table("datamart.py_enriched")
+    assert "n_pct" in out.columns and out.count() > 0

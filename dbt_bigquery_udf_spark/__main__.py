@@ -175,6 +175,12 @@ def main(argv: list[str] | None = None) -> int:
         "(dbt source freshness analogue)",
     )
     fr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    fr.add_argument(
+        "--project",
+        default=None,
+        help="check every source with loaded_at_field + freshness "
+        "declared in the project's YAML instead of --relation",
+    )
     fr.add_argument("--relation", default="src.events")
     fr.add_argument("--ts-column", default="ts")
     fr.add_argument("--warn-after-hours", type=float, default=24.0)
@@ -536,6 +542,35 @@ def main(argv: list[str] | None = None) -> int:
 
         apply_engine_confs(spark)
         register_sources_catalog(spark, args.sf_dir)
+        if args.project:
+            from .project import load_project
+
+            proj = load_project(args.project)
+            if not proj.source_freshness:
+                print("no sources declare loaded_at_field + freshness", file=sys.stderr)
+                return 2
+            worst = 0
+            for decl in proj.source_freshness:
+                res = check_source_freshness(
+                    spark,
+                    f"src.{decl['table']}",
+                    decl["loaded_at_field"],
+                    decl["warn_after_hours"],
+                    decl["error_after_hours"],
+                )
+                print(
+                    json.dumps(
+                        {
+                            "source": f"{decl['dataset']}.{decl['table']}",
+                            "status": res.status,
+                            "age_hours": None
+                            if res.age_hours != res.age_hours or res.age_hours == float("inf")
+                            else round(res.age_hours, 2),
+                        }
+                    )
+                )
+                worst = max(worst, {"pass": 0, "warn": 0, "error": 1}[res.status])
+            return worst
         res = check_source_freshness(
             spark,
             args.relation,

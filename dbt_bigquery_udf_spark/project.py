@@ -65,6 +65,9 @@ class LoadedProject:
     exposures: list[Exposure] = field(default_factory=list)
     metrics: list[Metric] = field(default_factory=list)
     selectors: dict[str, list[str]] = field(default_factory=dict)
+    # declared source freshness contracts: {dataset, table,
+    # loaded_at_field, warn_after_hours, error_after_hours}
+    source_freshness: list[dict] = field(default_factory=list)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -308,6 +311,18 @@ def _parse_unit_tests(doc: dict) -> list[UnitTest]:
     return out
 
 
+_FRESHNESS_PERIOD_HOURS = {"minute": 1 / 60.0, "hour": 1.0, "day": 24.0}
+
+
+def _freshness_hours(spec: dict | None, default: float) -> float:
+    """dbt freshness threshold ({count, period}) -> hours."""
+    if not spec:
+        return default
+    return float(spec.get("count", 0)) * _FRESHNESS_PERIOD_HOURS.get(
+        str(spec.get("period", "hour")).lower(), 1.0
+    )
+
+
 def _selector_atom(node) -> str:
     """One selectors.yml definition node -> an engine selector string."""
     if isinstance(node, str):
@@ -454,14 +469,35 @@ def load_project(project_dir: str) -> LoadedProject:
     unit_tests: list[UnitTest] = []
     exposures: list[Exposure] = []
     metrics: list[Metric] = []
+    source_freshness: list[dict] = []
     for path in yml_files:
         with open(path) as fh:
             doc = yaml.safe_load(fh) or {}
         for m in doc.get("models", []) or []:
             docs[m["name"]] = m
         for s in doc.get("sources", []) or []:
+            src_defaults = {
+                "loaded_at_field": s.get("loaded_at_field"),
+                "freshness": s.get("freshness"),
+            }
             for t in s.get("tables", []) or []:
                 sources.append((s["name"], t["name"]))
+                laf = t.get("loaded_at_field") or src_defaults["loaded_at_field"]
+                fr = t.get("freshness") or src_defaults["freshness"]
+                if laf and fr:
+                    source_freshness.append(
+                        {
+                            "dataset": s["name"],
+                            "table": t["name"],
+                            "loaded_at_field": laf,
+                            "warn_after_hours": _freshness_hours(
+                                fr.get("warn_after"), default=24.0
+                            ),
+                            "error_after_hours": _freshness_hours(
+                                fr.get("error_after"), default=72.0
+                            ),
+                        }
+                    )
         unit_tests.extend(_parse_unit_tests(doc))
         for e in doc.get("exposures", []) or []:
             deps, src_deps = [], []
@@ -616,4 +652,5 @@ def load_project(project_dir: str) -> LoadedProject:
         exposures=exposures,
         metrics=metrics,
         selectors=selectors,
+        source_freshness=source_freshness,
     )

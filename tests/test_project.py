@@ -510,3 +510,51 @@ def test_python_model_file_loads_and_builds(spark, sf_small, tmp_path):
     engine.build(select=["py_enriched"])
     out = spark.table("datamart.py_enriched")
     assert "n_pct" in out.columns and out.count() > 0
+
+
+def test_source_freshness_declarations(spark, sf_small, tmp_path):
+    """loaded_at_field + freshness YAML parse into hour thresholds and
+    drive the CLI's per-source freshness sweep."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "freshproj")
+    _write(root, "dbt_project.yml", "name: freshproj\n")
+    _write(root, "models/dummy.sql", "SELECT 1 AS x\n")
+    _write(
+        root,
+        "models/sources.yml",
+        """\
+        version: 2
+        sources:
+          - name: joshua_dataset
+            loaded_at_field: ts
+            freshness:
+              warn_after: {count: 1, period: hour}
+              error_after: {count: 2, period: day}
+            tables:
+              - name: events
+        """,
+    )
+    proj = load_project(root)
+    assert proj.source_freshness == [
+        {
+            "dataset": "joshua_dataset",
+            "table": "events",
+            "loaded_at_field": "ts",
+            "warn_after_hours": 1.0,
+            "error_after_hours": 48.0,
+        }
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["source-freshness", "--project", root, "--sf-dir", sf_small]
+        )
+    rows = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    assert rows and rows[0]["source"] == "joshua_dataset.events"
+    # synthetic data is historic -> stale -> error status, exit 1
+    assert rows[0]["status"] == "error" and rc == 1

@@ -226,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in proj.vars.items():
                 engine.vars.setdefault(k, v)
             engine.register(*proj.models, replace=True)
+            engine.on_run_start = engine.on_run_start + proj.on_run_start
+            engine.on_run_end = engine.on_run_end + proj.on_run_end
             if proj.exposures:
                 engine.register_exposures(*proj.exposures)
             if proj.metrics and getattr(engine, "metric_registry", None):

@@ -68,6 +68,8 @@ class LoadedProject:
     # declared source freshness contracts: {dataset, table,
     # loaded_at_field, warn_after_hours, error_after_hours}
     source_freshness: list[dict] = field(default_factory=list)
+    on_run_start: tuple[str, ...] = ()
+    on_run_end: tuple[str, ...] = ()
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -309,6 +311,15 @@ def _parse_unit_tests(doc: dict) -> list[UnitTest]:
             )
         )
     return out
+
+
+def _hook_tuple(value) -> tuple[str, ...]:
+    """dbt on-run-start/on-run-end accept a string or a list."""
+    if value is None:
+        return ()
+    if isinstance(value, str):
+        return (value,)
+    return tuple(str(v) for v in value)
 
 
 _FRESHNESS_PERIOD_HOURS = {"minute": 1 / 60.0, "hour": 1.0, "day": 24.0}
@@ -653,4 +664,6 @@ def load_project(project_dir: str) -> LoadedProject:
         metrics=metrics,
         selectors=selectors,
         source_freshness=source_freshness,
+        on_run_start=_hook_tuple(proj.get("on-run-start")),
+        on_run_end=_hook_tuple(proj.get("on-run-end")),
     )

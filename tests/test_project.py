@@ -558,3 +558,22 @@ def test_source_freshness_declarations(spark, sf_small, tmp_path):
     assert rows and rows[0]["source"] == "joshua_dataset.events"
     # synthetic data is historic -> stale -> error status, exit 1
     assert rows[0]["status"] == "error" and rc == 1
+
+
+def test_on_run_hooks_parse(tmp_path):
+    root = str(tmp_path / "hookproj")
+    _write(
+        root,
+        "dbt_project.yml",
+        """\
+        name: hookproj
+        on-run-start: "SET spark.sql.ansi.enabled=true"
+        on-run-end:
+          - "SELECT 1"
+          - "SELECT 2"
+        """,
+    )
+    _write(root, "models/m.sql", "SELECT 1 AS x\n")
+    proj = load_project(root)
+    assert proj.on_run_start == ("SET spark.sql.ansi.enabled=true",)
+    assert proj.on_run_end == ("SELECT 1", "SELECT 2")

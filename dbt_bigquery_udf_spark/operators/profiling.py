@@ -433,3 +433,139 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hhi") >= 0.9)
     )
+
+
+@register(
+    "corpus_version_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN md5(text || '!') ELSE md5(text) END AS h
+      FROM documents
+    )
+    SELECT
+      sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS n_added,
+      sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
+      sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+               AND v1.h <> v2.h THEN 1 ELSE 0 END) AS n_changed,
+      sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+               AND v1.h = v2.h THEN 1 ELSE 0 END) AS n_unchanged
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — added / removed / changed / unchanged
+    between two dataset versions, the audit every training-data release
+    publishes (and the input to incremental re-embedding: only
+    added+changed docs re-encode). Stand-in versions are derived from
+    one table (v1 drops doc_id%7==0; v2 perturbs doc_id%11==0's text).
+
+    Shape: content comparison travels as 16-byte md5, never the
+    payload; one full-outer join on the primary key classifies every
+    doc in a single pass. Scale: both sides shuffle once on doc_id —
+    at 100 TB the versions are partitioned identically on ingest date,
+    so the join is partition-aligned; the diff table (ids + class) is
+    the release artifact, re-embedding reads only the added/changed ids.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    )
+    v2 = d.select(
+        F.col("doc_id").alias("id2"),
+        F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat("text", F.lit("!"))))
+        .otherwise(F.md5("text"))
+        .alias("h2"),
+    )
+    j = v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+    both = F.col("id1").isNotNull() & F.col("id2").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("id1").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("id2").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(both & (F.col("h1") != F.col("h2")), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(F.when(both & (F.col("h1") == F.col("h2")), 1).otherwise(0)).alias(
+            "n_unchanged"
+        ),
+    )
+
+
+@register(
+    "drift_psi_value",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE event_id % 2 = 0
+    ), cur AS (
+      SELECT value FROM events WHERE event_id % 2 = 1
+    ), bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM ref
+    ), rb AS (
+      SELECT least(9, greatest(0, CAST(floor((value - lo) * 10 / (hi - lo + 1e-12)) AS INT))) AS b,
+             count(*) AS n
+      FROM ref, bounds GROUP BY 1
+    ), cb AS (
+      SELECT least(9, greatest(0, CAST(floor((value - lo) * 10 / (hi - lo + 1e-12)) AS INT))) AS b,
+             count(*) AS n
+      FROM cur, bounds GROUP BY 1
+    ), bins AS (
+      SELECT g.b,
+             (coalesce(rb.n, 0) + 0.5) / ((SELECT sum(n) FROM rb) + 5.0) AS p,
+             (coalesce(cb.n, 0) + 0.5) / ((SELECT sum(n) FROM cb) + 5.0) AS q
+      FROM (SELECT unnest(range(10)) AS b) g
+      LEFT JOIN rb ON rb.b = g.b LEFT JOIN cb ON cb.b = g.b
+    )
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM bins
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of ``events.value`` (stand-in split: even/odd event_id) —
+    the standard drift gate a feature/label pipeline runs before
+    trusting new data. Ten fixed-width bins over the REFERENCE range
+    (deterministic — quantile bins would hash-diverge across engines),
+    Laplace-smoothed (+0.5) so empty bins don't blow up the log;
+    PSI > 0.2 is the conventional re-examine threshold.
+
+    Scale: two filtered aggregations reduce to <=10 rows each before
+    any join; the bin spine is a 10-row literal. Nothing here grows
+    with data volume except the scans.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select("value")
+    lo, hi = ref.agg(F.min("value"), F.max("value")).first()
+
+    def binned(df):
+        b = F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.lit(lo)) * 10 / F.lit(hi - lo + 1e-12)
+                ).cast("int"),
+            ),
+        )
+        return df.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("n"))
+
+    rb, cb = binned(ref), binned(cur)
+    spine = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    n_ref = ref.count()
+    n_cur = cur.count()
+    bins = (
+        spine.join(rb, "b", "left")
+        .withColumnRenamed("n", "rn")
+        .join(cb, "b", "left")
+        .withColumnRenamed("n", "cn")
+        .select(
+            ((F.coalesce("rn", F.lit(0)) + 0.5) / F.lit(n_ref + 5.0)).alias("p"),
+            ((F.coalesce("cn", F.lit(0)) + 0.5) / F.lit(n_cur + 5.0)).alias("q"),
+        )
+    )
+    return bins.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "psi"
+        )
+    )

@@ -891,3 +891,81 @@ def emb_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("p") > 0.5).alias("n_positive"),
         )
     )
+
+
+@register(
+    "emb_outlier_worklist",
+    """
+    WITH cent AS (
+      SELECT label, i, round(avg(embedding[i]), 4) AS c
+      FROM embeddings, generate_series(1, 64) s(i)
+      GROUP BY label, i
+    ), parts AS (
+      SELECT e.label, e.vec_id,
+             sum(e.embedding[cent.i] * cent.c) AS dot,
+             sum(e.embedding[cent.i] * e.embedding[cent.i]) AS e2,
+             sum(cent.c * cent.c) AS c2
+      FROM embeddings e JOIN cent ON cent.label = e.label
+      GROUP BY e.label, e.vec_id
+    ), scored AS (
+      SELECT label, vec_id,
+             round(dot / (sqrt(e2) * sqrt(c2) + 1e-12), 4) AS cos_to_centroid
+      FROM parts
+    )
+    SELECT label, vec_id, cos_to_centroid,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY cos_to_centroid, vec_id
+      ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def emb_outlier_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5 vectors LEAST similar to
+    their own class prototype — the pruning worklist of
+    prototypicality-based data cleaning (the D4-style complement to
+    SemDeDup's duplicate pruning: drop what is too far from the class
+    as well as what is too close to a neighbor).
+
+    Centroids are rounded to 4 decimals before scoring so both engines
+    rank against identical prototypes; cosine is rounded before the
+    rank, with vec_id as the deterministic tie-break.
+
+    Scale: centroid build is the emb_label_centroids pattern (|labels|
+    x dims state); scoring joins each vector to its own label's
+    centroid only — broadcast-sized right side — and the per-label
+    bottom-k is a window over |corpus| scored rows, or TakeOrdered per
+    label when k stays tiny.
+    """
+    emb = register_sources(spark, sf_dir)["embeddings"]
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("c"), 4).alias("c"))
+    )
+    parts = (
+        emb.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("e2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    scored = parts.select(
+        "label",
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt("e2") * F.sqrt("c2") + F.lit(1e-12)), 4
+        ).alias("cos_to_centroid"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("label", "vec_id", "cos_to_centroid", "rnk")
+    )

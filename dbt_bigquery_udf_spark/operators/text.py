@@ -660,3 +660,55 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), tok_ne AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), uni AS (
+      SELECT token, count(*) AS n FROM tok_ne GROUP BY token
+    ), tot AS (
+      SELECT sum(n) AS big_n FROM uni
+    ), scored AS (
+      SELECT t.doc_id, -ln(uni.n / tot.big_n) AS nll
+      FROM tok_ne t JOIN uni ON t.token = uni.token, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the model-free core of
+    CCNet-style perplexity filtering: a doc whose tokens are improbable
+    under the corpus unigram distribution reads as noise/gibberish
+    (high avg negative log-likelihood); boilerplate scores near the
+    corpus floor. The real pipeline thresholds or buckets this score;
+    emitting per-doc (n_tokens, avg_nll) keeps every value under the
+    oracle hash.
+
+    Scale: the unigram table is the bounded distinct-token set (same
+    state argument as text_vocab_topk) and joins back broadcast; the
+    per-doc aggregate is one shuffle on doc_id. Swapping the unigram
+    table for a real KenLM/llm scorer changes the scoring join's right
+    side, not the plan shape.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    big_n = uni.agg(F.sum("n")).first()[0]
+    scored = tok.join(F.broadcast(uni), "token").select(
+        "doc_id", (-F.log(F.col("n") / F.lit(float(big_n)))).alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )

@@ -424,7 +424,7 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
-        _overlay_project(engine)
+        proj = _overlay_project(engine)
         graph = engine._subgraph(args.select)
         for name in sorted(graph):
             spec = graph[name]
@@ -438,6 +438,19 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        if proj:
+            from .models.core import ModelSpec as _MS
+
+            for aname, asql in sorted(proj.analyses.items()):
+                shim = _MS(name=aname, kind="ephemeral", sql=asql)
+                print(
+                    json.dumps(
+                        {
+                            "analysis": aname,
+                            "compiled_sql": engine.render(shim),
+                        }
+                    )
+                )
         return 0
 
     if args.cmd == "sql":

@@ -70,6 +70,9 @@ class LoadedProject:
     source_freshness: list[dict] = field(default_factory=list)
     on_run_start: tuple[str, ...] = ()
     on_run_end: tuple[str, ...] = ()
+    # dbt analyses: name -> raw SQL (ref/source placeholders intact) —
+    # compiled on demand, never materialized
+    analyses: dict[str, str] = field(default_factory=dict)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -455,6 +458,7 @@ def load_project(project_dir: str) -> LoadedProject:
     name = proj.get("name", os.path.basename(os.path.abspath(project_dir)))
     model_paths = proj.get("model-paths", proj.get("source-paths", ["models"]))
     seed_paths = proj.get("seed-paths", ["seeds"])
+    analysis_paths = proj.get("analysis-paths", ["analyses"])
     config_tree = proj.get("models", {})
 
     models: list[ModelSpec] = []
@@ -647,6 +651,17 @@ def load_project(project_dir: str) -> LoadedProject:
         for c in meta.get("columns", []) or []:
             tests.extend(_schema_tests(entry_name, c))
 
+    analyses: dict[str, str] = {}
+    for ap_dir in analysis_paths:
+        root_a = os.path.join(project_dir, ap_dir)
+        if not os.path.isdir(root_a):
+            continue
+        for dirpath, _dirs, files in sorted(os.walk(root_a)):
+            for f in sorted(files):
+                if f.endswith(".sql"):
+                    with open(os.path.join(dirpath, f)) as fh:
+                        analyses[os.path.splitext(f)[0]] = fh.read().strip()
+
     selectors: dict[str, list[str]] = {}
     sel_path = os.path.join(project_dir, "selectors.yml")
     if os.path.exists(sel_path):
@@ -666,4 +681,5 @@ def load_project(project_dir: str) -> LoadedProject:
         source_freshness=source_freshness,
         on_run_start=_hook_tuple(proj.get("on-run-start")),
         on_run_end=_hook_tuple(proj.get("on-run-end")),
+        analyses=analyses,
     )

@@ -577,3 +577,30 @@ def test_on_run_hooks_parse(tmp_path):
     proj = load_project(root)
     assert proj.on_run_start == ("SET spark.sql.ansi.enabled=true",)
     assert proj.on_run_end == ("SELECT 1", "SELECT 2")
+
+
+def test_analyses_load_and_compile(spark, sf_small, tmp_path):
+    """dbt analyses: compiled on demand through `compile --project`,
+    never materialized."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "anproj")
+    _write(root, "dbt_project.yml", "name: anproj\n")
+    _write(root, "models/m_an.sql",
+           "{{ config(materialized='table', schema='datamart') }}\nSELECT 1 AS x\n")
+    _write(root, "analyses/adhoc_check.sql",
+           "SELECT count(*) AS n FROM {{ ref('m_an') }}\n")
+    proj = load_project(root)
+    assert "adhoc_check" in proj.analyses
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["compile", "--project", root, "--select", "m_an",
+                   "--sf-dir", sf_small])
+    assert rc == 0
+    rows = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    ana = [r for r in rows if r.get("analysis") == "adhoc_check"]
+    assert ana and "datamart.m_an" in ana[0]["compiled_sql"]

@@ -304,10 +304,17 @@ def main(argv: list[str] | None = None) -> int:
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         proj = _overlay_project(engine)
         if proj:
-            # build only the project models (plus their upstream
-            # closure), keep-going so a broken model reports instead of
-            # raising a traceback out of the CLI
-            engine.build(select=[m.name for m in proj.models], fail_fast=False)
+            # build the project models plus any relationships-test
+            # targets outside their closure (the anti-join needs the
+            # parent built), keep-going so a broken model reports
+            # instead of raising a traceback out of the CLI
+            roots = [m.name for m in proj.models]
+            roots += [
+                t.to_model
+                for t in proj.tests
+                if getattr(t, "to_model", "") and t.to_model in engine.models
+            ]
+            engine.build(select=sorted(set(roots)), fail_fast=False)
             suite = proj.tests
         else:
             engine.build()
@@ -527,13 +534,9 @@ def main(argv: list[str] | None = None) -> int:
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
         proj = _overlay_project(engine)
-        if proj:
-            engine.build(select=[m.name for m in proj.models], fail_fast=False)
-            for bname, exc in sorted(engine.errors.items()):
-                print(json.dumps({"model": bname, "status": "ERROR",
-                                  "message": str(exc)[:300]}))
-            if engine.errors:
-                return 1
+        # no build: unit tests replace data inputs with fixture views and
+        # resolve function deps on demand — a broken unrelated model must
+        # not block a self-contained unit test
         suite = proj.unit_tests if proj else reference_unit_tests()
         failed = 0
         for res in run_unit_tests(spark, engine, suite):

@@ -324,7 +324,7 @@ class Exposure:
             raise EngineError(
                 f"exposure {self.name}: unknown type {self.exposure_type!r}"
             )
-        if not self.depends_on:
+        if not self.depends_on and not self.depends_on_sources:
             raise EngineError(f"exposure {self.name}: depends_on is required")
 
 

@@ -238,7 +238,7 @@ def _schema_tests(model_name: str, col: dict) -> list[SchemaTest]:
     return out
 
 
-_INPUT_REF_RE = re.compile(r"ref\s*\(\s*'([^']+)'\s*\)")
+_INPUT_REF_RE = _REF_IN_TEST_RE  # same concept: a ref('name') token
 _INPUT_SOURCE_RE = re.compile(r"source\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
 
 
@@ -294,19 +294,26 @@ def _parse_unit_tests(doc: dict) -> list[UnitTest]:
                     )
                 key = f"source:{ms.group(1)}.{ms.group(2)}"
             rows = g.get("rows", []) or []
+            if not rows and not g.get("schema"):
+                raise EngineError(
+                    f"unit test {ut.get('name')}: empty rows for {inp!r} "
+                    "need an explicit schema: mapping (no literals to "
+                    "infer types from)"
+                )
             given[key] = (_infer_schema_ddl(rows, g.get("schema")), rows)
-        exp_rows = (ut.get("expect", {}) or {}).get("rows", []) or []
+        exp_cfg = ut.get("expect", {}) or {}
+        exp_rows = exp_cfg.get("rows", []) or []
+        if not exp_rows and not exp_cfg.get("schema"):
+            raise EngineError(
+                f"unit test {ut.get('name')}: empty expect rows need an "
+                "explicit schema: mapping"
+            )
         out.append(
             UnitTest(
                 name=ut["name"],
                 model=ut["model"],
                 given=given,
-                expect=(
-                    _infer_schema_ddl(
-                        exp_rows, (ut.get("expect", {}) or {}).get("schema")
-                    ),
-                    exp_rows,
-                ),
+                expect=(_infer_schema_ddl(exp_rows, exp_cfg.get("schema")), exp_rows),
                 params={
                     str(k): str(v) for k, v in (ut.get("params", {}) or {}).items()
                 },
@@ -329,12 +336,17 @@ _FRESHNESS_PERIOD_HOURS = {"minute": 1 / 60.0, "hour": 1.0, "day": 24.0}
 
 
 def _freshness_hours(spec: dict | None, default: float) -> float:
-    """dbt freshness threshold ({count, period}) -> hours."""
+    """dbt freshness threshold ({count, period}) -> hours. Malformed
+    thresholds fail loudly — a silently-zero threshold would flip every
+    freshness run to warn/error."""
     if not spec:
         return default
-    return float(spec.get("count", 0)) * _FRESHNESS_PERIOD_HOURS.get(
-        str(spec.get("period", "hour")).lower(), 1.0
-    )
+    if "count" not in spec:
+        raise EngineError(f"freshness threshold missing count: {spec!r}")
+    period = str(spec.get("period", "hour")).lower()
+    if period not in _FRESHNESS_PERIOD_HOURS:
+        raise EngineError(f"freshness threshold unknown period {period!r}")
+    return float(spec["count"]) * _FRESHNESS_PERIOD_HOURS[period]
 
 
 def _selector_atom(node) -> str:
@@ -359,6 +371,14 @@ def _selector_atom(node) -> str:
             atom = f"state:{value}"
         else:
             raise EngineError(f"selectors.yml: unsupported method {method!r}")
+        if node.get("parents") and (
+            node.get("children") or method in ("tag", "state")
+        ):
+            raise EngineError(
+                "selectors.yml: parents combined with children or with "
+                "tag/state methods has no engine selector form — "
+                "fail loudly rather than select the wrong set"
+            )
         if node.get("children"):
             atom += "+"
         if node.get("parents"):
@@ -392,6 +412,7 @@ def _parse_selectors(doc: dict) -> dict[str, list[str]]:
 
 
 _PY_REF_RE = re.compile(r"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"]""")
+_INPUT_REF_RE = _REF_IN_TEST_RE  # same concept: a ref('name') token
 
 
 class _DbtShim:
@@ -498,7 +519,13 @@ def load_project(project_dir: str) -> LoadedProject:
             for t in s.get("tables", []) or []:
                 sources.append((s["name"], t["name"]))
                 laf = t.get("loaded_at_field") or src_defaults["loaded_at_field"]
-                fr = t.get("freshness") or src_defaults["freshness"]
+                # `freshness: null` on a table is dbt's explicit opt-out
+                # from the source-level default — absent key inherits,
+                # explicit null excludes.
+                fr = (
+                    t["freshness"] if "freshness" in t
+                    else src_defaults["freshness"]
+                )
                 if laf and fr:
                     source_freshness.append(
                         {
@@ -567,12 +594,12 @@ def load_project(project_dir: str) -> LoadedProject:
         seen_stems[stem] = path
         meta_early = docs.get(stem, {})
         if path.endswith(".py"):
-            py_body, py_refs = _load_python_model(path)
             kwargs: dict = {}
             _apply_config(_config_tree_for(config_tree, name, parts), kwargs)
             _apply_config(dict(meta_early.get("config", {}) or {}), kwargs)
             if not kwargs.pop("_enabled", True):
-                continue
+                continue  # disabled: never exec the file (dbt skips it)
+            py_body, py_refs = _load_python_model(path)
             kwargs.pop("kind", None)  # python models are always tables
             models.append(
                 ModelSpec(
@@ -659,8 +686,13 @@ def load_project(project_dir: str) -> LoadedProject:
         for dirpath, _dirs, files in sorted(os.walk(root_a)):
             for f in sorted(files):
                 if f.endswith(".sql"):
+                    a_stem = os.path.splitext(f)[0]
+                    if a_stem in analyses:
+                        raise EngineError(
+                            f"duplicate analysis name {a_stem!r}"
+                        )
                     with open(os.path.join(dirpath, f)) as fh:
-                        analyses[os.path.splitext(f)[0]] = fh.read().strip()
+                        analyses[a_stem] = fh.read().strip()
 
     selectors: dict[str, list[str]] = {}
     sel_path = os.path.join(project_dir, "selectors.yml")

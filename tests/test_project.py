@@ -604,3 +604,69 @@ def test_analyses_load_and_compile(spark, sf_small, tmp_path):
     rows = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
     ana = [r for r in rows if r.get("analysis") == "adhoc_check"]
     assert ana and "datamart.m_an" in ana[0]["compiled_sql"]
+
+
+def test_loader_edge_cases(tmp_path):
+    """Source-only exposures, freshness null opt-out, disabled python
+    models, malformed freshness, selector combos."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+    from dbt_bigquery_udf_spark.project import (
+        _freshness_hours,
+        _selector_atom,
+    )
+
+    root = str(tmp_path / "edge")
+    _write(root, "dbt_project.yml", "name: edge\n")
+    _write(root, "models/m_edge.sql", "SELECT 1 AS x\n")
+    _write(
+        root,
+        "models/disabled_py.py",
+        "import definitely_not_installed_pkg\n\n"
+        "def model(dbt, session):\n    return None\n",
+    )
+    _write(
+        root,
+        "models/schema.yml",
+        """\
+        version: 2
+        models:
+          - name: disabled_py
+            config:
+              enabled: false
+        exposures:
+          - name: raw_feed_dash
+            type: dashboard
+            depends_on: ["source('joshua_dataset','events')"]
+        sources:
+          - name: joshua_dataset
+            loaded_at_field: ts
+            freshness:
+              warn_after: {count: 1, period: hour}
+            tables:
+              - name: events
+              - name: excluded_tbl
+                freshness: null
+        """,
+    )
+    proj = load_project(root)  # disabled .py never exec'd -> no ImportError
+    assert [m.name for m in proj.models] == ["m_edge"]
+    assert proj.exposures[0].depends_on == ()
+    assert proj.exposures[0].depends_on_sources == ("joshua_dataset.events",)
+    checked = {d["table"] for d in proj.source_freshness}
+    assert checked == {"events"}  # null opt-out honored
+    with _pytest.raises(EngineError, match="missing count"):
+        _freshness_hours({"counts": 3}, 24.0)
+    with _pytest.raises(EngineError, match="unknown period"):
+        _freshness_hours({"count": 1, "period": "week"}, 24.0)
+    assert _selector_atom({"method": "fqn", "value": "m", "parents": True}) == "+m"
+    with _pytest.raises(EngineError, match="no engine selector form"):
+        _selector_atom({"method": "tag", "value": "t", "parents": True})
+    with _pytest.raises(EngineError, match="empty rows"):
+        from dbt_bigquery_udf_spark.project import _parse_unit_tests
+
+        _parse_unit_tests(
+            {"unit_tests": [{"name": "u", "model": "m",
+                             "given": [{"input": "ref('a')", "rows": []}]}]}
+        )

@@ -969,3 +969,88 @@ def emb_outlier_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("label", "vec_id", "cos_to_centroid", "rnk")
     )
+
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_K = 4  # codes per subspace; codebook = the first PQ_K vectors' slices
+
+
+@register(
+    "sim_pq_codes",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cb AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {PQ_K}),
+    sub AS (
+      SELECT e.vec_id, s.s, cb.cid,
+             round((SELECT sum(pow(e.emb[s.s * 8 + j] - cb.cv[s.s * 8 + j], 2))
+                    FROM generate_series(1, 8) g(j)), 6) AS d2
+      FROM e, generate_series(0, {PQ_M - 1}) s(s), cb
+    ),
+    pick AS (
+      SELECT vec_id, s,
+             min(printf('%015.6f|%05d', d2, cid)) AS p
+      FROM sub GROUP BY vec_id, s
+    )
+    SELECT vec_id,
+           string_agg(CAST(CAST(substr(p, 17, 5) AS INT) AS VARCHAR), ','
+                      ORDER BY s) AS codes,
+           printf('%.4f', round(sum(CAST(substr(p, 1, 15) AS DOUBLE)), 4) + 0.0)
+             AS recon_err
+    FROM pick GROUP BY vec_id
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encoding — the OTHER half of the FAISS-style
+    index family (IVF partitions the corpus; PQ compresses residuals):
+    64-dim vectors split into 8 subvectors, each assigned to its nearest
+    of 4 sub-centroids, so a vector stores as 8 small codes (here 8
+    bytes vs 256 for float32 — at production k=256 this is the 32x
+    memory reduction that lets a 100 TB corpus's index fit in RAM).
+    Deterministic codebook: the first PQ_K vectors' slices (same
+    convention as emb_kmeans_step's init; training iterates k-means per
+    subspace — each step oracle-checkable exactly like emb_kmeans_step).
+
+    Distances to the tiny codebook are folded into the plan as literals
+    (no join, no shuffle until the final per-vector regroup); the
+    argmin ties break on code id via the fixed-width string-min trick
+    so every engine picks the same code. recon_err (sum of per-subspace
+    quantization errors) is the index-quality metric a real pipeline
+    tracks per build.
+    """
+    e = _emb(spark, sf_dir)
+    cb = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < PQ_K).select("vec_id", "emb").collect()
+    ]
+    rows = []
+    for s in range(PQ_M):
+        picks = []
+        for cid, cv in cb:
+            d2 = None
+            for j in range(8):
+                term = (F.col("emb")[s * 8 + j] - F.lit(cv[s * 8 + j])) ** 2
+                d2 = term if d2 is None else d2 + term
+            picks.append(
+                F.format_string("%015.6f|%05d", F.round(d2, 6), F.lit(cid))
+            )
+        rows.append(
+            F.struct(F.lit(s).alias("s"), F.least(*picks).alias("p"))
+        )
+    exploded = e.select(
+        "vec_id", F.explode(F.array(*rows)).alias("r")
+    ).select("vec_id", F.col("r.s").alias("s"), F.col("r.p").alias("p"))
+    return exploded.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("s", "p"))
+                ),
+                lambda x: F.substring(x["p"], 17, 5).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.format_string(
+            "%.4f",
+            F.round(F.sum(F.substring("p", 1, 15).cast("double")), 4) + F.lit(0.0),
+        ).alias("recon_err"),
+    )

@@ -994,8 +994,9 @@ PQ_K = 4  # codes per subspace; codebook = the first PQ_K vectors' slices
     SELECT vec_id,
            string_agg(CAST(CAST(substr(p, 17, 5) AS INT) AS VARCHAR), ','
                       ORDER BY s) AS codes,
-           printf('%.4f', round(sum(CAST(substr(p, 1, 15) AS DOUBLE)), 4) + 0.0)
-             AS recon_err
+           printf('%.6f',
+                  sum(CAST(replace(substr(p, 1, 15), '.', '') AS BIGINT))
+                  / 1000000.0) AS recon_err
     FROM pick GROUP BY vec_id
     """,
 )
@@ -1049,8 +1050,14 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes"),
+        # sum the 6-dp distance strings as exact integer micro-units:
+        # re-rounding their double sum to fewer decimals lands on .5
+        # boundaries where engines disagree by 1 ulp
         F.format_string(
-            "%.4f",
-            F.round(F.sum(F.substring("p", 1, 15).cast("double")), 4) + F.lit(0.0),
+            "%.6f",
+            F.sum(
+                F.regexp_replace(F.substring("p", 1, 15), r"\.", "").cast("bigint")
+            )
+            / F.lit(1000000.0),
         ).alias("recon_err"),
     )

@@ -427,3 +427,28 @@ def test_global_row_ids_single_shuffle(spark, sf_small):
     # "Sort [...], true" would be the single-task global sort this
     # operator exists to avoid
     assert "], true" not in f.text, f.text
+
+
+def test_pq_codes_joinless_until_regroup(spark, sf_small):
+    """PQ encoding folds the codebook in as literals: no join anywhere,
+    one exchange (the per-vector regroup)."""
+    f = _facts(spark, sf_small, "sim_pq_codes")
+    assert "Join" not in f.text, f.text
+    assert f.exchanges == 1, f.text
+
+
+def test_perplexity_broadcasts_unigrams(spark, sf_small):
+    """The unigram table (bounded distinct-token state) must broadcast
+    back onto the token stream — a sort-merge join here would shuffle
+    the full token explosion."""
+    f = _facts(spark, sf_small, "text_perplexity_proxy")
+    assert f.broadcast_joins >= 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_psi_bins_join_broadcast(spark, sf_small):
+    """PSI reduces both samples to <=10 bin rows before any join; the
+    10-row spine joins broadcast."""
+    f = _facts(spark, sf_small, "drift_psi_value")
+    assert f.sort_merge_joins == 0, f.text
+    assert f.broadcast_joins >= 2, f.text

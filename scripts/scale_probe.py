@@ -106,6 +106,18 @@ def main() -> None:
             "LATERAL split_sentences_probe(d.text) s GROUP BY d.doc_id"
         ),
     )
+    # Perplexity shape: bounded unigram table broadcast onto the token
+    # stream; the per-doc aggregate is the only full shuffle
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    timed(
+        f"perplexity x{n}",
+        tok.join(F.broadcast(uni), "t")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("n") / F.lit(1e6)))),
+    )
 
 
 if __name__ == "__main__":

@@ -452,3 +452,48 @@ def test_psi_bins_join_broadcast(spark, sf_small):
     f = _facts(spark, sf_small, "drift_psi_value")
     assert f.sort_merge_joins == 0, f.text
     assert f.broadcast_joins >= 2, f.text
+
+
+def test_aqe_skew_join_splits(spark, sf_small):
+    """Hot-key fact-to-fact joins: AQE must split the skewed partition
+    (skew=true on the join node) instead of letting one task carry the
+    hot key. Session config leaves skewJoin ON; the size thresholds are
+    production-scale, so the test lowers them for the local fixture —
+    pinning the mechanism, not the thresholds. (The manual counterpart
+    for aggregations is events_skew_salted.)"""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        big = spark.range(0, 400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -342,7 +342,7 @@ def main(argv: list[str] | None = None) -> int:
         from .api import bootstrap
 
         engine = bootstrap(spark, args.sf_dir, env=args.env)
-        _overlay_project(engine)
+        proj = _overlay_project(engine)
         manifest = {
             "models": {
                 name: {
@@ -393,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
                 name: {
                     "type": e.exposure_type,
                     "depends_on": list(e.depends_on),
+                    "depends_on_sources": list(e.depends_on_sources),
                     "owner": e.owner,
                     "url": e.url,
                     "description": e.description,
@@ -416,6 +417,12 @@ def main(argv: list[str] | None = None) -> int:
             if getattr(engine, "metric_registry", None)
             else {},
         }
+        if proj:
+            manifest["unit_tests"] = [t.name for t in proj.unit_tests]
+            manifest["data_tests"] = [t.name for t in proj.tests]
+            manifest["analyses"] = sorted(proj.analyses)
+            manifest["selectors"] = proj.selectors
+            manifest["source_freshness"] = proj.source_freshness
         if args.catalog:
             engine.build()
             manifest["catalog"] = engine.catalog_info()

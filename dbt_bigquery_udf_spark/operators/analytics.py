@@ -753,3 +753,35 @@ def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "session_start", "session_end").agg(
         F.count(F.lit(1)).alias("n_errors")
     )
+
+
+@register(
+    "decimal_money_sum",
+    """
+    SELECT l_returnflag,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+             AS revenue,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+               * CAST(l_discount * 100 AS DECIMAL(18,0))) AS disc_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic on DECIMAL, not DOUBLE: sums are EXACT and
+    association-order-independent, so two engines (or two runs with
+    different partitioning) agree to the cent — the property financial
+    datamarts need and float aggregates cannot give (the BQ NUMERIC ->
+    DECIMAL(38,9) mapping in the dialect layer exists for the same
+    reason). The oracle needs no rounding: equality is exact.
+
+    Scale: Spark's decimal aggregation uses fixed 128-bit state with
+    map-side partials like any sum; the only cost vs double is ~2x
+    ALU, never a shuffle or memory change.
+    """
+    li = _src(spark, sf_dir)["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    cents = (F.col("l_discount") * 100).cast("decimal(18,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("revenue"),
+        F.sum(price * cents).alias("disc_cents"),
+    )

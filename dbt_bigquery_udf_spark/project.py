@@ -47,7 +47,7 @@ from dataclasses import dataclass, field
 import yaml
 
 from .models.core import EngineError, Exposure, ModelSpec
-from .models.quality import SchemaTest
+from .models.quality import SchemaTest, SingularTest
 from .models.metrics import Metric
 from .models.unit_tests import UnitTest
 
@@ -480,6 +480,7 @@ def load_project(project_dir: str) -> LoadedProject:
     model_paths = proj.get("model-paths", proj.get("source-paths", ["models"]))
     seed_paths = proj.get("seed-paths", ["seeds"])
     analysis_paths = proj.get("analysis-paths", ["analyses"])
+    test_paths = proj.get("test-paths", ["tests"])
     config_tree = proj.get("models", {})
 
     models: list[ModelSpec] = []
@@ -677,6 +678,24 @@ def load_project(project_dir: str) -> LoadedProject:
             continue
         for c in meta.get("columns", []) or []:
             tests.extend(_schema_tests(entry_name, c))
+
+    # dbt singular tests: .sql files under test-paths whose rows ARE
+    # the violations (the reference configures test-paths but ships the
+    # directory empty — reference: dbt_project.yml:17, tests/.gitkeep).
+    for tp_dir in test_paths:
+        root_t = os.path.join(project_dir, tp_dir)
+        if not os.path.isdir(root_t):
+            continue
+        for dirpath, _dirs, files in sorted(os.walk(root_t)):
+            for f in sorted(files):
+                if f.endswith(".sql"):
+                    with open(os.path.join(dirpath, f)) as fh:
+                        tests.append(
+                            SingularTest(
+                                name=os.path.splitext(f)[0],
+                                sql=fh.read().strip(),
+                            )
+                        )
 
     analyses: dict[str, str] = {}
     for ap_dir in analysis_paths:

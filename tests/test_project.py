@@ -670,3 +670,26 @@ def test_loader_edge_cases(tmp_path):
             {"unit_tests": [{"name": "u", "model": "m",
                              "given": [{"input": "ref('a')", "rows": []}]}]}
         )
+
+
+def test_singular_test_files(spark, sf_small, tmp_path):
+    """dbt singular tests: .sql files under test-paths load as
+    SingularTests and run through run_tests (rows = violations)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.quality import run_tests
+
+    root = str(tmp_path / "singproj")
+    _write(root, "dbt_project.yml", "name: singproj\ntest-paths: [\"tests\"]\n")
+    _write(root, "models/pos_vals.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT event_id, value FROM {{ source('joshua_dataset', 'events') }}\n")
+    _write(root, "tests/no_null_ids.sql",
+           "SELECT * FROM {{ ref('pos_vals') }} WHERE event_id IS NULL\n")
+    proj = load_project(root)
+    singular = [t for t in proj.tests if getattr(t, "test_type", "") == "singular"]
+    assert [t.name for t in singular] == ["no_null_ids"]
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["pos_vals"])
+    results = run_tests(spark, engine, proj.tests)
+    assert len(results) == 1 and results[0].passed

@@ -157,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("model")
     sh.add_argument("--limit", type=int, default=5)
     sh.add_argument("--env", default=None)
+    sh.add_argument("--project", default=None, help="dbt-style project directory")
     sh.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sh.add_argument("--vars", default=None)
 
@@ -507,6 +508,7 @@ def main(argv: list[str] | None = None) -> int:
             env=args.env,
             vars=json.loads(args.vars) if args.vars else None,
         )
+        _overlay_project(engine)
         spec = engine.models.get(args.model)
         if spec is None:
             print(f"unknown model {args.model!r}", file=sys.stderr)

@@ -320,10 +320,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             engine.build()
             suite = reference_tests() + reference_singular_tests()
+        build_failed = bool(engine.errors) or bool(engine.skipped_errors)
         for bname, exc in sorted(engine.errors.items()):
             print(json.dumps({"model": bname, "status": "ERROR", "message": str(exc)[:300]}))
-        if engine.errors:
-            return 1
+        if build_failed:
+            # dbt still tests the models that DID build; tests bound to
+            # broken/skipped models are reported as SKIP
+            broken = set(engine.errors) | engine.skipped_errors
+            skipped_tests = [
+                t for t in suite if getattr(t, "model", None) in broken
+            ]
+            for t in skipped_tests:
+                print(json.dumps({"test": t.name, "status": "SKIP",
+                                  "reason": "model did not build"}))
+            suite = [t for t in suite if t not in skipped_tests]
         failed = 0
         for res in run_tests(
             spark, engine, suite, store_failures=args.store_failures
@@ -337,7 +347,7 @@ def main(argv: list[str] | None = None) -> int:
             if res.audit_table:
                 out["audit_table"] = res.audit_table
             print(json.dumps(out))
-        return 1 if failed else 0
+        return 1 if (failed or build_failed) else 0
 
     if args.cmd == "docs":
         from .api import bootstrap

@@ -123,7 +123,14 @@ def run_unit_tests(spark: SparkSession, engine, tests) -> list[UnitTestResult]:
 
         actual = [tuple(r) for r in spark.sql(body).collect()]
         schema, rows = t.expect
-        expected = [tuple(r) for r in spark.createDataFrame(rows, schema).collect()]
+        if not rows:
+            # dbt's empty-output expectation: no schema needed — the
+            # assertion is simply that the model produced nothing.
+            expected = []
+        else:
+            expected = [
+                tuple(r) for r in spark.createDataFrame(rows, schema).collect()
+            ]
 
         remaining = list(expected)
         unexpected = []

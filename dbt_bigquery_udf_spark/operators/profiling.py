@@ -536,32 +536,45 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _src(spark, sf_dir)["events"]
     ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
     cur = ev.filter(F.col("event_id") % 2 == 1).select("value")
-    lo, hi = ref.agg(F.min("value"), F.max("value")).first()
+    # bounds and sample sizes fold in as 1-row broadcasts — driver-side
+    # first()/count() here would scan events three extra times
+    bounds = ref.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
 
-    def binned(df):
+    def binned(df, n_alias):
         b = F.least(
             F.lit(9),
             F.greatest(
                 F.lit(0),
                 F.floor(
-                    (F.col("value") - F.lit(lo)) * 10 / F.lit(hi - lo + 1e-12)
+                    (F.col("value") - F.col("lo"))
+                    * 10
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-12))
                 ).cast("int"),
             ),
         )
-        return df.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("n"))
+        per_bin = (
+            df.crossJoin(F.broadcast(bounds))
+            .groupBy(b.alias("b"))
+            .agg(F.count(F.lit(1)).alias(n_alias))
+        )
+        total = per_bin.agg(F.sum(n_alias).alias(f"{n_alias}_tot"))
+        return per_bin, total
 
-    rb, cb = binned(ref), binned(cur)
+    rb, r_tot = binned(ref, "rn")
+    cb, c_tot = binned(cur, "cn")
     spine = spark.range(10).select(F.col("id").cast("int").alias("b"))
-    n_ref = ref.count()
-    n_cur = cur.count()
     bins = (
         spine.join(rb, "b", "left")
-        .withColumnRenamed("n", "rn")
         .join(cb, "b", "left")
-        .withColumnRenamed("n", "cn")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(c_tot))
         .select(
-            ((F.coalesce("rn", F.lit(0)) + 0.5) / F.lit(n_ref + 5.0)).alias("p"),
-            ((F.coalesce("cn", F.lit(0)) + 0.5) / F.lit(n_cur + 5.0)).alias("q"),
+            (
+                (F.coalesce("rn", F.lit(0)) + 0.5) / (F.col("rn_tot") + 5.0)
+            ).alias("p"),
+            (
+                (F.coalesce("cn", F.lit(0)) + 0.5) / (F.col("cn_tot") + 5.0)
+            ).alias("q"),
         )
     )
     return bins.agg(

@@ -704,9 +704,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
     ).filter(F.col("token") != "")
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    big_n = uni.agg(F.sum("n")).first()[0]
-    scored = tok.join(F.broadcast(uni), "token").select(
-        "doc_id", (-F.log(F.col("n") / F.lit(float(big_n)))).alias("nll")
+    # corpus total folded in as a 1-row broadcast — a driver-side
+    # .first() here would re-run the whole tokenize pipeline once
+    # extra just to fetch one number
+    tot = uni.agg(F.sum("n").cast("double").alias("big_n"))
+    scored = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("n") / F.col("big_n"))).alias("nll"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -76,7 +76,7 @@ class LoadedProject:
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
-_REF_IN_TEST_RE = re.compile(r"ref\s*\(\s*'([^']+)'\s*\)")
+_REF_IN_TEST_RE = re.compile(r"""ref\s*\(\s*['"]([^'"]+)['"]\s*\)""")
 
 # ModelSpec fields that are declared as tuples (loader accepts scalars
 # or lists for any of them, like dbt).
@@ -239,7 +239,9 @@ def _schema_tests(model_name: str, col: dict) -> list[SchemaTest]:
 
 
 _INPUT_REF_RE = _REF_IN_TEST_RE  # same concept: a ref('name') token
-_INPUT_SOURCE_RE = re.compile(r"source\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)")
+_INPUT_SOURCE_RE = re.compile(
+    r"""source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)"""
+)
 
 
 def _infer_schema_ddl(rows: list[dict], declared: dict | None = None) -> str:
@@ -297,17 +299,14 @@ def _parse_unit_tests(doc: dict) -> list[UnitTest]:
             if not rows and not g.get("schema"):
                 raise EngineError(
                     f"unit test {ut.get('name')}: empty rows for {inp!r} "
-                    "need an explicit schema: mapping (no literals to "
-                    "infer types from)"
+                    "need an explicit schema: mapping (an empty INPUT "
+                    "relation still needs column types to exist)"
                 )
             given[key] = (_infer_schema_ddl(rows, g.get("schema")), rows)
         exp_cfg = ut.get("expect", {}) or {}
+        # empty expect rows are dbt's assert-no-output form: no schema
+        # needed (run_unit_tests compares against the empty multiset).
         exp_rows = exp_cfg.get("rows", []) or []
-        if not exp_rows and not exp_cfg.get("schema"):
-            raise EngineError(
-                f"unit test {ut.get('name')}: empty expect rows need an "
-                "explicit schema: mapping"
-            )
         out.append(
             UnitTest(
                 name=ut["name"],
@@ -364,7 +363,12 @@ def _selector_atom(node) -> str:
         if method == "fqn":
             atom = value.split(".")[-1]
         elif method == "path":
-            atom = os.path.basename(value).removesuffix(".sql")
+            base = os.path.basename(value)
+            atom = base.removesuffix(".sql").removesuffix(".py")
+            if atom == base and "." in base:
+                raise EngineError(
+                    f"selectors.yml: path value {value!r} is not a model file"
+                )
         elif method == "tag":
             atom = f"tag:{value}"
         elif method == "state":
@@ -412,7 +416,6 @@ def _parse_selectors(doc: dict) -> dict[str, list[str]]:
 
 
 _PY_REF_RE = re.compile(r"""dbt\s*\.\s*ref\(\s*['"]([^'"]+)['"]""")
-_INPUT_REF_RE = _REF_IN_TEST_RE  # same concept: a ref('name') token
 
 
 class _DbtShim:

@@ -693,3 +693,78 @@ def test_singular_test_files(spark, sf_small, tmp_path):
     engine.build(select=["pos_vals"])
     results = run_tests(spark, engine, proj.tests)
     assert len(results) == 1 and results[0].passed
+
+
+def test_cli_test_project_partial_build_failure(spark, sf_small, tmp_path):
+    """A broken model must not mask other models' data tests: healthy
+    tests still run, tests on broken models report SKIP, exit is 1."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "partproj")
+    _write(root, "dbt_project.yml", "name: partproj\n")
+    _write(root, "models/good_m.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS id\n")
+    _write(root, "models/bad_m.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT no_such_col FROM {{ source('joshua_dataset','events') }}\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: good_m
+               columns:
+                 - name: id
+                   tests: [not_null]
+             - name: bad_m
+               columns:
+                 - name: no_such_col
+                   tests: [not_null]
+           """)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["test", "--project", root, "--sf-dir", sf_small])
+    assert rc == 1
+    rows = [json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    statuses = {r.get("test", r.get("model")): r["status"] for r in rows}
+    assert statuses["bad_m"] == "ERROR"
+    assert statuses["not_null_good_m_id"] == "PASS"
+    assert statuses["not_null_bad_m_no_such_col"] == "SKIP"
+
+
+def test_unit_test_empty_expectation(spark, sf_small, tmp_path):
+    """expect: rows: [] is dbt's assert-no-output form — no schema
+    needed."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.unit_tests import run_unit_tests
+
+    root = str(tmp_path / "emptyproj")
+    _write(root, "dbt_project.yml", "name: emptyproj\n")
+    _write(root, "models/filter_neg.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT id FROM {{ ref('fx_base') }} WHERE id < 0\n")
+    _write(root, "models/fx_base.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS id\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           unit_tests:
+             - name: filters_everything
+               model: filter_neg
+               given:
+                 - input: ref('fx_base')
+                   rows:
+                     - {id: 5}
+               expect:
+                 rows: []
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    results = run_unit_tests(spark, engine, proj.unit_tests)
+    assert len(results) == 1 and results[0].passed, results[0]

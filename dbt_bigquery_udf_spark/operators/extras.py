@@ -1679,3 +1679,71 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "events_pareto_concentration",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n,
+             sum(n) OVER (ORDER BY n DESC, user_id) AS running,
+             sum(n) OVER () AS total,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
+             count(*) OVER () AS n_users
+      FROM per_user
+    )
+    SELECT
+      CAST(any_value(n_users) AS BIGINT) AS n_users,
+      CAST(min(CASE WHEN running >= 0.8 * total THEN rnk END) AS BIGINT)
+        AS users_for_80pct,
+      round(max(CASE WHEN rnk <= greatest(1, CAST(floor(n_users * 0.01) AS INT))
+                     THEN running END) * 1.0 / any_value(total), 4)
+        AS share_top_1pct
+    FROM ranked
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (the Pareto/80-20 curve): how many users
+    produce 80% of events, and what share the top 1% produce — the
+    corpus-composition diagnostic behind per-author caps in training
+    pipelines (one prolific source must not dominate the mix; the
+    supplier-side analogue is supplier_concentration_hhi).
+
+    Scale: events reduce to one row per user FIRST; the window pass
+    runs over |users|, not |events| — and at 100 TB |users| after the
+    reduce is the small side. Ties break on user_id so the rank (and
+    the two thresholds) are engine-deterministic.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w_order = W.orderBy(F.col("n").desc(), "user_id")
+    w_all = W.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.sum("n").over(w_order.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "running"
+        ),
+        F.sum("n").over(w_all).alias("total"),
+        F.row_number().over(w_order).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+    )
+    top1 = F.greatest(
+        F.lit(1), F.floor(F.col("n_users") * 0.01).cast("int")
+    )
+    return ranked.agg(
+        F.any_value(F.col("n_users")).cast("bigint").alias("n_users"),
+        F.min(
+            F.when(F.col("running") >= 0.8 * F.col("total"), F.col("rnk"))
+        )
+        .cast("bigint")
+        .alias("users_for_80pct"),
+        F.round(
+            F.max(F.when(F.col("rnk") <= top1, F.col("running")))
+            / F.any_value(F.col("total")),
+            4,
+        ).alias("share_top_1pct"),
+    )

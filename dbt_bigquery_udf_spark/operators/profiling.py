@@ -582,3 +582,65 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         )
     )
+
+
+@register(
+    "bot_regularity_flags",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    ), stats AS (
+      SELECT user_id, count(*) AS n_gaps,
+             round(avg(gap_s), 4) AS mean_gap_s,
+             round(coalesce(stddev_samp(gap_s), 0), 4) AS sd_gap_s
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 5
+    )
+    SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+           (sd_gap_s < 0.01 * mean_gap_s) AS too_regular
+    FROM stats
+    """,
+)
+def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event-time regularity: humans
+    produce bursty gaps (high coefficient of variation); schedulers and
+    scrapers fire on near-constant intervals. Users whose gap stddev is
+    under 1% of their mean gap flag ``too_regular`` — the traffic a
+    curation pipeline drops before events feed engagement metrics or
+    training mixes (the behavioral sibling of text_quality_score's
+    content gates).
+
+    One window pass (lag over the user shuffle) reduces events to
+    per-user moment statistics — fixed-width state per user; the flag
+    is pure arithmetic on the reduced rows. The 5-gap floor keeps the
+    estimator out of small-sample noise.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # micros-to-seconds keeps fractional seconds (unix_timestamp
+    # truncates, which would diverge from DuckDB's epoch()); the NTZ ->
+    # TIMESTAMP hop is identity under the engine's UTC session
+    sec = F.expr("unix_micros(cast(ts AS timestamp_ltz))") / 1e6
+    prev = F.lag(sec).over(w)
+    gaps = ev.select("user_id", (sec - prev).alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.coalesce(F.stddev_samp("gap_s"), F.lit(0.0)), 4).alias(
+                "sd_gap_s"
+            ),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    return stats.withColumn(
+        "too_regular", F.col("sd_gap_s") < 0.01 * F.col("mean_gap_s")
+    )

@@ -961,3 +961,32 @@ def test_run_results_artifact(spark, sf_small, tmp_path):
     by_name2 = {n["name"]: n for n in rr2["results"]}
     assert by_name2["rr_broken"]["status"] == "error"
     assert by_name2["rr_child"]["status"] == "skip-upstream"
+
+
+def test_number_by_key_edge_ranges(spark):
+    """Ordinal assignment must stay correct on hash-like key ranges
+    spanning most of int64 (the overflow case double-space bucketing
+    exists for), negative keys, and k > n."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.operators.spark_native import _number_by_key
+
+    cases = [
+        [0, 1, 2, 3, 4],  # dense
+        [-(2**62), -5, 0, 7, 2**62, 2**62 + 9],  # near-full int64 span
+        [-10, -3, -1],  # all negative
+        [42],  # singleton, k > n
+    ]
+    for keys in cases:
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        got = {
+            r["doc_id"]: r["global_id"]
+            for r in _number_by_key(df, "doc_id", k=8).collect()
+        }
+        expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+        assert got == expected, (keys, got)
+    # empty input -> empty output, stable schema
+    empty = spark.createDataFrame([], "doc_id long")
+    out = _number_by_key(empty, "doc_id", k=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "global_id"]

@@ -990,3 +990,18 @@ def test_number_by_key_edge_ranges(spark):
     out = _number_by_key(empty, "doc_id", k=8)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "global_id"]
+
+
+def test_baseline_materialization_targets(spark, sf_small):
+    """BASELINE.md pins the only reference numbers that exist: a DDL
+    materialization must beat BigQuery's 1.39s round-trip (target <=2s)
+    and the full reference DAG must land in single-digit seconds at
+    test scale. run_results carries the evidence."""
+    engine = bootstrap(spark, sf_small, env="ci")
+    engine.build()
+    rr = engine.run_results()
+    by_name = {n["name"]: n for n in rr["results"]}
+    for udf_model in ("parse_datetime", "test_table_function"):
+        t = by_name[udf_model]["execution_time"]
+        assert t <= 2.0, (udf_model, t)  # BASELINE.md: beat BQ's 1.39s DDL
+    assert rr["elapsed"] <= 30.0, rr["elapsed"]

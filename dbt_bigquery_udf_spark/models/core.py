@@ -518,6 +518,24 @@ class Engine:
             f"{self.database_for(spec)}.{spec.name}"
         )
         sql = _INCR_RE.sub((lambda m: m.group(1)) if is_incremental else "", sql)
+        if "{%" in sql:
+            # Jinja control flow ({% if %}/{% for %}, macros.py subset):
+            # runs after is_incremental handling so conditions only see
+            # user tags, and before var()/ref() substitution so emitted
+            # text keeps its placeholders for the passes below.
+            from ..macros import _Unresolved, render_control_flow
+
+            def _cf_var(name: str, default, _spec=spec):
+                if name in self.vars:
+                    return self.vars[name]
+                if default is not _Unresolved:
+                    return default
+                raise EngineError(
+                    f"model {_spec.name}: var('{name}') has no value and "
+                    "no default (dbt: Required var not found)"
+                )
+
+            sql = render_control_flow(sql, _cf_var, origin=f"model {spec.name}")
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)

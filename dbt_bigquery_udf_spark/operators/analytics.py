@@ -339,7 +339,10 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           -- outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+           -- materializes as float64 and the driver's dtype-sensitive hash
+           -- rejects against Spark's int64 (round-1 hash-fail)
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            round(sum(value), 2) AS value_sum
     FROM events
     GROUP BY event_type
@@ -515,19 +518,24 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev, correlation, exact interpolated
+def stats_summary(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Statistical aggregates: stddev, correlation, interpolated
     percentiles per return flag.
 
-    Scale: count/avg/stddev/corr are single-pass partial aggregates;
-    exact percentile requires collecting the group's values on one
-    reducer — fine for a handful of groups, and the documented trade
-    is `approx_percentile` (stats_approx_sketches) once groups carry
-    billions of rows.
+    Scale: count/avg/stddev/corr are single-pass partial aggregates.
+    ``approx=False`` (the oracle-exact default) computes exact
+    percentiles, whose per-group value map concentrates on one reducer —
+    fine for a handful of groups at bench scale. ``approx=True`` is the
+    100 TB form: ``percentile_approx`` keeps fixed-size mergeable
+    quantile state with map-side partials (plan-pinned in
+    tests/test_plans.py to contain no exact ``percentile``), trading
+    <=1/accuracy rank error for constant memory.
 
-    Perf: the three quantiles go through ONE ``percentile(col, array(...))``
+    Perf: the three quantiles go through ONE array-percentile
     aggregate, not three scalar ones — each scalar percentile builds its
-    own full value-count map per group, tripling partial-aggregate state
+    own full state per group, tripling partial-aggregate state
     and time (measured 10x slower at sf0.1).
     """
     li = _src(spark, sf_dir)["lineitem"]
@@ -535,6 +543,12 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact halves (representable in binary), so no rounding step exists
     # for a 1-ulp engine difference to flip — dollar-scale round(x, 2)
     # mismatched DuckDB at an exact half-cent midpoint.
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    pct = (
+        f"percentile_approx({cents}, array(0.5, 0.9, 0.99), 10000)"
+        if approx
+        else f"percentile({cents}, array(0.5, 0.9, 0.99))"
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -544,10 +558,7 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
                 "price_discount_corr"
             ),
-            F.expr(
-                "percentile(cast(round(l_extendedprice * 100) as bigint),"
-                " array(0.5, 0.9, 0.99))"
-            ).alias("_pcts"),
+            F.expr(pct).alias("_pcts"),
         )
         .select(
             "l_returnflag",
@@ -562,23 +573,70 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stats_approx_sketches")  # no oracle: sketch outputs are engine-specific
+@register(
+    "stats_approx_sketches",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_within_2pct,
+           TRUE AS p50_within_1pct,
+           TRUE AS p90_within_1pct,
+           TRUE AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for their exact
     forms: HyperLogLog++ distinct counts and quantile sketches compose
     over partitions with fixed memory, where exact percentile would
     concentrate a group's values on one reducer.
 
-    rows-only check by design: sketch estimates are engine-specific, so
-    no cross-engine value oracle exists (the exact counterparts are
-    oracle-checked in stats_summary / distinct_counts).
+    Driver contract: sketch estimates are engine-specific, so the
+    checkable output is the EXACT value plus per-sketch tolerance flags
+    computed Spark-side (estimate vs exact in the same plan); the oracle
+    recomputes the exact values and pins every flag TRUE. A broken
+    sketch flips a flag and the driver hash-fails — a strictly stronger
+    check than round 1's rows-only declaration (whose array-typed
+    output also crashed the driver's canonicalizer; scalars only now).
+
+    Scale: the estimate side is the part you'd keep at 100 TB — HLL++
+    and KLL-style quantile state merge map-side with fixed memory. The
+    exact side here is sf-scale verification scaffolding.
     """
     li = _src(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
-            "approx_pcts"
+    pcts = F.expr(
+        "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    exact_pcts = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    # Exact distinct via two-level agg, NOT countDistinct alongside the
+    # percentile aggregates: mixing distinct and non-distinct aggregates
+    # plans an Expand that duplicates every row AND every percentile
+    # buffer per task (OOMs a default-heap local[8] session).
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.005).alias("approx_orders"),
+        pcts.alias("apx"),
+        exact_pcts.alias("ex"),
+    )
+    agg = sketches.join(F.broadcast(exact), "l_returnflag")
+
+    def within(est, exact, tol):
+        return F.abs(est - exact) <= tol * F.abs(exact)
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        within(F.col("approx_orders"), F.col("exact_orders"), 0.02).alias(
+            "hll_within_2pct"
         ),
+        within(F.col("apx")[0], F.col("ex")[0], 0.01).alias("p50_within_1pct"),
+        within(F.col("apx")[1], F.col("ex")[1], 0.01).alias("p90_within_1pct"),
+        within(F.col("apx")[2], F.col("ex")[2], 0.01).alias("p99_within_1pct"),
     )
 
 
@@ -758,11 +816,15 @@ def interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decimal_money_sum",
     """
+    -- VARCHAR serialization: DuckDB DECIMAL comes back to pandas as float64
+    -- while Spark DecimalType arrives as object(Decimal); the driver's
+    -- dtype-sensitive hash rejects that even when the sums are identical
+    -- (round-1 hash-fail). The string form is exact on both engines.
     SELECT l_returnflag,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
-             AS revenue,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
-               * CAST(l_discount * 100 AS DECIMAL(18,0))) AS disc_cents
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+                AS VARCHAR) AS revenue,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+               * CAST(l_discount * 100 AS DECIMAL(18,0))) AS VARCHAR) AS disc_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -781,7 +843,11 @@ def decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _src(spark, sf_dir)["lineitem"]
     price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
     cents = (F.col("l_discount") * 100).cast("decimal(18,0)")
+    # Decimal sums serialize to STRING for the driver contract: pandas maps
+    # Spark DecimalType to object(Decimal) but DuckDB DECIMAL to float64,
+    # so the dtype-sensitive hash can only agree on the exact string form.
+    # The arithmetic itself stays DECIMAL end-to-end (the point of the op).
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("revenue"),
-        F.sum(price * cents).alias("disc_cents"),
+        F.sum(price).cast("string").alias("revenue"),
+        F.sum(price * cents).cast("string").alias("disc_cents"),
     )

@@ -78,22 +78,38 @@ def bq_dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transpile_bq_expr(bq))
 
 
-@register("bq_dialect_hll_rollup")  # no oracle: sketch estimates are engine-specific
+@register(
+    "bq_dialect_hll_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def bq_dialect_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BigQuery's mergeable approximate-distinct workflow, verbatim:
     ``HLL_COUNT.INIT`` per (event_type, day) — the sketch table a real
     pipeline materializes — then ``HLL_COUNT.MERGE`` rolls days up to
     per-type estimates without rescanning the facts. The transpiler
     maps the family onto Spark's Datasketches HLL (hll_sketch_agg /
-    hll_union_agg / hll_sketch_estimate); sketch bytes are
-    engine-internal, so the driver records rows-only and
-    tests/test_sketches.py pins the estimates to within 5% of exact.
+    hll_union_agg / hll_sketch_estimate).
+
+    Driver contract: the sketch estimate is engine-specific, so the
+    checkable output is the exact per-type distinct (which DuckDB
+    recomputes) plus a Spark-side flag pinning the day-merged HLL
+    estimate within 5% of it — the oracle asserts the flag TRUE, so a
+    broken sketch/merge path hash-fails instead of going ungraded
+    (round 1 recorded this row as err:no_oracle).
+    tests/test_sketches.py additionally pins the estimates locally.
 
     Scale: identical argument to distinct_bitmap_users, with fixed-size
     (~2^lgConfigK bytes) sketch state instead of exact bitmaps — the
     trade every 100 TB audience-counting pipeline chooses when keys are
     unbounded (the day-level sketch table re-aggregates to any grain).
     """
+    from pyspark.sql import functions as F
+
     _src(spark, sf_dir)
     bq = """
     WITH daily AS (
@@ -104,4 +120,20 @@ def bq_dialect_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, HLL_COUNT.MERGE(sk) AS approx_users
     FROM daily GROUP BY event_type ORDER BY event_type
     """
-    return spark.sql(transpile_bq_expr(bq))
+    hll = spark.sql(transpile_bq_expr(bq))
+    exact = spark.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS exact_users "
+        "FROM events GROUP BY event_type"
+    )
+    return (
+        hll.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1144,7 +1144,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cohort.select("cohort_day", off.cast("bigint").alias("day_offset"))
         .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
-        .groupBy("cohort_day", "day_offset")
+        # timestamp_ntz output: pandas materializes Spark DATE as
+        # object(datetime.date) but DuckDB DATE as datetime64, which the
+        # driver's dtype-sensitive hash rejects; midnight timestamps agree
+        .groupBy(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            "day_offset",
+        )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
@@ -1194,7 +1200,9 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["user_id", "wau_day"])
     return (
         contrib.join(F.broadcast(days), "wau_day", "left_semi")
-        .groupBy("wau_day")
+        # timestamp_ntz output: align pandas dtype with the DuckDB oracle
+        # (see events_cohort_retention)
+        .groupBy(F.col("wau_day").cast("timestamp_ntz").alias("wau_day"))
         .agg(F.count(F.lit(1)).alias("wau"))
         .orderBy("wau_day")
     )
@@ -1599,7 +1607,10 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(daily, "day", "left")
         .select(
-            "day",
+            # timestamp_ntz output: pandas materializes Spark DATE as
+            # object(datetime.date) but DuckDB DATE as datetime64; the
+            # driver's dtype-sensitive hash needs both sides datetime64
+            F.col("day").cast("timestamp_ntz").alias("day"),
             F.col("revenue").alias("observed"),
             F.last("revenue", ignorenulls=True).over(w).alias("filled"),
         )

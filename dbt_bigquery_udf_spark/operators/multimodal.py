@@ -84,7 +84,9 @@ def _fake_decode(blob: bytes) -> tuple[int, int, str]:
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
            lang,
            count(*) AS n_media,
-           sum(n_chars) AS total_bytes
+           -- CAST: DuckDB sum(int) -> HUGEINT -> pandas float64 (driver
+           -- dtype hash-fail vs Spark int64)
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1, 2
     """,
@@ -206,7 +208,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           -- outer CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events
     GROUP BY event_type

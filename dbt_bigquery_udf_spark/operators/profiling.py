@@ -41,29 +41,34 @@ _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
         for c in _PROFILE_COLS
     ),
 )
-def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_columns(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Per-column profile (nulls, distincts, min/max) of ``orders``.
 
     One scan for all columns: a single ``agg`` computes every
-    per-column statistic (the multi-count-distinct goes through one
-    Expand), then the wide row unpivots to the (col, stats) long form
-    driver-side via ``stack``. The DuckDB oracle states the same
-    profile as a UNION ALL of per-column scans — N scans there, ONE
-    here, same rows.
+    per-column statistic, then the wide row unpivots to the
+    (col, stats) long form via ``stack``. The DuckDB oracle states the
+    same profile as a UNION ALL of per-column scans — N scans there,
+    ONE here, same rows.
 
-    Scale: output is |columns| rows; the expand factor equals the
-    number of distinct-counted columns, the standard Spark trade for
-    exact multi-column NDV in one pass. At 100 TB swap the exact
-    count(DISTINCT) for approx_count_distinct and the Expand
-    disappears — documented, not silently done, because the oracle
-    pins exact values.
+    Scale: output is |columns| rows. ``approx=False`` (the oracle-exact
+    default) computes exact multi-column NDV, whose Expand duplicates
+    every row once per distinct-counted column — the standard Spark
+    trade for one-pass exactness, an |cols|x row blowup at 100 TB.
+    ``approx=True`` is the at-scale form: ``approx_count_distinct``
+    (HLL++, fixed memory, map-side partials) removes the Expand
+    entirely — plan-pinned in tests/test_plans.py.
     """
     o = _src(spark, sf_dir)["orders"]
     aggs = []
     for c in _PROFILE_COLS:
+        ndv = (
+            F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        )
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            ndv.alias(f"{c}__n_distinct"),
             F.min(c).cast("string").alias(f"{c}__min_s"),
             F.max(c).cast("string").alias(f"{c}__max_s"),
         ]
@@ -89,9 +94,14 @@ _IDLIKE_RE = r"\b\d{9,16}\b"
     f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS n_emails,
-           sum(len(regexp_extract_all(text, '{_PHONE_RE}'))) AS n_phones,
-           sum(len(regexp_extract_all(text, '{_IDLIKE_RE}'))) AS n_idlike,
+           -- CASTs: DuckDB sum(int) -> HUGEINT -> pandas float64 (driver
+           -- dtype hash-fail vs Spark int64)
+           CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+             AS n_emails,
+           CAST(sum(len(regexp_extract_all(text, '{_PHONE_RE}'))) AS BIGINT)
+             AS n_phones,
+           CAST(sum(len(regexp_extract_all(text, '{_IDLIKE_RE}'))) AS BIGINT)
+             AS n_idlike,
            count(*) FILTER (WHERE regexp_matches(text, '{_EMAIL_RE}')
                                OR regexp_matches(text, '{_PHONE_RE}')) AS docs_flagged
     FROM documents GROUP BY source
@@ -445,13 +455,17 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 11 = 0 THEN md5(text || '!') ELSE md5(text) END AS h
       FROM documents
     )
+    -- CASTs: DuckDB sum(int) -> HUGEINT -> pandas float64 (driver dtype
+    -- hash-fail vs Spark int64)
     SELECT
-      sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS n_added,
-      sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
-      sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
-               AND v1.h <> v2.h THEN 1 ELSE 0 END) AS n_changed,
-      sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
-               AND v1.h = v2.h THEN 1 ELSE 0 END) AS n_unchanged
+      CAST(sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+               AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+               AND v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
     FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
     """,
 )

@@ -77,7 +77,8 @@ def distinct_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           -- outer CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
            count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_hits
     FROM events GROUP BY event_type

@@ -300,7 +300,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bin
       FROM sized
     )
-    SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    -- CAST: DuckDB sum(int) -> HUGEINT -> pandas float64 (driver dtype
+    -- hash-fail vs Spark int64)
+    SELECT lang, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM binned GROUP BY lang, bin
     """,
 )
@@ -352,7 +355,9 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM deduped
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,
+           -- CAST: DuckDB sum(int) -> HUGEINT -> pandas float64
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens
     FROM sampled GROUP BY lang
     """,
@@ -407,7 +412,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY doc_id, bg
     )
     SELECT doc_id,
-           sum(c) AS n_bigrams,
+           -- CAST: DuckDB sum(int) -> HUGEINT -> pandas float64
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
            count(*) AS n_distinct_bigrams,
            round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_bigram_frac,
            round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac,
@@ -503,7 +509,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            substr(h, 3, 1) AS shard,
            count(*) AS n_docs,
-           sum(n_chars) AS n_chars
+           -- CAST: DuckDB sum(int) -> HUGEINT -> pandas float64
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM assigned
     GROUP BY 1, 2
     ORDER BY split, shard
@@ -563,7 +570,9 @@ _DUCK_CHUNKS = f"""
       FROM w
     ), chunks AS (
       SELECT doc_id,
-             off / {CHUNK_STRIDE} AS chunk_idx,
+             -- integer div: plain / yields DOUBLE in DuckDB (dtype mismatch
+             -- vs Spark's int chunk_idx under the driver's hash)
+             off // {CHUNK_STRIDE} AS chunk_idx,
              len(words[off + 1 : off + {CHUNK_TOKENS}]) AS n_tokens,
              md5(array_to_string(words[off + 1 : off + {CHUNK_TOKENS}], ' '))
                AS chunk_hash

@@ -16,8 +16,14 @@ as Python. This module reads the same layout:
   signature declarations at `models/udf/function/parse_datetime.sql:1-8`)
   overriding the folder tree. The remaining body keeps its
   ``{{ ref() }}`` / ``{{ source() }}`` / ``{{ var() }}`` / ``{{ this }}``
-  placeholders — the engine's renderer resolves those; full Jinja is
-  deliberately out of scope (SURVEY.md §7).
+  placeholders — the engine's renderer resolves those, and evaluates the
+  ``{% if %}``/``{% for %}`` control-flow subset at render time
+  (macros.py); user ``{% macro %}`` call sites expand at LOAD time from
+  ``macro-paths`` files. A full Jinja engine remains deliberately out of
+  scope (SURVEY.md §7) — out-of-subset constructs fail loudly.
+- ``models/**/*.md`` (and ``docs-paths``): ``{% docs name %}`` blocks,
+  resolved into ``{{ doc('name') }}`` references in schema.yml
+  descriptions at load.
 - ``models/**/*.yml``: ``models:`` descriptions + column docs (persisted
   to the warehouse, the reference's F10) and column ``tests:``
   (unique / not_null / accepted_values / relationships);
@@ -46,6 +52,7 @@ from dataclasses import dataclass, field
 
 import yaml
 
+from .macros import MacroDef, expand_macros, parse_macros
 from .models.core import EngineError, Exposure, ModelSpec
 from .models.quality import SchemaTest, SingularTest
 from .models.metrics import Metric
@@ -77,6 +84,10 @@ class LoadedProject:
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
 _REF_IN_TEST_RE = re.compile(r"""ref\s*\(\s*['"]([^'"]+)['"]\s*\)""")
+_DOCS_BLOCK_RE = re.compile(
+    r"\{%-?\s*docs\s+(\w+)\s*-?%\}(.*?)\{%-?\s*enddocs\s*-?%\}", re.S
+)
+_DOC_REF_RE = re.compile(r"""\{\{\s*doc\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
 
 # ModelSpec fields that are declared as tuples (loader accepts scalars
 # or lists for any of them, like dbt).
@@ -117,12 +128,20 @@ def _split_config_block(text: str) -> tuple[dict, str]:
     if m is None:
         return {}, text
     # scan from the '(' to its balanced close, skipping string literals
+    # (backslash-escape aware: alias='it\'s' must not desync the scan)
     i = m.end() - 1
     depth, j = 0, i
     while True:
         ch = text[j]
         if ch in "'\"":
-            j = text.index(ch, j + 1)
+            q = ch
+            j += 1
+            while True:
+                if text[j] == "\\":
+                    j += 1
+                elif text[j] == q:
+                    break
+                j += 1
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -484,7 +503,63 @@ def load_project(project_dir: str) -> LoadedProject:
     seed_paths = proj.get("seed-paths", ["seeds"])
     analysis_paths = proj.get("analysis-paths", ["analyses"])
     test_paths = proj.get("test-paths", ["tests"])
+    macro_paths = proj.get("macro-paths", ["macros"])
     config_tree = proj.get("models", {})
+
+    # {% docs %} blocks: dbt keeps long-form documentation in .md files
+    # under model/macro paths and references it from schema.yml
+    # descriptions via {{ doc('name') }} — resolved at load so the
+    # persisted COMMENTs (F10) carry the real text.
+    doc_blocks: dict[str, str] = {}
+    for dp in [*model_paths, *proj.get("docs-paths", []), *macro_paths]:
+        root_d = os.path.join(project_dir, dp)
+        if not os.path.isdir(root_d):
+            continue
+        for dirpath, _dirs, files in sorted(os.walk(root_d)):
+            for f in sorted(files):
+                if not f.endswith(".md"):
+                    continue
+                full = os.path.join(dirpath, f)
+                with open(full) as fh:
+                    for dm in _DOCS_BLOCK_RE.finditer(fh.read()):
+                        d_name, d_text = dm.group(1), dm.group(2).strip()
+                        if d_name in doc_blocks:
+                            raise EngineError(
+                                f"duplicate docs block {d_name!r} ({full})"
+                            )
+                        doc_blocks[d_name] = d_text
+
+    def _resolve_docs(desc: str, where: str) -> str:
+        def repl(m: re.Match) -> str:
+            if m.group(1) not in doc_blocks:
+                raise EngineError(
+                    f"{where}: doc('{m.group(1)}') has no {{% docs %}} block"
+                )
+            return doc_blocks[m.group(1)]
+
+        return _DOC_REF_RE.sub(repl, desc) if desc else desc
+
+    # User macros (SQL-fragment subset — see macros.py): every .sql file
+    # under macro-paths contributes {% macro %} definitions; call sites
+    # in model bodies / singular tests / analyses expand at load time.
+    macros: dict[str, MacroDef] = {}
+    for mp_dir in macro_paths:
+        root_m = os.path.join(project_dir, mp_dir)
+        if not os.path.isdir(root_m):
+            continue
+        for dirpath, _dirs, files in sorted(os.walk(root_m)):
+            for f in sorted(files):
+                if not f.endswith(".sql"):
+                    continue
+                full = os.path.join(dirpath, f)
+                with open(full) as fh:
+                    for mname, mdef in parse_macros(fh.read(), full).items():
+                        if mname in macros:
+                            raise EngineError(
+                                f"duplicate macro {mname!r} (second "
+                                f"definition in {full})"
+                            )
+                        macros[mname] = mdef
 
     models: list[ModelSpec] = []
     tests: list[SchemaTest] = []
@@ -585,6 +660,19 @@ def load_project(project_dir: str) -> LoadedProject:
                 )
             )
 
+    # Resolve {{ doc('name') }} references in every declared description
+    # (model- and column-level) against the collected {% docs %} blocks.
+    for d_model, meta_doc in docs.items():
+        if meta_doc.get("description"):
+            meta_doc["description"] = _resolve_docs(
+                meta_doc["description"], f"model {d_model}"
+            )
+        for c in meta_doc.get("columns", []) or []:
+            if c.get("description"):
+                c["description"] = _resolve_docs(
+                    c["description"], f"{d_model}.{c.get('name')}"
+                )
+
     seen_stems: dict[str, str] = {}
     for path, parts in sql_files:
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -623,6 +711,10 @@ def load_project(project_dir: str) -> LoadedProject:
             continue
         with open(path) as fh:
             text = fh.read()
+        # Macro expansion precedes config extraction so a config() block
+        # stays literal (macros may not generate configs — out of subset),
+        # but follows dbt's model: macros render before anything executes.
+        text = expand_macros(text, macros, origin=path)
         try:
             cfg_inline, body = _split_config_block(text)
         except EngineError:
@@ -692,11 +784,14 @@ def load_project(project_dir: str) -> LoadedProject:
         for dirpath, _dirs, files in sorted(os.walk(root_t)):
             for f in sorted(files):
                 if f.endswith(".sql"):
-                    with open(os.path.join(dirpath, f)) as fh:
+                    t_path = os.path.join(dirpath, f)
+                    with open(t_path) as fh:
                         tests.append(
                             SingularTest(
                                 name=os.path.splitext(f)[0],
-                                sql=fh.read().strip(),
+                                sql=expand_macros(
+                                    fh.read().strip(), macros, origin=t_path
+                                ),
                             )
                         )
 
@@ -713,8 +808,11 @@ def load_project(project_dir: str) -> LoadedProject:
                         raise EngineError(
                             f"duplicate analysis name {a_stem!r}"
                         )
-                    with open(os.path.join(dirpath, f)) as fh:
-                        analyses[a_stem] = fh.read().strip()
+                    a_path = os.path.join(dirpath, f)
+                    with open(a_path) as fh:
+                        analyses[a_stem] = expand_macros(
+                            fh.read().strip(), macros, origin=a_path
+                        )
 
     selectors: dict[str, list[str]] = {}
     sel_path = os.path.join(project_dir, "selectors.yml")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .api import prepared_engine
 
-__all__ = ["QUERIES", "ORACLES", "register"]
+__all__ = ["QUERIES", "ORACLES", "register", "curated_queries"]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -132,3 +132,102 @@ def ref_tvf_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import operators  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from .sources import format_queries  # noqa: E402,F401
+
+
+# --------------------------------------------------------------------------
+# Driver-window curation.
+#
+# The driver hard-checks the FIRST 50 registry entries (list(QUERIES)[:50])
+# against their DuckDB oracles; everything after slot 50 only gets the local
+# verify. Import order alone packed round 1's window with near-duplicates of
+# the same families while similarity, text, multimodal, profiling, graph,
+# streaming, UDTF, and source-format queries sat past the cut with zero
+# driver evidence. This explicit window puts one-or-more representatives of
+# EVERY operator family (all 14 operator modules + streaming + sources +
+# the 3 reference-parity queries) inside the checked prefix. Registration
+# order of the remaining 100+ queries is preserved after the window.
+# --------------------------------------------------------------------------
+
+_CURATED_WINDOW = (
+    # reference parity (SURVEY §2.1/§2.2)
+    "ref_datamart_e2e",
+    "ref_parse_datetime",
+    "ref_tvf_param",
+    # TPC-H repertoire (joins, correlated subqueries, multi-way aggs)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    # join / window / grouping shapes
+    "semi_anti_join",
+    "asof_click_attribution",
+    "window_funcs_suite",
+    "cube_orders",
+    # events / time series
+    "events_json_extract",
+    "events_sessionize",
+    "events_skew_salted",
+    "timeseries_gapfill",
+    # stats / decimal / sampling
+    "stats_summary",
+    "stats_approx_sketches",
+    "decimal_money_sum",
+    "sample_stratified",
+    # BigQuery-dialect transpiler
+    "bq_dialect_qualify",
+    "bq_dialect_string_agg",
+    "bq_dialect_hll_rollup",
+    # dedup family (exact, survivor, MinHash/LSH, SimHash, embedding,
+    # components, semantic, incremental, fuzzy-ER)
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_survivors",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_semantic",
+    "dedup_incremental_batch",
+    "fuzzy_name_pairs",
+    # similarity search / embedding analytics
+    "sim_topk_brute",
+    "sim_lsh_topk",
+    "sim_ivf_rerank",
+    "sim_pq_codes",
+    "emb_kmeans_step",
+    # text analysis
+    "text_token_stats",
+    "text_lang_id",
+    "text_perplexity_proxy",
+    "text_chunk_dedup",
+    # multimodal
+    "mm_payload_dedup",
+    "mm_decode_features",
+    # profiling / graph / streaming
+    "profile_columns",
+    "graph_pagerank_step",
+    "stream_hourly_rollup",
+    # Python UDTF, source formats, VARIANT, product analytics
+    "udtf_grouped_topk",
+    "source_csv_roundtrip",
+    "events_variant_extract",
+    "funnel_signup_purchase",
+)
+
+
+def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registry with the curated window first.
+
+    Called lazily (from ``__spark_entry__``), NOT at import time: a Spark
+    Python worker unpickling an operator UDF re-enters this module mid-
+    circular-import with only part of the registry populated, so an
+    import-time reorder/validation would crash every executor task. By
+    the time the driver asks for the contract surface, every module has
+    registered.
+    """
+    missing = [n for n in _CURATED_WINDOW if n not in QUERIES]
+    if missing:  # fail loudly: a rename must update the window
+        raise RuntimeError(f"curated driver window names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _CURATED_WINDOW}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    return ordered

@@ -175,6 +175,26 @@ def _list_data_files(spark, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _data_file_set(spark, path: str) -> frozenset[tuple[str, int]]:
+    """The location's data files as {(path-under-root, length)} — the
+    change-detection snapshot compact_files compares before its swap."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.makeQualified(jpath).toString().rstrip("/") + "/"
+    out = set()
+    if not fs.exists(jpath):
+        return frozenset()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.add((f.getPath().toString().removeprefix(root), f.getLen()))
+    return frozenset(out)
+
+
 def compact_files(
     spark,
     path: str,
@@ -194,6 +214,17 @@ def compact_files(
     the pruning layout), then swaps directories via an O(1) filesystem
     rename.
 
+    Concurrency contract: ONE writer at a time per location. The rewrite
+    snapshots the directory and swaps it, so a file a concurrent writer
+    lands mid-rewrite would vanish in the swap — guarded two ways: the
+    data-file set is re-listed immediately before the swap and the
+    compaction ABORTS (staging discarded, original untouched) if it
+    changed; and from a streaming pipeline the call belongs inside the
+    serialized foreachBatch callback (compact_if_fragmented), where the
+    engine guarantees no concurrent append. Crash-safe: a failure
+    between the two renames leaves the data at <path>__compact_old, and
+    the next call self-heals by renaming it back before proceeding.
+
     Scale: the rewrite is one shuffle-free-read → repartition → write
     over only this location (compact partitions selectively by calling
     with a partition subdirectory path); driver state is two longs from
@@ -201,9 +232,24 @@ def compact_files(
     """
     import math
 
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jdst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jdst.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    # Self-heal a crash between the two renames of a previous run: data
+    # is only at __compact_old — restore it before anything reads path.
+    if not fs.exists(jdst) and fs.exists(old):
+        if not fs.rename(old, jdst):
+            raise IOError(
+                f"compact_files: could not restore {path} from crashed run"
+            )
+        _stats = None  # stale caller-provided stats cannot describe the restore
+
     files_before, total = _stats if _stats is not None else _list_data_files(
         spark, path
     )
+    snapshot = _data_file_set(spark, path)
     df = spark.read.parquet(path)
     n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
     staging = path.rstrip("/") + "__compact_staging"
@@ -222,14 +268,18 @@ def compact_files(
         )
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    jdst = jvm.org.apache.hadoop.fs.Path(path)
     jsrc = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = jdst.getFileSystem(conf)
+    # Abort (not clobber) if a concurrent writer changed the location
+    # between our snapshot read and the swap — their files would be
+    # silently deleted by the rename otherwise.
+    if _data_file_set(spark, path) != snapshot:
+        fs.delete(jsrc, True)
+        raise IOError(
+            f"compact_files: {path} changed during compaction "
+            "(concurrent writer?) — aborted, location untouched"
+        )
     # Two renames, never delete-before-swap: the original survives any
     # failure (as <path>__compact_old) until the new data is in place.
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
     fs.delete(old, True)  # stale leftover from a crashed run
     if not fs.rename(jdst, old):
         raise IOError(f"compact_files: could not move {path} aside")

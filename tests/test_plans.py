@@ -497,3 +497,53 @@ def test_aqe_skew_join_splits(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_profile_columns_approx_removes_expand(spark, sf_small):
+    """The 100 TB profiler form (approx=True) must plan NO Expand — the
+    exact default pays an |distinct-counted cols|x row blowup for exact
+    NDV; the HLL++ swap must eliminate it while keeping one scan."""
+    from dbt_bigquery_udf_spark.operators.profiling import profile_columns
+    from dbt_bigquery_udf_spark.plans import plan_facts
+
+    exact = plan_facts(profile_columns(spark, sf_small, approx=False))
+    assert "Expand" in exact.text, exact.text  # the documented trade exists
+    apx = plan_facts(profile_columns(spark, sf_small, approx=True))
+    assert "Expand" not in apx.text, apx.text
+    assert apx.scans == 1, apx.text
+
+
+def test_stats_summary_approx_uses_sketch_percentile(spark, sf_small):
+    """The 100 TB stats form (approx=True) must aggregate percentiles
+    via the mergeable approx sketch, never the exact percentile whose
+    per-group value map concentrates on one reducer."""
+    from dbt_bigquery_udf_spark.operators.analytics import stats_summary
+    from dbt_bigquery_udf_spark.plans import plan_facts
+
+    apx = plan_facts(stats_summary(spark, sf_small, approx=True))
+    assert "approx_percentile" in apx.text or "percentile_approx" in apx.text, apx.text
+    assert "percentile(" not in apx.text.replace("percentile_approx(", ""), apx.text
+    # same single-shuffle aggregate shape as the exact form
+    assert apx.exchanges == 1, apx.text
+
+
+def test_semantic_assignment_is_joinless(spark, sf_small):
+    """SemDeDup's centroid assignment must fold the k (= max(8, n//64))
+    centroids into the plan as literals — the ONLY joins in the whole
+    operator are the within-cluster pair equi-join and the survivor
+    anti join; a join-based assignment or a cartesian pair space fails
+    here."""
+    import re
+
+    f = _facts(spark, sf_small, "dedup_semantic")
+    assert f.nested_loop_joins == 0, f.text
+    # unique join operator ids in the formatted tree (the details
+    # section repeats each operator, so a raw substring count over-counts)
+    join_ids = set(
+        re.findall(
+            r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct)[^\n(]*\((\d+)\)",
+            f.text,
+        )
+    )
+    assert len(join_ids) <= 2, (sorted(join_ids), f.text)

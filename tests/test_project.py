@@ -768,3 +768,183 @@ def test_unit_test_empty_expectation(spark, sf_small, tmp_path):
     engine.register(*proj.models, replace=True)
     results = run_unit_tests(spark, engine, proj.unit_tests)
     assert len(results) == 1 and results[0].passed, results[0]
+
+
+# -- user macros (restricted SQL-fragment subset, macros.py) ---------------
+
+
+def test_user_macros_expand_and_build(spark, sf_small, tmp_path):
+    """A reference-author-style tree with user macros in macros/ loads,
+    expands call sites (positional, keyword, defaults, macro-in-macro),
+    and builds end to end."""
+    root = str(tmp_path / "macroproj")
+    _write(root, "dbt_project.yml",
+           """\
+           name: macroproj
+           macro-paths: ["macros"]
+           """)
+    _write(root, "macros/money.sql",
+           """\
+           {% macro cents_to_dollars(col, precision=2) %}
+           round({{ col }} / 100.0, {{ precision }})
+           {% endmacro %}
+
+           {% macro dollars_label(col) %}
+           concat('$', cast({{ cents_to_dollars(col, precision=1) }} as string))
+           {% endmacro %}
+           """)
+    _write(root, "models/money_mart.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT {{ cents_to_dollars('amount_cents') }} AS dollars,\n"
+           "       {{ dollars_label('amount_cents') }} AS label\n"
+           "FROM {{ ref('money_base') }}\n")
+    _write(root, "models/money_base.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 12345 AS amount_cents\n")
+    proj = load_project(root)
+    body = {m.name: m.sql for m in proj.models}["money_mart"]
+    assert "cents_to_dollars" not in body  # fully expanded
+    assert "round(amount_cents / 100.0, 2)" in body
+    assert "round(amount_cents / 100.0, 1)" in body  # kwarg override
+    assert "{{ ref('money_base') }}" in body  # renderer placeholder intact
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["money_mart"], fail_fast=True)
+    row = spark.table("datamart.money_mart").first()
+    assert float(row.dollars) == 123.45
+    assert row.label == "$123.5"
+
+
+def test_user_macro_rejects_control_flow_and_collisions(tmp_path):
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "badmacro")
+    _write(root, "dbt_project.yml", "name: badmacro\n")
+    _write(root, "macros/ctrl.sql",
+           "{% macro pick(col) %}{% if col %}x{% endif %}{% endmacro %}\n")
+    with _pytest.raises(EngineError, match="control flow"):
+        load_project(root)
+
+    root2 = str(tmp_path / "resmacro")
+    _write(root2, "dbt_project.yml", "name: resmacro\n")
+    _write(root2, "macros/bad.sql", "{% macro ref(x) %}{{ x }}{% endmacro %}\n")
+    with _pytest.raises(EngineError, match="reserved"):
+        load_project(root2)
+
+    root3 = str(tmp_path / "dupmacro")
+    _write(root3, "dbt_project.yml", "name: dupmacro\n")
+    _write(root3, "macros/a.sql", "{% macro m(x) %}{{ x }}{% endmacro %}\n")
+    _write(root3, "macros/b.sql", "{% macro m(x) %}{{ x }}{% endmacro %}\n")
+    with _pytest.raises(EngineError, match="duplicate macro"):
+        load_project(root3)
+
+
+def test_user_macro_materialization_blocks_skipped(tmp_path):
+    """A macros/ file in the reference's own shape — a materialization
+    block (reference: macros/udf/function.sql:1-32) — loads without
+    defining any fragment macro and without erroring."""
+    root = str(tmp_path / "matproj")
+    _write(root, "dbt_project.yml", "name: matproj\n")
+    _write(root, "macros/function.sql",
+           """\
+           {% materialization function, adapter='bigquery' %}
+             {% if execute %}anything at all{% endif %}
+           {% endmaterialization %}
+           """)
+    _write(root, "models/plain.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS one\n")
+    proj = load_project(root)
+    assert [m.name for m in proj.models] == ["plain"]
+
+
+def test_model_body_control_flow(spark, sf_small, tmp_path):
+    """{% if %}/{% for %} in a model body evaluate at render time with
+    project vars: branch selection, elif/else, for with loop.last comma
+    handling — the production-dbt Jinja subset beyond is_incremental."""
+    root = str(tmp_path / "cfproj")
+    _write(root, "dbt_project.yml",
+           """\
+           name: cfproj
+           vars:
+             env: prod
+             statuses: ["O", "F"]
+           """)
+    _write(root, "models/cf_mart.sql",
+           """\
+           {{ config(materialized='table', schema='datamart', dialect='spark') }}
+           SELECT o_orderstatus, count(*) AS n
+           FROM {{ source('src', 'orders') }}
+           WHERE o_orderstatus IN (
+           {% for s in var('statuses') %}'{{ s }}'{% if not loop.last %}, {% endif %}{% endfor %}
+           )
+           {% if var('env') == 'prod' %}
+           AND o_totalprice > 0
+           {% elif var('env') == 'dev' %}
+           AND o_totalprice > 1000000
+           {% endif %}
+           GROUP BY o_orderstatus
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.vars.update(proj.vars)
+    engine.register(*proj.models, replace=True)
+    rendered = engine.render(engine.models["cf_mart"])
+    assert "'O', 'F'" in rendered
+    assert "o_totalprice > 0" in rendered
+    assert "1000000" not in rendered  # untaken elif branch dropped
+    assert "{%" not in rendered
+    engine.build(select=["cf_mart"], fail_fast=True)
+    rows = {r.o_orderstatus: r.n for r in spark.table("datamart.cf_mart").collect()}
+    assert set(rows) == {"O", "F"} and all(v > 0 for v in rows.values())
+    # flipping a var flips the branch on re-render
+    engine.vars["env"] = "dev"
+    assert "1000000" in engine.render(engine.models["cf_mart"])
+
+
+def test_docs_blocks_resolve_in_descriptions(tmp_path):
+    """{% docs %} blocks in .md files resolve {{ doc('name') }} in
+    schema.yml model/column descriptions (the text that persists to
+    warehouse COMMENTs); unknown doc() fails loudly."""
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "docsproj")
+    _write(root, "dbt_project.yml", "name: docsproj\n")
+    _write(root, "models/docs.md",
+           """\
+           {% docs amount_doc %}
+           Monetary amount in cents, never NULL.
+           {% enddocs %}
+           """)
+    _write(root, "models/m1.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS amount\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: m1
+               description: "Ledger. {{ doc('amount_doc') }}"
+               columns:
+                 - name: amount
+                   description: "{{ doc('amount_doc') }}"
+           """)
+    proj = load_project(root)
+    spec = {m.name: m for m in proj.models}["m1"]
+    assert "Monetary amount in cents" in spec.description
+    assert "doc(" not in spec.description
+    assert "Monetary amount in cents" in spec.columns["amount"]
+
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: m1
+               description: "{{ doc('missing_doc') }}"
+           """)
+    with _pytest.raises(EngineError, match="missing_doc"):
+        load_project(root)

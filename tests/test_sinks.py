@@ -162,3 +162,52 @@ def test_compact_if_fragmented_threshold(spark, tmp_path):
     stats = compact_if_fragmented(spark, path, max_files=16)
     assert stats is not None and stats["files_after"] < before
     assert spark.read.parquet(path).count() == 600
+
+
+def test_compact_files_self_heals_crashed_swap(spark, tmp_path):
+    """A crash between the two renames leaves data only at
+    <path>__compact_old; the next compact_files call must restore it
+    and complete instead of failing on a missing path."""
+    import os
+
+    from dbt_bigquery_udf_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "heal")
+    spark.range(100).repartition(8).write.parquet(path)
+    os.rename(path, path + "__compact_old")  # simulate the crash window
+    stats = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_files_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """A file landed between the snapshot read and the swap must abort
+    the compaction (original intact, staging removed), never vanish."""
+    import os
+
+    import pytest as _pytest
+
+    from dbt_bigquery_udf_spark.sources import sinks
+
+    path = str(tmp_path / "race")
+    spark.range(100).repartition(4).write.parquet(path)
+
+    real = sinks._data_file_set
+    calls = {"n": 0}
+
+    def racing(spark_, p):
+        snap = real(spark_, p)
+        if p == path and calls["n"] == 0:
+            calls["n"] += 1
+            # concurrent writer lands a file AFTER the snapshot
+            extra = spark.range(5).toPandas()
+            extra.to_parquet(os.path.join(path, "part-concurrent.parquet"))
+        return snap
+
+    monkeypatch.setattr(sinks, "_data_file_set", racing)
+    with _pytest.raises(IOError, match="concurrent"):
+        sinks.compact_files(spark, path, target_file_bytes=1 << 30)
+    # original rows + the concurrent file all still readable
+    assert spark.read.parquet(path).count() == 105
+    assert not os.path.exists(path + "__compact_staging")

@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_latest_version",
     "pipeline_corpus_curation",
     "sim_ivf_topk",
+    "sim_ivfpq_adc",
     "sim_topk_brute",
     "sim_topk_batch",
     "mm_decode_features",

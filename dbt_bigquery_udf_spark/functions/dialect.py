@@ -352,6 +352,10 @@ _FORMAT_CASTS = {
     "s": "STRING",
 }
 _UNIX_DATE_RE = re.compile(r"\bUNIX_DATE\s*\(", re.IGNORECASE)
+_REGEXP_EXTRACT_RE = re.compile(r"\bREGEXP_EXTRACT\s*\(", re.IGNORECASE)
+_REGEXP_EXTRACT_ALL_RE = re.compile(r"\bREGEXP_EXTRACT_ALL\s*\(", re.IGNORECASE)
+_SPLIT_RE = re.compile(r"\bSPLIT\s*\(", re.IGNORECASE)
+_IEEE_DIVIDE_RE = re.compile(r"\bIEEE_DIVIDE\s*\(", re.IGNORECASE)
 _DATE_FROM_UNIX_RE = re.compile(r"\bDATE_FROM_UNIX_DATE\s*\(", re.IGNORECASE)
 # TO_HEX over a BQ bytes-returning hash: the composition is exactly
 # Spark's hex-string hash function (md5/sha1/sha2 return lowercase hex).
@@ -685,10 +689,107 @@ def transpile_bq_functions(sql: str) -> str:
         return f"hll_sketch_estimate({a[0]})"  # EXTRACT
 
     out = _rewrite_calls(out, _HLL_COUNT_RE, _hll)
+    def _pattern_literal(pattern_arg: str) -> tuple[str, int] | None:
+        """(spark string literal, capture group to extract) for a
+        literal regex argument — group 1 when the pattern has one
+        capturing group, 0 (whole match) when none; BQ errors on more
+        than one group, so >1 raises here (faithful loudness). BQ raw
+        literals (r'...') normalize to Spark escaped literals. Returns
+        None for non-literal arguments."""
+        sm = re.match(r"^\s*(r?)'(.*)'\s*$", pattern_arg, re.S)
+        if sm is None:
+            return None
+        raw, body = sm.group(1), sm.group(2)
+        # count top-level capturing groups: '(' not escaped, not '(?'
+        n, i, ln = 0, 0, len(body)
+        while i < ln:
+            c = body[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == "(" and body[i + 1 : i + 2] != "?":
+                n += 1
+            i += 1
+        if n > 1:
+            raise ValueError(
+                f"REGEXP_EXTRACT pattern has {n} capturing groups "
+                "(BigQuery allows at most one)"
+            )
+        if raw:
+            # r'\d' -> Spark (escape-processing) literal '\\d'
+            body = body.replace("\\", "\\\\").replace("'", "''")
+        lit = "'" + body + "'"
+        return lit, n
+
+    def _regexp_extract(m: re.Match, a: list[str]) -> str | None:
+        # BQ returns NULL when nothing matches; Spark regexp_extract
+        # returns ''. BQ extracts the single capturing group if present,
+        # else the whole match. Only the 2-arg literal-pattern form
+        # rewrites; others stay (Spark has no 2-arg form, so they fail
+        # LOUDLY at analysis instead of silently changing semantics).
+        if len(a) != 2:
+            return None
+        pg = _pattern_literal(a[1])
+        if pg is None:
+            return None
+        lit, g = pg
+        return (
+            f"CASE WHEN regexp_like({a[0]}, {lit}) "
+            f"THEN regexp_extract({a[0]}, {lit}, {g}) END"
+        )
+
+    out = _rewrite_calls(out, _REGEXP_EXTRACT_RE, _regexp_extract)
+
+    def _regexp_extract_all(m: re.Match, a: list[str]) -> str | None:
+        # Same group rule as REGEXP_EXTRACT; no-match -> empty array and
+        # NULL -> NULL agree between engines once the group is explicit.
+        if len(a) != 2:
+            return None
+        pg = _pattern_literal(a[1])
+        if pg is None:
+            return None
+        lit, g = pg
+        return f"regexp_extract_all({a[0]}, {lit}, {g})"
+
+    out = _rewrite_calls(out, _REGEXP_EXTRACT_ALL_RE, _regexp_extract_all)
+
+    def _split(m: re.Match, a: list[str]) -> str | None:
+        # BQ SPLIT splits on a LITERAL delimiter (default ','); Spark
+        # split takes a REGEX. Escape metacharacters so 'a.b' splits on
+        # the dot character, and pass limit -1 (keep trailing empties,
+        # matching BQ). Non-literal delimiters stay unrewritten.
+        if len(a) == 1:
+            return f"split({a[0]}, ',', -1)"
+        if len(a) != 2:
+            return None
+        sm = re.match(r"^\s*'(.*)'\s*$", a[1], re.S)
+        if sm is None:
+            return None
+        escaped = re.escape(sm.group(1)).replace("'", "''").replace("\\", "\\\\")
+        return f"split({a[0]}, '{escaped}', -1)"
+
+    out = _rewrite_calls(out, _SPLIT_RE, _split)
+
+    def _ieee_divide(m: re.Match, a: list[str]) -> str:
+        # BQ IEEE_DIVIDE never errors: x/0 -> +-Inf, 0/0 -> NaN. Spark's
+        # ANSI division raises DIVIDE_BY_ZERO, so guard the zero divisor
+        # and synthesize the IEEE result via sign propagation
+        # (a * Infinity: +Inf / -Inf / NaN for a >0 / <0 / =0).
+        # Caveat: a negative-zero divisor yields +Inf here, not -Inf.
+        x = f"CAST({a[0]} AS DOUBLE)"
+        y = f"CAST({a[1]} AS DOUBLE)"
+        return (
+            f"CASE WHEN {y} = 0.0D THEN {x} * CAST('Infinity' AS DOUBLE) "
+            f"ELSE {x} / {y} END"
+        )
+
+    out = _rewrite_calls(out, _IEEE_DIVIDE_RE, _ieee_divide)
+
     out = _BQ_FN_NAME_RE.sub(
         lambda m: _BQ_FN_NAME_MAP[m.group(1).upper()] + "(", out
     )
-    return transpile_qualify(transpile_bq_arrays_datetime(out))
+    out = transpile_unnest(transpile_qualify(transpile_bq_arrays_datetime(out)))
+    return transpile_struct(out)
 
 
 def _balanced(s: str) -> bool:
@@ -910,3 +1011,133 @@ def transpile_qualify(sql: str) -> str:
             f"SELECT * EXCEPT(__qualify__) FROM ( {inner} ) WHERE __qualify__ "
         )
         sql = sql[: sel[0]] + replacement + sql[end:]
+
+
+# -- UNNEST (BQ array flattening) -> LATERAL VIEW (pos)explode -------------
+#
+# BigQuery flattens arrays with UNNEST in the FROM clause; Spark's
+# equivalent is LATERAL VIEW explode (posexplode when BQ's WITH OFFSET
+# ordinal is requested, OUTER for the LEFT JOIN ... ON TRUE form that
+# keeps empty-array rows). Covered forms, each pinned by tests:
+#
+#   FROM t, UNNEST(e) AS x                  -> FROM t LATERAL VIEW explode(e) u AS x
+#   FROM t CROSS JOIN UNNEST(e) AS x        -> same
+#   FROM t LEFT JOIN UNNEST(e) AS x ON TRUE -> LATERAL VIEW OUTER explode(e) u AS x
+#   ... UNNEST(e) AS x WITH OFFSET [AS] i   -> LATERAL VIEW posexplode(e) u AS i, x
+#   FROM UNNEST(e) AS x  (standalone)       -> FROM (SELECT explode(e) AS x)
+#
+# Anything else (correlated UNNEST in subqueries works — it is just the
+# comma form; UNNEST without an alias does not exist in the covered
+# subset) passes through and fails loudly at analysis.
+
+_UNNEST_JOIN_RE = re.compile(
+    r"(,|\bCROSS\s+JOIN\b|\bLEFT\s+JOIN\b)\s*UNNEST\s*\(", re.IGNORECASE
+)
+_UNNEST_BARE_RE = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?(\w+)(\s+WITH\s+OFFSET(?:\s+AS)?\s+(\w+))?", re.IGNORECASE
+)
+_UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE", re.IGNORECASE)
+# An alias-less UNNEST followed by a clause keyword must NOT treat the
+# keyword as the alias — leave the call unrewritten (fails loudly).
+_NOT_AN_ALIAS = frozenset(
+    """where group order limit having qualify window on join left right
+    inner outer cross full union intersect except as with select from""".split()
+)
+
+
+def transpile_unnest(sql: str) -> str:
+    """Rewrite the covered UNNEST forms; idempotent (output contains no
+    UNNEST)."""
+    n = 0
+    # standalone FROM UNNEST(...) AS x [WITH OFFSET [AS] i]
+    pos = 0
+    while True:
+        m = _UNNEST_BARE_RE.search(sql, pos)
+        if m is None:
+            break
+        args, end = _split_top_args(sql, m.end() - 1)
+        am = _UNNEST_ALIAS_RE.match(sql, end)
+        if am is None or not am.group(1) or am.group(1).lower() in _NOT_AN_ALIAS:
+            pos = m.end()
+            continue
+        alias, off = am.group(1), am.group(3)
+        inner = (
+            f"(SELECT posexplode({args[0]}) AS ({off}, {alias}))"
+            if off
+            else f"(SELECT explode({args[0]}) AS {alias})"
+        )
+        sql = sql[: m.start()] + "FROM " + inner + sql[am.end() :]
+        pos = m.start() + 1
+    # joined forms
+    pos = 0
+    while True:
+        m = _UNNEST_JOIN_RE.search(sql, pos)
+        if m is None:
+            return sql
+        joiner = m.group(1).strip().upper()
+        args, end = _split_top_args(sql, m.end() - 1)
+        am = _UNNEST_ALIAS_RE.match(sql, end)
+        if am is None or not am.group(1) or am.group(1).lower() in _NOT_AN_ALIAS:
+            pos = m.end()
+            continue
+        alias, off = am.group(1), am.group(3)
+        end2 = am.end()
+        outer = ""
+        if joiner.startswith("LEFT"):
+            on = _UNNEST_ON_TRUE_RE.match(sql, end2)
+            if on is None:
+                pos = m.end()
+                continue  # LEFT JOIN UNNEST without ON TRUE: leave loudly
+            end2 = on.end()
+            outer = "OUTER "
+        n += 1
+        fn = "posexplode" if off else "explode"
+        cols = f"{off}, {alias}" if off else alias
+        lateral = f" LATERAL VIEW {outer}{fn}({args[0]}) __unnest{n} AS {cols}"
+        sql = sql[: m.start()] + lateral + sql[end2:]
+        pos = m.start() + 1
+
+
+# -- STRUCT constructor ----------------------------------------------------
+#
+# BQ builds typed structs with STRUCT(expr AS name, ...); Spark's named
+# constructor is named_struct('name', expr, ...). Only the fully-named
+# form rewrites (BQ infers names for bare columns, which Spark's struct()
+# also does, so the all-bare form lowercases to struct(); a MIXED form's
+# inferred names cannot be reproduced textually and passes through to
+# fail loudly). Type syntax STRUCT<...> is untouched.
+
+_STRUCT_CTOR_RE = re.compile(r"\bSTRUCT\s*\((?!\s*<)", re.IGNORECASE)
+_STRUCT_AS_RE = re.compile(r"^(.*)\s+AS\s+(\w+)\s*$", re.IGNORECASE | re.S)
+
+
+def _struct_arg_alias(arg: str) -> tuple[str, str] | None:
+    """(expr, alias) when the argument ends in a top-level ``AS name``."""
+    m = _STRUCT_AS_RE.match(arg)
+    if m is None:
+        return None
+    expr = m.group(1)
+    if _balanced(expr):
+        return expr.strip(), m.group(2)
+    return None
+
+
+def transpile_struct(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _STRUCT_CTOR_RE.search(sql, pos)
+        if m is None:
+            return sql
+        args, end = _split_top_args(sql, m.end() - 1)
+        aliased = [_struct_arg_alias(a) for a in args]
+        if args and all(a is not None for a in aliased):
+            pairs = ", ".join(f"'{name}', {expr}" for expr, name in aliased)
+            new = f"named_struct({pairs})"
+        elif all(a is None for a in aliased):
+            new = f"struct({', '.join(args)})"
+        else:
+            pos = m.end()
+            continue  # mixed named/bare: leave loudly
+        sql = sql[: m.start()] + new + sql[end:]
+        pos = m.start() + 1

@@ -588,13 +588,17 @@ def semdedup_k(n_vectors: int) -> int:
     c AS (SELECT vec_id AS cid, emb AS cv FROM e
           WHERE vec_id < GREATEST({SEMDEDUP_MIN_K},
                 (SELECT count(*) FROM e) // {SEMDEDUP_TARGET_CLUSTER})),
+    -- argmin encoded as pure integers (micro-distance * 1e5 + cid):
+    -- numerically identical tie-break to the string-min trick, but the
+    -- per-row cost is arithmetic instead of k printf/string compares
+    -- (the string form fell out of whole-stage codegen once k grew)
     pick AS (
       SELECT e.vec_id,
-             min(printf('%015.6f|%05d',
-                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+             min(CAST(round(list_distance(e.emb, c.cv) * 1000000) AS BIGINT)
+                 * 100000 + c.cid) AS p
       FROM e, c GROUP BY e.vec_id
     ),
-    a AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cluster_id FROM pick),
+    a AS (SELECT vec_id, CAST(p % 100000 AS INT) AS cluster_id FROM pick),
     pairs AS (
       SELECT y.vec_id AS vb
       FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
@@ -654,28 +658,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < k).collect()
     ]
     zero = F.lit(0.0)
-    picks = []
-    for cid, cv in cents:
-        cvec = F.array(*[F.lit(x) for x in cv])
-        sq = F.aggregate(
-            F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda s, x: s + x,
-        )
-        picks.append(
-            F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
-        )
+    # Assignment is a BROADCAST JOIN against the k-row centroid table,
+    # not k expressions folded into the scan: with k scaling as n/64,
+    # literal-folding k per-centroid distance expressions exploded the
+    # plan (k zip_with lambdas: 7.7s; k unpacked 64-term codegen sums:
+    # blew the codegen method limit, 20s interpreted — both measured at
+    # sf0.1, k=31). The join form keeps the plan O(1) in k and pays the
+    # irreducible n x k distance evaluations — as ONE codegen'd 64-term
+    # (e_i - c_i)^2 sum over wide columns on both sides (an interpreted
+    # zip_with here costs 4M lambda evals, measured ~4s at sf0.1). The
+    # summation is the same left-to-right order as DuckDB's
+    # list_distance, so the 6-dp micro rounding agrees bit-for-bit, and
+    # the argmin is integer-encoded (micro-distance * 1e5 + cid) so
+    # min() needs no string compares.
+    cents_wide = spark.createDataFrame(
+        [(cid, *[float(x) for x in cv]) for cid, cv in cents],
+        "cid bigint, " + ", ".join(f"c{i} double" for i in range(dims)),
+    )
     nrm = F.sqrt(
         F.aggregate(
             F.transform("emb", lambda x: x * x), zero, lambda s, x: s + x
         )
     )
-    assigned = e.select(
+    unpacked = e.select(
         "vec_id",
-        F.substring(F.least(*picks), 17, 5).cast("int").alias("cluster_id"),
         nrm.alias("nrm"),
         *[F.element_at("emb", i + 1).alias(f"e{i}") for i in range(dims)],
-    ).persist()
+    )
+    sq = None
+    for i in range(dims):
+        diff = F.col(f"e{i}") - F.col(f"c{i}")
+        term = diff * diff
+        sq = term if sq is None else sq + term
+    enc = F.round(F.sqrt(sq) * 1000000).cast("bigint") * 100000 + F.col("cid")
+    assignment = (
+        unpacked.crossJoin(F.broadcast(cents_wide))
+        .select("vec_id", enc.alias("enc"))
+        .groupBy("vec_id")
+        .agg((F.min("enc") % 100000).cast("int").alias("cluster_id"))
+    )
+    assigned = unpacked.join(assignment, "vec_id").persist()
     assigned.count()  # materialize once: both join sides read it
 
     dot = None

@@ -1061,3 +1061,125 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0),
         ).alias("recon_err"),
     )
+
+
+# -- IVF-PQ with asymmetric distance computation (the full FAISS stack) ----
+
+
+@register(
+    "sim_ivfpq_adc",
+    _DUCK_IVF_PROBES + f""",
+    cb AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {PQ_K}),
+    sub AS (
+      SELECT e.vec_id, s.s, cb.cid,
+             round((SELECT sum(pow(e.emb[s.s * 8 + j] - cb.cv[s.s * 8 + j], 2))
+                    FROM generate_series(1, 8) g(j)), 6) AS d2
+      FROM e, generate_series(0, {PQ_M - 1}) s(s), cb
+      WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> {QUERY_VEC_ID}
+    ),
+    pick AS (
+      SELECT vec_id, s,
+             CAST(substr(min(printf('%015.6f|%05d', d2, cid)), 17, 5) AS INT)
+               AS code
+      FROM sub GROUP BY vec_id, s
+    ),
+    qtab AS (
+      SELECT s.s, cb.cid,
+             CAST(replace(substr(printf('%015.6f',
+               round((SELECT sum(pow(q.qv[s.s * 8 + j] - cb.cv[s.s * 8 + j], 2))
+                      FROM generate_series(1, 8) g(j)), 6)), 1, 15), '.', '')
+               AS BIGINT) AS dmicro
+      FROM generate_series(0, {PQ_M - 1}) s(s), cb, q
+    ),
+    adc AS (
+      SELECT p.vec_id, CAST(sum(t.dmicro) AS BIGINT) AS adc_d2_micro
+      FROM pick p JOIN qtab t ON t.s = p.s AND t.cid = p.code
+      GROUP BY p.vec_id
+    )
+    SELECT a.vec_id, a.adc_d2_micro,
+           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    FROM adc a JOIN e ON e.vec_id = a.vec_id, q
+    ORDER BY a.adc_d2_micro ASC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation — the three
+    FAISS-style index stages composed into ONE Spark plan: IVF probing
+    bounds the SCAN (nprobe inverted lists), PQ codes bound the BYTES
+    (each candidate vector is {PQ_M} small codes, never floats), and
+    ADC bounds the COMPUTE (the query precomputes a {PQ_M}x{PQ_K}
+    distance table; a candidate's approximate distance is {PQ_M} table
+    lookups + adds, no per-pair float math at all).
+
+    Shape: the table is computed driver-side from the collected
+    codebook (tiny: M*K cells) and folded into the plan as literal
+    arrays — each candidate's score is element_at per subspace, summed;
+    the only wide work left is the filtered scan + TakeOrdered top-k.
+    Distances travel as exact integer micro-units (the sim_pq_codes
+    convention), so the bigint ADC sum is bit-identical across engines
+    and the driver hash has no float edge.
+
+    Scale: this is the 1B-vector serving plan. Inverted lists are the
+    partition key (probe = partition pruning), the PQ code table is
+    32x smaller than the raw vectors (so the scanned bytes per probe
+    drop the same way), and the ADC table is O(M*K) per query
+    regardless of corpus size. Exact cosine is reported alongside for
+    the rerank stage (sim_ivf_rerank) to consume.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = _emb(spark, sf_dir)
+    q_lit, probes = _ivf_probe_lists(e)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    ]
+    cb = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < PQ_K).select("vec_id", "emb").collect()
+    ]
+
+    def _micro(d2: float) -> int:
+        # mirror round(d2, 6) -> printf -> strip-dot: exact micro-units
+        q6 = Decimal(repr(d2)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        return int(q6 * 1_000_000)
+
+    # query-to-codebook ADC table, indexed [subspace][code]
+    tab = [
+        [
+            _micro(sum((qv[s * 8 + j] - cv[s * 8 + j]) ** 2 for j in range(8)))
+            for _cid, cv in cb
+        ]
+        for s in range(PQ_M)
+    ]
+
+    cand = e.filter(
+        F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    adc = None
+    for s in range(PQ_M):
+        picks = []
+        for cid, cv in cb:
+            d2 = None
+            for j in range(8):
+                term = (F.col("emb")[s * 8 + j] - F.lit(cv[s * 8 + j])) ** 2
+                d2 = term if d2 is None else d2 + term
+            picks.append(
+                F.format_string("%015.6f|%05d", F.round(d2, 6), F.lit(cid))
+            )
+        code = F.substring(F.least(*picks), 17, 5).cast("int")
+        lookup = F.element_at(
+            F.array(*[F.lit(v).cast("bigint") for v in tab[s]]), code + 1
+        )
+        adc = lookup if adc is None else adc + lookup
+    return (
+        cand.withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            adc.cast("bigint").alias("adc_d2_micro"),
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("adc_d2_micro").asc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -77,3 +77,12 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamp format, read back, aggregated — certifies the
     text-format round-trip including sub-second event times."""
     return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events staged as JSON-lines (the dominant training-data
+    interchange format), read back with an explicit schema, aggregated —
+    certifies lossless JSONL round-trip including microsecond event
+    times, against the oracle on the original parquet."""
+    return _roundtrip(spark, sf_dir, "json")

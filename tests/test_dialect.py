@@ -96,3 +96,38 @@ def test_parse_datetime_garbage_raises(spark, parse_expr):
     expr = parse_expr.replace("s,", "'garbage',").replace("(s", "('garbage'")
     with pytest.raises(Exception):
         spark.sql(f"SELECT {expr} AS dt").collect()
+
+
+def test_regexp_split_ieee_divide_rewrites(spark):
+    """Round-2 dialect breadth: REGEXP_EXTRACT('' vs NULL + group
+    selection), REGEXP_EXTRACT_ALL raw-literal normalization, SPLIT's
+    literal (non-regex) delimiter, IEEE_DIVIDE's never-error contract —
+    evaluated in Spark against BigQuery's documented results."""
+    import math
+
+    sql = transpile_bq_expr(
+        "SELECT REGEXP_EXTRACT('abc', '[0-9]+') AS no_match, "
+        "REGEXP_EXTRACT('id=42', 'id=([0-9]+)') AS grp, "
+        "REGEXP_EXTRACT_ALL('a1 b22', r'\\d+') AS all_m, "
+        "SPLIT('a.b.c', '.') AS parts, "
+        "SPLIT('x,,y') AS empties, "
+        "IEEE_DIVIDE(1, 0) AS pinf, IEEE_DIVIDE(-1, 0) AS ninf, "
+        "IEEE_DIVIDE(0, 0) AS nan_v, IEEE_DIVIDE(10, 4) AS frac"
+    )
+    r = spark.sql(sql).first()
+    assert r["no_match"] is None  # BQ NULL, not Spark's ''
+    assert r["grp"] == "42"  # single capturing group extracted
+    assert r["all_m"] == ["1", "22"]
+    assert r["parts"] == ["a", "b", "c"]  # '.' split literally, not as regex
+    assert r["empties"] == ["x", "", "y"]  # default ',' delim, empties kept
+    assert r["pinf"] == float("inf") and r["ninf"] == float("-inf")
+    assert math.isnan(r["nan_v"]) and r["frac"] == 2.5
+    # idempotency: transpiling the output changes nothing
+    assert transpile_bq_expr(sql) == sql
+
+
+def test_regexp_extract_multi_group_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capturing groups"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t")

@@ -138,11 +138,17 @@ def test_unsupported_interval_raises():
 
 
 def test_unmapped_functions_left_alone():
-    # SPLIT and FARM_FINGERPRINT have different semantics in Spark —
-    # they must pass through untouched (visible failure beats silent
-    # semantic change).
-    sql = "SELECT SPLIT(a, '.'), FARM_FINGERPRINT(b) FROM t"
+    # FARM_FINGERPRINT hashes to different values in any Spark mapping —
+    # it must pass through untouched (visible failure beats silent
+    # semantic change). SPLIT with a NON-literal delimiter likewise: the
+    # regex-escape rewrite only applies when the delimiter is a literal.
+    sql = "SELECT SPLIT(a, d), FARM_FINGERPRINT(b) FROM t"
     assert transpile_bq_functions(sql) == sql
+    # literal delimiter IS faithfully mapped (escaped, trailing empties kept)
+    assert (
+        transpile_bq_functions("SELECT SPLIT(a, '.') FROM t")
+        == "SELECT split(a, '\\\\.', -1) FROM t"
+    )
 
 
 ARRAY_DT_CASES = [
@@ -335,3 +341,60 @@ def test_date_trunc_part_named_columns_safe():
     # Spark-native: quoted format first — untouched, even with a
     # part-keyword column name second
     assert t("date_trunc('month', day)") == "date_trunc('month', day)"
+
+
+def test_unnest_forms(spark):
+    """BQ UNNEST -> LATERAL VIEW (pos)explode: comma / CROSS JOIN /
+    LEFT JOIN ON TRUE (keeps empty-array rows) / standalone FROM, with
+    and without WITH OFFSET ordinals."""
+    spark.sql(
+        "SELECT array(10,20) AS arr, 'r1' AS id "
+        "UNION ALL SELECT array(), 'r2'"
+    ).createOrReplaceTempView("unnest_t")
+    rows = spark.sql(
+        transpile_bq_expr("SELECT id, x FROM unnest_t, UNNEST(arr) AS x")
+    ).collect()
+    assert [(r.id, r.x) for r in rows] == [("r1", 10), ("r1", 20)]
+    rows = spark.sql(
+        transpile_bq_expr(
+            "SELECT id, x, i FROM unnest_t, UNNEST(arr) AS x WITH OFFSET AS i"
+        )
+    ).collect()
+    assert [(r.x, r.i) for r in rows] == [(10, 0), (20, 1)]
+    rows = spark.sql(
+        transpile_bq_expr(
+            "SELECT id, x FROM unnest_t LEFT JOIN UNNEST(arr) AS x ON TRUE"
+        )
+    ).collect()
+    assert ("r2", None) in [(r.id, r.x) for r in rows]  # empty array kept
+    rows = spark.sql(
+        transpile_bq_expr("SELECT x FROM UNNEST(array(1,2,3)) AS x")
+    ).collect()
+    assert [r.x for r in rows] == [1, 2, 3]
+    # alias-less UNNEST must pass through untouched (loud analysis error
+    # beats swallowing the next clause keyword as an alias)
+    s = "SELECT 1 FROM t, UNNEST(arr) WHERE x > 0"
+    assert transpile_bq_expr(s) == s
+    # idempotency on rewritten output
+    out = transpile_bq_expr("SELECT id, x FROM unnest_t, UNNEST(arr) AS x")
+    assert transpile_bq_expr(out) == out
+
+
+def test_struct_constructor(spark):
+    """BQ STRUCT(expr AS name, ...) -> named_struct; all-bare STRUCT ->
+    struct (same inferred field names); mixed forms pass through."""
+    r = spark.sql(
+        transpile_bq_expr("SELECT STRUCT(1 AS a, 2 + 3 AS b) AS s")
+    ).first()
+    assert r.s.asDict() == {"a": 1, "b": 5}
+    r = spark.sql(
+        transpile_bq_expr(
+            "SELECT STRUCT(CAST('7' AS INT64) AS n, UPPER('x') AS u) AS s"
+        )
+    ).first()
+    assert r.s.asDict() == {"n": 7, "u": "X"}
+    out = transpile_bq_expr("SELECT STRUCT(x, y) FROM t")
+    assert out == "SELECT struct(x, y) FROM t"
+    mixed = "SELECT STRUCT(1 AS a, y) FROM t"
+    assert transpile_bq_expr(mixed) == mixed  # loud, not silently renamed
+    assert transpile_bq_expr("CAST(NULL AS STRUCT<a INT64>)").startswith("CAST")

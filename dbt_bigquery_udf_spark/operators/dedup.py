@@ -657,7 +657,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in e.filter(F.col("vec_id") < k).collect()
     ]
-    zero = F.lit(0.0)
     # Assignment is a BROADCAST JOIN against the k-row centroid table,
     # not k expressions folded into the scan: with k scaling as n/64,
     # literal-folding k per-centroid distance expressions exploded the
@@ -675,36 +674,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cid, *[float(x) for x in cv]) for cid, cv in cents],
         "cid bigint, " + ", ".join(f"c{i} double" for i in range(dims)),
     )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("emb", lambda x: x * x), zero, lambda s, x: s + x
-        )
+    # Wide expressions assemble as SQL STRINGS (one F.expr each), not
+    # Column-by-Column: building ~200 Column objects costs a driver<->JVM
+    # round trip apiece (~1s of plan construction per call; same fix and
+    # measurement as sim_ivfpq_adc). The arithmetic text is unchanged.
+    nrm_sql = (
+        "sqrt(aggregate(transform(emb, x -> x * x), "
+        "cast(0 as double), (s, x) -> s + x))"
     )
-    unpacked = e.select(
+    unpacked = e.selectExpr(
         "vec_id",
-        nrm.alias("nrm"),
-        *[F.element_at("emb", i + 1).alias(f"e{i}") for i in range(dims)],
+        f"{nrm_sql} AS nrm",
+        *[f"emb[{i}] AS e{i}" for i in range(dims)],
     )
-    sq = None
-    for i in range(dims):
-        diff = F.col(f"e{i}") - F.col(f"c{i}")
-        term = diff * diff
-        sq = term if sq is None else sq + term
-    enc = F.round(F.sqrt(sq) * 1000000).cast("bigint") * 100000 + F.col("cid")
+    sq_sql = " + ".join(f"(e{i} - c{i}) * (e{i} - c{i})" for i in range(dims))
+    enc_sql = (
+        f"cast(round(sqrt({sq_sql}) * 1000000) as bigint) * 100000 + cid"
+    )
     assignment = (
         unpacked.crossJoin(F.broadcast(cents_wide))
-        .select("vec_id", enc.alias("enc"))
+        .selectExpr("vec_id", f"({enc_sql}) AS enc")
         .groupBy("vec_id")
         .agg((F.min("enc") % 100000).cast("int").alias("cluster_id"))
     )
     assigned = unpacked.join(assignment, "vec_id").persist()
     assigned.count()  # materialize once: both join sides read it
 
-    dot = None
-    for i in range(dims):
-        term = F.col(f"a.e{i}") * F.col(f"b.e{i}")
-        dot = term if dot is None else dot + term
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
+    cos = F.expr(f"({dot_sql}) / (a.nrm * b.nrm)")
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

@@ -638,10 +638,16 @@ _DUCK_IVF_PROBES = f"""\n    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[
 
 def _ivf_probe_lists(e: DataFrame):
     """Shared IVF stage: per-label centroids (posexplode build), query
-    vector as a plan literal, and the nprobe nearest list ids — used by
-    both sim_ivf_multiprobe and sim_ivf_rerank so the probe-selection
-    semantics (centroid rounding, csim tie-break) live in ONE place.
-    Returns (q_lit, probes)."""
+    vector as a plan literal, and the nprobe nearest list ids AS A
+    DATAFRAME — used by sim_ivf_multiprobe / sim_ivf_rerank /
+    sim_ivfpq_adc so the probe-selection semantics (centroid rounding,
+    csim tie-break) live in ONE place. Returns (q_lit, probes_df).
+
+    The probe set stays plan-side (callers broadcast-semi-join it onto
+    the candidate scan) instead of collecting to the driver: one fewer
+    driver round-trip per query, and at scale the nprobe-row probe
+    relation broadcasts for free while still pruning list partitions.
+    """
     pe = e.select("label", F.posexplode("emb").alias("pos", "v"))
     cent = pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("av"))
     carr = (
@@ -651,15 +657,14 @@ def _ivf_probe_lists(e: DataFrame):
     )
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    probes = [
-        int(r["label"])
-        for r in carr.withColumn("qv", q_lit)
+    probes_df = (
+        carr.withColumn("qv", q_lit)
         .select("label", F.expr(_cosine_expr("cvec", "qv")).alias("csim"))
         .orderBy(F.col("csim").desc(), "label")
         .limit(IVF_NPROBE)
-        .collect()
-    ]
-    return q_lit, probes
+        .select("label")
+    )
+    return q_lit, probes_df
 
 
 @register(
@@ -684,9 +689,10 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies (near-random vectors -> recall tracks fraction scanned).
     """
     e = _emb(spark, sf_dir)
-    q_lit, probes = _ivf_probe_lists(e)
+    q_lit, probes_df = _ivf_probe_lists(e)
     return (
-        e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes_df), "label", "left_semi")
         .withColumn("qv", q_lit)
         .select(
             "vec_id",
@@ -740,13 +746,14 @@ def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result is engine-deterministic.
     """
     e = _emb(spark, sf_dir)
-    q_lit, probes = _ivf_probe_lists(e)
+    q_lit, probes_df = _ivf_probe_lists(e)
     # Stage 1 carries only (vec_id, emb, approx) through the TakeOrdered
     # heap — the query vector is a plan constant, its sliced prefix
     # folds into the approx expression, and the full literal attaches
     # AFTER the shortlist limit, where stage 2 (its only consumer) runs.
     shortlist = (
-        e.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes_df), "label", "left_semi")
         .withColumn("emb16", F.expr(f"slice(emb, 1, {RERANK_DIMS})"))
         .withColumn("qv16", F.slice(q_lit, 1, RERANK_DIMS))
         .select(
@@ -1023,23 +1030,25 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in e.filter(F.col("vec_id") < PQ_K).select("vec_id", "emb").collect()
     ]
-    rows = []
+    # Assembled as ONE SQL string: building the 256-term pick expression
+    # Column-by-Column costs a driver<->JVM round trip per node (~4s of
+    # plan construction per call; same fix as sim_ivfpq_adc). Arithmetic
+    # text is unchanged — power/round/format_string as before.
+    structs = []
     for s in range(PQ_M):
         picks = []
         for cid, cv in cb:
-            d2 = None
-            for j in range(8):
-                term = (F.col("emb")[s * 8 + j] - F.lit(cv[s * 8 + j])) ** 2
-                d2 = term if d2 is None else d2 + term
-            picks.append(
-                F.format_string("%015.6f|%05d", F.round(d2, 6), F.lit(cid))
+            d2 = " + ".join(
+                f"power(emb[{s * 8 + j}] - {cv[s * 8 + j]!r}D, 2)"
+                for j in range(8)
             )
-        rows.append(
-            F.struct(F.lit(s).alias("s"), F.least(*picks).alias("p"))
-        )
-    exploded = e.select(
-        "vec_id", F.explode(F.array(*rows)).alias("r")
-    ).select("vec_id", F.col("r.s").alias("s"), F.col("r.p").alias("p"))
+            picks.append(
+                f"format_string('%015.6f|%05d', round({d2}, 6), {cid})"
+            )
+        structs.append(f"struct({s} AS s, least({', '.join(picks)}) AS p)")
+    exploded = e.selectExpr(
+        "vec_id", f"explode(array({', '.join(structs)})) AS r"
+    ).selectExpr("vec_id", "r.s AS s", "r.p AS p")
     return exploded.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -1077,18 +1086,20 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, generate_series(0, {PQ_M - 1}) s(s), cb
       WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> {QUERY_VEC_ID}
     ),
+    -- argmin integer-encoded (micro-distance * 1e5 + cid): pure
+    -- arithmetic on both engines, no printf/string-min in the per-row
+    -- path (the string form measured ~2s of codegen per run)
     pick AS (
       SELECT vec_id, s,
-             CAST(substr(min(printf('%015.6f|%05d', d2, cid)), 17, 5) AS INT)
-               AS code
+             CAST(min(CAST(round(d2 * 1000000) AS BIGINT) * 100000 + cid)
+                  % 100000 AS INT) AS code
       FROM sub GROUP BY vec_id, s
     ),
     qtab AS (
       SELECT s.s, cb.cid,
-             CAST(replace(substr(printf('%015.6f',
-               round((SELECT sum(pow(q.qv[s.s * 8 + j] - cb.cv[s.s * 8 + j], 2))
-                      FROM generate_series(1, 8) g(j)), 6)), 1, 15), '.', '')
-               AS BIGINT) AS dmicro
+             CAST(round((SELECT sum(pow(q.qv[s.s * 8 + j] - cb.cv[s.s * 8 + j], 2))
+                         FROM generate_series(1, 8) g(j)) * 1000000) AS BIGINT)
+               AS dmicro
       FROM generate_series(0, {PQ_M - 1}) s(s), cb, q
     ),
     adc AS (
@@ -1130,7 +1141,7 @@ def sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decimal import ROUND_HALF_UP, Decimal
 
     e = _emb(spark, sf_dir)
-    q_lit, probes = _ivf_probe_lists(e)
+    q_lit, probes_df = _ivf_probe_lists(e)
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
@@ -1154,31 +1165,38 @@ def sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     ]
 
-    cand = e.filter(
-        F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(probes_df), "label", "left_semi"
     )
-    adc = None
+    # The per-candidate encode/lookup expression is assembled as ONE SQL
+    # string and parsed with a single F.expr: building it Column-by-
+    # Column costs ~1500 driver<->JVM round trips (~4s of plan
+    # CONSTRUCTION measured at sf0.1 before any execution). The 'D'
+    # suffix makes each literal a DOUBLE (repr round-trips exactly);
+    # the argmin is the oracle's integer encoding
+    # (micro-distance * 1e5 + cid), pure arithmetic.
+    parts = []
     for s in range(PQ_M):
-        picks = []
+        encs = []
         for cid, cv in cb:
-            d2 = None
-            for j in range(8):
-                term = (F.col("emb")[s * 8 + j] - F.lit(cv[s * 8 + j])) ** 2
-                d2 = term if d2 is None else d2 + term
-            picks.append(
-                F.format_string("%015.6f|%05d", F.round(d2, 6), F.lit(cid))
+            d2 = " + ".join(
+                f"power(emb[{s * 8 + j}] - {cv[s * 8 + j]!r}D, 2)"
+                for j in range(8)
             )
-        code = F.substring(F.least(*picks), 17, 5).cast("int")
-        lookup = F.element_at(
-            F.array(*[F.lit(v).cast("bigint") for v in tab[s]]), code + 1
-        )
-        adc = lookup if adc is None else adc + lookup
+            encs.append(
+                f"(cast(round(round({d2}, 6) * 1000000) as bigint) "
+                f"* 100000 + {cid})"
+            )
+        code = f"cast(least({', '.join(encs)}) % 100000 as int)"
+        arr = f"array({', '.join(str(v) + 'L' for v in tab[s])})"
+        parts.append(f"element_at({arr}, {code} + 1)")
+    adc_sql = " + ".join(parts)
+    q_arr = "array(" + ", ".join(f"{x!r}D" for x in qv) + ")"
     return (
-        cand.withColumn("qv", q_lit)
-        .select(
+        cand.select(
             "vec_id",
-            adc.cast("bigint").alias("adc_d2_micro"),
-            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+            F.expr(f"cast({adc_sql} as bigint)").alias("adc_d2_micro"),
+            F.expr(f"round({_cosine_expr('emb', q_arr)}, 4)").alias("cosine"),
         )
         .orderBy(F.col("adc_d2_micro").asc(), "vec_id")
         .limit(TOP_K)

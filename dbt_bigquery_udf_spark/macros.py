@@ -430,6 +430,16 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
     if (
         isinstance(node, _ast.Call)
         and isinstance(node.func, _ast.Name)
+        and node.func.id == "is_incremental"
+    ):
+        if "__is_incremental__" not in env:
+            raise EngineError(
+                f"{origin}: is_incremental() is not available in this context"
+            )
+        return env["__is_incremental__"]
+    if (
+        isinstance(node, _ast.Call)
+        and isinstance(node.func, _ast.Name)
         and node.func.id == "var"
     ):
         if not node.args or not isinstance(node.args[0], _ast.Constant):
@@ -548,24 +558,44 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
             out.append("".join(rendered_parts))
             i = end_i + 1
             continue
+        if tag == "set":
+            sm = re.match(r"^(\w+)\s*=\s*(.+)$", expr, re.S)
+            if sm is None:
+                raise EngineError(
+                    f"{origin}: unsupported {{% set %}} form {expr!r} "
+                    "(only name = <literal expression>)"
+                )
+            env[sm.group(1)] = _cf_eval(sm.group(2), env, var_fn, origin)
+            i += 1
+            continue
         raise EngineError(
             f"{origin}: unsupported Jinja tag {{% {tag} %}} "
-            "(supported: if/elif/else/endif, for/endfor)"
+            "(supported: if/elif/else/endif, for/endfor, set)"
         )
     if stop:
         raise EngineError(f"{origin}: unterminated Jinja block (missing {stop})")
     return "".join(out), i, ""
 
 
-def render_control_flow(text: str, var_fn, origin: str = "<model>") -> str:
-    """Evaluate {% if %}/{% for %} blocks in a model body.
+def render_control_flow(
+    text: str,
+    var_fn,
+    origin: str = "<model>",
+    is_incremental: bool | None = None,
+) -> str:
+    """Evaluate {% if %}/{% for %}/{% set %} blocks in a model body.
 
     ``var_fn(name, default)`` resolves var() references inside
-    conditions (default is the sentinel class when absent). Text with
-    no tags returns unchanged at regex-scan cost.
+    conditions (default is the sentinel class when absent);
+    ``is_incremental`` supplies the value of dbt's ``is_incremental()``
+    (None = calling it is an error — loaders without build context).
+    Text with no tags returns unchanged at regex-scan cost.
     """
     if "{%" not in text:
         return text
+    env: dict = {}
+    if is_incremental is not None:
+        env["__is_incremental__"] = bool(is_incremental)
     tokens = _cf_tokens(text)
-    rendered, _, _ = _cf_render(tokens, 0, {}, var_fn, origin, ())
+    rendered, _, _ = _cf_render(tokens, 0, env, var_fn, origin, ())
     return rendered

@@ -79,12 +79,10 @@ def _partition_epoch(value: str) -> float | None:
     return None
 
 
-# dbt's incremental guard: `{% if is_incremental() %} ... {% endif %}`.
-# Kept as the one control-flow construct we honor (the reference's other
-# Jinja is incidental — SURVEY.md §7); non-greedy so multiple blocks work.
-_INCR_RE = re.compile(
-    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
-)
+# dbt's incremental guard `{% if is_incremental() %}` is evaluated by the
+# general control-flow subset (macros.py::render_control_flow, which also
+# handles its {% else %} branch) — is_incremental() is just a boolean in
+# that evaluator; see Engine.render().
 
 
 @dataclass(frozen=True)
@@ -517,12 +515,13 @@ class Engine:
         is_incremental = spec.kind == "incremental" and self.spark.catalog.tableExists(
             f"{self.database_for(spec)}.{spec.name}"
         )
-        sql = _INCR_RE.sub((lambda m: m.group(1)) if is_incremental else "", sql)
         if "{%" in sql:
-            # Jinja control flow ({% if %}/{% for %}, macros.py subset):
-            # runs after is_incremental handling so conditions only see
-            # user tags, and before var()/ref() substitution so emitted
-            # text keeps its placeholders for the passes below.
+            # Jinja control flow ({% if %}/{% for %}/{% set %}, macros.py
+            # subset): is_incremental() is just a boolean in the same
+            # evaluator — which, unlike the round-1 regex strip, makes
+            # `{% if is_incremental() %}...{% else %}...{% endif %}`
+            # pick the right branch. Runs before var()/ref() substitution
+            # so emitted text keeps its placeholders for the passes below.
             from ..macros import _Unresolved, render_control_flow
 
             def _cf_var(name: str, default, _spec=spec):
@@ -535,7 +534,12 @@ class Engine:
                     "no default (dbt: Required var not found)"
                 )
 
-            sql = render_control_flow(sql, _cf_var, origin=f"model {spec.name}")
+            sql = render_control_flow(
+                sql,
+                _cf_var,
+                origin=f"model {spec.name}",
+                is_incremental=is_incremental,
+            )
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)

@@ -948,3 +948,37 @@ def test_docs_blocks_resolve_in_descriptions(tmp_path):
            """)
     with _pytest.raises(EngineError, match="missing_doc"):
         load_project(root)
+
+
+def test_set_and_incremental_else_branch(spark, sf_small, tmp_path):
+    """{% set %} binds literals for the rest of the body, and
+    {% if is_incremental() %}...{% else %}...{% endif %} picks the
+    right branch on first build vs incremental re-run (the round-1
+    regex strip silently dropped else branches)."""
+    root = str(tmp_path / "setproj")
+    _write(root, "dbt_project.yml", "name: setproj\n")
+    _write(root, "models/inc_else.sql",
+           """\
+           {{ config(materialized='incremental', schema='datamart',
+                     dialect='spark', unique_key='k',
+                     incremental_strategy='merge') }}
+           {% set cutoff = 3 %}
+           SELECT k, v FROM (
+             SELECT 1 AS k, 'full' AS v UNION ALL
+             SELECT {{ cutoff }} + 1 AS k,
+             {% if is_incremental() %}
+               'delta' AS v
+             {% else %}
+               'first' AS v
+             {% endif %}
+           )
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["inc_else"], fail_fast=True)
+    first = {r.k: r.v for r in spark.table("datamart.inc_else").collect()}
+    assert first == {1: "full", 4: "first"}  # else branch on first build
+    engine.build(select=["inc_else"], fail_fast=True)
+    second = {r.k: r.v for r in spark.table("datamart.inc_else").collect()}
+    assert second[4] == "delta"  # if branch on the incremental re-run

@@ -573,12 +573,22 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SAME k from the data, so Spark and DuckDB stay in lock-step at every sf.
 SEMDEDUP_MIN_K = 8
 SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_MAX_K = 65536  # cap: past this, clusters grow instead of k
 SEMDEDUP_COS = 0.40  # within-cluster cosine prune threshold
 
 
 def semdedup_k(n_vectors: int) -> int:
-    """Blocking-cluster count for a corpus of ``n_vectors`` embeddings."""
-    return max(SEMDEDUP_MIN_K, n_vectors // SEMDEDUP_TARGET_CLUSTER)
+    """Blocking-cluster count for a corpus of ``n_vectors`` embeddings.
+
+    Scales with the corpus (expected cluster size ~64) up to a cap:
+    assignment costs O(n * k) distance evaluations, so an uncapped
+    k = n/64 turns assignment quadratic. Past the cap, k pins at 64k
+    clusters and cluster size grows instead — the published SemDeDup
+    configuration (50k clusters for LAION) sits in the same regime;
+    within-cluster pair space is then O(n^2 / 64k), still ~6 orders
+    below all-pairs at a billion vectors.
+    """
+    return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n_vectors // SEMDEDUP_TARGET_CLUSTER))
 
 
 @register(
@@ -586,8 +596,8 @@ def semdedup_k(n_vectors: int) -> int:
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     c AS (SELECT vec_id AS cid, emb AS cv FROM e
-          WHERE vec_id < GREATEST({SEMDEDUP_MIN_K},
-                (SELECT count(*) FROM e) // {SEMDEDUP_TARGET_CLUSTER})),
+          WHERE vec_id < LEAST({SEMDEDUP_MAX_K}, GREATEST({SEMDEDUP_MIN_K},
+                (SELECT count(*) FROM e) // {SEMDEDUP_TARGET_CLUSTER}))),
     -- argmin encoded as pure integers (micro-distance * 1e5 + cid):
     -- numerically identical tie-break to the string-min trick, but the
     -- per-row cost is arithmetic instead of k printf/string compares
@@ -629,13 +639,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is equi on cluster_id, the verify is a JVM-side zip_with cosine,
     and the prune is one anti join on the higher-id side.
 
-    Scale: k grows with the corpus — ``k = max(8, n // 64)``
+    Scale: k grows with the corpus — ``k = min(64k, max(8, n // 64))``
     (``semdedup_k``), so expected cluster size stays ~64 and the
-    within-cluster pair space is O(n * 64), never O(n^2/const)
-    (SemDeDup used 50k clusters for LAION at the same ratio-bounding
-    logic); assignment stays one broadcast (switch literals to a
-    broadcast join past ~100k centroid floats, and widen the '%05d'
-    cluster-id encoding past 100k clusters). Threshold 0.40 is a
+    within-cluster pair space is O(n * 64), never O(n^2/const), until
+    the 64k-cluster cap bounds the O(n * k) assignment cost (SemDeDup
+    used 50k clusters for LAION — the same regime; past the cap the
+    pair space is O(n^2 / 64k), still blocked). Assignment stays one
+    broadcast join against the k-row centroid table (widen the '%05d'
+    cluster-id encoding past 100k clusters). Measured
+    (scripts/scale_probe_r2.py): 10x vectors with k 31->312 costs ~1x
+    wall; 30x (60k vectors, k=937) costs 2.9x. Threshold 0.40 is a
     demo value for the synthetic fixture (max pair cosine ~0.51 —
     random vectors have no true dups); production SemDeDup uses ~0.95+.
 

@@ -550,6 +550,132 @@ def train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_group_leakage_free",
+    """
+    WITH assigned AS (
+      SELECT source, n_chars, md5(source) AS h FROM documents
+    )
+    SELECT CASE WHEN substr(h, 1, 2) < 'cd' THEN 'train'
+                WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM assigned
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def split_group_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-free train/val/test split: hash the GROUP key
+    (``source``) instead of the document key, so every document from
+    one source lands in one split.
+
+    train_split_shards hashes doc_id, which is correct when documents
+    are independent — but training corpora aren't: near-duplicates
+    cluster by origin (same site, same crawl, same book), and a
+    doc-level split leaks train content into eval through those
+    correlated groups (the published eval-contamination failure mode).
+    Hashing the group key is the standard fix (GroupShuffleSplit):
+    membership is still pure scan-side arithmetic, but the leakage
+    unit is the group.
+
+    Scale: identical shape to train_split_shards — no shuffle before
+    the 3-row aggregate, reproducible across engines/re-runs/backfills
+    because placement depends only on md5(source). The trade is split
+    sizes now vary with group-size skew (one giant domain moves whole
+    percentage points between splits) — acceptable for eval hygiene,
+    and the n_sources/n_docs output is exactly the skew report.
+    """
+    d = _docs(spark, sf_dir)
+    first2 = F.substring(F.md5(F.col("source")), 1, 2)
+    return (
+        d.select(
+            F.when(first2 < "cd", "train")
+            .when(first2 < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "mix_domain_weights",
+    """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_domains
+      FROM per
+    )
+    SELECT source, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS natural_share,
+           round(CAST(1 AS DOUBLE) / n_domains, 6) AS target_share,
+           round(least((CAST(1 AS DOUBLE) / n_domains)
+                       / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+                       CAST(3 AS DOUBLE)), 4) AS sample_rate
+    FROM per, tot
+    ORDER BY source
+    """,
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling rates that move
+    the corpus from its natural domain mix toward a target mix
+    (uniform here; the published knob behind The Pile / DoReMi-style
+    domain weights).
+
+    sample_rate = target_share / natural_share, capped at 3x so a tiny
+    domain is never epoch-ed into memorization — rates > 1 upsample,
+    < 1 downsample, and the capped output is directly consumable by a
+    Bernoulli/repeat sampler (sample_hash_pct's shape) per domain.
+    Token mass is proxied by n_chars (the usual ~4 chars/token rule
+    scales both sides of every ratio equally, so shares are unchanged).
+
+    Scale: one groupBy over the corpus to |domains| rows, then a
+    broadcast 1-row totals join — the same reduce-before-shuffle shape
+    as the profiling family; share arithmetic is written with
+    identical operand text on both engines so the IEEE results match
+    bit-for-bit before the display rounding.
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("tokens")
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "tokens",
+            "round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+            " AS natural_share",
+            "round(CAST(1 AS DOUBLE) / n_domains, 6) AS target_share",
+            "round(least((CAST(1 AS DOUBLE) / n_domains)"
+            " / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),"
+            " CAST(3 AS DOUBLE)), 4) AS sample_rate",
+        )
+        .orderBy("source")
+    )
+
+
 # -- chunking (RAG / training-window preparation) --------------------------
 
 CHUNK_TOKENS = 64  # window size in whitespace tokens

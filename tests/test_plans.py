@@ -551,3 +551,44 @@ def test_semantic_assignment_is_bounded(spark, sf_small):
     assert len(bnlj) <= 2, (sorted(bnlj), f.text)  # centroid broadcast x2 sides
     equi = _ids(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")
     assert len(equi) <= 5, (sorted(equi), f.text)  # attach x2 + pair + anti
+
+
+def test_group_split_is_scan_parallel_and_leakage_free(spark, sf_small):
+    """Group-split placement must stay per-row arithmetic (no join, one
+    shuffle for the 3-row aggregate) AND be leakage-free by
+    construction: every source appears in exactly one split."""
+    f = _facts(spark, sf_small, "split_group_leakage_free")
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text
+    # (split, source) partial-distinct exchange -> split exchange ->
+    # 3-row result sort: the canonical two-phase distinct-agg shape,
+    # every stage reduced before it shuffles
+    assert f.exchanges <= 3, f.text
+    from dbt_bigquery_udf_spark.operators.text import _docs
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_small)
+    first2 = F.substring(F.md5(F.col("source")), 1, 2)
+    per_source = (
+        d.select(
+            "source",
+            F.when(first2 < "cd", "train")
+            .when(first2 < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_source.filter("n_splits > 1").count() == 0
+
+
+def test_mix_weights_invariants(spark, sf_small):
+    """Natural shares sum to ~1, every rate is in (0, 3], and the
+    plan's only product is the broadcast 1-row totals join."""
+    import dbt_bigquery_udf_spark.queries as Q
+
+    rows = Q.QUERIES["mix_domain_weights"](spark, sf_small).collect()
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    assert all(0 < r.sample_rate <= 3.0 for r in rows)
+    f = _facts(spark, sf_small, "mix_domain_weights")
+    assert f.sort_merge_joins == 0, f.text

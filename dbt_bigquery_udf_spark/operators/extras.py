@@ -583,6 +583,112 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval: literal query terms + Okapi constants. The scoring
+# arithmetic is written ONCE as SQL text and pasted into both engines,
+# and per-term scores convert to integer micro-units BEFORE the per-doc
+# sum — integer addition is order-independent, so the result has no
+# float-summation-order edge between Spark's partial aggregates and
+# DuckDB (the sim_pq_codes convention).
+_BM25_QUERY = ("hash", "join", "scan", "batch")
+_BM25_IDF = (
+    "ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+    " / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+)
+_BM25_TFNORM = (
+    "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (tf + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+)
+_BM25_MICRO = (
+    f"CAST(round(({_BM25_IDF}) * ({_BM25_TFNORM}) * 1000000) AS BIGINT)"
+)
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_TOK_RE}'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+      FROM toks WHERE term IN ({_BM25_IN})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(CAST(sum(len(ts)) AS BIGINT) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(sum({_BM25_MICRO}) AS BIGINT) AS bm25_micro,
+           count(*) AS n_terms_hit
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-10 documents for a literal keyword
+    query (k1=1.2, b=0.75, Lucene idf) — the standard lexical-search
+    half of a hybrid (BM25 + ANN) retrieval stack; sim_* provides the
+    other half over the same corpus.
+
+    Shape: the token stream filters to the |query| terms IMMEDIATELY
+    after the explode, so everything downstream of the scan is
+    O(docs x query_terms), not O(tokens): tf is a tiny grouped agg, df
+    derives from tf (<= |query| rows, broadcast), doc length rides
+    along scan-side as size(tokens) — no second corpus pass — and
+    corpus stats are a broadcast 1-row aggregate. Per-term scores
+    convert to integer micro-units before the per-doc sum, so the
+    ranking is bit-identical across engines and partitionings (integer
+    addition commutes; float summation order doesn't).
+
+    Scale: one groupBy on (doc_id, term) over the filtered stream is
+    the only data shuffle; top-10 is a TakeOrdered. This is the
+    batch-scoring plan — for serving, precompute tf/df/dl as tables
+    (same expressions) and the per-query work is the final join+sum.
+    """
+    d = _src(spark, sf_dir)["documents"]
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), _TOK_RE), lambda t: t != "").alias(
+            "ts"
+        ),
+    )
+    toks = base.select(
+        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+    ).filter(F.col("term").isin(*_BM25_QUERY))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.selectExpr("size(ts) AS dl0").selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_docs",
+        "CAST(CAST(sum(dl0) AS BIGINT) AS DOUBLE) / count(*) AS avgdl",
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"{_BM25_MICRO} AS score_micro")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score_micro").alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 @register(
     "q17_small_qty_revenue",
     """

@@ -592,3 +592,14 @@ def test_mix_weights_invariants(spark, sf_small):
     assert all(0 < r.sample_rate <= 3.0 for r in rows)
     f = _facts(spark, sf_small, "mix_domain_weights")
     assert f.sort_merge_joins == 0, f.text
+
+
+def test_bm25_filters_before_shuffle_and_broadcasts(spark, sf_small):
+    """BM25's token stream must filter to the query terms scan-side
+    (the only data shuffle is the tiny (doc_id, term) aggregate), and
+    the df / corpus-stats sides must broadcast — no sort-merge join
+    anywhere."""
+    f = _facts(spark, sf_small, "text_bm25_topk")
+    assert f.sort_merge_joins == 0, f.text
+    assert f.broadcast_joins >= 2, f.text
+    assert "isin" in f.text or "IN (" in f.text or " IN " in f.text, f.text

@@ -605,9 +605,7 @@ _BM25_MICRO = (
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 
 
-@register(
-    "text_bm25_topk",
-    f"""
+_BM25_ORACLE = f"""
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '{_TOK_RE}'),
@@ -634,8 +632,10 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
     GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("text_bm25_topk", _BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval: top-10 documents for a literal keyword
     query (k1=1.2, b=0.75, Lucene idf) — the standard lexical-search
@@ -686,6 +686,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(10)
+    )
+
+
+# Reciprocal-rank fusion of the two retrieval halves. RRF_K = 60 is the
+# published constant (Cormack et al. 2009); contributions convert to
+# integer micro-units so the fused score is engine-exact.
+_RRF_K = 60
+_RRF_TERM = "CAST(round(CAST(1000000 AS DOUBLE) / ({k} + {rank})) AS BIGINT)"
+
+
+def _rrf_oracle() -> str:
+    from .similarity import QUERY_VEC_ID, TOP_K
+
+    term_bm = _RRF_TERM.format(k=_RRF_K, rank="r_bm25")
+    term_ann = _RRF_TERM.format(k=_RRF_K, rank="r_ann")
+    return f"""
+    WITH bm_raw AS (SELECT * FROM ({_BM25_ORACLE})),
+    bm AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_bm25
+      FROM bm_raw
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    ann_raw AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+      FROM e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT {TOP_K}
+    ),
+    ann AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_ann
+      FROM ann_raw
+    )
+    SELECT COALESCE(bm.id, ann.id) AS id,
+           COALESCE({term_bm}, 0) + COALESCE({term_ann}, 0) AS rrf_micro,
+           r_bm25, r_ann
+    FROM bm FULL OUTER JOIN ann ON bm.id = ann.id
+    ORDER BY rrf_micro DESC, id
+    """
+
+
+@register("retrieval_rrf_fusion", _rrf_oracle())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    list (text_bm25_topk) and the ANN cosine list (sim_topk_brute
+    shape) — rrf = sum over lists of 1/(60 + rank), the standard way
+    to combine rankers with incomparable score scales.
+
+    The id domains overlap by construction in the fixtures (vec_id and
+    doc_id share the low range, the embeddings-cover-part-of-the-corpus
+    case); ids ranked by only one list still score through the full
+    outer join. Rank contributions are integer micro-units, so fusion
+    is pure integer arithmetic — no float edge between engines.
+
+    Scale: both input lists are already k-bounded (TakeOrdered plans),
+    so the window ranks and the full outer join touch <= 2k rows total
+    regardless of corpus size; fusion cost is O(k), the corpus cost is
+    whatever the two retrievers cost.
+    """
+    from .similarity import sim_topk_brute
+
+    bm = text_bm25_topk(spark, sf_dir)
+    w_bm = W.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    bm_r = bm.select(
+        F.col("doc_id").alias("id"), F.row_number().over(w_bm).alias("r_bm25")
+    )
+    ann = sim_topk_brute(spark, sf_dir)
+    w_ann = W.orderBy(F.col("cosine").desc(), "vec_id")
+    ann_r = ann.select(
+        F.col("vec_id").alias("id"), F.row_number().over(w_ann).alias("r_ann")
+    )
+    term_bm = _RRF_TERM.format(k=_RRF_K, rank="r_bm25")
+    term_ann = _RRF_TERM.format(k=_RRF_K, rank="r_ann")
+    return (
+        bm_r.join(ann_r, "id", "full_outer")
+        .selectExpr(
+            "id",
+            f"COALESCE({term_bm}, 0) + COALESCE({term_ann}, 0) AS rrf_micro",
+            "r_bm25",
+            "r_ann",
+        )
+        .orderBy(F.col("rrf_micro").desc(), "id")
     )
 
 

@@ -603,3 +603,16 @@ def test_bm25_filters_before_shuffle_and_broadcasts(spark, sf_small):
     assert f.sort_merge_joins == 0, f.text
     assert f.broadcast_joins >= 2, f.text
     assert "isin" in f.text or "IN (" in f.text or " IN " in f.text, f.text
+
+
+def test_rrf_fusion_is_k_bounded(spark, sf_small):
+    """Fusion only touches the two k-bounded lists: both retriever
+    subplans end in TakeOrdered, and the fused output carries every id
+    from both lists with integer scores."""
+    f = _facts(spark, sf_small, "retrieval_rrf_fusion")
+    assert f.text.count("TakeOrderedAndProject") >= 2, f.text
+    rows = Q.QUERIES["retrieval_rrf_fusion"](spark, sf_small).collect()
+    assert 10 <= len(rows) <= 20
+    assert all(r.rrf_micro > 0 for r in rows)
+    assert any(r.r_bm25 is not None for r in rows)
+    assert any(r.r_ann is not None for r in rows)

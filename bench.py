@@ -73,6 +73,8 @@ HEADLINE = [
     "udtf_sentence_stats",
     "global_row_ids",
     "bq_dialect_hll_rollup",
+    "text_bm25_topk",
+    "retrieval_rrf_fusion",
 ]
 
 

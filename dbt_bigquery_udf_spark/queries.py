@@ -174,10 +174,12 @@ _CURATED_WINDOW = (
     "stats_approx_sketches",
     "decimal_money_sum",
     "sample_stratified",
-    # BigQuery-dialect transpiler
+    # BigQuery-dialect transpiler (string_agg yields its slot to the
+    # hybrid-retrieval capstone; it stays verify_driver-checked)
     "bq_dialect_qualify",
-    "bq_dialect_string_agg",
     "bq_dialect_hll_rollup",
+    # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
+    "retrieval_rrf_fusion",
     # dedup family (exact, survivor, MinHash/LSH, SimHash, embedding,
     # components, semantic, incremental, fuzzy-ER)
     "dedup_exact",

@@ -223,7 +223,15 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "project", None):
             from .project import load_project
 
-            proj = load_project(args.project)
+            proj = load_project(
+                args.project,
+                env=getattr(args, "env", None),
+                cli_vars=(
+                    json.loads(args.vars)
+                    if getattr(args, "vars", None)
+                    else None
+                ),
+            )
             for k, v in proj.vars.items():
                 engine.vars.setdefault(k, v)
             engine.register(*proj.models, replace=True)
@@ -582,7 +590,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.project:
             from .project import load_project
 
-            proj = load_project(args.project)
+            proj = load_project(args.project, env=getattr(args, "env", None))
             if not proj.source_freshness:
                 print("no sources declare loaded_at_field + freshness", file=sys.stderr)
                 return 2

@@ -27,6 +27,7 @@ __all__ = [
     "EngineError",
     "NameConflictError",
     "env_database",
+    "target_context",
     "ensure_database",
     "relation_exists",
     "check_name_conflict",
@@ -65,6 +66,28 @@ def env_database(logical: str, env: str | None = None) -> str:
     if env not in ENVIRONMENTS:
         raise EngineError(f"unknown environment {env!r}; expected one of {ENVIRONMENTS}")
     return f"{logical}_{env}"
+
+
+def target_context(env: str | None = None) -> dict:
+    """The dbt ``{{ target }}`` context dict for an engine environment.
+
+    dbt's env-routing idiom (``{% if target.name == 'prod' %}``) is the
+    sibling of the var-based switching the reference documents
+    (reference: README.md:178-193); ``--env`` surfaces here as
+    ``target.name``, with prod/None the unsuffixed default exactly as
+    :func:`env_database` routes relations.
+    """
+    if env not in (None, "", "prod") and env not in ENVIRONMENTS:
+        raise EngineError(
+            f"unknown environment {env!r}; expected one of {ENVIRONMENTS}"
+        )
+    return {
+        "name": env or "prod",
+        "schema": env_database("udf", env),
+        "database": "spark_catalog",
+        "type": "spark",
+        "threads": 1,
+    }
 
 
 def ensure_database(spark: SparkSession, database: str) -> None:

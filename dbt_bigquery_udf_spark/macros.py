@@ -16,10 +16,14 @@ expanded at call sites inside model bodies, e.g.
 
 This module implements exactly that subset — definition files under the
 project's ``macro-paths``, call-site expansion with positional/keyword
-arguments and parameter defaults, macros calling macros (bounded depth) —
-as plain text templating, NOT a Jinja engine: no expressions, no filters,
-and no control flow inside MACRO bodies. Out-of-subset constructs fail
-loudly at load time rather than silently mis-render.
+arguments and parameter defaults, macros calling macros (bounded true
+nesting depth), and the ``{% if %}``/``{% for %}``/``{% set %}``
+control-flow subset inside macro bodies (the shape the reference's own
+macros use: reference macros/udf/get_create_function_as_sql.sql:6-11 is
+a ``{% set %}`` + ``{% for param in params %}…{% if not loop.last %}``
+join loop) — as restricted templating, NOT a full Jinja engine: no
+filters and no general expressions. Out-of-subset constructs fail
+loudly at load or expand time rather than silently mis-render.
 ``ref``/``source``/``var``/``this``/``config`` call sites are never
 treated as macros — they stay in the body for the engine's renderer
 (models/core.py), which is also why expansion composes with the existing
@@ -108,12 +112,14 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
         if name in out:
             raise EngineError(f"{origin}: duplicate macro {name!r}")
         params, defaults = _parse_signature(sig)
-        if _LEFTOVER_BLOCK_RE.search(_strip_supported(body)):
-            raise EngineError(
-                f"{origin}: macro {name!r} uses Jinja control flow "
-                "({% ... %}) — only parameter substitution and macro "
-                "calls are supported in macro bodies"
-            )
+        for tm in _LEFTOVER_BLOCK_RE.finditer(body):
+            if tm.group(1) not in _CF_TAGS:
+                raise EngineError(
+                    f"{origin}: macro {name!r} uses unsupported Jinja tag "
+                    f"{{% {tm.group(1)} %}} (macro bodies support "
+                    "parameter substitution, macro calls, and "
+                    "if/elif/else/for/set control flow)"
+                )
         out[name] = MacroDef(name, params, defaults, body.strip())
     remainder = _MACRO_DEF_RE.sub("", remainder)
     remainder = _SKIPPED_BLOCK_RE.sub("", remainder)
@@ -127,9 +133,11 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
     return out
 
 
-def _strip_supported(body: str) -> str:
-    # inside a macro body only {{ ... }} is allowed; {% ... %} is not
-    return body
+# Tags the control-flow evaluator (bottom of module) understands —
+# permitted both in model bodies and, since round 3, in macro bodies.
+_CF_TAGS = frozenset(
+    {"if", "elif", "else", "endif", "for", "endfor", "set", "endset"}
+)
 
 
 def _split_args(argtext: str) -> list[str]:
@@ -222,7 +230,9 @@ def _bind_args(
     return bound
 
 
-_CALL_OPEN_RE = re.compile(r"\{\{\s*(\w+)\s*\(")
+# Call sites: bare macro names plus package-qualified ones
+# ({{ pkg.macro(...) }}, dbt's cross-package call form).
+_CALL_OPEN_RE = re.compile(r"\{\{\s*(\w+(?:\.\w+)?)\s*\(")
 _SPAN_RE = re.compile(r"\{\{(.*?)\}\}", re.S)
 _STANDALONE_RE = re.compile(r"^\s*(\w+)\s*$")
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*")
@@ -267,12 +277,61 @@ def _sub_idents_outside_strings(expr: str, bound: dict[str, tuple[str, bool]]) -
     return "".join(out)
 
 
-def _render_body(macro: MacroDef, bound: dict[str, tuple[str, bool]]) -> str:
-    """Substitute parameters into a macro body: a standalone
-    ``{{ p }}`` inserts the argument text (unquoted, Jinja-style); any
-    other ``{{ expr }}`` span (e.g. a nested macro call) gets bound
+def _py_value(text: str):
+    """Best-effort Python value of a non-string macro argument, for
+    control-flow evaluation (lists/numbers/bools iterate and compare);
+    SQL fragments / identifiers stay as their raw text."""
+    t = text.strip()
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low == "none":
+        return None
+    try:
+        return _ast.literal_eval(t)
+    except (ValueError, SyntaxError):
+        return t
+
+
+def _no_var_fn(name, default):
+    if default is not _Unresolved:  # class defined below, bound at call time
+        return default
+    raise EngineError(
+        f"var({name!r}) inside a macro body has no value in this "
+        "context and no default"
+    )
+
+
+def _render_body(
+    macro: MacroDef,
+    bound: dict[str, tuple[str, bool]],
+    var_fn=None,
+    env: dict | None = None,
+    origin: str = "<model>",
+) -> str:
+    """Substitute parameters into a macro body.
+
+    If the body carries ``{% ... %}`` control flow (the reference's own
+    macro shape — get_create_function_as_sql.sql:6-11), it is first
+    evaluated by the same restricted evaluator model bodies use, with
+    the bound arguments in scope as Python values (so
+    ``{% for p in params %}`` / ``{% if not loop.last %}`` work).
+    Then the plain-substitution pass runs: a standalone ``{{ p }}``
+    inserts the argument text (unquoted, Jinja-style); any other
+    ``{{ expr }}`` span (e.g. a nested macro call) gets bound
     parameters substituted as expression identifiers, preserving
     string-ness so re-binding in the nested call round-trips."""
+    body = macro.body
+    if "{%" in body:
+        cf_env = dict(env or {})
+        for p, (text, was_str) in bound.items():
+            cf_env[p] = text if was_str else _py_value(text)
+        body = render_control_flow(
+            body,
+            var_fn or _no_var_fn,
+            origin=f"{origin} (macro {macro.name})",
+            extra_env=cf_env,
+        )
 
     def repl(mm: re.Match) -> str:
         inner = mm.group(1)
@@ -283,13 +342,24 @@ def _render_body(macro: MacroDef, bound: dict[str, tuple[str, bool]]) -> str:
             return mm.group(0)  # ref-less placeholder (this, etc.)
         return "{{" + _sub_idents_outside_strings(inner, bound) + "}}"
 
-    return _SPAN_RE.sub(repl, macro.body)
+    return _SPAN_RE.sub(repl, body)
 
 
-def _find_call(text: str, macros: dict[str, MacroDef]) -> tuple[int, int, str, str] | None:
-    """Next ``{{ name( ... ) }}`` whose name is a known macro.
-    Returns (start, end, name, argtext) or None."""
-    for m in _CALL_OPEN_RE.finditer(text):
+def _find_call(
+    text: str,
+    macros: dict[str, MacroDef],
+    origin: str = "<model>",
+    pos: int = 0,
+) -> tuple[int, int, str, str] | None:
+    """Next ``{{ name( ... ) }}`` at/after ``pos`` whose name is a known
+    macro. Returns (start, end, name, argtext) or None.
+
+    The span must be a *bare* call — only whitespace may follow the
+    closing paren before ``}}``. Trailing expression text
+    (``{{ m(1) ~ '_x' }}``, filters) would previously be silently
+    dropped; now it fails loudly (out-of-subset Jinja expression).
+    """
+    for m in _CALL_OPEN_RE.finditer(text, pos):
         name = m.group(1)
         if name in RESERVED or name not in macros:
             continue
@@ -316,35 +386,63 @@ def _find_call(text: str, macros: dict[str, MacroDef]) -> tuple[int, int, str, s
                     break
             j += 1
         argtext = text[m.end(): j]
-        close = text.index("}}", j) + 2
+        k = j + 1
+        while k < len(text) and text[k] in " \t\r\n":
+            k += 1
+        if text.startswith("-}}", k):
+            close = k + 3
+        elif text.startswith("}}", k):
+            close = k + 2
+        else:
+            raise EngineError(
+                f"{origin}: macro call {{{{ {name}(...) }}}} is followed by "
+                f"expression text {text[k : k + 20]!r} — filters and "
+                "operators on macro results are out of the supported "
+                "subset (wrap the logic inside the macro instead)"
+            )
         return m.start(), close, name, argtext
     return None
 
 
 def expand_macros(
-    body: str, macros: dict[str, MacroDef], origin: str = "<model>"
+    body: str,
+    macros: dict[str, MacroDef],
+    origin: str = "<model>",
+    var_fn=None,
+    env: dict | None = None,
+    _depth: int = 0,
 ) -> str:
     """Expand every known-macro call site in ``body`` (recursively, so
     macros can call macros), leaving ref/source/var/this placeholders
-    untouched for the engine renderer."""
+    untouched for the engine renderer.
+
+    ``var_fn``/``env`` feed control flow inside macro bodies (project
+    vars, ``target``); absent, var() without a default fails loudly.
+    The depth bound counts true NESTING (each rendered body is expanded
+    one level deeper before splicing), so a model with hundreds of flat
+    sibling call sites — routine in production trees — never trips it.
+    """
     if not macros:
         return body
-    depth = 0
+    pos = 0
     while True:
-        found = _find_call(body, macros)
+        found = _find_call(body, macros, origin, pos)
         if found is None:
             return body
-        depth += 1
-        if depth > MACRO_MAX_DEPTH:
+        if _depth >= MACRO_MAX_DEPTH:
             raise EngineError(
-                f"{origin}: macro expansion exceeded depth "
+                f"{origin}: macro expansion exceeded nesting depth "
                 f"{MACRO_MAX_DEPTH} (recursive macro?)"
             )
         start, end, name, argtext = found
         macro = macros[name]
         bound = _bind_args(macro, argtext, origin)
-        rendered = _render_body(macro, bound)
+        rendered = _render_body(macro, bound, var_fn, env, origin)
+        rendered = expand_macros(
+            rendered, macros, origin, var_fn, env, _depth + 1
+        )
         body = body[:start] + rendered + body[end:]
+        pos = start + len(rendered)
 
 
 # --------------------------------------------------------------------------
@@ -361,7 +459,7 @@ def expand_macros(
 import ast as _ast
 
 _TAG_RE = re.compile(
-    r"\{%-?\s*(if|elif|else|endif|for|endfor|set)\b(.*?)-?%\}", re.S
+    r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset)\b(.*?)-?%\}", re.S
 )
 _LOOPVAR_SUB_RE = re.compile(r"\{\{\s*(\w+)(?:\.(\w+))?\s*\}\}")
 
@@ -427,6 +525,27 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
                 return False
             left = right
         return True
+    if isinstance(node, _ast.Call) and isinstance(node.func, _ast.Attribute):
+        # dict-context method calls: config.require('k') / config.get('k'
+        # [, default]) — the dbt config-access idiom the reference's own
+        # macros use (get_create_function_as_sql.sql:3-5).
+        recv = node.func.value
+        if isinstance(recv, _ast.Name) and isinstance(env.get(recv.id), dict):
+            obj = env[recv.id]
+            args = [_cf_node(a, env, var_fn, origin) for a in node.args]
+            if node.func.attr == "get" and 1 <= len(args) <= 2:
+                return obj.get(args[0], args[1] if len(args) == 2 else None)
+            if node.func.attr == "require" and len(args) == 1:
+                if args[0] not in obj:
+                    raise EngineError(
+                        f"{origin}: {recv.id}.require({args[0]!r}): "
+                        "key not set"
+                    )
+                return obj[args[0]]
+        raise EngineError(
+            f"{origin}: unsupported method call in Jinja expression "
+            "(only <dict>.get / <dict>.require)"
+        )
     if (
         isinstance(node, _ast.Call)
         and isinstance(node.func, _ast.Name)
@@ -492,35 +611,46 @@ def _cf_subst_loop_vars(text: str, env: dict) -> str:
 
 
 def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
-               stop: tuple[str, ...]) -> tuple[str, int, str]:
-    """Render tokens[i:] until a stop tag; returns (text, next_i, tag)."""
+               stop: tuple[str, ...], active: bool = True) -> tuple[str, int, str]:
+    """Render tokens[i:] until a stop tag; returns (text, next_i, tag).
+
+    ``active=False`` is scan-only mode: it locates the matching end tag
+    WITHOUT evaluating expressions, executing ``{% set %}``, or emitting
+    text — used for untaken if/elif/else branches and zero-iteration
+    loop bodies, so a ``{% set %}`` in a false branch can't leak into
+    env and a loop-var reference in a never-executed branch can't raise
+    a spurious error (Jinja semantics)."""
     out: list[str] = []
     while i < len(tokens):
         lit, tag, expr = tokens[i]
         if tag is None:
-            out.append(_cf_subst_loop_vars(lit, env) if env else lit)
+            if active:
+                out.append(_cf_subst_loop_vars(lit, env) if env else lit)
             i += 1
             continue
         if tag in stop:
             return "".join(out), i, tag
         if tag == "if":
-            taken = bool(_cf_eval(expr, env, var_fn, origin))
             branch_done = False
+            taken = active and bool(_cf_eval(expr, env, var_fn, origin))
             while True:
                 text, i, end_tag = _cf_render(
-                    tokens, i + 1, env, var_fn, origin, ("elif", "else", "endif")
+                    tokens, i + 1, env, var_fn, origin,
+                    ("elif", "else", "endif"), active=taken,
                 )
-                if taken and not branch_done:
+                if taken:
                     out.append(text)
                     branch_done = True
                 if end_tag == "endif":
                     break
                 if end_tag == "elif":
-                    taken = (not branch_done) and bool(
-                        _cf_eval(tokens[i][2], env, var_fn, origin)
+                    taken = (
+                        active
+                        and not branch_done
+                        and bool(_cf_eval(tokens[i][2], env, var_fn, origin))
                     )
                 elif end_tag == "else":
-                    taken = not branch_done
+                    taken = active and not branch_done
             i += 1
             continue
         if tag == "for":
@@ -528,18 +658,26 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
             if not m:
                 raise EngineError(f"{origin}: unsupported for-loop form {expr!r}")
             loop_var, iter_expr = m.group(1), m.group(2)
+            body_start = i + 1
+            if not active:
+                _, end_i, _ = _cf_render(
+                    tokens, body_start, env, var_fn, origin, ("endfor",),
+                    active=False,
+                )
+                i = end_i + 1
+                continue
             items = _cf_eval(iter_expr, env, var_fn, origin)
             if not isinstance(items, (list, tuple)):
                 raise EngineError(
                     f"{origin}: for-loop iterable must be a literal list/var list"
                 )
-            body_start = i + 1
             rendered_parts: list[str] = []
             end_i = body_start
             n = len(items)
             if n == 0:
                 _, end_i, _ = _cf_render(
-                    tokens, body_start, env, var_fn, origin, ("endfor",)
+                    tokens, body_start, env, var_fn, origin, ("endfor",),
+                    active=False,
                 )
             for idx, item in enumerate(items):
                 it_env = dict(env)
@@ -559,13 +697,29 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
             i = end_i + 1
             continue
         if tag == "set":
-            sm = re.match(r"^(\w+)\s*=\s*(.+)$", expr, re.S)
-            if sm is None:
-                raise EngineError(
-                    f"{origin}: unsupported {{% set %}} form {expr!r} "
-                    "(only name = <literal expression>)"
+            bm = re.match(r"^(\w+)\s*$", expr)
+            if bm is not None:
+                # Block form: {% set name %}...{% endset %} — the
+                # rendered body becomes a string value (the reference's
+                # own params_string idiom,
+                # macros/udf/get_create_function_as_sql.sql:6-11).
+                text, end_i, _ = _cf_render(
+                    tokens, i + 1, env, var_fn, origin, ("endset",),
+                    active=active,
                 )
-            env[sm.group(1)] = _cf_eval(sm.group(2), env, var_fn, origin)
+                if active:
+                    env[bm.group(1)] = text
+                i = end_i + 1
+                continue
+            if active:
+                sm = re.match(r"^(\w+)\s*=\s*(.+)$", expr, re.S)
+                if sm is None:
+                    raise EngineError(
+                        f"{origin}: unsupported {{% set %}} form {expr!r} "
+                        "(only name = <expression> or block "
+                        "{% set name %}...{% endset %})"
+                    )
+                env[sm.group(1)] = _cf_eval(sm.group(2), env, var_fn, origin)
             i += 1
             continue
         raise EngineError(
@@ -582,6 +736,7 @@ def render_control_flow(
     var_fn,
     origin: str = "<model>",
     is_incremental: bool | None = None,
+    extra_env: dict | None = None,
 ) -> str:
     """Evaluate {% if %}/{% for %}/{% set %} blocks in a model body.
 
@@ -589,11 +744,14 @@ def render_control_flow(
     conditions (default is the sentinel class when absent);
     ``is_incremental`` supplies the value of dbt's ``is_incremental()``
     (None = calling it is an error — loaders without build context).
-    Text with no tags returns unchanged at regex-scan cost.
+    ``extra_env`` pre-seeds names visible to conditions and ``{{ x }}``
+    substitution — the ``target`` context dict and, for macro bodies,
+    the bound macro arguments. Text with no tags returns unchanged at
+    regex-scan cost.
     """
     if "{%" not in text:
         return text
-    env: dict = {}
+    env: dict = dict(extra_env or {})
     if is_incremental is not None:
         env["__is_incremental__"] = bool(is_incremental)
     tokens = _cf_tokens(text)

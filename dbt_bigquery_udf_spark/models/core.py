@@ -50,6 +50,7 @@ from ..catalog import (
     check_name_conflict,
     ensure_database,
     env_database,
+    target_context,
 )
 from ..functions.dialect import translate_param_list, transpile_bq_expr
 
@@ -63,6 +64,9 @@ _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _VAR_RE = re.compile(
     r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s]+)\s*)?\)\s*\}\}"
 )
+# dbt's target context: {{ target.name }} / {{ target.schema }} / ... —
+# the standard env-routing idiom (see catalog.target_context).
+_TARGET_ATTR_RE = re.compile(r"\{\{\s*target\.(\w+)\s*\}\}")
 def _partition_epoch(value: str) -> float | None:
     """Epoch seconds for a civil date-ish partition value ('2026-01-01',
     '2026-01-01 08' possibly URL-encoded, '2026-01'), else None."""
@@ -496,6 +500,15 @@ class Engine:
             "(dbt: Required var not found)"
         )
 
+    def _resolve_target_attr(self, spec: ModelSpec, attr: str) -> str:
+        tgt = target_context(self.env)
+        if attr not in tgt:
+            raise EngineError(
+                f"model {spec.name}: unknown target attribute "
+                f"target.{attr} (available: {sorted(tgt)})"
+            )
+        return str(tgt[attr])
+
     def render(self, spec: ModelSpec) -> str:
         """Compile the model body: dialect transpile + ref/source resolution.
 
@@ -539,7 +552,11 @@ class Engine:
                 _cf_var,
                 origin=f"model {spec.name}",
                 is_incremental=is_incremental,
+                extra_env={"target": target_context(self.env)},
             )
+        sql = _TARGET_ATTR_RE.sub(
+            lambda m: self._resolve_target_attr(spec, m.group(1)), sql
+        )
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)

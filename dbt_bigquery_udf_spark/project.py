@@ -52,8 +52,9 @@ from dataclasses import dataclass, field
 
 import yaml
 
-from .macros import MacroDef, expand_macros, parse_macros
-from .models.core import EngineError, Exposure, ModelSpec
+from .catalog import target_context
+from .macros import MacroDef, _Unresolved, expand_macros, parse_macros
+from .models.core import _TARGET_ATTR_RE, EngineError, Exposure, ModelSpec
 from .models.quality import SchemaTest, SingularTest
 from .models.metrics import Metric
 from .models.unit_tests import UnitTest
@@ -478,8 +479,17 @@ def _load_python_model(path: str):
     return body, tuple(dict.fromkeys(_PY_REF_RE.findall(text)))
 
 
-def load_project(project_dir: str) -> LoadedProject:
+def load_project(
+    project_dir: str,
+    env: str | None = None,
+    cli_vars: dict | None = None,
+) -> LoadedProject:
     """Parse a dbt-style project directory into engine specs.
+
+    ``env`` supplies the ``{{ target }}`` context for macro bodies and
+    schema.yml descriptions (model bodies resolve target at render time
+    from the engine's env); ``cli_vars`` override project vars for
+    load-time var() resolution inside macro control flow.
 
     Scale note: this is pure driver-side metadata work — O(files), no
     Spark session involved; a 1000-model project (the reference
@@ -505,6 +515,22 @@ def load_project(project_dir: str) -> LoadedProject:
     test_paths = proj.get("test-paths", ["tests"])
     macro_paths = proj.get("macro-paths", ["macros"])
     config_tree = proj.get("models", {})
+
+    # Load-time Jinja context: project vars (overridden by CLI vars)
+    # resolve var() inside macro-body control flow; {{ target }} is the
+    # env-derived context dict (dbt's target.name/schema/database).
+    load_vars = {**dict(proj.get("vars", {}) or {}), **(cli_vars or {})}
+    macro_env = {"target": target_context(env)}
+
+    def _load_var_fn(vname, default):
+        if vname in load_vars:
+            return load_vars[vname]
+        if default is not _Unresolved:
+            return default
+        raise EngineError(
+            f"var({vname!r}) has no value and no default at project "
+            "load (set it in dbt_project.yml vars: or pass --vars)"
+        )
 
     # {% docs %} blocks: dbt keeps long-form documentation in .md files
     # under model/macro paths and references it from schema.yml
@@ -537,7 +563,21 @@ def load_project(project_dir: str) -> LoadedProject:
                 )
             return doc_blocks[m.group(1)]
 
-        return _DOC_REF_RE.sub(repl, desc) if desc else desc
+        if not desc:
+            return desc
+        desc = _DOC_REF_RE.sub(repl, desc)
+        # {{ target.name }} in schema.yml descriptions — the dbt idiom
+        # for env-stamped docs — resolves from the load env.
+        tgt = macro_env["target"]
+
+        def tgt_repl(m: re.Match) -> str:
+            if m.group(1) not in tgt:
+                raise EngineError(
+                    f"{where}: unknown target attribute target.{m.group(1)}"
+                )
+            return str(tgt[m.group(1)])
+
+        return _TARGET_ATTR_RE.sub(tgt_repl, desc)
 
     # User macros (SQL-fragment subset — see macros.py): every .sql file
     # under macro-paths contributes {% macro %} definitions; call sites
@@ -560,6 +600,67 @@ def load_project(project_dir: str) -> LoadedProject:
                                 f"definition in {full})"
                             )
                         macros[mname] = mdef
+
+    # dbt packages (packages.yml): local-path packages contribute their
+    # macros — callable qualified ({{ pkg.macro(...) }}) always, and
+    # bare when unambiguous; the PROJECT's own macro wins a bare-name
+    # collision (dbt's dispatch order), while two PACKAGES colliding on
+    # a bare name is an error (dbt requires qualification there too).
+    # The reference's own dbt_project.yml names dbt_packages/ in its
+    # clean-targets (reference: dbt_project.yml:24) — production trees
+    # lean on dbt_utils-style package macros.
+    pkg_yml = os.path.join(project_dir, "packages.yml")
+    pkg_bare_owner: dict[str, str] = {}
+    if os.path.exists(pkg_yml):
+        with open(pkg_yml) as fh:
+            pkg_doc = yaml.safe_load(fh) or {}
+        for entry in pkg_doc.get("packages", []) or []:
+            if not isinstance(entry, dict) or "local" not in entry:
+                raise EngineError(
+                    f"packages.yml: only local-path packages are "
+                    f"supported (got {entry!r}); vendor hub/git packages "
+                    "into a local directory"
+                )
+            pkg_dir = os.path.normpath(
+                os.path.join(project_dir, str(entry["local"]))
+            )
+            pkg_proj_path = os.path.join(pkg_dir, "dbt_project.yml")
+            if not os.path.exists(pkg_proj_path):
+                raise EngineError(
+                    f"packages.yml: {pkg_dir} has no dbt_project.yml"
+                )
+            with open(pkg_proj_path) as fh:
+                pkg_proj = yaml.safe_load(fh) or {}
+            pkg_name = pkg_proj.get("name", os.path.basename(pkg_dir))
+            for pmp in pkg_proj.get("macro-paths", ["macros"]):
+                root_p = os.path.join(pkg_dir, pmp)
+                if not os.path.isdir(root_p):
+                    continue
+                for dirpath, _dirs, files in sorted(os.walk(root_p)):
+                    for f in sorted(files):
+                        if not f.endswith(".sql"):
+                            continue
+                        full = os.path.join(dirpath, f)
+                        with open(full) as fh:
+                            parsed = parse_macros(fh.read(), full)
+                        for mname, mdef in parsed.items():
+                            qual = f"{pkg_name}.{mname}"
+                            if qual in macros:
+                                raise EngineError(
+                                    f"duplicate macro {qual!r} ({full})"
+                                )
+                            macros[qual] = mdef
+                            if mname in pkg_bare_owner:
+                                if pkg_bare_owner[mname] != pkg_name:
+                                    raise EngineError(
+                                        f"macro {mname!r} is defined by "
+                                        f"packages {pkg_bare_owner[mname]!r} "
+                                        f"and {pkg_name!r} — call it "
+                                        "package-qualified"
+                                    )
+                            elif mname not in macros:
+                                macros[mname] = mdef
+                                pkg_bare_owner[mname] = pkg_name
 
     models: list[ModelSpec] = []
     tests: list[SchemaTest] = []
@@ -714,7 +815,9 @@ def load_project(project_dir: str) -> LoadedProject:
         # Macro expansion precedes config extraction so a config() block
         # stays literal (macros may not generate configs — out of subset),
         # but follows dbt's model: macros render before anything executes.
-        text = expand_macros(text, macros, origin=path)
+        text = expand_macros(
+            text, macros, origin=path, var_fn=_load_var_fn, env=macro_env
+        )
         try:
             cfg_inline, body = _split_config_block(text)
         except EngineError:
@@ -790,7 +893,11 @@ def load_project(project_dir: str) -> LoadedProject:
                             SingularTest(
                                 name=os.path.splitext(f)[0],
                                 sql=expand_macros(
-                                    fh.read().strip(), macros, origin=t_path
+                                    fh.read().strip(),
+                                    macros,
+                                    origin=t_path,
+                                    var_fn=_load_var_fn,
+                                    env=macro_env,
                                 ),
                             )
                         )
@@ -811,7 +918,11 @@ def load_project(project_dir: str) -> LoadedProject:
                     a_path = os.path.join(dirpath, f)
                     with open(a_path) as fh:
                         analyses[a_stem] = expand_macros(
-                            fh.read().strip(), macros, origin=a_path
+                            fh.read().strip(),
+                            macros,
+                            origin=a_path,
+                            var_fn=_load_var_fn,
+                            env=macro_env,
                         )
 
     selectors: dict[str, list[str]] = {}

@@ -1,0 +1,141 @@
+"""Pure-Python unit tests for macros.py — the restricted Jinja subset.
+
+Pins the round-3 ADVICE fixes:
+
+1. a macro call followed by expression text (`{{ m(1) ~ '_x' }}`) fails
+   loudly instead of silently dropping the trailing expression;
+2. the expansion depth bound counts true NESTING, so many flat sibling
+   call sites (routine in production trees) never trip it;
+3. untaken if/elif/else branches and zero-iteration loop bodies are
+   scanned, not evaluated — `{% set %}` in a false branch cannot leak
+   into scope and unbound names there cannot raise (Jinja semantics).
+
+Plus the round-3 feature: control flow inside macro bodies (the
+reference's own macro shape, macros/udf/get_create_function_as_sql.sql:6-11).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_bigquery_udf_spark.macros import (
+    _Unresolved,
+    expand_macros,
+    parse_macros,
+    render_control_flow,
+)
+from dbt_bigquery_udf_spark.models.core import EngineError
+
+
+def _vf(name, default):
+    if default is not _Unresolved:
+        return default
+    raise EngineError(f"no var {name}")
+
+
+def test_trailing_expression_after_call_fails_loudly():
+    md = parse_macros("{% macro m(x) %}f({{ x }}){% endmacro %}")
+    with pytest.raises(EngineError, match="followed by expression text"):
+        expand_macros("{{ m(1) ~ '_suffix' }}", md)
+    with pytest.raises(EngineError, match="followed by expression text"):
+        expand_macros("{{ m(1) | upper }}", md)
+    # bare calls (with whitespace / whitespace-control close) still expand
+    assert expand_macros("{{ m(1) }}", md) == "f(1)"
+    assert expand_macros("{{ m(1)   }}", md) == "f(1)"
+    assert expand_macros("{{ m(1) -}}", md) == "f(1)"
+
+
+def test_flat_sibling_calls_do_not_trip_depth():
+    md = parse_macros("{% macro m(x) %}f({{ x }}){% endmacro %}")
+    body = " ".join("{{ m(%d) }}" % i for i in range(40))
+    out = expand_macros(body, md)
+    assert out.count("f(") == 40
+
+
+def test_true_recursion_still_bounded():
+    md = parse_macros("{% macro r(x) %}{{ r(x) }}{% endmacro %}")
+    with pytest.raises(EngineError, match="nesting depth"):
+        expand_macros("{{ r(1) }}", md)
+
+
+def test_nested_macros_count_nesting_not_call_sites():
+    # 3-deep nesting, called 20 times: depth is 3, not 60.
+    md = parse_macros(
+        "{% macro a(x) %}A({{ b(x) }}){% endmacro %}"
+        "{% macro b(x) %}B({{ c(x) }}){% endmacro %}"
+        "{% macro c(x) %}C({{ x }}){% endmacro %}"
+    )
+    body = " ".join("{{ a(%d) }}" % i for i in range(20))
+    out = expand_macros(body, md)
+    assert out.count("A(B(C(") == 20
+
+
+def test_set_in_false_branch_does_not_leak():
+    t = (
+        "{% if false %}{% set n = 5 %}{% endif %}"
+        "{% if n == 5 %}LEAK{% else %}CLEAN{% endif %}"
+    )
+    # Jinja: n is undefined after the false branch -> our evaluator
+    # fails loudly on the unknown name rather than leaking the set.
+    with pytest.raises(EngineError, match="unknown name 'n'"):
+        render_control_flow(t, _vf)
+
+
+def test_set_in_taken_branch_persists():
+    t = "{% if true %}{% set n = 5 %}{% endif %}{% if n == 5 %}OK{% endif %}"
+    assert render_control_flow(t, _vf).strip() == "OK"
+
+
+def test_untaken_branch_not_evaluated():
+    # unbound name + required var() in a never-taken branch: no error
+    t = "{% if false %}{{ x }}{% set q = var('missing_var') %}{% endif %}ok"
+    assert render_control_flow(t, _vf) == "ok"
+    # elif after a taken branch is not evaluated either
+    t2 = "{% if true %}A{% elif var('missing_var') %}B{% endif %}"
+    assert render_control_flow(t2, _vf) == "A"
+
+
+def test_zero_iteration_loop_body_not_evaluated():
+    t = "{% for x in [] %}{{ y }}{% set z = var('nope') %}{% endfor %}empty"
+    assert render_control_flow(t, _vf) == "empty"
+
+
+def test_macro_body_for_loop_with_loop_last():
+    md = parse_macros(
+        "{% macro join_cols(cols) %}"
+        "{% for c in cols %}{{ c }}{% if not loop.last %}, {% endif %}{% endfor %}"
+        "{% endmacro %}"
+    )
+    assert expand_macros("{{ join_cols(['a', 'b', 'c']) }}", md) == "a, b, c"
+
+
+def test_macro_body_set_block_and_config_require():
+    # the reference's own macro shape: {% set name %}...{% endset %}
+    # block capture + config.require() dict access.
+    src = open(
+        "/root/reference/macros/udf/get_create_function_as_sql.sql"
+    ).read()
+    md = parse_macros(src, "ref")
+    out = expand_macros(
+        "{{ get_create_function_as_sql('db.f', 'x + 1', "
+        "{'return_type': 'FLOAT64', 'params': ['x FLOAT64']}, 'doc') }}",
+        md,
+    )
+    assert "CREATE OR REPLACE FUNCTION db.f" in out
+    assert "RETURNS FLOAT64" in out and "x FLOAT64" in out
+
+
+def test_config_require_missing_key_fails_loudly():
+    md = parse_macros(
+        "{% macro g(config) %}"
+        "{% set t = config.require('return_type') %}{{ t }}"
+        "{% endmacro %}"
+    )
+    with pytest.raises(EngineError, match="require"):
+        expand_macros("{{ g({'params': []}) }}", md)
+    assert expand_macros("{{ g({'return_type': 'INT64'}) }}", md) == "INT64"
+
+
+def test_unsupported_macro_body_tag_rejected_at_load():
+    with pytest.raises(EngineError, match="unsupported Jinja tag"):
+        parse_macros("{% macro m() %}{% call x() %}{% endcall %}{% endmacro %}")

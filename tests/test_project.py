@@ -822,9 +822,11 @@ def test_user_macro_rejects_control_flow_and_collisions(tmp_path):
 
     root = str(tmp_path / "badmacro")
     _write(root, "dbt_project.yml", "name: badmacro\n")
+    # control flow in macro bodies is supported since round 3; tags
+    # OUTSIDE the evaluator's subset still fail loudly at load.
     _write(root, "macros/ctrl.sql",
-           "{% macro pick(col) %}{% if col %}x{% endif %}{% endmacro %}\n")
-    with _pytest.raises(EngineError, match="control flow"):
+           "{% macro pick(col) %}{% call odd() %}x{% endcall %}{% endmacro %}\n")
+    with _pytest.raises(EngineError, match="unsupported Jinja tag"):
         load_project(root)
 
     root2 = str(tmp_path / "resmacro")
@@ -982,3 +984,212 @@ def test_set_and_incremental_else_branch(spark, sf_small, tmp_path):
     engine.build(select=["inc_else"], fail_fast=True)
     second = {r.k: r.v for r in spark.table("datamart.inc_else").collect()}
     assert second[4] == "delta"  # if branch on the incremental re-run
+
+
+# -- round 3: macro-body control flow, target context, packages ------------
+
+
+def test_macro_body_control_flow_builds(spark, sf_small, tmp_path):
+    """A user macro whose body is the reference's own macro shape — a
+    {% for %}/loop.last join loop (reference:
+    macros/udf/get_create_function_as_sql.sql:6-11) — loads, expands at
+    call sites, and builds end to end via --project."""
+    root = str(tmp_path / "cfmacro")
+    _write(root, "dbt_project.yml",
+           """\
+           name: cfmacro
+           vars:
+             extra_cols: []
+           """)
+    _write(root, "macros/join.sql",
+           """\
+           {% macro status_in(statuses) %}
+           o_orderstatus IN ({% for s in statuses %}'{{ s }}'{% if not loop.last %}, {% endif %}{% endfor %})
+           {% endmacro %}
+
+           {% macro pick_filter(mode) %}
+           {% if mode == 'strict' %}o_totalprice > 0{% else %}1 = 1{% endif %}
+           {% endmacro %}
+           """)
+    _write(root, "models/cfm_mart.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT o_orderstatus, count(*) AS n\n"
+           "FROM {{ source('src', 'orders') }}\n"
+           "WHERE {{ status_in(['O', 'F']) }}\n"
+           "  AND {{ pick_filter('strict') }}\n"
+           "GROUP BY o_orderstatus\n")
+    proj = load_project(root)
+    body = {m.name: m.sql for m in proj.models}["cfm_mart"]
+    assert "'O', 'F'" in body
+    assert "o_totalprice > 0" in body
+    assert "1 = 1" not in body  # untaken else branch dropped
+    assert "{%" not in body
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["cfm_mart"], fail_fast=True)
+    rows = {r.o_orderstatus: r.n for r in spark.table("datamart.cfm_mart").collect()}
+    assert set(rows) == {"O", "F"} and all(v > 0 for v in rows.values())
+
+
+def test_reference_macros_roundtrip_loader(tmp_path):
+    """The reference's four macro files (two {% materialization %}
+    blocks, two control-flow macros with {% set %} blocks and
+    config.require) all load through parse_macros without error, and
+    the control-flow ones expand correctly."""
+    from dbt_bigquery_udf_spark.macros import expand_macros, parse_macros
+
+    ref_dir = "/root/reference/macros/udf"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not present")
+    loaded = {}
+    for f in sorted(os.listdir(ref_dir)):
+        with open(os.path.join(ref_dir, f)) as fh:
+            loaded.update(parse_macros(fh.read(), f))
+    # materialization blocks define no fragment macros; the two
+    # get_create_* helpers do.
+    assert set(loaded) == {
+        "get_create_function_as_sql",
+        "get_create_table_function_as_sql",
+    }
+    out = expand_macros(
+        "{{ get_create_function_as_sql('db.f', 'a+b', "
+        "{'return_type': 'INT64', 'params': ['a INT64', 'b INT64']}, 'd') }}",
+        loaded,
+    )
+    assert "CREATE OR REPLACE FUNCTION db.f" in out
+    assert "a INT64" in out and "b INT64" in out and "RETURNS INT64" in out
+
+
+def test_target_context_env_routing(spark, sf_small, tmp_path):
+    """{% if target.name == 'prod' %} builds differently per --env, and
+    {{ target.schema }} resolves to the env-suffixed database — the dbt
+    env-routing idiom (reference README.md:178-193 maps envs the same
+    way)."""
+    root = str(tmp_path / "tgtproj")
+    _write(root, "dbt_project.yml", "name: tgtproj\n")
+    _write(root, "models/tgt_mart.sql",
+           """\
+           {{ config(materialized='table', schema='datamart', dialect='spark') }}
+           SELECT
+             '{{ target.name }}' AS env_name,
+             {% if target.name == 'prod' %}
+             'full' AS mode
+             {% else %}
+             'sampled' AS mode
+             {% endif %}
+           """)
+    proj = load_project(root)
+    from dbt_bigquery_udf_spark.api import bootstrap
+
+    eng_prod = prepared_engine(spark, sf_small)
+    eng_prod.register(*proj.models, replace=True)
+    rendered = eng_prod.render(eng_prod.models["tgt_mart"])
+    assert "'prod' AS env_name" in rendered and "'full' AS mode" in rendered
+    eng_dev = bootstrap(spark, sf_small, env="dev")
+    eng_dev.register(*proj.models, replace=True)
+    rendered_dev = eng_dev.render(eng_dev.models["tgt_mart"])
+    assert "'dev' AS env_name" in rendered_dev
+    assert "'sampled' AS mode" in rendered_dev
+    # target.schema follows env_database routing
+    _write(root, "models/tgt_schema.sql",
+           "{{ config(materialized='view', dialect='spark') }}\n"
+           "SELECT '{{ target.schema }}' AS s\n")
+    proj2 = load_project(root)
+    eng_dev.register(*proj2.models, replace=True)
+    assert "'udf_dev'" in eng_dev.render(eng_dev.models["tgt_schema"])
+
+
+def test_target_unknown_attr_fails_loudly(spark, sf_small, tmp_path):
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "tgtbad")
+    _write(root, "dbt_project.yml", "name: tgtbad\n")
+    _write(root, "models/bad.sql",
+           "{{ config(materialized='view', dialect='spark') }}\n"
+           "SELECT '{{ target.nope }}' AS s\n")
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    with pytest.raises(EngineError, match="target.nope"):
+        engine.render(engine.models["bad"])
+
+
+def test_local_packages_load_and_build(spark, sf_small, tmp_path):
+    """packages.yml local packages: package macros callable bare and
+    package-qualified; the project's own macro wins a bare-name
+    collision (dbt dispatch order); the package's date_spine parity-
+    checks against a SQL sequence spine."""
+    pkg = str(tmp_path / "spine_utils")
+    _write(pkg, "dbt_project.yml", "name: spine_utils\n")
+    _write(pkg, "macros/date_spine.sql",
+           """\
+           {% macro date_spine(start_date, end_date) %}
+           (SELECT explode(sequence(to_date('{{ start_date }}'),
+                                    to_date('{{ end_date }}'),
+                                    interval 1 day)) AS date_day)
+           {% endmacro %}
+
+           {% macro shared_name() %}'from_package'{% endmacro %}
+           """)
+    root = str(tmp_path / "pkgproj")
+    _write(root, "dbt_project.yml", "name: pkgproj\n")
+    _write(root, "packages.yml",
+           """\
+           packages:
+             - local: ../spine_utils
+           """)
+    _write(root, "macros/own.sql",
+           "{% macro shared_name() %}'from_project'{% endmacro %}\n")
+    _write(root, "models/spine.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT date_day, {{ shared_name() }} AS who,\n"
+           "       {{ spine_utils.shared_name() }} AS who_qualified\n"
+           "FROM {{ date_spine('2024-01-01', '2024-01-10') }}\n")
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["spine"], fail_fast=True)
+    df = spark.table("datamart.spine")
+    assert df.count() == 10  # inclusive 10-day spine
+    row = df.first()
+    assert row.who == "from_project"  # project wins the bare name
+    assert row.who_qualified == "from_package"
+    # parity: same spine via plain SQL sequence
+    expected = spark.sql(
+        "SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-01-10'), "
+        "interval 1 day)) AS date_day"
+    )
+    assert df.select("date_day").exceptAll(expected).count() == 0
+    assert expected.exceptAll(df.select("date_day")).count() == 0
+
+
+def test_packages_collisions_and_unsupported(tmp_path):
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    # two packages colliding on a bare name -> loud error
+    for pkg_name in ("pkg_a", "pkg_b"):
+        pkg = str(tmp_path / pkg_name)
+        _write(pkg, "dbt_project.yml", f"name: {pkg_name}\n")
+        _write(pkg, "macros/m.sql", "{% macro clash() %}1{% endmacro %}\n")
+    root = str(tmp_path / "ambproj")
+    _write(root, "dbt_project.yml", "name: ambproj\n")
+    _write(root, "packages.yml",
+           """\
+           packages:
+             - local: ../pkg_a
+             - local: ../pkg_b
+           """)
+    with pytest.raises(EngineError, match="clash"):
+        load_project(root)
+
+    # non-local package entries fail loudly
+    root2 = str(tmp_path / "hubproj")
+    _write(root2, "dbt_project.yml", "name: hubproj\n")
+    _write(root2, "packages.yml",
+           """\
+           packages:
+             - package: dbt-labs/dbt_utils
+               version: 1.1.1
+           """)
+    with pytest.raises(EngineError, match="local"):
+        load_project(root2)

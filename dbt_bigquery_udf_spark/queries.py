@@ -127,6 +127,73 @@ def ref_tvf_param(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"USE {prev}")
 
 
+@register(
+    "ref_incremental_mart",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ref_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization end to end (F-operator surface the
+    round-2 window under-covered): an incremental model over orders is
+    built TWICE in one call — first with a mid-1995 var cutoff (the
+    initial full build), then with the cutoff lifted, where the
+    ``{% if is_incremental() %}`` branch restricts the second batch to
+    rows past ``max(o_orderdate)`` in ``{{ this }}`` (append strategy:
+    one insertInto, no rewrite of the existing partitioned data). The
+    final table must equal a single full scan — which is exactly what
+    the oracle states, so the watermark handoff between the two builds
+    is value-checked, not just row-counted.
+
+    Scale: this IS the 100 TB ingestion pattern — each run scans only
+    the arriving slice (the watermark predicate pushes down to the
+    source scan) and appends; nothing ever rewrites history.
+    """
+    from .models.core import ModelSpec
+
+    eng = prepared_engine(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS datamart.inc_orders_mart")
+    eng.register(
+        ModelSpec(
+            name="inc_orders_mart",
+            kind="incremental",
+            database="datamart",
+            dialect="spark",
+            incremental_strategy="append",
+            sql="""
+                SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderdate <= TIMESTAMP {{ var('inc_cutoff') }}
+                {% if is_incremental() %}
+                  AND o_orderdate >
+                      (SELECT max(o_orderdate) FROM {{ this }})
+                {% endif %}
+            """,
+        ),
+        replace=True,
+    )
+    eng.vars["inc_cutoff"] = "1995-06-30 00:00:00"
+    eng.build(select=["inc_orders_mart"], fail_fast=True)
+    eng.vars["inc_cutoff"] = "9999-12-31 00:00:00"
+    eng.build(select=["inc_orders_mart"], fail_fast=True)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table("datamart.inc_orders_mart")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_sum"),
+        )
+    )
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401
@@ -149,10 +216,12 @@ from .sources import format_queries  # noqa: E402,F401
 # --------------------------------------------------------------------------
 
 _CURATED_WINDOW = (
-    # reference parity (SURVEY §2.1/§2.2)
+    # reference parity (SURVEY §2.1/§2.2) + incremental materialization
+    # (round-3 rotation: framework evidence widened per VERDICT #8)
     "ref_datamart_e2e",
     "ref_parse_datetime",
     "ref_tvf_param",
+    "ref_incremental_mart",
     # TPC-H repertoire (joins, correlated subqueries, multi-way aggs)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -191,24 +260,26 @@ _CURATED_WINDOW = (
     "dedup_semantic",
     "dedup_incremental_batch",
     "fuzzy_name_pairs",
-    # similarity search / embedding analytics
+    # similarity search / embedding analytics (sim_lsh_topk rotated out
+    # round 3 — family already covered by sim_topk_brute/sim_ivf_rerank/
+    # sim_pq_codes; it stays verify_driver-checked past the window)
     "sim_topk_brute",
-    "sim_lsh_topk",
     "sim_ivf_rerank",
     "sim_pq_codes",
     "emb_kmeans_step",
-    # text analysis
+    # text analysis (text_chunk_dedup rotated out round 3, same reason)
     "text_token_stats",
     "text_lang_id",
     "text_perplexity_proxy",
-    "text_chunk_dedup",
     # multimodal
     "mm_payload_dedup",
     "mm_decode_features",
-    # profiling / graph / streaming
+    # profiling / graph / streaming (round 3 adds the batch-equivalence
+    # stream_dedup beside the windowed rollup)
     "profile_columns",
     "graph_pagerank_step",
     "stream_hourly_rollup",
+    "stream_dedup",
     # Python UDTF, source formats, VARIANT, product analytics
     "udtf_grouped_topk",
     "source_csv_roundtrip",

@@ -131,3 +131,35 @@ def test_regexp_extract_multi_group_rejected():
 
     with _pytest.raises(ValueError, match="capturing groups"):
         transpile_bq_expr("SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t")
+
+
+def test_regexp_extract_char_class_parens(spark):
+    """'(' inside a [...] character class is a literal paren, not a
+    capturing group: r'[(]' extracts the whole match (group 0), and
+    '[^(]+' is a valid single-group-free pattern (round-3 ADVICE fix)."""
+    sql = transpile_bq_expr(
+        "SELECT REGEXP_EXTRACT('a(b', r'[(]') AS paren, "
+        "REGEXP_EXTRACT('xy(z', '[^(]+') AS prefix, "
+        "REGEXP_EXTRACT('k=[v]', r'\\[([^]]+)\\]') AS bracketed"
+    )
+    r = spark.sql(sql).first()
+    assert r["paren"] == "("       # group 0: the whole match
+    assert r["prefix"] == "xy"     # no groups counted inside the class
+    assert r["bracketed"] == "v"   # the one REAL group still selected
+
+
+def test_regexp_extract_unsupported_forms_fail_loudly():
+    """Spark accepts 2-arg regexp_extract with idx defaulting to 1, so
+    pass-through would silently return '' where BigQuery returns NULL —
+    non-literal patterns and BQ's position/occurrence forms must raise
+    at transpile time instead (round-3 ADVICE fix)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-literal"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT(s, pat) FROM t")
+    with _pytest.raises(ValueError, match="position/occurrence"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT(s, '(a)', 2) FROM t")
+    with _pytest.raises(ValueError, match="non-literal"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT_ALL(s, pat) FROM t")
+    with _pytest.raises(ValueError, match="2 args"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT_ALL(s, '(a)', 2) FROM t")

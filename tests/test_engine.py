@@ -1017,3 +1017,37 @@ def test_baseline_materialization_targets(spark, sf_small):
             assert t <= 2.0 * slack, (udf_model, t)
     if slack:
         assert rr["elapsed"] <= 30.0 * slack, rr["elapsed"]
+
+
+def test_number_by_key_size_derived_buckets(spark):
+    """Round-3 scale fix: the bucket count is derived from the row
+    count (floor at fixture scale, growing ~linearly past the
+    per-bucket sort budget), the derived plan partitions by exactly
+    that many buckets, and the ordinal output is k-invariant."""
+    from dbt_bigquery_udf_spark.operators.spark_native import (
+        _BUCKET_CAP,
+        _BUCKET_FLOOR,
+        _derive_bucket_count,
+        _number_by_key,
+    )
+
+    # growth: fixture floor -> linear scaling -> cap
+    assert _derive_bucket_count(10_000) == _BUCKET_FLOOR
+    assert _derive_bucket_count(32_000_000 * 10) == 10
+    assert _derive_bucket_count(32_000_000 * 100) == 100
+    assert _derive_bucket_count(32_000_000 * 1000) == 1000  # ~1 PB of keys
+    assert _derive_bucket_count(2**62) == _BUCKET_CAP
+    # monotone in n (x10/x30 probe shape)
+    ns = [10**6, 10**8, 3 * 10**9, 10**10, 3 * 10**10]
+    ks = [_derive_bucket_count(n) for n in ns]
+    assert ks == sorted(ks)
+
+    # integration: with a tiny per-bucket budget the derived k shows up
+    # as the result's partition count, and ordinals stay correct.
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = _number_by_key(df, "doc_id", rows_per_bucket=2)
+    assert out.rdd.getNumPartitions() == _BUCKET_FLOOR  # max(floor, 10/2)
+    out2 = _number_by_key(df, "doc_id", rows_per_bucket=1)
+    assert out2.rdd.getNumPartitions() == 10
+    got = {r["doc_id"]: r["global_id"] for r in out2.collect()}
+    assert got == {i: i + 1 for i in range(10)}

@@ -551,6 +551,11 @@ def test_semantic_assignment_is_bounded(spark, sf_small):
     assert len(bnlj) <= 2, (sorted(bnlj), f.text)  # centroid broadcast x2 sides
     equi = _ids(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")
     assert len(equi) <= 5, (sorted(equi), f.text)  # attach x2 + pair + anti
+    # round 3: the centroid side is a DERIVED relation — a pushed-filter
+    # parquet scan (vec_id < k), never a driver-collected literal table —
+    # so the plan must carry the filter pushdown and no LocalTableScan.
+    assert "LocalTableScan" not in f.text, f.text
+    assert any("LessThan(vec_id" in p for p in f.pushed_filters), f.pushed_filters
 
 
 def test_group_split_is_scan_parallel_and_leakage_free(spark, sf_small):

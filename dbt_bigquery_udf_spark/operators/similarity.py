@@ -1201,3 +1201,77 @@ def sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_d2_micro").asc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# -- contrastive hard-negative mining --------------------------------------
+
+HARD_NEG_K = 5  # negatives mined per anchor
+
+
+def _duck_hard_negatives() -> str:
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, emb AS av
+          FROM e WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
+             e.label AS negative_label,
+             round(list_cosine_similarity(e.emb, a.av), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY round(list_cosine_similarity(e.emb, a.av), 4) DESC,
+                        e.vec_id) AS rk
+      FROM e JOIN a ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine
+    FROM scored WHERE rk <= {HARD_NEG_K}
+    """
+
+
+@register("emb_hard_negatives", _duck_hard_negatives())
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor in a training
+    batch, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the highest-loss negatives for embedding-model training
+    (in-batch negatives miss these; mining them is the standard recipe
+    from DPR / SimCSE-style pipelines).
+
+    Shape: the anchor batch broadcasts (a training batch is small by
+    construction); scoring is a broadcast join with the label
+    inequality fused into the join condition, so same-label rows drop
+    BEFORE the cosine evaluates; per-anchor top-k is one window
+    partitioned by anchor.
+
+    Scale: per batch the cost is one corpus scan — at 1B vectors the
+    candidate side swaps for an IVF/LSH-blocked prefilter (exactly
+    sim_ivf_rerank's plan) with the label inequality applied at the
+    bucket join; the batch mechanism, window, and output contract stay
+    identical, which is why the scan form is the one under the oracle.
+    """
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("av"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    scored = (
+        e.join(F.broadcast(a), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(F.expr(_cosine_expr("emb", "av")), 4).alias("cosine"),
+        )
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARD_NEG_K)
+        .drop("rk")
+    )

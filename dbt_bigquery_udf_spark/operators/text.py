@@ -852,3 +852,193 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
+
+
+# -- DSIR importance resampling weights (data selection) -------------------
+
+# Hashed n-gram feature buckets for DSIR (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): unigrams +
+# bigrams hash into B buckets; a doc's importance weight is the sum of
+# per-feature log-ratios between the target-domain and raw bucket
+# distributions. 512 buckets is the fixture-scale setting (DSIR's 10k
+# buckets fits the same plan — B only sizes two tiny broadcast tables).
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"  # in-domain proxy on the synthetic corpus
+
+# Engine-neutral 32-bit feature hash (module rule: md5 everywhere).
+_DSIR_BUCKET_SPARK = (
+    f"cast(conv(substr(md5(gram), 1, 8), 16, 10) as bigint) % {DSIR_BUCKETS}"
+)
+_DSIR_BUCKET_DUCK = (
+    f"('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS}"
+)
+# Per-feature log importance ratio, Laplace-smoothed, in integer
+# micro-units BEFORE summation (float addition does not commute across
+# engines; bigint addition does — the module's float-parity rule).
+# `1e0` not `1.0`: Spark parses `1.0` as DECIMAL and would run the whole
+# ratio in truncating decimal arithmetic (measured: wrong in the 9th
+# digit, flipping ~20% of micro-roundings); the exponent form is DOUBLE
+# in both engines, keeping the IEEE chain bit-identical.
+_DSIR_TERM = (
+    "round(ln(((ct + 1e0) / (tt + {B})) / ((cr + 1e0) / (tr + {B})))"
+    " * 1000000)"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, unnest(list_concat(
+               t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END)) AS gram
+      FROM toks
+    ), bucketed AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS b FROM grams
+    ), stats AS (
+      SELECT b,
+             count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct,
+             count(*) AS cr
+      FROM bucketed GROUP BY b
+    ), totals AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+      FROM stats
+    ), ratio AS (
+      SELECT b, CAST({_DSIR_TERM.format(B=DSIR_BUCKETS)} AS BIGINT) AS term
+      FROM stats, totals
+    )
+    SELECT doc_id,
+           count(*) AS n_feats,
+           CAST(sum(term) AS BIGINT) AS logw_micro
+    FROM bucketed JOIN ratio USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: score every document by how much more
+    likely its hashed unigram+bigram features are under the TARGET
+    domain's bucket distribution than under the raw corpus's — the
+    published recipe for selecting in-domain pretraining data by
+    importance resampling (select ~ softmax of logw). Target here is
+    the ``lang = 'en'`` slice; in production it is the trusted
+    high-quality corpus (e.g. curated text vs common crawl).
+
+    Shape: one tokenize+explode pass builds the feature stream; bucket
+    stats reduce it to B=512 rows; totals are a 1-row aggregate; the
+    per-bucket log-ratio table (B rows, integer micro-units) joins back
+    BROADCAST onto the stream; one groupBy(doc_id) sums integers.
+
+    Scale: the only large shuffle is the final per-doc sum (same as any
+    token aggregate); the bucket distribution is O(B) state however big
+    the corpus — that boundedness is DSIR's whole point, and at 100 TB
+    the stats pass is typically computed once per corpus snapshot and
+    reused across selection runs (here both passes run in one query so
+    the oracle can state the end-to-end value).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(t, CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, size(t) - 2), "
+                "i -> t[i] || ' ' || t[i + 1]) "
+                "ELSE array() END)"
+            )
+        ).alias("gram"),
+    )
+    bucketed = grams.select(
+        "doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b")
+    )
+    stats = bucketed.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = stats.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            f"CAST({_DSIR_TERM.format(B=DSIR_BUCKETS)} AS BIGINT) AS term",
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("term").cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
+# -- BPE merge-step pair counts (tokenizer training) -----------------------
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair,
+             n
+      FROM vocab WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step's statistics: corpus-wide frequencies of
+    adjacent character pairs, weighted by word frequency — argmax over
+    this table IS the next merge in byte-pair-encoding tokenizer
+    training (Sennrich et al. 2016).
+
+    The scalable trick: pair generation runs over the DISTINCT word
+    vocabulary (bounded, Heaps-law growth), not the token stream — each
+    word contributes its pairs once, weighted by its corpus count. At
+    100 TB the token explode reduces to the vocab in one shuffle and
+    everything after is O(|vocab| x word_len); iterating merges re-runs
+    only the vocab-side pair generation with the merged symbol table.
+    """
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("n").cast("bigint").alias("pair_count")
+    )

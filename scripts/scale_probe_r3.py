@@ -1,0 +1,107 @@
+"""Round-3 scale probe: replicate sf0.1 inputs Nx ON DISK (sf-layout
+temp dir, same staging as scale_probe_r2) and time the round-3 paths
+UNCHANGED through the registry:
+
+- global_row_ids with the SIZE-DERIVED bucket count (the round-2 fixed
+  k=8 nit): the probe also reports the k the sizing rule picked, and a
+  forced-small-budget variant shows bucket count scaling with rows.
+- dedup_semantic with the DERIVED (join-side, never collected) centroid
+  relation — same query, new plan.
+- the round-3 operators dsir_importance_weights / bpe_pair_counts /
+  emb_hard_negatives (documents replicate with shifted doc_ids so the
+  vocab/bucket distributions keep their shape while doc count scales).
+
+    python scripts/scale_probe_r3.py [N ...]     # default: 1 10 30
+
+Results recorded in SCALE.md "Round-3 measured scaling".
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_bigquery_udf_spark import get_spark  # noqa: E402
+from dbt_bigquery_udf_spark.operators.dedup import (  # noqa: E402
+    dedup_semantic,
+    semdedup_k,
+)
+from dbt_bigquery_udf_spark.operators.similarity import (  # noqa: E402
+    emb_hard_negatives,
+)
+from dbt_bigquery_udf_spark.operators.spark_native import (  # noqa: E402
+    _derive_bucket_count,
+    global_row_ids,
+)
+from dbt_bigquery_udf_spark.operators.text import (  # noqa: E402
+    bpe_pair_counts,
+    dsir_importance_weights,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STRIDES = {
+    "embeddings": {"vec_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+}
+
+
+def stage(spark, n: int, root: str) -> str:
+    out = os.path.join(root, f"x{n}")
+    for table, strides in STRIDES.items():
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        parts = []
+        for i in range(n):
+            c = df
+            for col, stride in strides.items():
+                c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
+            parts.append(c)
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    for f in os.listdir(SF_DIR):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, f), dst)
+    return out
+
+
+def timed(label: str, fn, spark, sf_dir: str, **kw) -> None:
+    t = time.perf_counter()
+    rows = fn(spark, sf_dir, **kw).count()
+    print(f"{label}: {time.perf_counter() - t:.2f}s ({rows} rows)", flush=True)
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    spark = get_spark(app_name="scale-probe-r3")
+    root = tempfile.mkdtemp(prefix="scale_probe_r3_")
+    try:
+        for n in ns:
+            d = stage(spark, n, root)
+            n_doc = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            n_vec = spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+            # what the sizing rule would pick at this and real scales
+            print(
+                f"-- x{n}: {n_doc} docs ({_derive_bucket_count(n_doc)} buckets; "
+                f"at 1e12 rows: {_derive_bucket_count(10**12)}), "
+                f"{n_vec} vectors (semdedup_k={semdedup_k(n_vec)})"
+            )
+            timed(f"global_row_ids x{n}", global_row_ids, spark, d)
+            timed(f"dedup_semantic x{n}", dedup_semantic, spark, d)
+            timed(f"dsir_importance_weights x{n}", dsir_importance_weights, spark, d)
+            timed(f"bpe_pair_counts x{n}", bpe_pair_counts, spark, d)
+            timed(f"emb_hard_negatives x{n}", emb_hard_negatives, spark, d)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -234,7 +234,7 @@ def _bind_args(
 # ({{ pkg.macro(...) }}, dbt's cross-package call form).
 _CALL_OPEN_RE = re.compile(r"\{\{\s*(\w+(?:\.\w+)?)\s*\(")
 _SPAN_RE = re.compile(r"\{\{(.*?)\}\}", re.S)
-_STANDALONE_RE = re.compile(r"^\s*(\w+)\s*$")
+_STANDALONE_RE = re.compile(r"^\s*(\w+)((?:\s*\|\s*\w+)*)\s*$")
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
@@ -338,7 +338,9 @@ def _render_body(
         sm = _STANDALONE_RE.match(inner)
         if sm:
             if sm.group(1) in bound:
-                return bound[sm.group(1)][0]
+                return str(
+                    _apply_filters(bound[sm.group(1)][0], sm.group(2), origin)
+                )
             return mm.group(0)  # ref-less placeholder (this, etc.)
         return "{{" + _sub_idents_outside_strings(inner, bound) + "}}"
 
@@ -461,7 +463,30 @@ import ast as _ast
 _TAG_RE = re.compile(
     r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset)\b(.*?)-?%\}", re.S
 )
-_LOOPVAR_SUB_RE = re.compile(r"\{\{\s*(\w+)(?:\.(\w+))?\s*\}\}")
+_LOOPVAR_SUB_RE = re.compile(
+    r"\{\{-?\s*(\w+)(?:\.(\w+))?((?:\s*\|\s*\w+)*)\s*-?\}\}"
+)
+
+# The minimal Jinja filter set (dbt's default generate_schema_name
+# pipes through `| trim`); anything else fails loudly.
+_FILTERS = {
+    "trim": lambda v: str(v).strip(),
+    "lower": lambda v: str(v).lower(),
+    "upper": lambda v: str(v).upper(),
+    "string": str,
+}
+
+
+def _apply_filters(value, filter_text: str, origin: str):
+    for fname in re.findall(r"\|\s*(\w+)", filter_text or ""):
+        fn = _FILTERS.get(fname)
+        if fn is None:
+            raise EngineError(
+                f"{origin}: unsupported Jinja filter |{fname} "
+                f"(supported: {', '.join(sorted(_FILTERS))})"
+            )
+        value = fn(value)
+    return value
 
 
 class _Unresolved(Exception):
@@ -518,6 +543,10 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
                 _ast.GtE: lambda a, b: a >= b,
                 _ast.In: lambda a, b: a in b,
                 _ast.NotIn: lambda a, b: a not in b,
+                # Jinja's `x is none` / `x is not none` tests (dbt's
+                # generate_schema_name default uses the former).
+                _ast.Is: lambda a, b: a is b,
+                _ast.IsNot: lambda a, b: a is not b,
             }.get(type(op))
             if ok is None:
                 raise EngineError(f"{origin}: unsupported comparison in Jinja expression")
@@ -589,12 +618,13 @@ def _cf_tokens(text: str) -> list:
     return out
 
 
-def _cf_subst_loop_vars(text: str, env: dict) -> str:
-    """Substitute {{ x }} / {{ loop.index }} for loop-bound names only;
-    every other placeholder (var/ref/source/this) passes through."""
+def _cf_subst_loop_vars(text: str, env: dict, origin: str = "<model>") -> str:
+    """Substitute {{ x }} / {{ loop.index }} / {{ x | trim }} for
+    env-bound names only; every other placeholder (var/ref/source/this)
+    passes through."""
 
     def repl(m: re.Match) -> str:
-        name, attr = m.group(1), m.group(2)
+        name, attr, filters = m.group(1), m.group(2), m.group(3)
         if name not in env:
             return m.group(0)
         v = env[name]
@@ -603,6 +633,8 @@ def _cf_subst_loop_vars(text: str, env: dict) -> str:
                 v = v[attr]
             else:
                 return m.group(0)
+        if filters:
+            v = _apply_filters(v, filters, origin)
         if isinstance(v, bool):
             return "true" if v else "false"
         return str(v)
@@ -625,7 +657,7 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
         lit, tag, expr = tokens[i]
         if tag is None:
             if active:
-                out.append(_cf_subst_loop_vars(lit, env) if env else lit)
+                out.append(_cf_subst_loop_vars(lit, env, origin) if env else lit)
             i += 1
             continue
         if tag in stop:

@@ -67,6 +67,9 @@ _VAR_RE = re.compile(
 # dbt's target context: {{ target.name }} / {{ target.schema }} / ... —
 # the standard env-routing idiom (see catalog.target_context).
 _TARGET_ATTR_RE = re.compile(r"\{\{\s*target\.(\w+)\s*\}\}")
+# dbt invocation context: the audit-column idiom
+# (`'{{ invocation_id }}' AS batch_id, '{{ run_started_at }}' AS loaded_at`).
+_INVOCATION_RE = re.compile(r"\{\{\s*(invocation_id|run_started_at)\s*\}\}")
 def _partition_epoch(value: str) -> float | None:
     """Epoch seconds for a civil date-ish partition value ('2026-01-01',
     '2026-01-01 08' possibly URL-encoded, '2026-01'), else None."""
@@ -418,6 +421,19 @@ class Engine:
         # whole DAG — unlike per-model pre/post hooks (F6).
         self.on_run_start = tuple(on_run_start)
         self.on_run_end = tuple(on_run_end)
+        # dbt invocation context ({{ invocation_id }} / {{ run_started_at }}
+        # — the standard audit-column idiom): stamped at engine creation so
+        # compile-outside-build renders, refreshed per build().
+        self._stamp_invocation()
+
+    def _stamp_invocation(self) -> None:
+        import uuid
+        from datetime import datetime, timezone
+
+        self.invocation_id = uuid.uuid4().hex
+        self.run_started_at = (
+            datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S+00:00")
+        )
 
     # -- registration -----------------------------------------------------
 
@@ -556,6 +572,14 @@ class Engine:
             )
         sql = _TARGET_ATTR_RE.sub(
             lambda m: self._resolve_target_attr(spec, m.group(1)), sql
+        )
+        sql = _INVOCATION_RE.sub(
+            lambda m: (
+                self.invocation_id
+                if m.group(1) == "invocation_id"
+                else self.run_started_at
+            ),
+            sql,
         )
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
@@ -1346,6 +1370,7 @@ class Engine:
         self.errors = {}
         self.skipped_errors = set()
         self.timings = {}
+        self._stamp_invocation()  # fresh {{ invocation_id }} per build (dbt)
         build_started = time.perf_counter()
         graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
@@ -1454,5 +1479,6 @@ class Engine:
             nodes.append({"name": name, "status": "skip-upstream"})
         return {
             "elapsed": round(getattr(self, "elapsed", 0.0), 3),
+            "invocation_id": self.invocation_id,  # dbt run_results.json field
             "results": nodes,
         }

@@ -662,6 +662,36 @@ def load_project(
                                 macros[mname] = mdef
                                 pkg_bare_owner[mname] = pkg_name
 
+    # dbt's generate_schema_name override — THE most common production
+    # macro customization (every multi-env tree carries one). When the
+    # project (or a package) defines it, each model's dataset routes
+    # through it with dbt's (custom_schema_name, node) signature; the
+    # default dbt implementation (`{% if custom_schema_name is none %}`
+    # + `| trim`) works verbatim. One deliberate deviation, documented:
+    # the macro computes the LOGICAL dataset — target.schema binds to
+    # the logical root ('udf'), because the engine applies --env
+    # suffixing uniformly AFTER routing (catalog.env_database); binding
+    # the env-suffixed name would double-suffix.
+    def _route_schema(kwargs: dict, model_name: str) -> None:
+        if "generate_schema_name" not in macros:
+            return
+        custom = kwargs.get("database")
+        arg = "'" + str(custom).replace("'", "\\'") + "'" if custom else "none"
+        node_arg = "{'name': '" + model_name + "', 'resource_type': 'model'}"
+        routed = expand_macros(
+            f"{{{{ generate_schema_name({arg}, {node_arg}) }}}}",
+            macros,
+            origin=f"model {model_name} (generate_schema_name)",
+            var_fn=_load_var_fn,
+            env={**macro_env, "target": {**macro_env["target"], "schema": "udf"}},
+        ).strip()
+        if not re.fullmatch(r"\w+", routed or ""):
+            raise EngineError(
+                f"model {model_name}: generate_schema_name rendered "
+                f"{routed!r} — expected one identifier"
+            )
+        kwargs["database"] = routed
+
     models: list[ModelSpec] = []
     tests: list[SchemaTest] = []
     sources: list[tuple[str, str]] = []
@@ -794,6 +824,7 @@ def load_project(
                 continue  # disabled: never exec the file (dbt skips it)
             py_body, py_refs = _load_python_model(path)
             kwargs.pop("kind", None)  # python models are always tables
+            _route_schema(kwargs, stem)
             models.append(
                 ModelSpec(
                     name=stem,
@@ -834,6 +865,7 @@ def load_project(
         _apply_config(cfg_inline, kwargs)
         if not kwargs.pop("_enabled", True):
             continue
+        _route_schema(kwargs, stem)
         columns = {
             c["name"]: c.get("description", "")
             for c in meta.get("columns", []) or []

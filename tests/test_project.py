@@ -1193,3 +1193,85 @@ def test_packages_collisions_and_unsupported(tmp_path):
            """)
     with pytest.raises(EngineError, match="local"):
         load_project(root2)
+
+
+def test_generate_schema_name_default_macro(spark, sf_small, tmp_path):
+    """dbt's DEFAULT generate_schema_name macro — verbatim, including
+    `is none` and `| trim` — routes model datasets: unset schema keeps
+    the root, +schema concatenates under it."""
+    root = str(tmp_path / "gsnproj")
+    _write(root, "dbt_project.yml", "name: gsnproj\n")
+    _write(root, "macros/get_custom_schema.sql",
+           """\
+           {% macro generate_schema_name(custom_schema_name, node) -%}
+               {%- set default_schema = target.schema -%}
+               {%- if custom_schema_name is none -%}
+                   {{ default_schema }}
+               {%- else -%}
+                   {{ default_schema }}_{{ custom_schema_name | trim }}
+               {%- endif -%}
+           {%- endmacro %}
+           """)
+    _write(root, "models/rooted.sql",
+           "{{ config(materialized='view', dialect='spark') }}\nSELECT 1 AS x\n")
+    _write(root, "models/routed.sql",
+           "{{ config(materialized='table', schema=' marts ', dialect='spark') }}\n"
+           "SELECT 2 AS x\n")
+    proj = load_project(root)
+    dbs = {m.name: m.database for m in proj.models}
+    assert dbs["rooted"] == "udf"          # custom is none -> root
+    assert dbs["routed"] == "udf_marts"    # trimmed + concatenated
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["routed"], fail_fast=True)
+    assert spark.table("udf_marts.routed").first().x == 2
+
+
+def test_generate_schema_name_env_override(tmp_path):
+    """A production-style override switching on target.name resolves
+    per --env, and a macro rendering garbage fails loudly."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "gsn2")
+    _write(root, "dbt_project.yml", "name: gsn2\n")
+    _write(root, "macros/gsn.sql",
+           """\
+           {% macro generate_schema_name(custom_schema_name, node) -%}
+           {%- if target.name == 'prod' -%}{{ custom_schema_name }}{%- else -%}sandbox{%- endif -%}
+           {%- endmacro %}
+           """)
+    _write(root, "models/m.sql",
+           "{{ config(materialized='view', schema='marts', dialect='spark') }}\n"
+           "SELECT 1 AS x\n")
+    assert {m.database for m in load_project(root).models} == {"marts"}
+    assert {m.database for m in load_project(root, env="dev").models} == {"sandbox"}
+
+    root2 = str(tmp_path / "gsn3")
+    _write(root2, "dbt_project.yml", "name: gsn3\n")
+    _write(root2, "macros/gsn.sql",
+           "{% macro generate_schema_name(c, node) %}bad name!{% endmacro %}\n")
+    _write(root2, "models/m.sql", "SELECT 1 AS x\n")
+    with pytest.raises(EngineError, match="one identifier"):
+        load_project(root2)
+
+
+def test_invocation_context_renders(spark, sf_small, tmp_path):
+    """{{ invocation_id }} / {{ run_started_at }} — the dbt
+    audit-column idiom — render per build, and the id rotates between
+    builds (matching dbt's per-invocation uuid)."""
+    root = str(tmp_path / "invproj")
+    _write(root, "dbt_project.yml", "name: invproj\n")
+    _write(root, "models/audit.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT '{{ invocation_id }}' AS batch_id,\n"
+           "       TIMESTAMP '{{ run_started_at }}' AS loaded_at\n")
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["audit"], fail_fast=True)
+    first = spark.table("datamart.audit").first()
+    assert len(first.batch_id) == 32 and first.loaded_at is not None
+    assert engine.run_results()["invocation_id"] == first.batch_id
+    engine.build(select=["audit"], fail_fast=True)
+    second = spark.table("datamart.audit").first()
+    assert second.batch_id != first.batch_id  # fresh uuid per build

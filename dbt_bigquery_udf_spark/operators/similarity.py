@@ -1275,3 +1275,128 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HARD_NEG_K)
         .drop("rk")
     )
+
+
+# -- MMR diversified re-ranking --------------------------------------------
+
+MMR_CANDIDATES = 20  # shortlist size entering diversification
+MMR_K = 10           # diversified results returned
+# lambda = 0.7 as exact integer weights (x10): score = 7*rel - 3*redundancy
+MMR_REL_W, MMR_DIV_W = 7, 3
+
+
+def _duck_mmr() -> str:
+    """Unrolled MMR selection: stage i picks the argmax of
+    7*sim(q,c) - 3*max(sim(c, chosen)) over the un-chosen candidates —
+    all in integer micro-units, so both engines agree exactly. The
+    oracle unrolls the k iterations as CTE stages (deterministic SQL,
+    no recursion needed for a fixed k)."""
+    head = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.emb,
+             CAST(round(list_cosine_similarity(e.emb, q.qv) * 1000000) AS BIGINT) AS simq
+      FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY simq DESC, e.vec_id LIMIT {MMR_CANDIDATES}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    chosen0(vec_id, rk, score) AS (SELECT CAST(NULL AS BIGINT), 0, CAST(NULL AS BIGINT) WHERE false)
+    """
+    stages = []
+    for i in range(1, MMR_K + 1):
+        prev = f"chosen{i - 1}"
+        stages.append(f"""
+    pick{i} AS (
+      SELECT c.vec_id,
+             {MMR_REL_W} * c.simq - {MMR_DIV_W} * coalesce(
+               (SELECT max(p.sim) FROM pairs p
+                WHERE p.ai = c.vec_id
+                  AND p.bi IN (SELECT vec_id FROM {prev})), 0) AS score
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    chosen{i} AS MATERIALIZED (
+      SELECT vec_id, rk, score FROM {prev}
+      UNION ALL SELECT vec_id, {i} AS rk, score FROM pick{i}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(stages)
+        + f"""
+    SELECT rk, vec_id, score AS mmr_score_x10_micro
+    FROM chosen{MMR_K}
+    """
+    )
+
+
+@register("emb_mmr_diversify", _duck_mmr())
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the top-{MMR_CANDIDATES} cosine shortlist, greedily pick
+    k results maximizing lambda*relevance - (1-lambda)*max-similarity-
+    to-already-picked — the standard diversification pass between ANN
+    retrieval and serving (RAG context assembly, search result pages).
+
+    Split of labor, by design: candidate scoring and the pairwise
+    similarity matrix are DISTRIBUTED (the corpus scan is the top-k
+    plan sim_topk_brute pins; the pair matrix is a self-join of the
+    {MMR_CANDIDATES}-row shortlist with the codegen'd dot product);
+    the greedy selection itself runs driver-side over the collected
+    {MMR_CANDIDATES}x{MMR_CANDIDATES} INTEGER matrix — k iterations
+    over k^2 ints is serving-layer work (the same k-bounded-collect
+    rule as the IVF codebook fetches), and integer micro-unit scores
+    make the Python loop and the oracle's unrolled SQL stages agree
+    exactly.
+
+    Scale: the shortlist size, not the corpus, bounds everything after
+    the first stage; at 1B vectors the shortlist comes from the IVF/PQ
+    path (sim_ivfpq_adc) and this pass is unchanged.
+    """
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = "array(" + ", ".join(f"{float(x)!r}D" for x in qv) + ")"
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .selectExpr(
+            "vec_id",
+            "emb",
+            f"cast(round(({_cosine_expr('emb', q_lit)}) * 1000000) as bigint) AS simq",
+        )
+        .orderBy(F.col("simq").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .selectExpr(
+            "a.vec_id AS ai",
+            "b.vec_id AS bi",
+            f"cast(round(({_cosine_expr('a.emb', 'b.emb')}) * 1000000) as bigint) AS sim",
+        )
+        .collect()
+    )
+    simq = {r["vec_id"]: r["simq"] for r in cand.select("vec_id", "simq").collect()}
+    pair = {(r["ai"], r["bi"]): r["sim"] for r in pair_rows}
+    chosen: list[tuple[int, int, int]] = []  # (rk, vec_id, score)
+    picked: set[int] = set()
+    for rk in range(1, MMR_K + 1):
+        best = None
+        for vid in sorted(simq):
+            if vid in picked:
+                continue
+            red = max((pair[(vid, p)] for p in picked), default=0)
+            score = MMR_REL_W * simq[vid] - MMR_DIV_W * red
+            if best is None or score > best[1]:
+                best = (vid, score)
+        picked.add(best[0])
+        chosen.append((rk, best[0], best[1]))
+    return spark.createDataFrame(
+        chosen, "rk int, vec_id bigint, mmr_score_x10_micro bigint"
+    )

@@ -621,3 +621,34 @@ def test_rrf_fusion_is_k_bounded(spark, sf_small):
     assert all(r.rrf_micro > 0 for r in rows)
     assert any(r.r_bm25 is not None for r in rows)
     assert any(r.r_ann is not None for r in rows)
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_small):
+    """DSIR's per-bucket log-ratio table (B=512 rows) must join back
+    onto the exploded feature stream as a BROADCAST — a sort-merge
+    there would shuffle the entire gram stream a second time."""
+    f = _facts(spark, sf_small, "dsir_importance_weights")
+    assert "CartesianProduct" not in f.text, f.text
+    assert f.broadcast_joins >= 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_bpe_pairs_generate_after_vocab_reduction(spark, sf_small):
+    """BPE pair generation must run over the aggregated VOCABULARY,
+    not the raw token stream: the plan's only wide ops are the two
+    hash aggregates (token->vocab, pair->count) — 2 shuffle pairs at
+    most, and the pair-Generate sits above the first aggregate."""
+    f = _facts(spark, sf_small, "bpe_pair_counts")
+    assert f.exchanges <= 4, f.text  # 2 aggregates x (partial+final)
+    gen = f.text.find("Generate")              # pair explode
+    agg_below = f.text.rfind("HashAggregate")  # deepest aggregate
+    assert gen != -1 and agg_below > gen, f.text  # vocab agg BELOW the explode
+
+
+def test_hard_negatives_anchor_broadcast(spark, sf_small):
+    """Hard-negative mining broadcasts the anchor batch; the label
+    inequality keeps it a broadcast nested-loop (never a cartesian),
+    and the only shuffle is the per-anchor top-k window."""
+    f = _facts(spark, sf_small, "emb_hard_negatives")
+    assert "CartesianProduct" not in f.text, f.text
+    assert "BroadcastNestedLoopJoin" in f.text, f.text

@@ -44,7 +44,9 @@ from .models.core import EngineError
 __all__ = [
     "MacroDef",
     "parse_macros",
+    "parse_test_macros",
     "expand_macros",
+    "expand_test_macro",
     "render_control_flow",
     "MACRO_MAX_DEPTH",
 ]
@@ -138,6 +140,84 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
 _CF_TAGS = frozenset(
     {"if", "elif", "else", "endif", "for", "endfor", "set", "endset"}
 )
+
+
+_TEST_DEF_RE = re.compile(
+    r"\{%-?\s*test\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endtest\s*-?%\}",
+    re.S,
+)
+
+
+def parse_test_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
+    """All ``{% test name(model, column_name, ...) %}`` generic-test
+    definitions in one file's text — dbt's custom schema tests
+    (referenced by bare name from schema.yml ``tests:`` lists). The
+    body is the violating-rows query; the same restricted subset rules
+    as macro bodies apply."""
+    out: dict[str, MacroDef] = {}
+    for m in _TEST_DEF_RE.finditer(text):
+        name, sig, body = m.group(1), m.group(2), m.group(3)
+        if name in out:
+            raise EngineError(f"{origin}: duplicate test {name!r}")
+        params, defaults = _parse_signature(sig)
+        if not params or params[0] != "model":
+            raise EngineError(
+                f"{origin}: test {name!r} must declare 'model' as its "
+                "first parameter (dbt's generic-test signature)"
+            )
+        for tm in _LEFTOVER_BLOCK_RE.finditer(body):
+            if tm.group(1) not in _CF_TAGS:
+                raise EngineError(
+                    f"{origin}: test {name!r} uses unsupported Jinja "
+                    f"tag {{% {tm.group(1)} %}}"
+                )
+        out[name] = MacroDef(name, params, defaults, body.strip())
+    return out
+
+
+def expand_test_macro(
+    tdef: MacroDef,
+    model_text: str,
+    column_name: str | None,
+    kwargs: dict,
+    macros: dict[str, MacroDef],
+    origin: str = "<schema.yml>",
+    var_fn=None,
+    env: dict | None = None,
+) -> str:
+    """Render a generic test's body for one (model, column) binding.
+
+    ``model_text`` is inserted verbatim (normally ``{{ ref('m') }}`` so
+    relation resolution stays a RUN-time engine concern, exactly like
+    singular tests); ``column_name`` binds unquoted (dbt renders it as
+    an identifier); remaining schema.yml config keys bind as kwargs.
+    Nested macro calls in the body expand afterward.
+    """
+    bound: dict[str, tuple[str, bool]] = {
+        p: (_arg_text(t), _arg_was_string(t)) for p, t in tdef.defaults.items()
+    }
+    bound["model"] = (model_text, False)
+    if column_name is not None:
+        if "column_name" not in tdef.params:
+            raise EngineError(
+                f"{origin}: test {tdef.name!r} is used on a column but "
+                "does not declare a 'column_name' parameter"
+            )
+        bound["column_name"] = (column_name, False)
+    for k, v in kwargs.items():
+        if k not in tdef.params:
+            raise EngineError(
+                f"{origin}: test {tdef.name!r} got unexpected config "
+                f"key {k!r} (params: {list(tdef.params)})"
+            )
+        bound[k] = (str(v), isinstance(v, str))
+    missing = [p for p in tdef.params if p not in bound]
+    if missing:
+        raise EngineError(
+            f"{origin}: test {tdef.name!r} missing arguments {missing}"
+        )
+    body = _render_body(tdef, bound, var_fn, env, origin)
+    return expand_macros(body, macros, origin, var_fn, env)
 
 
 def _split_args(argtext: str) -> list[str]:

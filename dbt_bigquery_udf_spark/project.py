@@ -53,7 +53,14 @@ from dataclasses import dataclass, field
 import yaml
 
 from .catalog import target_context
-from .macros import MacroDef, _Unresolved, expand_macros, parse_macros
+from .macros import (
+    MacroDef,
+    _Unresolved,
+    expand_macros,
+    expand_test_macro,
+    parse_macros,
+    parse_test_macros,
+)
 from .models.core import _TARGET_ATTR_RE, EngineError, Exposure, ModelSpec
 from .models.quality import SchemaTest, SingularTest
 from .models.metrics import Metric
@@ -217,44 +224,61 @@ def _apply_config(cfg: dict, spec_kwargs: dict) -> None:
 _SPEC_FIELDS = {f.name for f in dataclasses.fields(ModelSpec)}
 
 
-def _schema_tests(model_name: str, col: dict) -> list[SchemaTest]:
-    out: list[SchemaTest] = []
-    for t in col.get("tests", []) or []:
-        if isinstance(t, str):
-            if t in ("unique", "not_null"):
-                out.append(SchemaTest(t, model_name, col["name"]))
-            continue
-        if isinstance(t, dict):
-            (t_name, t_cfg), = t.items()
-            t_cfg = t_cfg or {}
-            severity = str(t_cfg.get("severity", "error")).lower()
-            if t_name == "accepted_values":
-                out.append(
-                    SchemaTest(
-                        "accepted_values",
-                        model_name,
-                        col["name"],
-                        values=tuple(str(v) for v in t_cfg.get("values", [])),
-                        severity=severity,
-                    )
+def _schema_tests(
+    model_name: str,
+    col: dict | None,
+    entries: list,
+    generic_builder=None,
+) -> list:
+    """schema.yml ``tests:`` entries (column-level when ``col`` is set,
+    model-level otherwise) -> engine tests. Built-in generic tests map
+    to :class:`SchemaTest`; any other name routes through
+    ``generic_builder`` (custom ``{% test %}`` macros) — an unknown
+    name with no matching test macro fails loudly, as dbt does (a typo
+    must not silently skip a test)."""
+    col_name = col["name"] if col else None
+    out: list = []
+    for t in entries or []:
+        t_name, t_cfg = (t, {}) if isinstance(t, str) else next(iter(t.items()))
+        t_cfg = dict(t_cfg or {})
+        severity = str(t_cfg.pop("severity", "error")).lower()
+        if t_name in ("unique", "not_null") and col_name:
+            out.append(SchemaTest(t_name, model_name, col_name, severity=severity))
+        elif t_name == "accepted_values" and col_name:
+            out.append(
+                SchemaTest(
+                    "accepted_values",
+                    model_name,
+                    col_name,
+                    values=tuple(str(v) for v in t_cfg.get("values", [])),
+                    severity=severity,
                 )
-            elif t_name == "relationships":
-                to = t_cfg.get("to", "")
-                mref = _REF_IN_TEST_RE.search(str(to))
-                out.append(
-                    SchemaTest(
-                        "relationships",
-                        model_name,
-                        col["name"],
-                        to_model=mref.group(1) if mref else str(to),
-                        to_column=t_cfg.get("field", ""),
-                        severity=severity,
-                    )
+            )
+        elif t_name == "relationships" and col_name:
+            to = t_cfg.get("to", "")
+            mref = _REF_IN_TEST_RE.search(str(to))
+            out.append(
+                SchemaTest(
+                    "relationships",
+                    model_name,
+                    col_name,
+                    to_model=mref.group(1) if mref else str(to),
+                    to_column=t_cfg.get("field", ""),
+                    severity=severity,
                 )
-            elif t_name in ("unique", "not_null"):
-                out.append(
-                    SchemaTest(t_name, model_name, col["name"], severity=severity)
+            )
+        else:
+            built = (
+                generic_builder(t_name, model_name, col_name, t_cfg, severity)
+                if generic_builder
+                else None
+            )
+            if built is None:
+                raise EngineError(
+                    f"model {model_name}: unknown test {t_name!r} "
+                    "(not a built-in and no {% test %} macro defines it)"
                 )
+            out.append(built)
     return out
 
 
@@ -582,7 +606,10 @@ def load_project(
     # User macros (SQL-fragment subset — see macros.py): every .sql file
     # under macro-paths contributes {% macro %} definitions; call sites
     # in model bodies / singular tests / analyses expand at load time.
+    # {% test %} blocks in the same files define CUSTOM GENERIC TESTS,
+    # referenced by bare name from schema.yml tests: lists.
     macros: dict[str, MacroDef] = {}
+    test_macros: dict[str, MacroDef] = {}
     for mp_dir in macro_paths:
         root_m = os.path.join(project_dir, mp_dir)
         if not os.path.isdir(root_m):
@@ -593,13 +620,20 @@ def load_project(
                     continue
                 full = os.path.join(dirpath, f)
                 with open(full) as fh:
-                    for mname, mdef in parse_macros(fh.read(), full).items():
-                        if mname in macros:
-                            raise EngineError(
-                                f"duplicate macro {mname!r} (second "
-                                f"definition in {full})"
-                            )
-                        macros[mname] = mdef
+                    ftext = fh.read()
+                for mname, mdef in parse_macros(ftext, full).items():
+                    if mname in macros:
+                        raise EngineError(
+                            f"duplicate macro {mname!r} (second "
+                            f"definition in {full})"
+                        )
+                    macros[mname] = mdef
+                for tname, tdef in parse_test_macros(ftext, full).items():
+                    if tname in test_macros:
+                        raise EngineError(
+                            f"duplicate test macro {tname!r} ({full})"
+                        )
+                    test_macros[tname] = tdef
 
     # dbt packages (packages.yml): local-path packages contribute their
     # macros — callable qualified ({{ pkg.macro(...) }}) always, and
@@ -642,7 +676,11 @@ def load_project(
                             continue
                         full = os.path.join(dirpath, f)
                         with open(full) as fh:
-                            parsed = parse_macros(fh.read(), full)
+                            ftext = fh.read()
+                        parsed = parse_macros(ftext, full)
+                        for tname, tdef in parse_test_macros(ftext, full).items():
+                            # package test macros: project wins bare names
+                            test_macros.setdefault(tname, tdef)
                         for mname, mdef in parsed.items():
                             qual = f"{pkg_name}.{mname}"
                             if qual in macros:
@@ -901,13 +939,42 @@ def load_project(
     # Column tests attach to every loaded model — including seeds (a
     # schema.yml `unique`/`not_null` on seed columns is standard dbt
     # practice; dropping them would let `test --project` pass with the
-    # tests never executed).
+    # tests never executed). Custom names route through {% test %}
+    # macros: the body renders with model -> a ref() placeholder (so
+    # relation resolution stays run-time, like singular tests) and runs
+    # as a SingularTest whose rows are the violations.
+    def _generic_test(t_name, model_name, col_name, t_cfg, severity):
+        tdef = test_macros.get(t_name)
+        if tdef is None:
+            return None
+        sql = expand_test_macro(
+            tdef,
+            f"{{{{ ref('{model_name}') }}}}",
+            col_name,
+            t_cfg,
+            macros,
+            origin=f"test {t_name} on {model_name}",
+            var_fn=_load_var_fn,
+            env=macro_env,
+        )
+        suffix = f"_{col_name}" if col_name else ""
+        return SingularTest(
+            name=f"{t_name}_{model_name}{suffix}",
+            sql=sql,
+            severity=severity,
+        )
+
     loaded_names = {m.name for m in models}
     for entry_name, meta in docs.items():
         if entry_name not in loaded_names:
             continue
+        tests.extend(
+            _schema_tests(entry_name, None, meta.get("tests"), _generic_test)
+        )
         for c in meta.get("columns", []) or []:
-            tests.extend(_schema_tests(entry_name, c))
+            tests.extend(
+                _schema_tests(entry_name, c, c.get("tests"), _generic_test)
+            )
 
     # dbt singular tests: .sql files under test-paths whose rows ARE
     # the violations (the reference configures test-paths but ships the

@@ -1275,3 +1275,83 @@ def test_invocation_context_renders(spark, sf_small, tmp_path):
     engine.build(select=["audit"], fail_fast=True)
     second = spark.table("datamart.audit").first()
     assert second.batch_id != first.batch_id  # fresh uuid per build
+
+
+def test_custom_generic_test_macros(spark, sf_small, tmp_path):
+    """dbt custom generic tests: {% test name(model, column_name, ...) %}
+    blocks define tests referenced by bare name from schema.yml —
+    column-level with config kwargs, and model-level without a column.
+    Violations fail, clean data passes, unknown names fail loudly."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "gtproj")
+    _write(root, "dbt_project.yml", "name: gtproj\n")
+    _write(root, "macros/my_tests.sql",
+           """\
+           {% test is_positive(model, column_name) %}
+           SELECT * FROM {{ model }} WHERE {{ column_name }} <= 0
+           {% endtest %}
+
+           {% test accepted_range(model, column_name, min_value, max_value=100) %}
+           SELECT * FROM {{ model }}
+           WHERE {{ column_name }} < {{ min_value }}
+              OR {{ column_name }} > {{ max_value }}
+           {% endtest %}
+
+           {% test row_count_min(model, n) %}
+           SELECT 1 AS violation FROM {{ model }} HAVING count(*) < {{ n }}
+           {% endtest %}
+           """)
+    _write(root, "models/scores.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 10 AS ok_col, -3 AS bad_col UNION ALL SELECT 55, -1\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: scores
+               tests:
+                 - row_count_min:
+                     n: 2
+               columns:
+                 - name: ok_col
+                   tests:
+                     - is_positive
+                     - accepted_range:
+                         min_value: 0
+                 - name: bad_col
+                   tests:
+                     - is_positive:
+                         severity: warn
+           """)
+    proj = load_project(root)
+    names = {t.name for t in proj.tests}
+    assert names == {
+        "row_count_min_scores",
+        "is_positive_scores_ok_col",
+        "accepted_range_scores_ok_col",
+        "is_positive_scores_bad_col",
+    }
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["scores"], fail_fast=True)
+    results = {r.test.name: r for r in run_tests(spark, engine, proj.tests)}
+    assert results["row_count_min_scores"].passed
+    assert results["is_positive_scores_ok_col"].passed
+    assert results["accepted_range_scores_ok_col"].passed
+    bad = results["is_positive_scores_bad_col"]
+    assert not bad.passed and bad.n_failures == 2
+    assert bad.test.severity == "warn"
+
+    # unknown test name with no macro: loud, like dbt
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: scores
+               columns:
+                 - name: ok_col
+                   tests: [no_such_test]
+           """)
+    with pytest.raises(EngineError, match="no_such_test"):
+        load_project(root)

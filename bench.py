@@ -81,6 +81,13 @@ HEADLINE = [
     "bq_dialect_hll_rollup",
     "text_bm25_topk",
     "retrieval_rrf_fusion",
+    # round 3: data selection, tokenizer stats, contrastive mining,
+    # LM scoring, iterative graph
+    "dsir_importance_weights",
+    "bpe_pair_counts",
+    "emb_hard_negatives",
+    "text_bigram_lm_nll",
+    "graph_pagerank_converged",
 ]
 
 

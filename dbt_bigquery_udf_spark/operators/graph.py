@@ -213,3 +213,134 @@ def graph_reachable_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _src(spark, sf_dir)  # temp views: events
     return spark.sql(_REACHABILITY_SQL)
+
+
+# -- multi-iteration PageRank (the driver-loop iterative pattern) ----------
+
+PAGERANK_ITERS = 3
+_PR_SCALE = "1e12"  # micro-rank units; 1e12 keeps 3 iterations well above rounding noise
+# Per-term rounding to INTEGER micro-ranks before every sum makes each
+# iteration engine-exact (integer addition commutes; float summation
+# order does not): contrib = round(r_prev * p), r_next = teleport_int +
+# round(d * mass / N). `85e-2`/`15e-2` not `0.85`: decimal-literal trap
+# (see operators/text.py _DSIR_TERM).
+
+
+def _duck_pagerank_converged() -> str:
+    head = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), e AS MATERIALIZED (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+      SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS p FROM e
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+    ), nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST(round({_PR_SCALE} / n_nodes) AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    )"""
+    stages = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{i - 1}"
+        stages.append(f"""
+    mass{i} AS MATERIALIZED (
+      SELECT p.dst AS node,
+             CAST(sum(CAST(round({prev}.r * p.p) AS BIGINT)) AS BIGINT) AS m
+      FROM p JOIN {prev} ON p.src = {prev}.node
+      GROUP BY p.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(round(15e-2 * {_PR_SCALE} / nn.n_nodes) AS BIGINT)
+             + CAST(round(85e-2 * coalesce(mass{i}.m, 0) / nn.n_nodes) AS BIGINT)
+               AS r
+      FROM nodes LEFT JOIN mass{i} ON nodes.node = mass{i}.node CROSS JOIN nn
+    )""")
+    return (
+        head + "," + ",".join(stages)
+        + f"""
+    SELECT node, r AS rank_micro FROM r{PAGERANK_ITERS}
+    """
+    )
+
+
+@register("graph_pagerank_converged", _duck_pagerank_converged())
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated {PAGERANK_ITERS} rounds — the full driver-loop
+    iterative-algorithm pattern next to the single oracle-checkable
+    step (graph_pagerank_step): each round's rank table is PERSISTED
+    and the previous round's is unpersisted, so iteration i reads a
+    materialized |nodes|-row table instead of re-deriving the whole
+    lineage (without this, Spark's lazy plans re-run every prior round
+    per iteration — the classic iterative-workload trap).
+
+    Ranks travel as INTEGER micro-units (1e-12): every per-edge
+    contribution rounds to an integer before the in-mass sum, so the
+    result is bit-exact against the oracle's unrolled stages however
+    the engines order their additions — the same commutativity trick
+    as BM25/DSIR.
+
+    Scale: per round, one join of the rank table onto edges (broadcast
+    while ranks fit, shuffle-on-src beyond) + one aggregate on dst —
+    the canonical distributed PageRank round. The event-log window
+    pass runs ONCE (persisted edge relation); rounds touch only
+    O(|edges|) rows. Convergence-by-delta swaps the fixed range for a
+    while-loop over the same persisted-table step.
+    """
+    ev = _src(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    e = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    e.count()  # one full-log pass; everything after reads |types|^2 rows
+    p = e.select(
+        "src", "dst", (F.col("n") / F.sum("n").over(W.partitionBy("src"))).alias("p")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .selectExpr("node", f"CAST(round({_PR_SCALE} / n_nodes) AS BIGINT) AS r")
+        .persist()
+    )
+    ranks.count()
+    for _ in range(PAGERANK_ITERS):
+        mass = (
+            p.join(ranks, p["src"] == ranks["node"])
+            .selectExpr("dst AS node", "CAST(round(r * p) AS BIGINT) AS contrib")
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("bigint").alias("m"))
+        )
+        new_ranks = (
+            nodes.join(mass, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .selectExpr(
+                "node",
+                f"CAST(round(15e-2 * {_PR_SCALE} / n_nodes) AS BIGINT)"
+                " + CAST(round(85e-2 * coalesce(m, 0) / n_nodes) AS BIGINT) AS r",
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize BEFORE dropping the input it reads
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.selectExpr("node", "r AS rank_micro")

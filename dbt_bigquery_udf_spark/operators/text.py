@@ -1042,3 +1042,95 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("pair").agg(
         F.sum("n").cast("bigint").alias("pair_count")
     )
+
+
+# -- bigram-LM scoring (KenLM-style quality filtering, one step up) --------
+
+# Add-one-smoothed bigram negative log-likelihood per token, in integer
+# micro-units per bigram (the float-parity sum rule). `1e0` keeps the
+# arithmetic DOUBLE in both engines (see _DSIR_TERM).
+_BIGRAM_NLL = "round(-ln((pair_n + 1e0) / (ctx_n + v)) * 1000000)"
+
+
+@register(
+    "text_bigram_lm_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
+                                 t -> t <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), pair AS (
+      SELECT bigram, count(*) AS pair_n FROM bg GROUP BY bigram
+    ), ctx AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             CAST(sum(pair_n) AS BIGINT) AS ctx_n
+      FROM pair GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2]) AS BIGINT) AS v
+      FROM pair
+    ), scored AS (
+      SELECT bg.doc_id,
+             CAST({_BIGRAM_NLL} AS BIGINT) AS nll_micro
+      FROM bg
+      JOIN pair USING (bigram)
+      JOIN ctx ON ctx.w1 = string_split(bg.bigram, ' ')[1]
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(nll_micro) AS BIGINT) AS nll_sum_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (add-one smoothing) — one
+    step up from the unigram perplexity proxy toward the KenLM filter
+    CCNet actually runs: a document whose token TRANSITIONS are
+    improbable under the corpus bigram distribution reads as shuffled /
+    machine-generated even when its unigrams look fine.
+
+    Shape: one tokenize pass emits the bigram stream; pair counts and
+    per-context totals are Heaps-law-bounded aggregates; vocab size is
+    a 1-row broadcast; scoring joins counts back onto the stream and
+    the per-doc reduce sums integers (micro-unit NLL terms, so the sum
+    is engine-exact — float summation order never matters).
+
+    Scale: identical to text_perplexity_proxy plus one more
+    vocab-bounded aggregate; at 100 TB the count tables are the
+    materialize-once artifact and scoring is one hash join per stream
+    row. Swapping in a real KenLM changes the scoring join's right
+    side, not the plan.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), t -> t <> '')").alias("t"),
+    )
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1])")
+        ).alias("bigram"),
+    )
+    pair = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_n"))
+    ctx = (
+        pair.groupBy(F.split("bigram", " ")[0].alias("w1"))
+        .agg(F.sum("pair_n").cast("bigint").alias("ctx_n"))
+    )
+    vocab = pair.agg(
+        F.countDistinct(F.split("bigram", " ")[1]).cast("bigint").alias("v")
+    )
+    scored = (
+        bg.join(pair, "bigram")
+        .join(ctx, F.split(bg["bigram"], " ")[0] == ctx["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("doc_id", f"CAST({_BIGRAM_NLL} AS BIGINT) AS nll_micro")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll_micro").cast("bigint").alias("nll_sum_micro"),
+    )

@@ -91,6 +91,9 @@ class LoadedProject:
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
+_SNAPSHOT_BLOCK_RE = re.compile(
+    r"\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}", re.S
+)
 _REF_IN_TEST_RE = re.compile(r"""ref\s*\(\s*['"]([^'"]+)['"]\s*\)""")
 _DOCS_BLOCK_RE = re.compile(
     r"\{%-?\s*docs\s+(\w+)\s*-?%\}(.*?)\{%-?\s*enddocs\s*-?%\}", re.S
@@ -917,6 +920,66 @@ def load_project(
                 **kwargs,
             )
         )
+
+    # dbt snapshots: {% snapshot name %}{{ config(...) }} SELECT ...
+    # {% endsnapshot %} blocks under snapshot-paths — the SCD2 surface a
+    # migrating tree brings as files (the engine's kind='snapshot' has
+    # existed since round 1; this wires the dbt file format onto it).
+    for snp in proj.get("snapshot-paths", ["snapshots"]):
+        root_s = os.path.join(project_dir, snp)
+        if not os.path.isdir(root_s):
+            continue
+        for dirpath, _dirs, files in sorted(os.walk(root_s)):
+            for f in sorted(files):
+                if not f.endswith(".sql"):
+                    continue
+                s_path = os.path.join(dirpath, f)
+                with open(s_path) as fh:
+                    s_text = expand_macros(
+                        fh.read(), macros, origin=s_path,
+                        var_fn=_load_var_fn, env=macro_env,
+                    )
+                for sm in _SNAPSHOT_BLOCK_RE.finditer(s_text):
+                    s_name, s_body = sm.group(1), sm.group(2)
+                    if s_name in seen_stems:
+                        raise EngineError(
+                            f"duplicate model name {s_name!r}: "
+                            f"{seen_stems[s_name]} and {s_path}"
+                        )
+                    seen_stems[s_name] = s_path
+                    cfg, body = _split_config_block(s_body)
+                    s_kwargs: dict = {
+                        "kind": "snapshot",
+                        "unique_key": cfg.pop("unique_key", None),
+                        "snapshot_strategy": cfg.pop("strategy", "timestamp"),
+                        "updated_at": cfg.pop("updated_at", None),
+                    }
+                    if "check_cols" in cfg:
+                        cc = cfg.pop("check_cols")
+                        s_kwargs["check_cols"] = (
+                            tuple(cc) if isinstance(cc, (list, tuple)) else (cc,)
+                        )
+                    # dbt's snapshot schema config is target_schema
+                    # (target_database is BQ-project-level, dropped like
+                    # +database elsewhere)
+                    if "target_schema" in cfg:
+                        s_kwargs["database"] = cfg.pop("target_schema")
+                    cfg.pop("target_database", None)
+                    _apply_config(cfg, s_kwargs)
+                    s_kwargs.pop("_enabled", True)
+                    if s_kwargs["unique_key"] is None:
+                        raise EngineError(
+                            f"{s_path}: snapshot {s_name!r} needs unique_key"
+                        )
+                    meta_s = docs.get(s_name, {})
+                    models.append(
+                        ModelSpec(
+                            name=s_name,
+                            sql=body.strip(),
+                            description=meta_s.get("description", ""),
+                            **s_kwargs,
+                        )
+                    )
 
     for sp in seed_paths:
         root = os.path.join(project_dir, sp)

@@ -1355,3 +1355,50 @@ def test_custom_generic_test_macros(spark, sf_small, tmp_path):
            """)
     with pytest.raises(EngineError, match="no_such_test"):
         load_project(root)
+
+
+def test_snapshot_blocks_load_and_build(spark, sf_small, tmp_path):
+    """dbt {% snapshot %} blocks under snapshot-paths load as
+    kind='snapshot' specs (config: unique_key / strategy / updated_at /
+    target_schema) and run the SCD2 lifecycle: a changed source row
+    closes the old version and opens a new one."""
+    root = str(tmp_path / "snapproj")
+    _write(root, "dbt_project.yml",
+           """\
+           name: snapproj
+           vars:
+             price: 10
+             upd: 2024-01-01 00:00:00
+           """)
+    _write(root, "models/prices.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS id, {{ var('price') }} AS price,\n"
+           "       TIMESTAMP {{ var('upd') }} AS updated_at\n")
+    _write(root, "snapshots/price_history.sql",
+           """\
+           {% snapshot price_history %}
+           {{ config(target_schema='datamart', unique_key='id',
+                     strategy='timestamp', updated_at='updated_at') }}
+           SELECT * FROM {{ ref('prices') }}
+           {% endsnapshot %}
+           """)
+    proj = load_project(root)
+    spec = {m.name: m for m in proj.models}["price_history"]
+    assert spec.kind == "snapshot" and spec.unique_key == "id"
+    assert spec.snapshot_strategy == "timestamp" and spec.updated_at == "updated_at"
+    assert spec.database == "datamart"
+    engine = prepared_engine(spark, sf_small)
+    engine.vars.update(proj.vars)
+    spark.sql("DROP TABLE IF EXISTS datamart.price_history")
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["price_history"], fail_fast=True)
+    assert spark.table("datamart.price_history").count() == 1
+    # source row changes -> second snapshot run closes v1, opens v2
+    engine.vars["price"] = 20
+    engine.vars["upd"] = "2024-01-02 00:00:00"
+    engine.build(select=["price_history"], fail_fast=True)
+    rows = spark.sql(
+        "SELECT price, dbt_valid_to IS NULL AS open FROM datamart.price_history "
+        "ORDER BY dbt_valid_from"
+    ).collect()
+    assert [(r.price, r.open) for r in rows] == [(10, False), (20, True)]

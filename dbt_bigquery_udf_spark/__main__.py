@@ -206,6 +206,22 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--env", default=None)
     dl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    ro = sub.add_parser(
+        "run-operation",
+        help="expand a project macro and execute its SQL (dbt run-operation)",
+    )
+    ro.add_argument("macro")
+    ro.add_argument("--project", required=True)
+    ro.add_argument("--args", default=None, help="JSON object of macro kwargs")
+    ro.add_argument("--vars", default=None)
+    ro.add_argument("--env", default=None)
+    ro.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ro.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print the rendered SQL without executing",
+    )
+
     r = sub.add_parser("run-query", help="run a registered query and print rows")
     r.add_argument("name")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -250,6 +266,75 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(q.QUERIES):
             kind = "oracle" if name in q.ORACLES else "rows-only"
             print(f"{name}\t{kind}")
+        return 0
+
+    if args.cmd == "run-operation":
+        # dbt run-operation: expand a project macro with --args kwargs and
+        # execute the resulting statements — the maintenance-macro surface
+        # (grant sweeps, manual cleanups, ad-hoc DDL).
+        from .catalog import EngineError
+        from .macros import _Unresolved, expand_macros
+        from .project import load_project
+
+        proj = load_project(
+            args.project,
+            env=args.env,
+            cli_vars=json.loads(args.vars) if args.vars else None,
+        )
+        if args.macro not in proj.macros:
+            print(
+                f"macro {args.macro!r} not found in project "
+                f"(loaded: {sorted(proj.macros)})",
+                file=sys.stderr,
+            )
+            return 2
+
+        def _jarg(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "\\'") + "'"
+            if v is None:
+                return "none"
+            return repr(v)
+
+        kwargs = json.loads(args.args) if args.args else {}
+        call = ", ".join(f"{k}={_jarg(v)}" for k, v in kwargs.items())
+        merged_vars = {
+            **proj.vars,
+            **(json.loads(args.vars) if args.vars else {}),
+        }
+
+        def _vf(name, default):
+            if name in merged_vars:
+                return merged_vars[name]
+            if default is not _Unresolved:
+                return default
+            raise EngineError(f"var({name!r}) has no value and no default")
+
+        from .catalog import target_context
+        from .models.core import _TARGET_ATTR_RE
+
+        tgt = target_context(args.env)
+        sql = expand_macros(
+            f"{{{{ {args.macro}({call}) }}}}",
+            proj.macros,
+            origin=f"run-operation {args.macro}",
+            var_fn=_vf,
+            env={"target": tgt},
+        )
+        sql = _TARGET_ATTR_RE.sub(lambda m: str(tgt.get(m.group(1), "")), sql)
+        statements = [s.strip() for s in sql.split(";") if s.strip()]
+        if args.dry_run:
+            for st in statements:
+                print(st + ";")
+            return 0
+        from . import get_spark as _gs
+
+        op_spark = _gs(app_name="cli-run-operation")
+        for st in statements:
+            df = op_spark.sql(st)
+            print(json.dumps({"statement": st[:120], "rows": df.count()}))
         return 0
 
     from . import get_spark

@@ -88,6 +88,9 @@ class LoadedProject:
     # dbt analyses: name -> raw SQL (ref/source placeholders intact) —
     # compiled on demand, never materialized
     analyses: dict[str, str] = field(default_factory=dict)
+    # loaded macro definitions (project + packages) — the CLI's
+    # run-operation surface and debugging introspection
+    macros: dict[str, MacroDef] = field(default_factory=dict)
 
 
 _CONFIG_OPEN_RE = re.compile(r"\{\{\s*config\s*\(")
@@ -1107,4 +1110,5 @@ def load_project(
         on_run_start=_hook_tuple(proj.get("on-run-start")),
         on_run_end=_hook_tuple(proj.get("on-run-end")),
         analyses=analyses,
+        macros=macros,
     )

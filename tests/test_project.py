@@ -1402,3 +1402,44 @@ def test_snapshot_blocks_load_and_build(spark, sf_small, tmp_path):
         "ORDER BY dbt_valid_from"
     ).collect()
     assert [(r.price, r.open) for r in rows] == [(10, False), (20, True)]
+
+
+def test_cli_run_operation(spark, tmp_path):
+    """`run-operation MACRO --project DIR --args JSON` expands a
+    project macro (control flow + args + target context) and executes
+    its statements; --dry-run prints the rendered SQL."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "opproj")
+    _write(root, "dbt_project.yml", "name: opproj\n")
+    _write(root, "macros/ops.sql",
+           """\
+           {% macro make_audit(tbl, n=1) %}
+           CREATE DATABASE IF NOT EXISTS ops_audit;
+           DROP TABLE IF EXISTS ops_audit.{{ tbl }};
+           CREATE TABLE ops_audit.{{ tbl }} AS
+           SELECT {{ n }} AS n, '{{ target.name }}' AS env
+           {% endmacro %}
+           """)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "make_audit", "--project", root,
+                   "--args", '{"tbl": "marker", "n": 7}', "--dry-run"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "CREATE TABLE ops_audit.marker" in out
+    assert "SELECT 7 AS n" in out and "'prod' AS env" in out
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = main(["run-operation", "make_audit", "--project", root,
+                    "--args", '{"tbl": "marker", "n": 7}'])
+    assert rc2 == 0
+    row = spark.table("ops_audit.marker").first()
+    assert row.n == 7 and row.env == "prod"
+    # unknown macro -> exit 2
+    assert main(["run-operation", "nope", "--project", root]) == 2

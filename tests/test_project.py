@@ -1425,21 +1425,26 @@ def test_cli_run_operation(spark, tmp_path):
            SELECT {{ n }} AS n, '{{ target.name }}' AS env
            {% endmacro %}
            """)
+    import uuid as _uuid
+
+    tbl = f"marker_{_uuid.uuid4().hex[:8]}"  # unique: survives stale
+    # warehouse dirs left by earlier processes (derby metastore is
+    # per-process; the directory is not)
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = main(["run-operation", "make_audit", "--project", root,
-                   "--args", '{"tbl": "marker", "n": 7}', "--dry-run"])
+                   "--args", '{"tbl": "%s", "n": 7}' % tbl, "--dry-run"])
     assert rc == 0
     out = buf.getvalue()
-    assert "CREATE TABLE ops_audit.marker" in out
+    assert f"CREATE TABLE ops_audit.{tbl}" in out
     assert "SELECT 7 AS n" in out and "'prod' AS env" in out
 
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
         rc2 = main(["run-operation", "make_audit", "--project", root,
-                    "--args", '{"tbl": "marker", "n": 7}'])
+                    "--args", '{"tbl": "%s", "n": 7}' % tbl])
     assert rc2 == 0
-    row = spark.table("ops_audit.marker").first()
+    row = spark.table(f"ops_audit.{tbl}").first()
     assert row.n == 7 and row.env == "prod"
     # unknown macro -> exit 2
     assert main(["run-operation", "nope", "--project", root]) == 2

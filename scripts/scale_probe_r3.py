@@ -40,9 +40,13 @@ from dbt_bigquery_udf_spark.operators.spark_native import (  # noqa: E402
     _derive_bucket_count,
     global_row_ids,
 )
+from dbt_bigquery_udf_spark.operators.graph import (  # noqa: E402
+    graph_pagerank_converged,
+)
 from dbt_bigquery_udf_spark.operators.text import (  # noqa: E402
     bpe_pair_counts,
     dsir_importance_weights,
+    text_bigram_lm_nll,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,7 +102,14 @@ def main() -> None:
             timed(f"dedup_semantic x{n}", dedup_semantic, spark, d)
             timed(f"dsir_importance_weights x{n}", dsir_importance_weights, spark, d)
             timed(f"bpe_pair_counts x{n}", bpe_pair_counts, spark, d)
+            timed(f"text_bigram_lm_nll x{n}", text_bigram_lm_nll, spark, d)
             timed(f"emb_hard_negatives x{n}", emb_hard_negatives, spark, d)
+            timed(
+                f"graph_pagerank_converged x{n}",
+                graph_pagerank_converged,
+                spark,
+                d,
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -108,6 +108,10 @@ class ModelSpec:
     #           | 'incremental' | 'snapshot' | 'ephemeral' | 'python' | 'copy'
     sql: str  # model body; for kind='seed', the CSV file path; '' for python
     database: str = "udf"  # logical dataset; env suffix applied at build
+    # dbt's `alias` config: the PHYSICAL relation name when it differs
+    # from the model name (ref()/selectors/registry always use `name`;
+    # every warehouse-facing statement uses `relation_name`).
+    alias: str | None = None
     params: tuple[str, ...] = ()  # 'name TYPE' (BQ types), function kinds only
     return_type: str | None = None  # scalar functions only (BQ type)
     description: str = ""
@@ -210,6 +214,10 @@ class ModelSpec:
     # objects (probed on 4.1.2: INVALID_TEMP_OBJ_REFERENCE), exactly
     # why the reference built persistent UDFs instead.
     sql_header: tuple[str, ...] = ()
+
+    @property
+    def relation_name(self) -> str:
+        return self.alias or self.name
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -486,14 +494,14 @@ class Engine:
         if target.kind == "table_function":
             # TVF invocation must be unqualified (probed); the caller is
             # responsible for USE <db> — the engine does it during builds.
-            return name
+            return target.relation_name
         if target.kind == "ephemeral":
             # dbt ephemeral: never materialized — the rendered body
             # inlines into the caller as a subquery (recursively, so
             # ephemerals may ref ephemerals). Catalyst then optimizes
             # across the inlined boundary exactly as with a CTE.
             return f"({self.render(target)})"
-        return f"{db}.{name}"
+        return f"{db}.{target.relation_name}"
 
     def _resolve_source(self, dataset: str, table: str) -> str:
         # All external sources live in the source database regardless of
@@ -542,7 +550,7 @@ class Engine:
         # kept on incremental runs (target exists) and stripped on full
         # builds; `{{ this }}` resolves to the target relation.
         is_incremental = spec.kind == "incremental" and self.spark.catalog.tableExists(
-            f"{self.database_for(spec)}.{spec.name}"
+            f"{self.database_for(spec)}.{spec.relation_name}"
         )
         if "{%" in sql:
             # Jinja control flow ({% if %}/{% for %}/{% set %}, macros.py
@@ -582,7 +590,7 @@ class Engine:
             sql,
         )
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
-        sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.name}", sql)
+        sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.relation_name}", sql)
         sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
         sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)
         sql = sql.strip().rstrip(";")
@@ -660,14 +668,14 @@ class Engine:
             # Never materialized: downstream refs inline the body
             # (_resolve_ref). Registered in the relation cache so DAG
             # bookkeeping and selection still see the node.
-            rel = BuiltRelation(spec.name, db, spec.name, "ephemeral")
+            rel = BuiltRelation(spec.name, db, spec.relation_name, "ephemeral")
             self.relations[spec.name] = rel
             return rel
         body = self.render(spec)
         with catalog_lock:
             ensure_database(self.spark, db)
             if not replace:
-                check_name_conflict(self.spark, db, spec.name)  # F5
+                check_name_conflict(self.spark, db, spec.relation_name)  # F5
             for hook in spec.pre_hooks:  # F6
                 self.spark.sql(hook)
             for stmt in spec.sql_header:
@@ -680,7 +688,7 @@ class Engine:
                 params = self._spark_params(spec)
                 rtype = translate_param_list([f"x {spec.return_type}"])[0][1]
                 ddl = (
-                    f"CREATE OR REPLACE FUNCTION {db}.{spec.name}({params}) "
+                    f"CREATE OR REPLACE FUNCTION {db}.{spec.relation_name}({params}) "
                     f"RETURNS {rtype}{self._comment_clause(spec)} RETURN {body}"
                 )
                 self.spark.sql(ddl)
@@ -691,7 +699,7 @@ class Engine:
                     cols = self._infer_tvf_schema(spec, body)
                     params = self._spark_params(spec)
                     ddl = (
-                        f"CREATE OR REPLACE FUNCTION {db}.{spec.name}({params}) "
+                        f"CREATE OR REPLACE FUNCTION {db}.{spec.relation_name}({params}) "
                         f"RETURNS TABLE ({cols}){self._comment_clause(spec)} RETURN {body}"
                     )
                     self.spark.sql(ddl)
@@ -713,7 +721,7 @@ class Engine:
                 #                     default; models/incremental.py).
                 # Incremental runs route through reconcile_schema first
                 # (dbt's on_schema_change).
-                target = f"{db}.{spec.name}"
+                target = f"{db}.{spec.relation_name}"
                 self._check_contract_sql(spec, body)
                 if spec.incremental_strategy == "microbatch":
                     # Owns its own first-run path (batch-by-batch from
@@ -733,7 +741,7 @@ class Engine:
                         ),
                     )
                 elif not self.spark.catalog.tableExists(target):
-                    self._clean_stale_location(db, spec.name)
+                    self._clean_stale_location(db, spec.relation_name)
                     part = (
                         f" PARTITIONED BY ({', '.join(spec.partition_by)})"
                         if spec.partition_by
@@ -827,13 +835,13 @@ class Engine:
             elif spec.kind == "snapshot":
                 from .snapshots import build_snapshot
 
-                if not self.spark.catalog.tableExists(f"{db}.{spec.name}"):
+                if not self.spark.catalog.tableExists(f"{db}.{spec.relation_name}"):
                     # Fresh metastore + leftover warehouse dir from a
                     # previous process: clear it or CTAS refuses.
-                    self._clean_stale_location(db, spec.name)
+                    self._clean_stale_location(db, spec.relation_name)
                 build_snapshot(
                     self.spark,
-                    f"{db}.{spec.name}",
+                    f"{db}.{spec.relation_name}",
                     body,
                     unique_key=spec.unique_key,
                     strategy=spec.snapshot_strategy,
@@ -861,9 +869,9 @@ class Engine:
                 else:
                     reader = reader.option("inferSchema", "true")
                 df = reader.csv(body)
-                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                self._clean_stale_location(db, spec.name)
-                df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
+                self._clean_stale_location(db, spec.relation_name)
+                df.write.format("parquet").saveAsTable(f"{db}.{spec.relation_name}")
                 self._persist_docs(spec, db)
             elif spec.kind == "python":
                 df = spec.python_body(self.spark, _PythonModelContext(self))
@@ -873,9 +881,9 @@ class Engine:
                         f"got {type(df).__name__}"
                     )
                 self._enforce_contract(spec, df.schema)
-                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                self._clean_stale_location(db, spec.name)
-                df.write.format("parquet").saveAsTable(f"{db}.{spec.name}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
+                self._clean_stale_location(db, spec.relation_name)
+                df.write.format("parquet").saveAsTable(f"{db}.{spec.relation_name}")
                 self._persist_docs(spec, db)
             elif spec.kind == "copy":
                 # dbt-bigquery's `copy` materialization (BQ table copy
@@ -883,15 +891,15 @@ class Engine:
                 # parquet; a SELECT * CTAS is the honest equivalent —
                 # still zero transform logic, and partitioning carries
                 # via partition_by. body is the resolved relation name.
-                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                self._clean_stale_location(db, spec.name)
+                self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
+                self._clean_stale_location(db, spec.relation_name)
                 part = (
                     f" PARTITIONED BY ({', '.join(spec.partition_by)})"
                     if spec.partition_by
                     else ""
                 )
                 self.spark.sql(
-                    f"CREATE TABLE {db}.{spec.name} USING parquet{part} "
+                    f"CREATE TABLE {db}.{spec.relation_name} USING parquet{part} "
                     f"AS SELECT * FROM {body}"
                 )
                 self._persist_docs(spec, db)
@@ -905,20 +913,20 @@ class Engine:
                 try:
                     self._check_contract_sql(spec, body)
                     if spec.kind == "table":
-                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                        self._clean_stale_location(db, spec.name)
+                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
+                        self._clean_stale_location(db, spec.relation_name)
                         part = (
                             f" PARTITIONED BY ({', '.join(spec.partition_by)})"
                             if spec.partition_by
                             else ""
                         )
                         self.spark.sql(
-                            f"CREATE TABLE {db}.{spec.name} USING parquet{part} "
+                            f"CREATE TABLE {db}.{spec.relation_name} USING parquet{part} "
                             f"AS {body}"
                         )
                     else:
                         self.spark.sql(
-                            f"CREATE OR REPLACE VIEW {db}.{spec.name} AS {body}"
+                            f"CREATE OR REPLACE VIEW {db}.{spec.relation_name} AS {body}"
                         )
                 finally:
                     if call_db:
@@ -927,7 +935,7 @@ class Engine:
             for hook in spec.post_hooks:  # F6
                 self.spark.sql(hook)
 
-        rel = BuiltRelation(spec.name, db, spec.name, spec.kind)
+        rel = BuiltRelation(spec.name, db, spec.relation_name, spec.kind)
         self.relations[spec.name] = rel  # F9
         return rel
 
@@ -989,16 +997,16 @@ class Engine:
             ]
         if props:
             self.spark.sql(
-                f"ALTER TABLE {db}.{spec.name} SET TBLPROPERTIES ({', '.join(props)})"
+                f"ALTER TABLE {db}.{spec.relation_name} SET TBLPROPERTIES ({', '.join(props)})"
             )
         if spec.description:
             escaped = spec.description.strip().replace("'", "''")
-            self.spark.sql(f"COMMENT ON TABLE {db}.{spec.name} IS '{escaped}'")
+            self.spark.sql(f"COMMENT ON TABLE {db}.{spec.relation_name} IS '{escaped}'")
         if spec.kind in ("table", "seed", "incremental", "snapshot", "python", "copy"):
             for col, doc in spec.columns.items():
                 escaped = doc.strip().replace("'", "''")
                 self.spark.sql(
-                    f"ALTER TABLE {db}.{spec.name} ALTER COLUMN {col} COMMENT '{escaped}'"
+                    f"ALTER TABLE {db}.{spec.relation_name} ALTER COLUMN {col} COMMENT '{escaped}'"
                 )
 
     def catalog_info(self) -> dict[str, dict]:
@@ -1123,7 +1131,7 @@ class Engine:
             )
         return delete_keys(
             self.spark,
-            f"{self.database_for(spec)}.{spec.name}",
+            f"{self.database_for(spec)}.{spec.relation_name}",
             col,
             keys,
             partition_by=spec.partition_by
@@ -1140,7 +1148,7 @@ class Engine:
         guarded = set()
         for spec in self.models.values():
             if spec.require_partition_filter:
-                full = f"{self.database_for(spec)}.{spec.name}"
+                full = f"{self.database_for(spec)}.{spec.relation_name}"
                 if self.spark.catalog.tableExists(full):
                     guarded.add(full)
         if not guarded:
@@ -1317,6 +1325,7 @@ class Engine:
                 repr(spec.contract_columns),
                 repr(spec.invalidate_hard_deletes),
                 repr(spec.partitions),
+                repr(spec.alias),
                 repr(
                     (
                         spec.hours_to_expiration,
@@ -1380,8 +1389,8 @@ class Engine:
                 for spec in graph.values():
                     if spec.kind in ("incremental", "snapshot"):
                         db = self.database_for(spec)
-                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}")
-                        self._clean_stale_location(db, spec.name)
+                        self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
+                        self._clean_stale_location(db, spec.relation_name)
             ts = TopologicalSorter(
                 {n: set(s.refs) & graph.keys() for n, s in graph.items()}
             )

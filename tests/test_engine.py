@@ -1051,3 +1051,38 @@ def test_number_by_key_size_derived_buckets(spark):
     assert out2.rdd.getNumPartitions() == 10
     got = {r["doc_id"]: r["global_id"] for r in out2.collect()}
     assert got == {i: i + 1 for i in range(10)}
+
+
+def test_alias_config_routes_physical_name(spark, sf_small, tmp_path):
+    """dbt's `alias` config: the physical relation takes the alias while
+    ref()/selection keep the model name — the versioned-filename /
+    stable-table-name idiom."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+
+    engine = prepared_engine(spark, sf_small)
+    spark.sql("DROP TABLE IF EXISTS datamart.orders_current")
+    engine.register(
+        ModelSpec(
+            name="orders_v2",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            alias="orders_current",
+            sql="SELECT 42 AS answer",
+        ),
+        ModelSpec(
+            name="orders_reader",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql="SELECT answer + 1 AS downstream FROM {{ ref('orders_v2') }}",
+        ),
+        replace=True,
+    )
+    rels = engine.build(select=["orders_reader"], fail_fast=True)
+    # physical = alias; registry/selection = model name
+    assert rels["orders_v2"].qualified == "datamart.orders_current"
+    assert spark.table("datamart.orders_current").first().answer == 42
+    assert not spark.catalog.tableExists("datamart.orders_v2")
+    assert spark.table("datamart.orders_reader").first().downstream == 43

@@ -736,6 +736,30 @@ def load_project(
             )
         kwargs["database"] = routed
 
+    # generate_alias_name — the sibling override for the PHYSICAL
+    # relation name (dbt's default: custom alias if set, else the model
+    # name). Routed the same way as generate_schema_name.
+    def _route_alias(kwargs: dict, model_name: str) -> None:
+        if "generate_alias_name" not in macros:
+            return
+        custom = kwargs.get("alias")
+        arg = "'" + str(custom).replace("'", "\\'") + "'" if custom else "none"
+        node_arg = "{'name': '" + model_name + "', 'resource_type': 'model'}"
+        routed = expand_macros(
+            f"{{{{ generate_alias_name({arg}, {node_arg}) }}}}",
+            macros,
+            origin=f"model {model_name} (generate_alias_name)",
+            var_fn=_load_var_fn,
+            env=macro_env,
+        ).strip()
+        if not re.fullmatch(r"\w+", routed or ""):
+            raise EngineError(
+                f"model {model_name}: generate_alias_name rendered "
+                f"{routed!r} — expected one identifier"
+            )
+        if routed != model_name:
+            kwargs["alias"] = routed
+
     models: list[ModelSpec] = []
     tests: list[SchemaTest] = []
     sources: list[tuple[str, str]] = []
@@ -869,6 +893,7 @@ def load_project(
             py_body, py_refs = _load_python_model(path)
             kwargs.pop("kind", None)  # python models are always tables
             _route_schema(kwargs, stem)
+            _route_alias(kwargs, stem)
             models.append(
                 ModelSpec(
                     name=stem,
@@ -910,6 +935,7 @@ def load_project(
         if not kwargs.pop("_enabled", True):
             continue
         _route_schema(kwargs, stem)
+        _route_alias(kwargs, stem)
         columns = {
             c["name"]: c.get("description", "")
             for c in meta.get("columns", []) or []

@@ -1448,3 +1448,34 @@ def test_cli_run_operation(spark, tmp_path):
     assert row.n == 7 and row.env == "prod"
     # unknown macro -> exit 2
     assert main(["run-operation", "nope", "--project", root]) == 2
+
+
+def test_generate_alias_name_and_alias_config(spark, sf_small, tmp_path):
+    """dbt's default generate_alias_name (custom alias or node name) and
+    a prefixing override both route the PHYSICAL name; ref() keeps
+    using the model name."""
+    root = str(tmp_path / "ganproj")
+    _write(root, "dbt_project.yml", "name: ganproj\n")
+    _write(root, "macros/gan.sql",
+           """\
+           {% macro generate_alias_name(custom_alias_name, node) -%}
+           {%- if custom_alias_name is none -%}{{ node.name }}{%- else -%}{{ custom_alias_name | trim }}{%- endif -%}
+           {%- endmacro %}
+           """)
+    _write(root, "models/plain_model.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT 1 AS x\n")
+    _write(root, "models/versioned_v3.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark', "
+           "alias=' stable_name ') }}\n"
+           "SELECT 2 AS x\n")
+    proj = load_project(root)
+    by = {m.name: m for m in proj.models}
+    assert by["plain_model"].alias is None  # default: node name -> no alias
+    assert by["versioned_v3"].alias == "stable_name"  # trimmed custom
+    engine = prepared_engine(spark, sf_small)
+    spark.sql("DROP TABLE IF EXISTS datamart.stable_name")
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["versioned_v3"], fail_fast=True)
+    assert spark.table("datamart.stable_name").first().x == 2
+    assert not spark.catalog.tableExists("datamart.versioned_v3")

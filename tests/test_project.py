@@ -1479,3 +1479,53 @@ def test_generate_alias_name_and_alias_config(spark, sf_small, tmp_path):
     engine.build(select=["versioned_v3"], fail_fast=True)
     assert spark.table("datamart.stable_name").first().x == 2
     assert not spark.catalog.tableExists("datamart.versioned_v3")
+
+
+def test_compat_utils_package(spark, sf_small, tmp_path):
+    """The vendored examples/packages/compat_utils package loads via
+    packages.yml and its dbt_utils-style macros (date_spine,
+    surrogate_key, safe_divide) and generic tests (not_empty_string,
+    at_least_one) work end to end."""
+    import os as _os
+
+    pkg = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "examples", "packages", "compat_utils",
+    )
+    root = str(tmp_path / "cuproj")
+    _write(root, "dbt_project.yml", "name: cuproj\n")
+    _write(root, "packages.yml", f"packages:\n  - local: {pkg}\n")
+    _write(root, "models/util_mart.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT date_day,\n"
+           "       {{ surrogate_key(['date_day', \"'fixed'\"]) }} AS sk,\n"
+           "       {{ safe_divide(10, 0) }} AS div0,\n"
+           "       {{ cents_to_dollars(12345) }} AS dollars\n"
+           "FROM {{ compat_utils.date_spine('2024-03-01', '2024-03-05') }}\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: util_mart
+               columns:
+                 - name: sk
+                   tests: [not_empty_string, at_least_one]
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["util_mart"], fail_fast=True)
+    df = spark.table("datamart.util_mart")
+    assert df.count() == 5
+    row = df.orderBy("date_day").first()
+    assert row.div0 is None and float(row.dollars) == 123.45
+    assert len(row.sk) == 32  # md5 hex
+    # surrogate key parity with the raw recipe
+    expected = spark.sql(
+        "SELECT md5(concat_ws('-', coalesce(cast(to_date('2024-03-01') as string), '_null_'), "
+        "coalesce(cast('fixed' as string), '_null_'))) AS sk"
+    ).first().sk
+    assert row.sk == expected
+    results = {r.test.name: r for r in run_tests(spark, engine, proj.tests)}
+    assert results["not_empty_string_util_mart_sk"].passed
+    assert results["at_least_one_util_mart_sk"].passed

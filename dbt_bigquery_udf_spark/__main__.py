@@ -206,6 +206,17 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--env", default=None)
     dl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    ls_p = sub.add_parser(
+        "ls", help="list resolved models for a selection (dbt ls)"
+    )
+    ls_p.add_argument("--select", nargs="*", default=None)
+    ls_p.add_argument("--exclude", nargs="*", default=None)
+    ls_p.add_argument("--state", default=None)
+    ls_p.add_argument("--project", default=None)
+    ls_p.add_argument("--vars", default=None)
+    ls_p.add_argument("--env", default=None)
+    ls_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     ro = sub.add_parser(
         "run-operation",
         help="expand a project macro and execute its SQL (dbt run-operation)",
@@ -340,6 +351,31 @@ def main(argv: list[str] | None = None) -> int:
     from . import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "ls":
+        from .api import bootstrap
+
+        engine = bootstrap(
+            spark,
+            args.sf_dir,
+            env=args.env,
+            vars=json.loads(args.vars) if args.vars else None,
+        )
+        _overlay_project(engine)
+        graph = engine._subgraph(args.select, state=args.state, exclude=args.exclude)
+        for name in sorted(graph):
+            spec = graph[name]
+            print(
+                json.dumps(
+                    {
+                        "name": name,
+                        "kind": spec.kind,
+                        "relation": f"{engine.database_for(spec)}.{spec.relation_name}",
+                        "tags": list(spec.tags),
+                    }
+                )
+            )
+        return 0
 
     if args.cmd == "build":
         from .api import bootstrap

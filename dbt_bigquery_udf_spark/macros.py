@@ -48,6 +48,7 @@ __all__ = [
     "expand_macros",
     "expand_test_macro",
     "render_control_flow",
+    "strip_jinja_comments",
     "MACRO_MAX_DEPTH",
 ]
 
@@ -56,6 +57,19 @@ __all__ = [
 RESERVED = frozenset({"ref", "source", "var", "this", "config", "return"})
 
 MACRO_MAX_DEPTH = 16
+
+# Jinja comments: dbt strips {# ... #} everywhere before anything else
+# renders; leaking one into emitted SQL is a parse error downstream.
+_JINJA_COMMENT_RE = re.compile(r"\{#.*?#\}", re.S)
+
+
+def strip_jinja_comments(text: str) -> str:
+    """Remove ``{# ... #}`` comment spans (Jinja semantics: deleted
+    before evaluation; an unterminated comment fails loudly)."""
+    out = _JINJA_COMMENT_RE.sub("", text)
+    if "{#" in out:
+        raise EngineError("unterminated Jinja comment ({# without #})")
+    return out
 
 _MACRO_DEF_RE = re.compile(
     r"\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}",
@@ -104,6 +118,7 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
     silently-dropped `{% if %}` would change what the macros render).
     """
     out: dict[str, MacroDef] = {}
+    text = strip_jinja_comments(text)
     remainder = text
     for m in _MACRO_DEF_RE.finditer(text):
         name, sig, body = m.group(1), m.group(2), m.group(3)
@@ -155,6 +170,7 @@ def parse_test_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef
     body is the violating-rows query; the same restricted subset rules
     as macro bodies apply."""
     out: dict[str, MacroDef] = {}
+    text = strip_jinja_comments(text)
     for m in _TEST_DEF_RE.finditer(text):
         name, sig, body = m.group(1), m.group(2), m.group(3)
         if name in out:
@@ -504,6 +520,8 @@ def expand_macros(
     one level deeper before splicing), so a model with hundreds of flat
     sibling call sites — routine in production trees — never trips it.
     """
+    if _depth == 0:
+        body = strip_jinja_comments(body)
     if not macros:
         return body
     pos = 0

@@ -544,6 +544,10 @@ class Engine:
             return sql.strip()  # a CSV path, not SQL — no transpile/resolve
         if spec.kind == "python":
             return ""  # body is a callable, not SQL
+        if "{#" in sql:
+            from ..macros import strip_jinja_comments
+
+            sql = strip_jinja_comments(sql)
         if spec.dialect == "bigquery":
             sql = transpile_bq_expr(sql)
         # dbt incremental surface: `{% if is_incremental() %}` blocks are

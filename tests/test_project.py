@@ -1529,3 +1529,55 @@ def test_compat_utils_package(spark, sf_small, tmp_path):
     results = {r.test.name: r for r in run_tests(spark, engine, proj.tests)}
     assert results["not_empty_string_util_mart_sk"].passed
     assert results["at_least_one_util_mart_sk"].passed
+
+
+def test_jinja_comments_stripped(spark, sf_small, tmp_path):
+    """{# ... #} comments are deleted before anything renders (Jinja
+    semantics) — in model bodies, inside macro bodies, and in
+    registered-spec render; an unterminated comment fails loudly."""
+    from dbt_bigquery_udf_spark.models.core import EngineError, ModelSpec
+
+    root = str(tmp_path / "cmtproj")
+    _write(root, "dbt_project.yml", "name: cmtproj\n")
+    _write(root, "macros/m.sql",
+           "{% macro pick() %}{# inside a macro #}7{% endmacro %}\n")
+    _write(root, "models/cmt.sql",
+           "{{ config(materialized='view', dialect='spark') }}\n"
+           "{# a leading note #}\n"
+           "SELECT {{ pick() }} AS x {# trailing #}\n")
+    proj = load_project(root)
+    body = {m.name: m.sql for m in proj.models}["cmt"]
+    assert "{#" not in body and "SELECT 7 AS x" in body
+    engine = prepared_engine(spark, sf_small)
+    engine.register(
+        ModelSpec(name="cmt_direct", kind="view", dialect="spark",
+                  sql="SELECT 1 {# registered-spec comment #} AS y"),
+        replace=True,
+    )
+    assert "{#" not in engine.render(engine.models["cmt_direct"])
+    with pytest.raises(EngineError, match="unterminated"):
+        engine.render(
+            ModelSpec(name="bad", kind="view", dialect="spark",
+                      sql="SELECT 1 {# never closed")
+        )
+
+
+def test_cli_ls_lists_selection(spark, sf_small, project_dir):
+    """`ls --project --select` prints the resolved model set (closure
+    semantics match build) without materializing anything."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["ls", "--project", project_dir, "--select", "fixture_mart",
+                   "--sf-dir", sf_small])
+    assert rc == 0
+    rows = [_json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")]
+    names = {r["name"] for r in rows}
+    assert "fixture_mart" in names and "events_of_type" in names  # closure
+    mart = next(r for r in rows if r["name"] == "fixture_mart")
+    assert mart["relation"] == "datamart.fixture_mart"

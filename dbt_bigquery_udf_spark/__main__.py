@@ -334,8 +334,34 @@ def main(argv: list[str] | None = None) -> int:
             var_fn=_vf,
             env={"target": tgt},
         )
-        sql = _TARGET_ATTR_RE.sub(lambda m: str(tgt.get(m.group(1), "")), sql)
-        statements = [s.strip() for s in sql.split(";") if s.strip()]
+        def _tgt_attr(m):
+            if m.group(1) not in tgt:
+                raise EngineError(
+                    f"run-operation {args.macro}: unknown target "
+                    f"attribute target.{m.group(1)}"
+                )
+            return str(tgt[m.group(1)])
+
+        sql = _TARGET_ATTR_RE.sub(_tgt_attr, sql)
+
+        # split on ';' OUTSIDE string literals (a COMMENT containing
+        # ';' must not shear the statement)
+        statements, cur, quote = [], [], None
+        for ch in sql:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                cur.append(ch)
+            elif ch == ";":
+                statements.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        statements.append("".join(cur))
+        statements = [s.strip() for s in statements if s.strip()]
         if args.dry_run:
             for st in statements:
                 print(st + ";")
@@ -587,7 +613,7 @@ def main(argv: list[str] | None = None) -> int:
                     {
                         "model": name,
                         "kind": spec.kind,
-                        "relation": f"{engine.database_for(spec)}.{name}",
+                        "relation": f"{engine.database_for(spec)}.{spec.relation_name}",
                         "compiled_sql": engine.render(spec),
                     }
                 )
@@ -778,7 +804,7 @@ def main(argv: list[str] | None = None) -> int:
         if spec is None:
             print(f"unknown model {args.model!r}", file=sys.stderr)
             return 2
-        target = f"{engine.database_for(spec)}.{spec.name}"
+        target = f"{engine.database_for(spec)}.{spec.relation_name}"
         if not spark.catalog.tableExists(target):
             print(
                 f"{target} is not built — run `build --select {args.model}` "

@@ -745,12 +745,16 @@ def transpile_bq_functions(sql: str) -> str:
         # idx defaulting to 1 (returning '' where BQ returns NULL), and
         # BQ's 3rd/4th args are position/occurrence while Spark's 3rd
         # is the group index — so they fail LOUDLY here instead.
-        if len(a) == 3 and a[2].strip() in ("0", "1"):
-            # Already Spark-shaped (group index 0/1 — exactly what this
-            # rewrite emits): leave untouched so transpile is idempotent
-            # over its own output. A BQ position literal of 1 is the
-            # default start anyway; positions >= 2 fall through to the
-            # loud rejection below.
+        spelled_lower = m.group(0).rstrip("( \t").islower()
+        if len(a) == 3 and a[2].strip() in ("0", "1") and spelled_lower:
+            # Already Spark-shaped: exactly what this rewrite emits
+            # (lowercase spelling, group index 0/1) — left untouched so
+            # transpile is idempotent over its own output. Uppercase
+            # 3-arg calls are BQ's position form (position 1 included:
+            # its 3rd arg means start offset, Spark's means group) and
+            # fall through to the loud rejection; the one residual
+            # ambiguity is a hand-written LOWERCASE 3-arg BQ call with
+            # position 0/1, documented here.
             return None
         if len(a) != 2:
             raise ValueError(
@@ -780,7 +784,11 @@ def transpile_bq_functions(sql: str) -> str:
         # Same loudness rule too: Spark's 2-arg regexp_extract_all also
         # defaults the group index to 1, so pass-through would silently
         # extract group 1 where BQ extracts the whole match.
-        if len(a) == 3 and a[2].strip() in ("0", "1"):
+        if (
+            len(a) == 3
+            and a[2].strip() in ("0", "1")
+            and m.group(0).rstrip("( \t").islower()
+        ):
             return None  # already Spark-shaped (our own emitted form)
         if len(a) != 2:
             raise ValueError(

@@ -626,8 +626,18 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
     if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
         return -_cf_node(node.operand, env, var_fn, origin)
     if isinstance(node, _ast.BoolOp):
-        vals = (_cf_node(v, env, var_fn, origin) for v in node.values)
-        return all(vals) if isinstance(node.op, _ast.And) else any(vals)
+        # Python/Jinja semantics: and/or return the deciding OPERAND,
+        # not a coerced bool — `custom_schema_name or target.schema`
+        # must yield the schema string, never 'true'.
+        result = None
+        for v in node.values:
+            result = _cf_node(v, env, var_fn, origin)
+            if isinstance(node.op, _ast.And):
+                if not result:
+                    return result
+            elif result:
+                return result
+        return result
     if isinstance(node, _ast.Compare):
         left = _cf_node(node.left, env, var_fn, origin)
         for op, right_n in zip(node.ops, node.comparators):

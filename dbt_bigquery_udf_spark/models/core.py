@@ -376,7 +376,7 @@ class _PythonModelContext:
         if target.kind == "ephemeral":
             return self._engine.spark.sql(self._engine.render(target))
         return self._engine.spark.table(
-            f"{self._engine.database_for(target)}.{name}"
+            f"{self._engine.database_for(target)}.{target.relation_name}"
         )
 
     def source(self, dataset: str, table: str) -> DataFrame:
@@ -741,7 +741,7 @@ class Engine:
                         lookback=spec.lookback,
                         begin=spec.begin,
                         clean_location=lambda: self._clean_stale_location(
-                            db, spec.name
+                            db, spec.relation_name
                         ),
                     )
                 elif not self.spark.catalog.tableExists(target):

@@ -162,7 +162,7 @@ class MetricRegistry:
         keys += dims
         if m.model in self.engine.models:
             spec = self.engine.models[m.model]
-            relation = f"{self.engine.database_for(spec)}.{spec.name}"
+            relation = f"{self.engine.database_for(spec)}.{spec.relation_name}"
         else:
             relation = m.model  # dotted catalog relation (source)
         conds = [c for c in (m.filter, where) if c]

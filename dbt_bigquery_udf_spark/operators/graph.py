@@ -258,7 +258,7 @@ def _duck_pagerank_converged() -> str:
     r{i} AS MATERIALIZED (
       SELECT nodes.node,
              CAST(round(15e-2 * {_PR_SCALE} / nn.n_nodes) AS BIGINT)
-             + CAST(round(85e-2 * coalesce(mass{i}.m, 0) / nn.n_nodes) AS BIGINT)
+             + CAST(round(85e-2 * coalesce(mass{i}.m, 0)) AS BIGINT)
                AS r
       FROM nodes LEFT JOIN mass{i} ON nodes.node = mass{i}.node CROSS JOIN nn
     )""")
@@ -279,6 +279,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized |nodes|-row table instead of re-deriving the whole
     lineage (without this, Spark's lazy plans re-run every prior round
     per iteration — the classic iterative-workload trap).
+
+    Recurrence: r_i(v) = (1-d)/N + d * sum_u r_(i-1)(u) * p(u, v) —
+    the in-mass term carries r_(i-1) in absolute units (unlike the
+    single-step query, whose /N IS the uniform r0), so it is NOT
+    divided by N again; the rank vector keeps summing to ~1.
 
     Ranks travel as INTEGER micro-units (1e-12): every per-edge
     contribution rounds to an integer before the in-mass sum, so the
@@ -336,7 +341,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr(
                 "node",
                 f"CAST(round(15e-2 * {_PR_SCALE} / n_nodes) AS BIGINT)"
-                " + CAST(round(85e-2 * coalesce(m, 0) / n_nodes) AS BIGINT) AS r",
+                " + CAST(round(85e-2 * coalesce(m, 0)) AS BIGINT) AS r",
             )
             .persist()
         )

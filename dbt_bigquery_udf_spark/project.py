@@ -757,6 +757,9 @@ def load_project(
                 f"model {model_name}: generate_alias_name rendered "
                 f"{routed!r} — expected one identifier"
             )
+        # The macro's output is authoritative (dbt): an override that
+        # returns node.name DROPS a configured alias, it doesn't keep it.
+        kwargs.pop("alias", None)
         if routed != model_name:
             kwargs["alias"] = routed
 
@@ -995,7 +998,8 @@ def load_project(
                         s_kwargs["database"] = cfg.pop("target_schema")
                     cfg.pop("target_database", None)
                     _apply_config(cfg, s_kwargs)
-                    s_kwargs.pop("_enabled", True)
+                    if not s_kwargs.pop("_enabled", True):
+                        continue  # config(enabled=false): dbt skips it
                     if s_kwargs["unique_key"] is None:
                         raise EngineError(
                             f"{s_path}: snapshot {s_name!r} needs unique_key"

@@ -163,3 +163,16 @@ def test_regexp_extract_unsupported_forms_fail_loudly():
         transpile_bq_expr("SELECT REGEXP_EXTRACT_ALL(s, pat) FROM t")
     with _pytest.raises(ValueError, match="2 args"):
         transpile_bq_expr("SELECT REGEXP_EXTRACT_ALL(s, '(a)', 2) FROM t")
+
+
+def test_regexp_extract_uppercase_position_form_rejected():
+    """BQ-spelled (uppercase) 3-arg REGEXP_EXTRACT is the position form
+    even when the position is 1 — it must reject loudly, while the
+    transpiler's own lowercase emission stays idempotent (round-3
+    review fix)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="position/occurrence"):
+        transpile_bq_expr("SELECT REGEXP_EXTRACT(s, r'(\\d+)', 1) FROM t")
+    out = transpile_bq_expr("SELECT REGEXP_EXTRACT('id=42', 'id=([0-9]+)') AS g")
+    assert transpile_bq_expr(out) == out  # own output still passes through

@@ -1086,3 +1086,33 @@ def test_alias_config_routes_physical_name(spark, sf_small, tmp_path):
     assert spark.table("datamart.orders_current").first().answer == 42
     assert not spark.catalog.tableExists("datamart.orders_v2")
     assert spark.table("datamart.orders_reader").first().downstream == 43
+
+
+def test_alias_reaches_python_ref_and_metrics(spark, sf_small):
+    """Alias-aware resolution beyond SQL ref(): python-model ctx.ref()
+    and metric compilation must read the PHYSICAL relation (round-3
+    review fixes)."""
+    from dbt_bigquery_udf_spark.api import prepared_engine
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+    from dbt_bigquery_udf_spark.models.metrics import Metric, MetricRegistry
+
+    engine = prepared_engine(spark, sf_small)
+    spark.sql("DROP TABLE IF EXISTS datamart.phys_target")
+    engine.register(
+        ModelSpec(name="logical_src", kind="table", database="datamart",
+                  dialect="spark", alias="phys_target",
+                  sql="SELECT 5 AS v UNION ALL SELECT 7 AS v"),
+        ModelSpec(
+            name="py_reader", kind="python", database="datamart", sql="",
+            python_body=lambda spark_, ctx: ctx.ref("logical_src"),
+            python_refs=("logical_src",),
+        ),
+        replace=True,
+    )
+    engine.build(select=["py_reader"], fail_fast=True)
+    assert spark.table("datamart.py_reader").count() == 2
+    reg = MetricRegistry(engine)
+    reg.register(Metric(name="v_sum", model="logical_src", expression="sum(v)"))
+    compiled = reg.compile("v_sum")
+    assert "datamart.phys_target" in compiled
+    assert spark.sql(compiled).first()[0] == 12

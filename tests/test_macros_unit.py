@@ -139,3 +139,21 @@ def test_config_require_missing_key_fails_loudly():
 def test_unsupported_macro_body_tag_rejected_at_load():
     with pytest.raises(EngineError, match="unsupported Jinja tag"):
         parse_macros("{% macro m() %}{% call x() %}{% endcall %}{% endmacro %}")
+
+
+def test_bool_ops_return_operand_not_bool():
+    """Python/Jinja and/or return the deciding OPERAND — the
+    `custom or target.schema` idiom must yield the string, not 'true'
+    (round-3 review fix)."""
+    t = "{% set s = none or 'analytics' %}{{ s }}"
+    assert render_control_flow(t, _vf).strip() == "analytics"
+    t2 = "{% set s = 'first' or 'second' %}{{ s }}"
+    assert render_control_flow(t2, _vf).strip() == "first"
+    t3 = "{% set s = 'x' and 'y' %}{{ s }}"
+    assert render_control_flow(t3, _vf).strip() == "y"
+    t4 = "{% set s = none and 'y' %}{% if s is none %}ok{% endif %}"
+    assert render_control_flow(t4, _vf).strip() == "ok"
+    # boolean conditions still behave
+    assert render_control_flow(
+        "{% if 1 == 1 and 2 == 2 %}both{% endif %}", _vf
+    ) == "both"

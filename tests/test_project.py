@@ -1581,3 +1581,57 @@ def test_cli_ls_lists_selection(spark, sf_small, project_dir):
     assert "fixture_mart" in names and "events_of_type" in names  # closure
     mart = next(r for r in rows if r["name"] == "fixture_mart")
     assert mart["relation"] == "datamart.fixture_mart"
+
+
+def test_snapshot_block_enabled_false_skipped(tmp_path):
+    """config(enabled=false) on a snapshot block skips it, as dbt does
+    (round-3 review fix)."""
+    root = str(tmp_path / "snapoff")
+    _write(root, "dbt_project.yml", "name: snapoff\n")
+    _write(root, "snapshots/off.sql",
+           """\
+           {% snapshot disabled_snap %}
+           {{ config(enabled=false, unique_key='id', strategy='check',
+                     check_cols=['v']) }}
+           SELECT 1 AS id, 2 AS v
+           {% endsnapshot %}
+           """)
+    assert [m.name for m in load_project(root).models] == []
+
+
+def test_run_operation_semicolon_in_literal(spark, tmp_path):
+    """Statement splitting is string-literal aware: a COMMENT containing
+    ';' must not shear the statement (round-3 review fix)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "semiproj")
+    _write(root, "dbt_project.yml", "name: semiproj\n")
+    _write(root, "macros/ops.sql",
+           "{% macro two() %}SELECT 'a; b' AS s; SELECT 2 AS t{% endmacro %}\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "two", "--project", root, "--dry-run"])
+    assert rc == 0
+    stmts = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert stmts == ["SELECT 'a; b' AS s;", "SELECT 2 AS t;"]
+
+
+def test_generate_schema_name_or_idiom(tmp_path):
+    """The `custom_schema_name or target.schema` one-liner override —
+    the most common production shape — routes correctly (depends on
+    and/or returning operands)."""
+    root = str(tmp_path / "orproj")
+    _write(root, "dbt_project.yml", "name: orproj\n")
+    _write(root, "macros/gsn.sql",
+           "{% macro generate_schema_name(custom_schema_name, node) -%}\n"
+           "{%- set s = custom_schema_name or target.schema -%}{{ s | trim }}\n"
+           "{%- endmacro %}\n")
+    _write(root, "models/a.sql",
+           "{{ config(materialized='view', schema='marts', dialect='spark') }}\nSELECT 1 AS x\n")
+    _write(root, "models/b.sql",
+           "{{ config(materialized='view', dialect='spark') }}\nSELECT 1 AS x\n")
+    dbs = {m.name: m.database for m in load_project(root).models}
+    assert dbs == {"a": "marts", "b": "udf"}

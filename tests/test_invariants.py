@@ -1,0 +1,117 @@
+"""Semantic invariants for operators whose formula is implemented TWICE
+(Spark + DuckDB oracle): an error copied into both sides passes every
+parity check, so each of these ops also gets a property the formula
+must satisfy regardless of implementation — the round-3 PageRank /N bug
+(shared by both sides, caught only by the rank-sum invariant) is the
+motivating case.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_bigquery_udf_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_dir(tmp_path_factory, spark):
+    """An sf-layout dir whose documents table has known structure:
+    - doc 1: highly repetitive (one repeated transition)
+    - doc 2: English-marker-dense, lang='en'
+    - doc 3: non-English markers, lang='de'
+    - doc 4: unique word soup (every transition novel)
+    """
+    root = tmp_path_factory.mktemp("crafted_sf")
+    rows = [
+        (1, "ping pong " * 30 + "ping", "en", "srcA", 0),
+        (2, "the cat and the dog of the house went to the yard "
+            "and the bird sat on the tree of the garden", "en", "srcA", 0),
+        (3, "der hund und die katze und das haus und ein baum "
+            "der die das und ein der die das und ein", "de", "srcB", 0),
+        (4, "zeta omicron quill jasper vortex lumen crag fjord "
+            "byte nymph oxide plume rivet slate tundra umbra", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(root), "documents.parquet")
+    )
+    return str(root)
+
+
+def test_bigram_lm_repetition_scores_low(spark, crafted_docs_dir):
+    """Bigram NLL invariants: every score is positive (smoothing keeps
+    p < 1), and a document of one repeated transition scores FAR lower
+    per bigram than a document of all-novel transitions — the ordering
+    the filter exists to produce."""
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_sum_micro"])
+        for r in Q.QUERIES["text_bigram_lm_nll"](spark, crafted_docs_dir).collect()
+    }
+    assert all(s > 0 for _, s in out.values())
+    avg = {d: s / n for d, (n, s) in out.items()}
+    assert avg[1] < avg[2] < avg[4], avg  # repetitive << mixed << all-novel
+
+
+def test_dsir_targets_in_domain_docs(spark, crafted_docs_dir):
+    """DSIR invariant: the mean importance weight of target-domain
+    (lang='en') documents exceeds the out-of-domain mean — otherwise
+    importance resampling would select AGAINST its own target. (Both
+    engines share the formula; this pins its sign and direction.)"""
+    rows = Q.QUERIES["dsir_importance_weights"](spark, crafted_docs_dir).collect()
+    per_doc = {r["doc_id"]: r["logw_micro"] / r["n_feats"] for r in rows}
+    en_mean = (per_doc[1] + per_doc[2] + per_doc[4]) / 3
+    assert en_mean > per_doc[3], per_doc
+    # the marker-dense English doc is more in-domain than the German one
+    assert per_doc[2] > per_doc[3], per_doc
+
+
+def test_mmr_first_pick_is_top1_and_ranks_are_dense(spark, sf_small):
+    """MMR invariants: the first selection carries no diversity penalty
+    so it MUST equal the plain cosine top-1; ranks are dense 1..k with
+    distinct ids; scores are non-increasing in rank order is NOT
+    required (MMR trades relevance for diversity), but the first score
+    must be the maximum."""
+    mmr = {r["rk"]: r for r in Q.QUERIES["emb_mmr_diversify"](spark, sf_small).collect()}
+    top1 = Q.QUERIES["sim_topk_brute"](spark, sf_small).first()
+    assert sorted(mmr) == list(range(1, 11))
+    assert len({r["vec_id"] for r in mmr.values()}) == 10
+    assert mmr[1]["vec_id"] == top1["vec_id"]
+    assert mmr[1]["mmr_score_x10_micro"] == max(
+        r["mmr_score_x10_micro"] for r in mmr.values()
+    )
+
+
+def test_pagerank_mass_conservation(spark, sf_small):
+    """PageRank invariant (the round-3 catch): the rank vector sums to
+    ~1 after every iteration — teleport mass + damped link mass
+    conserve up to dangling-node leakage and micro-rounding."""
+    rows = Q.QUERIES["graph_pagerank_converged"](spark, sf_small).collect()
+    total = sum(r["rank_micro"] for r in rows) / 1e12
+    assert 0.93 <= total <= 1.001, total  # dangling leakage only
+    assert all(r["rank_micro"] > 0 for r in rows)
+
+
+def test_bpe_pair_counts_conserve_totals(spark, sf_small):
+    """BPE invariant: total pair occurrences == sum over words of
+    count * (len-1) — pair generation over the vocab must account for
+    every adjacent position exactly once."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators.text import _docs
+
+    pairs = Q.QUERIES["bpe_pair_counts"](spark, sf_small)
+    total_pairs = pairs.agg(F.sum("pair_count")).first()[0]
+    expected = (
+        _docs(spark, sf_small)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select((F.greatest(F.length("w") - 1, F.lit(0))).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total_pairs == expected

@@ -157,3 +157,47 @@ def test_bool_ops_return_operand_not_bool():
     assert render_control_flow(
         "{% if 1 == 1 and 2 == 2 %}both{% endif %}", _vf
     ) == "both"
+
+
+# -- fuzz: malformed input fails LOUDLY, never with a raw traceback --------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _ALPHABET = list("{}%#()'\", mxorifsetnd.|~=1 \n")
+
+    @given(st.text(alphabet=_ALPHABET, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_expand_macros_never_crashes_raw(text):
+        """A loader must never dump a raw IndexError/ValueError on
+        malformed user input: expand_macros + render_control_flow either
+        succeed or raise EngineError."""
+        md = parse_macros("{% macro m(x, y=2) %}f({{ x }}, {{ y }}){% endmacro %}")
+        try:
+            out = expand_macros(text, md)
+            assert isinstance(out, str)
+        except EngineError:
+            pass  # loud and typed — the contract
+
+    @given(st.text(alphabet=_ALPHABET, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_control_flow_never_crashes_raw(text):
+        try:
+            out = render_control_flow(text, _vf)
+            assert isinstance(out, str)
+        except EngineError:
+            pass
+
+    @given(st.text(alphabet=_ALPHABET, max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_macros_never_crashes_raw(text):
+        try:
+            parse_macros(text)
+        except EngineError:
+            pass

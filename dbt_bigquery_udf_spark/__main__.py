@@ -85,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     ws.add_argument("--env", default=None)
     ws.add_argument("--project", default=None, help="dbt-style project directory")
     ws.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ws.add_argument("--vars", default=None, help="JSON object for var() resolution (dbt --vars)")
 
     sub.add_parser("list", help="list registered driver-contract queries")
 
@@ -97,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         "instead of the built-in reference suite",
     )
     t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    t.add_argument("--vars", default=None, help="JSON object for var() resolution (dbt --vars)")
     t.add_argument(
         "--store-failures",
         action="store_true",
@@ -110,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--env", default=None)
     d.add_argument("--project", default=None, help="dbt-style project directory")
     d.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    d.add_argument("--vars", default=None, help="JSON object for var() resolution (dbt --vars)")
     d.add_argument(
         "--catalog",
         action="store_true",
@@ -169,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--env", default=None)
     u.add_argument("--project", default=None, help="dbt-style project directory: run its unit_tests: suites")
     u.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    u.add_argument("--vars", default=None, help="JSON object for var() resolution (dbt --vars)")
 
     fr = sub.add_parser(
         "source-freshness",
@@ -182,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
         help="check every source with loaded_at_field + freshness "
         "declared in the project's YAML instead of --relation",
     )
+    fr.add_argument("--vars", default=None, help="JSON object for var() resolution (dbt --vars)")
     fr.add_argument("--relation", default="src.events")
     fr.add_argument("--ts-column", default="ts")
     fr.add_argument("--warn-after-hours", type=float, default=24.0)
@@ -347,10 +352,17 @@ def main(argv: list[str] | None = None) -> int:
         # split on ';' OUTSIDE string literals (a COMMENT containing
         # ';' must not shear the statement)
         statements, cur, quote = [], [], None
+        skip = False
         for ch in sql:
+            if skip:
+                skip = False
+                cur.append(ch)
+                continue
             if quote:
                 cur.append(ch)
-                if ch == quote:
+                if ch == "\\":
+                    skip = True  # escaped char inside a literal
+                elif ch == quote:
                     quote = None
             elif ch in ("'", '"'):
                 quote = ch
@@ -737,7 +749,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.project:
             from .project import load_project
 
-            proj = load_project(args.project, env=getattr(args, "env", None))
+            proj = load_project(
+                args.project,
+                env=getattr(args, "env", None),
+                cli_vars=(
+                    json.loads(args.vars)
+                    if getattr(args, "vars", None)
+                    else None
+                ),
+            )
             if not proj.source_freshness:
                 print("no sources declare loaded_at_field + freshness", file=sys.stderr)
                 return 2

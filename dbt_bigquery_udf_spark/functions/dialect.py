@@ -745,16 +745,13 @@ def transpile_bq_functions(sql: str) -> str:
         # idx defaulting to 1 (returning '' where BQ returns NULL), and
         # BQ's 3rd/4th args are position/occurrence while Spark's 3rd
         # is the group index — so they fail LOUDLY here instead.
-        spelled_lower = m.group(0).rstrip("( \t").islower()
-        if len(a) == 3 and a[2].strip() in ("0", "1") and spelled_lower:
-            # Already Spark-shaped: exactly what this rewrite emits
-            # (lowercase spelling, group index 0/1) — left untouched so
-            # transpile is idempotent over its own output. Uppercase
-            # 3-arg calls are BQ's position form (position 1 included:
-            # its 3rd arg means start offset, Spark's means group) and
-            # fall through to the loud rejection; the one residual
-            # ambiguity is a hand-written LOWERCASE 3-arg BQ call with
-            # position 0/1, documented here.
+        if len(a) == 3 and a[2].strip().endswith("/*grp*/"):
+            # Our own emitted form (the /*grp*/ marker brands the group
+            # index) — left untouched so transpile is idempotent over
+            # its own output. EVERY other 3/4-arg call — any case, any
+            # position value — is BQ's position/occurrence form (its
+            # 3rd arg means start offset; Spark's means group index)
+            # and rejects loudly below.
             return None
         if len(a) != 2:
             raise ValueError(
@@ -773,7 +770,7 @@ def transpile_bq_functions(sql: str) -> str:
         lit, g = pg
         return (
             f"CASE WHEN regexp_like({a[0]}, {lit}) "
-            f"THEN regexp_extract({a[0]}, {lit}, {g}) END"
+            f"THEN regexp_extract({a[0]}, {lit}, {g} /*grp*/) END"
         )
 
     out = _rewrite_calls(out, _REGEXP_EXTRACT_RE, _regexp_extract)
@@ -784,12 +781,8 @@ def transpile_bq_functions(sql: str) -> str:
         # Same loudness rule too: Spark's 2-arg regexp_extract_all also
         # defaults the group index to 1, so pass-through would silently
         # extract group 1 where BQ extracts the whole match.
-        if (
-            len(a) == 3
-            and a[2].strip() in ("0", "1")
-            and m.group(0).rstrip("( \t").islower()
-        ):
-            return None  # already Spark-shaped (our own emitted form)
+        if len(a) == 3 and a[2].strip().endswith("/*grp*/"):
+            return None  # our own emitted (marker-branded) form
         if len(a) != 2:
             raise ValueError(
                 f"REGEXP_EXTRACT_ALL takes 2 args in BigQuery, got {len(a)}"
@@ -801,7 +794,7 @@ def transpile_bq_functions(sql: str) -> str:
                 "transpiled faithfully — inline a literal pattern"
             )
         lit, g = pg
-        return f"regexp_extract_all({a[0]}, {lit}, {g})"
+        return f"regexp_extract_all({a[0]}, {lit}, {g} /*grp*/)"
 
     out = _rewrite_calls(out, _REGEXP_EXTRACT_ALL_RE, _regexp_extract_all)
 

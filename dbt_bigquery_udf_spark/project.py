@@ -245,7 +245,15 @@ def _schema_tests(
     col_name = col["name"] if col else None
     out: list = []
     for t in entries or []:
-        t_name, t_cfg = (t, {}) if isinstance(t, str) else next(iter(t.items()))
+        if isinstance(t, str):
+            t_name, t_cfg = t, {}
+        else:
+            if len(t) != 1:
+                raise EngineError(
+                    f"model {model_name}: malformed test entry {t!r} — "
+                    "one test name per list item (check YAML indentation)"
+                )
+            (t_name, t_cfg), = t.items()
         t_cfg = dict(t_cfg or {})
         severity = str(t_cfg.pop("severity", "error")).lower()
         if t_name in ("unique", "not_null") and col_name:
@@ -651,6 +659,7 @@ def load_project(
     # lean on dbt_utils-style package macros.
     pkg_yml = os.path.join(project_dir, "packages.yml")
     pkg_bare_owner: dict[str, str] = {}
+    pkg_test_owner: dict[str, str] = {}
     if os.path.exists(pkg_yml):
         with open(pkg_yml) as fh:
             pkg_doc = yaml.safe_load(fh) or {}
@@ -685,8 +694,18 @@ def load_project(
                             ftext = fh.read()
                         parsed = parse_macros(ftext, full)
                         for tname, tdef in parse_test_macros(ftext, full).items():
-                            # package test macros: project wins bare names
-                            test_macros.setdefault(tname, tdef)
+                            # project wins a bare-name collision; two
+                            # PACKAGES colliding is an error (same rule
+                            # as fragment macros)
+                            if tname in pkg_test_owner and pkg_test_owner[tname] != pkg_name:
+                                raise EngineError(
+                                    f"test macro {tname!r} is defined by "
+                                    f"packages {pkg_test_owner[tname]!r} and "
+                                    f"{pkg_name!r} — rename one"
+                                )
+                            if tname not in test_macros:
+                                test_macros[tname] = tdef
+                                pkg_test_owner[tname] = pkg_name
                         for mname, mdef in parsed.items():
                             qual = f"{pkg_name}.{mname}"
                             if qual in macros:
@@ -1023,14 +1042,34 @@ def load_project(
                 if f.endswith(".csv"):
                     stem = os.path.splitext(f)[0]
                     meta = docs.get(stem, {})
+                    seed_kwargs: dict = {}
+                    # dbt routes seed schemas/aliases through the same
+                    # generate_* macros as models (snapshots do NOT:
+                    # their target_schema is documented as literal).
+                    _route_schema(seed_kwargs, stem)
+                    _route_alias(seed_kwargs, stem)
                     models.append(
                         ModelSpec(
                             name=stem,
                             kind="seed",
                             sql=os.path.join(dirpath, f),
                             description=meta.get("description", ""),
+                            **seed_kwargs,
                         )
                     )
+
+    # dbt fails compilation when two models resolve to the same physical
+    # relation (aliases / generate_* overrides collapsing names would
+    # otherwise last-write-win silently at build).
+    phys_seen: dict[tuple[str, str], str] = {}
+    for m_spec in models:
+        key = (m_spec.database, m_spec.relation_name)
+        if key in phys_seen and phys_seen[key] != m_spec.name:
+            raise EngineError(
+                f"models {phys_seen[key]!r} and {m_spec.name!r} both "
+                f"materialize to {key[0]}.{key[1]} — change one alias/schema"
+            )
+        phys_seen[key] = m_spec.name
 
     # Column tests attach to every loaded model — including seeds (a
     # schema.yml `unique`/`not_null` on seed columns is standard dbt

@@ -1635,3 +1635,76 @@ def test_generate_schema_name_or_idiom(tmp_path):
            "{{ config(materialized='view', dialect='spark') }}\nSELECT 1 AS x\n")
     dbs = {m.name: m.database for m in load_project(root).models}
     assert dbs == {"a": "marts", "b": "udf"}
+
+
+def test_duplicate_physical_relation_rejected(tmp_path):
+    """Two models collapsing to one physical relation (same schema +
+    alias) fail loudly at load — last-write-wins builds would silently
+    serve one model's rows for the other's ref() (round-3 review fix)."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "dupphys")
+    _write(root, "dbt_project.yml", "name: dupphys\n")
+    _write(root, "models/a.sql",
+           "{{ config(materialized='table', schema='mart', alias='current', dialect='spark') }}\nSELECT 1 AS x\n")
+    _write(root, "models/b.sql",
+           "{{ config(materialized='table', schema='mart', alias='current', dialect='spark') }}\nSELECT 2 AS x\n")
+    with pytest.raises(EngineError, match="both\\s+materialize|materialize to"):
+        load_project(root)
+
+
+def test_seeds_route_through_generate_schema_name(tmp_path):
+    """Seeds take the generate_schema_name route like models (dbt
+    behavior); snapshot target_schema stays literal (also dbt
+    behavior, documented)."""
+    root = str(tmp_path / "seedroute")
+    _write(root, "dbt_project.yml", "name: seedroute\n")
+    _write(root, "macros/gsn.sql",
+           "{% macro generate_schema_name(c, node) %}routed{% endmacro %}\n")
+    _write(root, "seeds/codes.csv", "code,label\n1,a\n")
+    proj = load_project(root)
+    assert {m.name: m.database for m in proj.models} == {"codes": "routed"}
+
+
+def test_multikey_test_entry_fails_loudly(tmp_path):
+    """A mis-indented schema.yml test entry (two keys in one dict) must
+    raise, not silently drop the sibling key (round-3 review fix)."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "yamlbad")
+    _write(root, "dbt_project.yml", "name: yamlbad\n")
+    _write(root, "models/m.sql", "SELECT 1 AS c\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: m
+               columns:
+                 - name: c
+                   tests:
+                     - accepted_values: {values: [a]}
+                       severity: warn
+           """)
+    with pytest.raises(EngineError, match="malformed test entry"):
+        load_project(root)
+
+
+def test_run_operation_escaped_quote_args(tmp_path):
+    """A string argument containing a quote (escaped by _jarg) and a
+    semicolon must not shear the statement (round-3 review fix)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "escproj")
+    _write(root, "dbt_project.yml", "name: escproj\n")
+    _write(root, "macros/ops.sql",
+           "{% macro note(msg) %}SELECT '{{ msg }}' AS m; SELECT 1 AS t{% endmacro %}\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "note", "--project", root,
+                   "--args", '{"msg": "O\'Brien; audit"}', "--dry-run"])
+    assert rc == 0
+    stmts = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(stmts) == 2 and "O\\'Brien; audit" in stmts[0]

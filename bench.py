@@ -118,6 +118,22 @@ def main() -> None:
         spark.catalog.clearCache()  # keep per-query persists from compounding
 
     total = round(sum(timings.values()), 3)
+    # Raw per-run arrays go to a sidecar file (and a separate stdout line
+    # BEFORE the graded one) so the final line stays compact: round 3's
+    # runs-inline emission overflowed the driver's captured stdout tail and
+    # the graded artifact failed to parse ("parsed": null). The LAST stdout
+    # line is the one the driver grades — minima-only, always short.
+    sidecar = {"runs": runs, "n_runs": n_runs, "sf": sf}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh)
+    except OSError:
+        pass
+    print(json.dumps(sidecar))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -125,7 +141,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
                 "n_runs": n_runs,
                 "sf": sf,
                 "startup_sec": round(startup, 3),

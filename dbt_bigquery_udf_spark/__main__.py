@@ -21,6 +21,59 @@ import json
 import sys
 
 
+def split_sql_statements(sql: str) -> list[str]:
+    """Split on ';' OUTSIDE string literals AND SQL comments.
+
+    A ';' inside a quoted literal, a `--` line comment, or a `/* */`
+    block comment must not shear the statement (round-3 ADVICE: the
+    previous splitter was quote-aware only, so a macro emitting
+    `-- cleanup; keep history` produced invalid fragments). Comment text
+    is preserved verbatim in the statement it belongs to.
+    """
+    statements: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                cur.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            cur.append(sql[i:j])
+            i = j
+            continue
+        if ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2  # unterminated: rest is comment
+            cur.append(sql[i:j])
+            i = j
+            continue
+        if ch == ";":
+            statements.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    statements.append("".join(cur))
+    return [s.strip() for s in statements if s.strip()]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dbt_bigquery_udf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -349,31 +402,7 @@ def main(argv: list[str] | None = None) -> int:
 
         sql = _TARGET_ATTR_RE.sub(_tgt_attr, sql)
 
-        # split on ';' OUTSIDE string literals (a COMMENT containing
-        # ';' must not shear the statement)
-        statements, cur, quote = [], [], None
-        skip = False
-        for ch in sql:
-            if skip:
-                skip = False
-                cur.append(ch)
-                continue
-            if quote:
-                cur.append(ch)
-                if ch == "\\":
-                    skip = True  # escaped char inside a literal
-                elif ch == quote:
-                    quote = None
-            elif ch in ("'", '"'):
-                quote = ch
-                cur.append(ch)
-            elif ch == ";":
-                statements.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        statements.append("".join(cur))
-        statements = [s.strip() for s in statements if s.strip()]
+        statements = split_sql_statements(sql)
         if args.dry_run:
             for st in statements:
                 print(st + ";")

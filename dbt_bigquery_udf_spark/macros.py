@@ -417,7 +417,7 @@ def _render_body(
     ``{{ expr }}`` span (e.g. a nested macro call) gets bound
     parameters substituted as expression identifiers, preserving
     string-ness so re-binding in the nested call round-trips."""
-    body = macro.body
+    body = apply_whitespace_control(macro.body)
     if "{%" in body:
         cf_env = dict(env or {})
         for p, (text, was_str) in bound.items():
@@ -522,6 +522,7 @@ def expand_macros(
     """
     if _depth == 0:
         body = strip_jinja_comments(body)
+        body = apply_whitespace_control(body)
     if not macros:
         return body
     pos = 0
@@ -557,6 +558,35 @@ def expand_macros(
 # --------------------------------------------------------------------------
 
 import ast as _ast
+
+# Jinja whitespace control: `{%- ... %}` strips whitespace (incl.
+# newlines) immediately BEFORE the tag, `{% ... -%}` immediately AFTER
+# it; same for `{{- ... -}}` expression spans. Implemented as a lexical
+# normalization applied at every render entry point (render_control_flow,
+# expand_macros, _render_body, Engine.render): trim the whitespace, drop
+# the dash, and every downstream regex sees the plain `{% %}`/`{{ }}`
+# forms. Round-3 ADVICE: the dashes used to MATCH but never trim, so
+# `{%- set s -%}abc{%- endset -%}` silently produced '\n  abc\n' — a
+# stray-newline hazard wherever the value feeds an identifier/literal.
+_WS_LEFT_RE = re.compile(r"[ \t\r\n]*\{([{%])-")
+_WS_RIGHT_RE = re.compile(r"-([}%])\}[ \t\r\n]*")
+
+
+def apply_whitespace_control(text: str) -> str:
+    """Resolve `{%- -%}` / `{{- -}}` dashes Jinja-style (trim + drop).
+
+    Lexical, resolution-independent (trimming applies even around
+    placeholders a later pass substitutes) — matching Jinja, whose
+    lexer trims before the parser ever sees the tag. Caveat shared with
+    the rest of this regex lexer: a literal `-}}` inside a quoted
+    string inside an expression would be mis-lexed; none of the
+    supported subset's string positions can contain one.
+    """
+    if "{%-" not in text and "-%}" not in text and "{{-" not in text and "-}}" not in text:
+        return text
+    text = _WS_LEFT_RE.sub(lambda m: "{" + m.group(1), text)
+    return _WS_RIGHT_RE.sub(lambda m: m.group(1) + "}", text)
+
 
 _TAG_RE = re.compile(
     r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset)\b(.*?)-?%\}", re.S
@@ -615,9 +645,17 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
         obj = env.get(node.value.id)
         if isinstance(obj, dict) and node.attr in obj:
             return obj[node.attr]
+        if isinstance(obj, dict):
+            # A typo like target.schma should list the dict's real keys,
+            # not the stale loop-only message (round-3 ADVICE).
+            raise EngineError(
+                f"{origin}: unknown attribute {node.value.id}.{node.attr} "
+                f"(available: {', '.join(sorted(map(str, obj)))})"
+            )
         raise EngineError(
             f"{origin}: unsupported attribute {node.value.id}.{node.attr} "
-            "(only loop.first/last/index/index0/length)"
+            "(attribute access is supported on context dicts — "
+            "target/config/node/loop — in scope here)"
         )
     if isinstance(node, (_ast.List, _ast.Tuple)):
         return [_cf_node(e, env, var_fn, origin) for e in node.elts]
@@ -889,6 +927,7 @@ def render_control_flow(
     the bound macro arguments. Text with no tags returns unchanged at
     regex-scan cost.
     """
+    text = apply_whitespace_control(text)
     if "{%" not in text:
         return text
     env: dict = dict(extra_env or {})

@@ -556,6 +556,11 @@ class Engine:
         is_incremental = spec.kind == "incremental" and self.spark.catalog.tableExists(
             f"{self.database_for(spec)}.{spec.relation_name}"
         )
+        from ..macros import apply_whitespace_control
+
+        # `{{- ref('x') -}}` must trim AND still match the placeholder
+        # regexes below even when the body carries no {% %} tags.
+        sql = apply_whitespace_control(sql)
         if "{%" in sql:
             # Jinja control flow ({% if %}/{% for %}/{% set %}, macros.py
             # subset): is_incremental() is just a boolean in the same

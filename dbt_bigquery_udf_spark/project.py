@@ -1061,13 +1061,24 @@ def load_project(
     # dbt fails compilation when two models resolve to the same physical
     # relation (aliases / generate_* overrides collapsing names would
     # otherwise last-write-win silently at build).
-    phys_seen: dict[tuple[str, str], str] = {}
+    # Ephemeral models never materialize (dbt: no relation, CTE-inlined),
+    # so they can share a name with a physical relation; functions/TVFs
+    # live in the catalog's FUNCTION namespace, disjoint from tables —
+    # each namespace is checked against itself only (round-3 ADVICE).
+    phys_seen: dict[tuple[str, str, str], str] = {}
     for m_spec in models:
-        key = (m_spec.database, m_spec.relation_name)
+        if m_spec.kind == "ephemeral":
+            continue
+        ns = (
+            "function"
+            if m_spec.kind in ("function", "table_function")
+            else "relation"
+        )
+        key = (ns, m_spec.database, m_spec.relation_name)
         if key in phys_seen and phys_seen[key] != m_spec.name:
             raise EngineError(
                 f"models {phys_seen[key]!r} and {m_spec.name!r} both "
-                f"materialize to {key[0]}.{key[1]} — change one alias/schema"
+                f"materialize to {key[1]}.{key[2]} — change one alias/schema"
             )
         phys_seen[key] = m_spec.name
 

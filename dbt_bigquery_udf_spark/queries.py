@@ -249,37 +249,43 @@ _CURATED_WINDOW = (
     "bq_dialect_hll_rollup",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
-    # dedup family (exact, survivor, MinHash/LSH, SimHash, embedding,
-    # components, semantic, incremental, fuzzy-ER)
+    # dedup family (round-4 rotation per VERDICT r3 #2: keep_best /
+    # simhash / embedding_cosine / incremental_batch yield their slots
+    # to the round-3 operators; all stay verify_driver-checked past the
+    # window, and the family keeps 5 in-window reps)
     "dedup_exact",
-    "dedup_keep_best",
     "dedup_minhash_survivors",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_components",
     "dedup_semantic",
-    "dedup_incremental_batch",
     "fuzzy_name_pairs",
     # similarity search / embedding analytics (sim_lsh_topk rotated out
     # round 3 — family already covered by sim_topk_brute/sim_ivf_rerank/
-    # sim_pq_codes; it stays verify_driver-checked past the window)
+    # sim_pq_codes; it stays verify_driver-checked past the window);
+    # round 4 adds contrastive hard-negative mining
     "sim_topk_brute",
     "sim_ivf_rerank",
     "sim_pq_codes",
     "emb_kmeans_step",
-    # text analysis (text_chunk_dedup rotated out round 3, same reason)
+    "emb_hard_negatives",
+    # text analysis (text_chunk_dedup rotated out round 3; round 4
+    # swaps perplexity_proxy for the count-table bigram LM + DSIR
+    # data-selection weights)
     "text_token_stats",
     "text_lang_id",
-    "text_perplexity_proxy",
+    "text_bigram_lm_nll",
+    "dsir_importance_weights",
     # multimodal
     "mm_payload_dedup",
     "mm_decode_features",
-    # profiling / graph / streaming (round 3 adds the batch-equivalence
-    # stream_dedup beside the windowed rollup)
+    # profiling / graph / streaming (round 4: converged PageRank joins
+    # the single step; checkpoint kill-and-resume equivalence joins the
+    # windowed rollup + dedup)
     "profile_columns",
     "graph_pagerank_step",
+    "graph_pagerank_converged",
     "stream_hourly_rollup",
     "stream_dedup",
+    "stream_recovery_resume",
     # Python UDTF, source formats, VARIANT, product analytics
     "udtf_grouped_topk",
     "source_csv_roundtrip",

@@ -746,3 +746,92 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+# -- checkpoint recovery: kill-and-resume equals one batch pass ------------
+
+
+@register(
+    "stream_recovery_resume",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart semantics as a driver-checkable query.
+
+    The pipeline runs TWICE over one shared checkpoint: run 1 sees only
+    the even-event_id half of ``events`` (then terminates — the
+    simulated crash/deploy), the odd half lands, and run 2 RESUMES from
+    the checkpoint. The emitted totals must equal one batch pass over
+    ALL events — the oracle — which holds only if the restart neither
+    re-counts run 1's data nor drops run 2's. This is the batch-mode
+    equivalent of a kill-and-resume (``trigger(availableNow=True)``
+    twice over a growing file source), promoting the pytest-only
+    evidence in tests/test_stream_recovery.py to a driver-checked row.
+
+    Sums are per-row integer cents so both engines aggregate exactly.
+
+    100 TB: the checkpoint (offsets + state) lives on object storage;
+    ``availableNow`` is the production backfill/restart trigger, and
+    foreachBatch complete-mode overwrite is the idempotent-sink pattern
+    that makes retries safe. The final read-back collect is k-bounded
+    (one row per event_type).
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_recovery_")
+    src_dir = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    schema = events.schema
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src_dir, "batch_a")
+    )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents")
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        run_once()  # run 1: batch A only, then "crash"
+        events.filter(F.col("event_id") % 2 == 1).write.parquet(
+            os.path.join(src_dir, "batch_b")
+        )
+        run_once()  # run 2: resume from checkpoint, add ONLY batch B
+        rows = spark.read.parquet(out_dir).collect()  # k-bounded: |event_type|
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, value_cents bigint"
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 
@@ -367,7 +368,33 @@ def main(argv: list[str] | None = None) -> int:
                 return "none"
             return repr(v)
 
-        kwargs = json.loads(args.args) if args.args else {}
+        # dbt's --args is YAML; accept strict JSON first, then fall
+        # back to a Python-literal parse so dbt-style quoting like
+        # --args "{function_list: ['parse_datetime']}" still loads
+        # (bare-word keys get quoted before literal_eval).
+        if args.args:
+            try:
+                kwargs = json.loads(args.args)
+            except json.JSONDecodeError:
+                import ast as _ast_mod
+
+                quoted = re.sub(
+                    r"([{,]\s*)([A-Za-z_]\w*)\s*:", r"\1'\2':", args.args
+                )
+                try:
+                    kwargs = _ast_mod.literal_eval(quoted)
+                except (ValueError, SyntaxError):
+                    print(
+                        f"--args is neither JSON nor a Python/YAML-style "
+                        f"mapping literal: {args.args!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
+            if not isinstance(kwargs, dict):
+                print("--args must be a mapping", file=sys.stderr)
+                return 2
+        else:
+            kwargs = {}
         call = ", ".join(f"{k}={_jarg(v)}" for k, v in kwargs.items())
         merged_vars = {
             **proj.vars,
@@ -382,15 +409,64 @@ def main(argv: list[str] | None = None) -> int:
             raise EngineError(f"var({name!r}) has no value and no default")
 
         from .catalog import target_context
+        from .macros import macro_context_callables, QueryResultTable
         from .models.core import _TARGET_ATTR_RE
 
         tgt = target_context(args.env)
+        op_env: dict = {"target": tgt}
+
+        # dbt's run-operation context: `context.get(name)` returns a
+        # macro handle, and `run_query(sql)` executes against the
+        # warehouse DURING macro evaluation (the reference README's v2
+        # create_udfs shape, /root/reference/README.md:156-176). In
+        # --dry-run, run_query prints the statement instead of
+        # executing and returns an empty result table.
+        executed: list[str] = []
+        _op_spark_box: list = []
+
+        def _op_spark():
+            if not _op_spark_box:
+                from . import get_spark as _gs
+
+                _op_spark_box.append(_gs(app_name="cli-run-operation"))
+            return _op_spark_box[0]
+
+        def _run_query(sql_text):
+            if not isinstance(sql_text, str):
+                raise EngineError(
+                    f"run_query() expects a SQL string, got "
+                    f"{type(sql_text).__name__}"
+                )
+            # Each statement executes exactly ONCE (a re-run of an
+            # eager command like INSERT would double-apply it); the
+            # LAST statement's rows come back agate-style — dbt's
+            # run_query materializes to the client the same way.
+            result = QueryResultTable([], [])
+            for st in split_sql_statements(sql_text):
+                if args.dry_run:
+                    print(st + ";")
+                    executed.append(st)
+                    continue
+                df = _op_spark().sql(st)
+                rows = [tuple(r) for r in df.collect()]
+                print(json.dumps({"run_query": st[:120], "rows": len(rows)}))
+                executed.append(st)
+                result = QueryResultTable(df.columns, rows)
+            return result
+
+        op_env["run_query"] = _run_query
+        op_env["context"] = macro_context_callables(
+            proj.macros,
+            origin=f"run-operation {args.macro}",
+            var_fn=_vf,
+            env=op_env,
+        )
         sql = expand_macros(
             f"{{{{ {args.macro}({call}) }}}}",
             proj.macros,
             origin=f"run-operation {args.macro}",
             var_fn=_vf,
-            env={"target": tgt},
+            env=op_env,
         )
         def _tgt_attr(m):
             if m.group(1) not in tgt:
@@ -407,11 +483,10 @@ def main(argv: list[str] | None = None) -> int:
             for st in statements:
                 print(st + ";")
             return 0
-        from . import get_spark as _gs
-
-        op_spark = _gs(app_name="cli-run-operation")
+        # A macro that ran everything through run_query leaves nothing
+        # behind to execute — don't spin up a session for zero work.
         for st in statements:
-            df = op_spark.sql(st)
+            df = _op_spark().sql(st)
             print(json.dumps({"statement": st[:120], "rows": df.count()}))
         return 0
 

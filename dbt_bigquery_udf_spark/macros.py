@@ -50,6 +50,8 @@ __all__ = [
     "render_control_flow",
     "strip_jinja_comments",
     "MACRO_MAX_DEPTH",
+    "QueryResultTable",
+    "macro_context_callables",
 ]
 
 # Names the engine's renderer owns; a user macro may not shadow them and
@@ -153,7 +155,7 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
 # Tags the control-flow evaluator (bottom of module) understands —
 # permitted both in model bodies and, since round 3, in macro bodies.
 _CF_TAGS = frozenset(
-    {"if", "elif", "else", "endif", "for", "endfor", "set", "endset"}
+    {"if", "elif", "else", "endif", "for", "endfor", "set", "endset", "do"}
 )
 
 
@@ -546,6 +548,82 @@ def expand_macros(
         pos = start + len(rendered)
 
 
+class QueryResultTable:
+    """Minimal agate-like table returned by ``run_query`` in the
+    run-operation macro context (dbt returns ``agate.Table``; macro code
+    conventionally touches ``.rows``, ``.columns`` and ``len``).
+
+    ``rows`` is a list of plain tuples; ``column_names`` the column
+    labels in order. Deliberately small: the README-v2 shape discards
+    the value via ``{% do %}``, and maintenance macros that do read it
+    use the two attributes mimicked here.
+    """
+
+    def __init__(self, column_names: list[str], rows: list[tuple]):
+        self.column_names = list(column_names)
+        self.columns = self.column_names  # agate exposes .columns
+        self.rows = [tuple(r) for r in rows]
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"QueryResultTable({self.column_names}, {len(self.rows)} rows)"
+
+
+def macro_context_callables(
+    macros: dict[str, MacroDef],
+    origin: str = "<run-operation>",
+    var_fn=None,
+    env: dict | None = None,
+) -> dict:
+    """Build dbt's ``context`` dict of macro handles for run-operation.
+
+    ``context.get('parse_datetime')`` must return a CALLABLE that, when
+    invoked (``macro_func()``), renders that macro's body to its SQL
+    text — the indirection the reference README's v2 ``create_udfs``
+    relies on (/root/reference/README.md:156-176). Arguments bind like a
+    normal call site: strings re-quote, other values substitute as
+    Python-literal text, defaults fill the rest.
+    """
+
+    def _handle(mdef: MacroDef):
+        def call(*args, **kwargs):
+            bound: dict[str, tuple[str, bool]] = {
+                p: (_arg_text(t), _arg_was_string(t))
+                for p, t in mdef.defaults.items()
+            }
+            for i, v in enumerate(args):
+                if i >= len(mdef.params):
+                    raise EngineError(
+                        f"{origin}: macro {mdef.name!r} takes at most "
+                        f"{len(mdef.params)} arguments"
+                    )
+                bound[mdef.params[i]] = (str(v), isinstance(v, str))
+            for k, v in kwargs.items():
+                if k not in mdef.params:
+                    raise EngineError(
+                        f"{origin}: macro {mdef.name!r} got unexpected "
+                        f"keyword {k!r} (params: {list(mdef.params)})"
+                    )
+                bound[k] = (str(v), isinstance(v, str))
+            missing = [p for p in mdef.params if p not in bound]
+            if missing:
+                raise EngineError(
+                    f"{origin}: macro {mdef.name!r} missing arguments "
+                    f"{missing}"
+                )
+            rendered = _render_body(mdef, bound, var_fn, env, origin)
+            return expand_macros(rendered, macros, origin, var_fn, env)
+
+        return call
+
+    return {name: _handle(mdef) for name, mdef in macros.items()}
+
+
 # --------------------------------------------------------------------------
 # Render-time Jinja control flow ({% if %} / {% for %}) — the restricted
 # subset production dbt model bodies actually use (VERDICT round-1 gap #2).
@@ -589,7 +667,7 @@ def apply_whitespace_control(text: str) -> str:
 
 
 _TAG_RE = re.compile(
-    r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset)\b(.*?)-?%\}", re.S
+    r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset|do)\b(.*?)-?%\}", re.S
 )
 _LOOPVAR_SUB_RE = re.compile(
     r"\{\{-?\s*(\w+)(?:\.(\w+))?((?:\s*\|\s*\w+)*)\s*-?\}\}"
@@ -734,6 +812,27 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
     if (
         isinstance(node, _ast.Call)
         and isinstance(node.func, _ast.Name)
+        and callable(env.get(node.func.id))
+        and node.func.id not in ("var", "is_incremental")
+    ):
+        # Call of an env-bound callable: `run_query(sql)` in the
+        # run-operation context, or a macro handle obtained via
+        # `context.get(name)` and bound with {% set %} — the reference
+        # README's v2 maintenance-macro shape.
+        fn = env[node.func.id]
+        args = [_cf_node(a, env, var_fn, origin) for a in node.args]
+        kwargs = {}
+        for kw in node.keywords:
+            if kw.arg is None:
+                raise EngineError(
+                    f"{origin}: **kwargs unpacking is out of the "
+                    "supported Jinja subset"
+                )
+            kwargs[kw.arg] = _cf_node(kw.value, env, var_fn, origin)
+        return fn(*args, **kwargs)
+    if (
+        isinstance(node, _ast.Call)
+        and isinstance(node.func, _ast.Name)
         and node.func.id == "var"
     ):
         if not node.args or not isinstance(node.args[0], _ast.Constant):
@@ -873,6 +972,15 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
                 rendered_parts.append(text)
             out.append("".join(rendered_parts))
             i = end_i + 1
+            continue
+        if tag == "do":
+            # {% do expr %} — evaluate for side effects, emit nothing
+            # (dbt's statement-expression tag; the reference README's v2
+            # create_udfs uses `{% do run_query(macro_func()) %}`,
+            # /root/reference/README.md:156-176).
+            if active:
+                _cf_eval(expr, env, var_fn, origin)
+            i += 1
             continue
         if tag == "set":
             bm = re.match(r"^(\w+)\s*$", expr)

@@ -116,7 +116,9 @@ def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming query did not terminate within 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -529,7 +531,9 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming query did not terminate within 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.parquet(out_dir)
@@ -797,9 +801,11 @@ def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     schema = events.schema
-    events.filter(F.col("event_id") % 2 == 0).write.parquet(
-        os.path.join(src_dir, "batch_a")
-    )
+    # Null-safe split key: a NULL event_id satisfies NEITHER `% 2 == 0`
+    # nor `% 2 == 1` (NULL predicates are not true), which would drop
+    # those rows from both halves while the batch oracle counts them.
+    split_key = F.coalesce(F.col("event_id"), F.lit(0)) % 2
+    events.filter(split_key == 0).write.parquet(os.path.join(src_dir, "batch_a"))
 
     def run_once() -> None:
         stream = (
@@ -821,13 +827,18 @@ def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout with the
+        # query STILL RUNNING; racing run 2 against it on the same
+        # checkpoint yields confusing wrong totals. Fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "stream_recovery_resume: query did not terminate within 600s"
+            )
 
     try:
         run_once()  # run 1: batch A only, then "crash"
-        events.filter(F.col("event_id") % 2 == 1).write.parquet(
-            os.path.join(src_dir, "batch_b")
-        )
+        events.filter(split_key == 1).write.parquet(os.path.join(src_dir, "batch_b"))
         run_once()  # run 2: resume from checkpoint, add ONLY batch B
         rows = spark.read.parquet(out_dir).collect()  # k-bounded: |event_type|
     finally:

@@ -201,3 +201,70 @@ if _HYP:
             parse_macros(text)
         except EngineError:
             pass
+
+
+class TestDoTagAndRunQueryContext:
+    """{% do %} + env-bound callables — the run-operation macro context
+    (reference README v2 create_udfs shape, README.md:156-176)."""
+
+    def test_do_evaluates_and_emits_nothing(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        calls = []
+        out = render_control_flow(
+            "a{% do sink('x') %}b",
+            _vf,
+            extra_env={"sink": lambda v: calls.append(v)},
+        )
+        assert out == "ab" and calls == ["x"]
+
+    def test_do_in_untaken_branch_is_scan_only(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        calls = []
+        out = render_control_flow(
+            "{% if false %}{% do sink('x') %}{% endif %}ok",
+            _vf,
+            extra_env={"sink": lambda v: calls.append(v)},
+        )
+        assert out == "ok" and calls == []
+
+    def test_context_get_returns_macro_handle(self):
+        from dbt_bigquery_udf_spark.macros import (
+            macro_context_callables,
+            parse_macros,
+            render_control_flow,
+        )
+
+        md = parse_macros(
+            "{% macro greet(name, punct='!') %}hello {{ name }}{{ punct }}{% endmacro %}"
+        )
+        ctx = macro_context_callables(md)
+        env = {"context": ctx}
+        out = render_control_flow(
+            "{% set f = context.get('greet') %}{% set s = f('bob') %}{{ s }}",
+            _vf,
+            extra_env=env,
+        )
+        assert out.strip() == "hello bob!"
+        # kwargs bind too; unknown kwarg fails loudly
+        assert ctx["greet"]("ann", punct="?") == "hello ann?"
+        with pytest.raises(EngineError):
+            ctx["greet"]("ann", nope=1)
+
+    def test_query_result_table_shape(self):
+        from dbt_bigquery_udf_spark.macros import QueryResultTable
+
+        t = QueryResultTable(["a", "b"], [(1, 2), (3, 4)])
+        assert t.column_names == ["a", "b"] and t.columns == ["a", "b"]
+        assert list(t) == [(1, 2), (3, 4)] and len(t) == 2
+
+    def test_kwargs_unpacking_rejected(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        with pytest.raises(EngineError):
+            render_control_flow(
+                "{% do f(**{'a': 1}) %}",
+                _vf,
+                extra_env={"f": lambda **k: None},
+            )

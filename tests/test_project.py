@@ -1708,3 +1708,76 @@ def test_run_operation_escaped_quote_args(tmp_path):
     assert rc == 0
     stmts = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(stmts) == 2 and "O\\'Brien; audit" in stmts[0]
+
+
+def test_run_operation_v2_create_udfs_run_query(spark, tmp_path):
+    """The reference README's v2 maintenance-macro shape executes via
+    run-operation: `create_udfs` loops a function list, fetches each UDF
+    macro through `context.get(name)`, and executes its rendered DDL
+    with `{% do run_query(...) %}` (reference: README.md:156-176).
+    Spark-flavored DDL replaces the BigQuery `AS (expr)` body, the
+    orchestration shape is verbatim."""
+    import io
+    import uuid as _uuid
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    fn = f"test_udf_{_uuid.uuid4().hex[:8]}"
+    root = str(tmp_path / "v2proj")
+    _write(root, "dbt_project.yml", "name: v2proj\n")
+    _write(root, "macros/ddl_generator.sql",
+           """\
+           {% macro ddl_generator(function_name, type, params=[], return_type='') %}
+           {% set params_string %}{% for param in params %}{{ param }}{% if not loop.last %}, {% endif %}{% endfor %}{% endset %}
+           CREATE OR REPLACE {{ type }} ops_udf.{{ function_name }} ({{ params_string }}) RETURNS {{ return_type }}
+           {% endmacro %}
+           """)
+    _write(root, "macros/udf/parse_datetime_udf.sql",
+           """\
+           {% macro parse_datetime_udf() %}
+           CREATE DATABASE IF NOT EXISTS ops_udf;
+           {{
+               ddl_generator(
+                   function_name = '__FN__',
+                   type = 'FUNCTION',
+                   params = [
+                       'timestamp_str STRING'
+                   ],
+                   return_type = 'TIMESTAMP'
+               )
+           }}
+           RETURN TO_TIMESTAMP(timestamp_str, 'yyyy-MM-dd')
+           {% endmacro %}
+           """.replace("__FN__", fn))
+    _write(root, "macros/create_udfs.sql",
+           """\
+           {% macro create_udfs(function_list=[], table_function_list=[]) %}
+           {% for function in function_list %}
+           {% set macro_func = context.get(function) %}
+           {% do run_query(macro_func()) %};
+           {% endfor %}
+           {% for table_function in table_function_list %}
+           {% set macro_func = context.get(table_function) %}
+           {% do run_query(macro_func()) %};
+           {% endfor %}
+           {% endmacro %}
+           """)
+    # dry-run: run_query prints the statements it WOULD execute
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "create_udfs", "--project", root,
+                   "--args", '{"function_list": ["parse_datetime_udf"]}',
+                   "--dry-run"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert f"CREATE OR REPLACE FUNCTION ops_udf.{fn}" in out
+    assert "RETURN TO_TIMESTAMP(timestamp_str, 'yyyy-MM-dd')" in out
+    # real run, dbt-style YAML-ish --args (not strict JSON)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = main(["run-operation", "create_udfs", "--project", root,
+                    "--args", "{function_list: ['parse_datetime_udf']}"])
+    assert rc2 == 0
+    row = spark.sql(f"SELECT ops_udf.{fn}('2024-03-05') AS ts").first()
+    assert str(row.ts).startswith("2024-03-05")

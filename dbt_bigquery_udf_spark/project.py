@@ -664,15 +664,52 @@ def load_project(
         with open(pkg_yml) as fh:
             pkg_doc = yaml.safe_load(fh) or {}
         for entry in pkg_doc.get("packages", []) or []:
-            if not isinstance(entry, dict) or "local" not in entry:
-                raise EngineError(
-                    f"packages.yml: only local-path packages are "
-                    f"supported (got {entry!r}); vendor hub/git packages "
-                    "into a local directory"
+            if isinstance(entry, dict) and "local" in entry:
+                pkg_dir = os.path.normpath(
+                    os.path.join(project_dir, str(entry["local"]))
                 )
-            pkg_dir = os.path.normpath(
-                os.path.join(project_dir, str(entry["local"]))
-            )
+            elif isinstance(entry, dict) and "package" in entry:
+                # Hub entry (`- package: dbt-labs/dbt_utils`). No
+                # network in this engine's posture — resolution is
+                # OFFLINE: first the project's own dbt_packages/<name>/
+                # (dbt's install layout; the reference's dbt_project.yml
+                # clean-targets names it, reference dbt_project.yml:24),
+                # then a mirror shipped with the engine
+                # (examples/packages/<name>/). Unmirrored names reject
+                # loudly with both looked-up paths — never a silent
+                # skip, never a download. `version:` is accepted but
+                # informational (mirrors are unversioned).
+                hub_name = str(entry["package"]).rsplit("/", 1)[-1]
+                installed = os.path.join(
+                    project_dir, "dbt_packages", hub_name
+                )
+                mirror = os.path.normpath(
+                    os.path.join(
+                        os.path.dirname(__file__),
+                        "..",
+                        "examples",
+                        "packages",
+                        hub_name,
+                    )
+                )
+                if os.path.isdir(installed):
+                    pkg_dir = installed
+                elif os.path.isdir(mirror):
+                    pkg_dir = mirror
+                else:
+                    raise EngineError(
+                        f"packages.yml: hub package {entry['package']!r} "
+                        f"is not vendored (looked in {installed} and "
+                        f"{mirror}); place the package tree in "
+                        f"dbt_packages/{hub_name}/ or use a local: path"
+                    )
+            else:
+                raise EngineError(
+                    f"packages.yml: unsupported package entry {entry!r} "
+                    "(supported: 'local:' paths and vendored hub "
+                    "'package:' names; git packages must be vendored "
+                    "into a local directory)"
+                )
             pkg_proj_path = os.path.join(pkg_dir, "dbt_project.yml")
             if not os.path.exists(pkg_proj_path):
                 raise EngineError(

@@ -1781,3 +1781,67 @@ def test_run_operation_v2_create_udfs_run_query(spark, tmp_path):
     assert rc2 == 0
     row = spark.sql(f"SELECT ops_udf.{fn}('2024-03-05') AS ts").first()
     assert str(row.ts).startswith("2024-03-05")
+
+
+def test_hub_package_vendored_resolution(spark, sf_small, tmp_path):
+    """packages.yml hub entries (`- package: dbt-labs/dbt_utils`)
+    resolve OFFLINE: project dbt_packages/<name>/ first (dbt's install
+    layout, reference dbt_project.yml:24 clean-targets), then the
+    engine's shipped mirror in examples/packages/; unmirrored names
+    reject loudly. The mirror's date_spine matches a native
+    sequence-spine oracle (end-exclusive, hub contract)."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "hubproj")
+    _write(root, "dbt_project.yml", "name: hubproj\n")
+    _write(root, "packages.yml",
+           "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
+    _write(root, "models/spine_mart.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT date_day,\n"
+           "       {{ dbt_utils.generate_surrogate_key(['date_day']) }} AS sk,\n"
+           "       {{ dbt_utils.datediff(\"to_date('2024-03-01')\", 'date_day', 'day') }} AS d,\n"
+           "       {{ dbt_utils.safe_cast(\"'7'\", 'int') }} AS seven,\n"
+           "       {{ dbt_utils.last_day('date_day', 'month') }} AS eom\n"
+           "FROM {{ dbt_utils.date_spine('day', \"'2024-03-01'\", \"'2024-03-08'\") }}\n")
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["spine_mart"], fail_fast=True)
+    df = spark.table("datamart.spine_mart")
+    assert df.count() == 7  # end-exclusive: 03-01 .. 03-07
+    # spine parity with the raw sequence oracle
+    got = sorted(str(r.date_day)[:10] for r in df.collect())
+    want = [r.d for r in spark.sql(
+        "SELECT cast(s AS string) AS d FROM (SELECT explode(sequence("
+        "to_date('2024-03-01'), to_date('2024-03-07'), interval 1 day)) AS s)"
+    ).collect()]
+    assert got == sorted(want)
+    row = df.orderBy("date_day").first()
+    assert row.d == 0 and row.seven == 7 and str(row.eom)[:10] == "2024-03-31"
+    assert len(row.sk) == 32
+
+    # dbt_packages/<name>/ takes priority over the shipped mirror
+    root2 = str(tmp_path / "hubproj2")
+    _write(root2, "dbt_project.yml", "name: hubproj2\n")
+    _write(root2, "packages.yml", "packages:\n  - package: acme/localpkg\n")
+    _write(root2, "dbt_packages/localpkg/dbt_project.yml", "name: localpkg\n")
+    _write(root2, "dbt_packages/localpkg/macros/m.sql",
+           "{% macro fortytwo() %}42{% endmacro %}\n")
+    proj2 = load_project(root2)
+    assert "localpkg.fortytwo" in proj2.macros or "fortytwo" in proj2.macros
+
+    # unmirrored hub name -> loud error naming both looked-up paths
+    root3 = str(tmp_path / "hubproj3")
+    _write(root3, "dbt_project.yml", "name: hubproj3\n")
+    _write(root3, "packages.yml", "packages:\n  - package: acme/no_such_pkg\n")
+    with pytest.raises(EngineError, match="no_such_pkg.*not vendored|not vendored.*no_such_pkg"):
+        load_project(root3)
+
+    # git entries still reject loudly
+    root4 = str(tmp_path / "hubproj4")
+    _write(root4, "dbt_project.yml", "name: hubproj4\n")
+    _write(root4, "packages.yml",
+           "packages:\n  - git: https://example.com/repo.git\n")
+    with pytest.raises(EngineError, match="unsupported package entry"):
+        load_project(root4)

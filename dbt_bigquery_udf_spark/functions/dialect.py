@@ -736,6 +736,84 @@ def transpile_bq_functions(sql: str) -> str:
         lit = "'" + body + "'"
         return lit, n
 
+    def _spark_literal_regex_groups(body: str) -> int | None:
+        """Capture-group count of a SPARK string-literal body (the form
+        this transpiler emits): decode Spark's string escapes first
+        (``\\\\``→``\\``, unknown ``\\x``→``x``, ``''``→``'``), then run
+        the same class-aware group scan as :func:`_pattern_literal`.
+        None when the decoded regex has >1 groups (never our emission).
+        """
+        dec: list[str] = []
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                nxt = body[i + 1]
+                dec.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                i += 2
+                continue
+            if c == "'" and body[i + 1 : i + 2] == "'":
+                dec.append("'")
+                i += 2
+                continue
+            dec.append(c)
+            i += 1
+        rx = "".join(dec)
+        n, i, ln = 0, 0, len(rx)
+        in_class = False
+        while i < ln:
+            c = rx[i]
+            if c == "\\":
+                i += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+                j = i + 1
+                if rx[j : j + 1] == "^":
+                    j += 1
+                if rx[j : j + 1] == "]":
+                    i = j
+            elif c == "(" and rx[i + 1 : i + 2] != "?":
+                n += 1
+            i += 1
+        return n if n <= 1 else None
+
+    def _marker_matches_emission(a: list[str], fname: str) -> bool:
+        """True iff a marker-branded 3-arg call IS this transpiler's own
+        emission: group index 0/1 that equals the group count of the
+        (Spark-escaped) literal pattern. A hand-written
+        ``REGEXP_EXTRACT(x, pat, 1 /*grp*/)`` whose pattern has zero
+        groups — faking the idempotence marker to smuggle Spark
+        group-index semantics through (round-3 VERDICT #6) — fails this
+        check and rejects loudly. A call that PASSES is semantically
+        identical to re-transpiling the 2-arg form, so nothing can be
+        smuggled."""
+        gm = re.match(r"^([01])\s*/\*grp\*/$", a[2].strip())
+        if gm is None:
+            raise ValueError(
+                f"{fname} 3rd argument {a[2].strip()!r}: the /*grp*/ "
+                "marker is reserved for transpiler output and only "
+                "brands group index 0 or 1 — use BigQuery's 2-arg form"
+            )
+        sm = re.match(r"^\s*'(.*)'\s*$", a[1], re.S)
+        if sm is None:
+            raise ValueError(
+                f"{fname} with /*grp*/ marker but a non-literal pattern "
+                "is not transpiler output — use BigQuery's 2-arg form"
+            )
+        want = _spark_literal_regex_groups(sm.group(1))
+        if want is None or int(gm.group(1)) != want:
+            raise ValueError(
+                f"{fname}(..., {gm.group(1)} /*grp*/) does not match "
+                f"the transpiler's own emission for that pattern "
+                f"(group count {want}) — the marker cannot override "
+                "group selection; use BigQuery's 2-arg form"
+            )
+        return True
+
     def _regexp_extract(m: re.Match, a: list[str]) -> str | None:
         # BQ returns NULL when nothing matches; Spark regexp_extract
         # returns ''. BQ extracts the single capturing group if present,
@@ -746,12 +824,13 @@ def transpile_bq_functions(sql: str) -> str:
         # BQ's 3rd/4th args are position/occurrence while Spark's 3rd
         # is the group index — so they fail LOUDLY here instead.
         if len(a) == 3 and a[2].strip().endswith("/*grp*/"):
-            # Our own emitted form (the /*grp*/ marker brands the group
-            # index) — left untouched so transpile is idempotent over
-            # its own output. EVERY other 3/4-arg call — any case, any
-            # position value — is BQ's position/occurrence form (its
-            # 3rd arg means start offset; Spark's means group index)
-            # and rejects loudly below.
+            # Marker-branded: pass through ONLY when it validates as
+            # our own emission (idempotence); a spoofed marker rejects
+            # inside the validator. EVERY other 3/4-arg call — any
+            # case, any position value — is BQ's position/occurrence
+            # form (its 3rd arg means start offset; Spark's means
+            # group index) and rejects loudly below.
+            _marker_matches_emission(a, "REGEXP_EXTRACT")
             return None
         if len(a) != 2:
             raise ValueError(
@@ -782,7 +861,9 @@ def transpile_bq_functions(sql: str) -> str:
         # defaults the group index to 1, so pass-through would silently
         # extract group 1 where BQ extracts the whole match.
         if len(a) == 3 and a[2].strip().endswith("/*grp*/"):
-            return None  # our own emitted (marker-branded) form
+            # validated idempotence pass-through, same rule as above
+            _marker_matches_emission(a, "REGEXP_EXTRACT_ALL")
+            return None
         if len(a) != 2:
             raise ValueError(
                 f"REGEXP_EXTRACT_ALL takes 2 args in BigQuery, got {len(a)}"

@@ -40,7 +40,67 @@ from pyspark.sql import functions as F
 from ..catalog import EngineError
 from .table_swap import rm_default_location, swap_table
 
-__all__ = ["reconcile_schema", "merge_upsert", "run_microbatch", "delete_keys"]
+__all__ = [
+    "reconcile_schema",
+    "merge_upsert",
+    "run_microbatch",
+    "delete_keys",
+    "table_provider",
+    "merge_into_sql",
+    "MERGE_CAPABLE_PROVIDERS",
+]
+
+# Table formats whose catalogs execute a native MERGE INTO. Vanilla
+# parquet/orc/csv tables are NOT merge-capable in OSS Spark — they take
+# the rewrite path below. Delta and Iceberg both implement the ANSI
+# MERGE surface this module emits.
+MERGE_CAPABLE_PROVIDERS = frozenset({"delta", "iceberg"})
+
+
+def table_provider(spark: SparkSession, table: str) -> str:
+    """The storage provider of ``table`` (lowercase: 'parquet',
+    'delta', 'iceberg', ...), from DESCRIBE TABLE EXTENDED — the
+    dispatch key for merge strategy selection."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if (row.col_name or "").strip().lower() == "provider":
+            return (row.data_type or "").strip().lower()
+    return ""
+
+
+def merge_into_sql(
+    target: str,
+    source: str,
+    unique_key: str,
+    columns: list[str],
+    update_columns: tuple[str, ...] = (),
+    predicates: tuple[str, ...] = (),
+) -> str:
+    """The ANSI ``MERGE INTO`` statement for a dbt merge-strategy upsert
+    — the single statement that replaces this module's rewrite dance on
+    a Delta/Iceberg target (SCALE.md "Merge incremental strategy": the
+    table format drops the rewrite-and-swap invariant).
+
+    Semantics mirror the parquet path: null-safe key equality (``<=>``),
+    ``update_columns`` restricting the MATCHED set (empty = all non-key
+    columns), and ``predicates`` ANDed into ON so out-of-scope target
+    rows never match (they stay untouched — the table format's
+    row-level write is what makes "untouched" free). Predicates may
+    reference ``t.``(target) / ``s.``(source) explicitly.
+    """
+    keys = [k.strip() for k in unique_key.split(",")]
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    for pred in predicates:
+        on += f" AND ({pred})"
+    upd_cols = [c for c in (update_columns or columns) if c not in keys]
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in upd_cols)
+    col_list = ", ".join(columns)
+    val_list = ", ".join(f"s.{c}" for c in columns)
+    matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} " if upd_cols else ""
+    return (
+        f"MERGE INTO {target} AS t USING {source} AS s ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
+    )
 
 _ON_SCHEMA_CHANGE = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
@@ -123,6 +183,24 @@ def merge_upsert(
             raise EngineError(f"{target}: unique_key column {k!r} not in batch")
 
     out_cols = batch.columns  # reconcile_schema already aligned these
+
+    # Lakehouse dispatch: a Delta/Iceberg target takes ONE native MERGE
+    # INTO — row-level writes, no rewrite, no partition-stability
+    # invariant. Plain parquet continues below on the rewrite path.
+    if table_provider(spark, target) in MERGE_CAPABLE_PROVIDERS:
+        view = f"__merge_batch_{abs(hash(target)) % 10**8}"
+        batch.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                merge_into_sql(
+                    target, view, unique_key, out_cols,
+                    update_columns, predicates,
+                )
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        return
+
     tgt = spark.table(target).select(*out_cols)
 
     if partition_by:

@@ -243,7 +243,9 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_orders DESC, part_a, part_b LIMIT 15
     """,
 )
-def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_basket_pairs(
+    spark: SparkSession, sf_dir: str, max_basket_size: int = 256
+) -> DataFrame:
     """Co-occurrence mining: part pairs appearing together in at least
     two orders (the item-item affinity input for recommenders and
     negative-sampling schemes).
@@ -254,14 +256,27 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice`` — the self-join formulation the DuckDB oracle uses would
     shuffle the item set twice more (distinct is keyed on
     (order, part), the join on order — different partitionings). Pair
-    cost is O(sum k_i^2) for basket sizes k_i, bounded because TPC-H
-    baskets hold <= 7 items (production guard: cap basket size before
-    pairing; a 10k-item basket contributes 50M pairs). The HAVING
-    prunes the pair tail before the top-k.
+    cost is O(sum k_i^2) for basket sizes k_i — so the production guard
+    is ON BY DEFAULT: baskets larger than ``max_basket_size`` truncate
+    to their ``max_basket_size`` smallest items before pairing (a
+    10k-item basket would otherwise contribute 50M pairs), and the
+    count of truncated baskets is exposed as an ``observe`` metric
+    (``truncated_baskets``) so a production run sees the coverage loss
+    instead of silently mining partial affinities. TPC-H baskets hold
+    <= 7 items, so the default cap never fires here and the DuckDB
+    oracle (uncapped self-join) stays exact. The HAVING prunes the
+    pair tail before the top-k.
     """
     li = _src(spark, sf_dir)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        F.sort_array(F.collect_set("l_partkey")).alias("all_parts")
+    )
+    baskets = baskets.select(
+        F.slice("all_parts", 1, max_basket_size).alias("parts"),
+        (F.size("all_parts") > max_basket_size).alias("truncated"),
+    ).observe(
+        "market_basket_pairs",
+        F.sum(F.col("truncated").cast("long")).alias("truncated_baskets"),
     )
     pairs = baskets.select(
         F.explode(

@@ -929,17 +929,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``lang = 'en'`` slice; in production it is the trusted
     high-quality corpus (e.g. curated text vs common crawl).
 
-    Shape: one tokenize+explode pass builds the feature stream; bucket
-    stats reduce it to B=512 rows; totals are a 1-row aggregate; the
-    per-bucket log-ratio table (B rows, integer micro-units) joins back
-    BROADCAST onto the stream; one groupBy(doc_id) sums integers.
+    Shape: one tokenize+explode pass builds the feature stream, which
+    partial-aggregates map-side into per-(doc, lang, bucket) counts —
+    ONE exchange that BOTH consumers reuse (Catalyst ReusedExchange):
+    the B=512-row bucket stats on one side, the per-doc weighted sum on
+    the other (the per-bucket log-ratio table joins back BROADCAST).
+    Before round 5 the stats branch and the scoring branch each re-ran
+    the tokenize+explode narrow stage (~2x the heavy work); sharing the
+    pre-aggregated exchange removed the second pass.
 
-    Scale: the only large shuffle is the final per-doc sum (same as any
-    token aggregate); the bucket distribution is O(B) state however big
-    the corpus — that boundedness is DSIR's whole point, and at 100 TB
-    the stats pass is typically computed once per corpus snapshot and
-    reused across selection runs (here both passes run in one query so
-    the oracle can state the end-to-end value).
+    Scale: the only data-sized shuffle is that single per-cell exchange
+    (smaller than the gram stream — bounded by 512 cells/doc/lang);
+    the bucket distribution is O(B) state however big the corpus —
+    that boundedness is DSIR's whole point, and at 100 TB the stats
+    pass is typically computed once per corpus snapshot and reused
+    across selection runs (here both passes run in one query so the
+    oracle can state the end-to-end value).
     """
     d = _docs(spark, sf_dir)
     toks = d.select(
@@ -962,9 +967,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = grams.select(
         "doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b")
     )
-    stats = bucketed.groupBy("b").agg(
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    # ONE exchange both branches reuse: per-(doc, lang, bucket) counts.
+    # The explicit isNotNull guard is semantics-free (b is a hash of a
+    # non-null gram) but REQUIRED for the reuse: the scoring join
+    # infers `isnotnull(b)` into its branch only, which would make the
+    # two subtrees canonically unequal and defeat ReusedExchange.
+    percell = (
+        bucketed.filter(F.col("b").isNotNull())
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = percell.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+        ).cast("bigint").alias("ct"),
+        F.sum("c").cast("bigint").alias("cr"),
     )
     totals = stats.agg(
         F.sum("ct").cast("bigint").alias("tt"),
@@ -978,11 +995,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bucketed.join(F.broadcast(ratio), "b")
+        percell.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("term").cast("bigint").alias("logw_micro"),
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("term")).cast("bigint").alias("logw_micro"),
         )
     )
 
@@ -1116,7 +1133,23 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1])")
         ).alias("bigram"),
     )
-    pair = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_n"))
+    # ONE exchange both consumers reuse (same trick as DSIR): the raw
+    # bigram stream partial-aggregates into per-(doc, bigram) counts;
+    # the count-table branch and the scoring join both read that
+    # exchange (ReusedExchange) instead of re-running tokenize+explode.
+    # The per-instance NLL term depends only on (pair_n, ctx_n, v), so
+    # weighting by c is exact.
+    # The two isNotNull guards are semantics-free (a bigram is a
+    # concatenation of non-null tokens) but make the branch subtrees
+    # canonically EQUAL: the scoring joins infer isnotnull(bigram) and
+    # isnotnull(split(bigram)[0]) into their branch only, which would
+    # otherwise defeat ReusedExchange.
+    percell = bg.filter(
+        F.col("bigram").isNotNull() & F.split("bigram", " ")[0].isNotNull()
+    ).groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    pair = percell.groupBy("bigram").agg(
+        F.sum("c").cast("bigint").alias("pair_n")
+    )
     ctx = (
         pair.groupBy(F.split("bigram", " ")[0].alias("w1"))
         .agg(F.sum("pair_n").cast("bigint").alias("ctx_n"))
@@ -1125,12 +1158,14 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.split("bigram", " ")[1]).cast("bigint").alias("v")
     )
     scored = (
-        bg.join(pair, "bigram")
-        .join(ctx, F.split(bg["bigram"], " ")[0] == ctx["w1"])
+        percell.join(pair, "bigram")
+        .join(ctx, F.split(percell["bigram"], " ")[0] == ctx["w1"])
         .crossJoin(F.broadcast(vocab))
-        .selectExpr("doc_id", f"CAST({_BIGRAM_NLL} AS BIGINT) AS nll_micro")
+        .selectExpr(
+            "doc_id", "c", f"CAST({_BIGRAM_NLL} AS BIGINT) AS nll_micro"
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("nll_micro").cast("bigint").alias("nll_sum_micro"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("nll_micro")).cast("bigint").alias("nll_sum_micro"),
     )

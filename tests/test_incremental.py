@@ -563,3 +563,94 @@ WHERE CAST(ts AS DATE) IN (DATE '{d0}', DATE '{d1}')
     # d0 untouched: not listed, decoy rows filtered out.
     assert t.filter(f"day = '{d0}'").count() == before_d0
     assert t.filter(f"day = '{d0}' AND value = -999.0").count() == 0
+
+
+def test_merge_into_sql_generation():
+    """The lakehouse MERGE path emits the ANSI statement Delta/Iceberg
+    execute: null-safe key ON, predicates ANDed into ON,
+    update_columns restricting the MATCHED set, full INSERT list."""
+    from dbt_bigquery_udf_spark.models.incremental import merge_into_sql
+
+    sql = merge_into_sql(
+        "datamart.t", "batch_v", "id", ["id", "v", "ts"],
+    )
+    assert sql == (
+        "MERGE INTO datamart.t AS t USING batch_v AS s ON t.id <=> s.id "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.ts = s.ts "
+        "WHEN NOT MATCHED THEN INSERT (id, v, ts) VALUES (s.id, s.v, s.ts)"
+    )
+    # composite key + predicates + restricted update set
+    sql2 = merge_into_sql(
+        "t", "b", "k1, k2", ["k1", "k2", "a", "b"],
+        update_columns=("a",), predicates=("t.ts > '2024-01-01'",),
+    )
+    assert "ON t.k1 <=> s.k1 AND t.k2 <=> s.k2 AND (t.ts > '2024-01-01')" in sql2
+    assert "UPDATE SET t.a = s.a " in sql2 and "t.b = s.b" not in sql2
+    # keys-only update set degenerates to insert-only (no empty SET)
+    sql3 = merge_into_sql("t", "b", "id", ["id"])
+    assert "WHEN MATCHED" not in sql3 and "WHEN NOT MATCHED" in sql3
+
+
+def test_table_provider_probe_and_parquet_fallback(spark, sf_small):
+    """table_provider reads the catalog's provider; a parquet target
+    dispatches to the rewrite path (existing merge semantics unchanged
+    — this is the format-flag fallback)."""
+    from dbt_bigquery_udf_spark.models.incremental import (
+        MERGE_CAPABLE_PROVIDERS,
+        merge_upsert,
+        table_provider,
+    )
+
+    import uuid as _uuid
+
+    tbl = f"ops_merge.mt_{_uuid.uuid4().hex[:8]}"  # unique: stale
+    # warehouse dirs from earlier processes keep the location
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops_merge")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.format("parquet").saveAsTable(tbl)
+    assert table_provider(spark, tbl) == "parquet"
+    assert "parquet" not in MERGE_CAPABLE_PROVIDERS
+    batch = spark.createDataFrame([(2, "B"), (3, "c")], "id bigint, v string")
+    merge_upsert(spark, tbl, batch, "id")
+    rows = {(r.id, r.v) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_dispatches_to_merge_into_on_capable_provider(spark, sf_small, monkeypatch):
+    """When the target's provider is merge-capable, merge_upsert issues
+    ONE native MERGE INTO (captured here — no Delta jars in the test
+    env) and never touches the rewrite machinery."""
+    from dbt_bigquery_udf_spark.models import incremental as inc
+
+    import uuid as _uuid
+
+    tbl = f"ops_merge.md_{_uuid.uuid4().hex[:8]}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops_merge")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.format(
+        "parquet"
+    ).saveAsTable(tbl)
+    monkeypatch.setattr(inc, "table_provider", lambda s, t: "delta")
+    issued = []
+    real_sql = spark.sql
+
+    class _FakeSpark:
+        def __getattr__(self, name):
+            return getattr(spark, name)
+
+        def sql(self, q, **kw):
+            if q.startswith("MERGE INTO"):
+                issued.append(q)
+
+                class _Done:
+                    def collect(self_inner):
+                        return []
+
+                return _Done()
+            return real_sql(q, **kw)
+
+    batch = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    inc.merge_upsert(_FakeSpark(), tbl, batch, "id")
+    assert len(issued) == 1
+    assert issued[0].startswith(f"MERGE INTO {tbl} AS t USING __merge_batch_")
+    assert "t.id <=> s.id" in issued[0]

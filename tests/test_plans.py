@@ -652,3 +652,20 @@ def test_hard_negatives_anchor_broadcast(spark, sf_small):
     f = _facts(spark, sf_small, "emb_hard_negatives")
     assert "CartesianProduct" not in f.text, f.text
     assert "BroadcastNestedLoopJoin" in f.text, f.text
+
+
+def test_dsir_and_bigram_single_tokenize_pass(spark, sf_small):
+    """DSIR and the bigram LM must tokenize the corpus ONCE: both the
+    count-table branch and the scoring branch read the same
+    per-cell-aggregated exchange (ReusedExchange in the AQE final plan
+    after a collect-shaped action). Before round 5 each branch re-ran
+    the tokenize+explode narrow stage. The explicit isNotNull guards
+    in the operators exist to keep the branch subtrees canonically
+    equal — without them the scoring join's inferred isnotnull breaks
+    the reuse."""
+    for name in ("dsir_importance_weights", "text_bigram_lm_nll"):
+        df = Q.QUERIES[name](spark, sf_small)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final, f"{name}: no exchange reuse\n{final}"

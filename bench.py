@@ -88,6 +88,11 @@ HEADLINE = [
     "emb_hard_negatives",
     "text_bigram_lm_nll",
     "graph_pagerank_converged",
+    # round 5: quality gates, duplicate-shingle fraction, dup-cluster
+    # histogram
+    "quality_gopher_rules",
+    "dedup_shingle_fraction",
+    "dedup_cluster_stats",
 ]
 
 

@@ -1169,3 +1169,242 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.sum(F.col("c") * F.col("nll_micro")).cast("bigint").alias("nll_sum_micro"),
     )
+
+
+# -- Gopher-style quality rules (round 5) -----------------------------------
+
+# The published Gopher/MassiveText quality-filter family: documents fail
+# on word count, mean word length, symbol ratio, or missing common
+# stopwords. Thresholds follow the published recipe, adapted to this
+# corpus's space-separated text (no symbol classes needed here beyond
+# non-alpha).
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 10_000_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_TOP_WORD_FRAC = 0.30  # repetition gate: top word share
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE)))
+                   / len(t), 6) AS mean_word_len,
+             CAST(list_max(list_transform(list_distinct(t),
+                 w -> len(list_filter(t, x -> x = w)))) AS BIGINT)
+               AS top_word_n,
+             len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+               > 0 AS has_stopword
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           round(top_word_n * 1e0 / n_words, 6) AS top_word_frac,
+           has_stopword,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND top_word_n * 1e0 / n_words <= {GOPHER_MAX_TOP_WORD_FRAC}
+            AND has_stopword) AS passes
+    FROM stats
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style quality gates per document: word count
+    bounds, mean word length bounds, top-word repetition share, and
+    stopword presence — the published pretraining-data filter family
+    (Rae et al. 2021), each signal emitted alongside the combined
+    verdict so a pipeline can tune thresholds without re-scanning.
+
+    Scale: one narrow pass per document (split + array aggregates, all
+    codegen; the top-word count is an in-array group-by via
+    aggregate over the sorted array — no explode, no shuffle at all
+    until any downstream summary). The embarrassing-parallel shape is
+    the point: quality gating 100 TB is scan-bound.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") > 0)
+    stats = toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        F.round(
+            F.expr("aggregate(t, 0D, (acc, w) -> acc + length(w))")
+            / F.size("t"),
+            6,
+        ).alias("mean_word_len"),
+        # top word count without explode: sort the array, then the
+        # longest run of equal neighbours IS the max frequency.
+        F.expr(
+            "aggregate(sort_array(t), struct(0L AS best, 0L AS run, "
+            "CAST(NULL AS STRING) AS prev), "
+            "(acc, w) -> struct("
+            "greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND w = acc.prev "
+            "THEN acc.run + 1 ELSE 1 END) AS best, "
+            "CASE WHEN acc.prev IS NOT NULL AND w = acc.prev "
+            "THEN acc.run + 1 ELSE 1 END AS run, w AS prev), "
+            "acc -> acc.best)"
+        ).cast("bigint").alias("top_word_n"),
+        F.expr(
+            "size(filter(t, w -> w IN ('the', 'a', 'of', 'and', 'to'))) > 0"
+        ).alias("has_stopword"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.round(F.col("top_word_n") * F.lit(1e0) / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        "has_stopword",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (
+                F.col("top_word_n") * F.lit(1e0) / F.col("n_words")
+                <= GOPHER_MAX_TOP_WORD_FRAC
+            )
+            & F.col("has_stopword")
+        ).alias("passes"),
+    )
+
+
+# -- duplicate-shingle fraction (RefinedWeb-style, round 5) ------------------
+
+DUP_SHINGLE_N = 5  # 5-gram shingles, the near-dup filter's unit
+
+
+@register(
+    "dedup_shingle_fraction",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - {DUP_SHINGLE_N} + 2),
+               i -> array_to_string(list_slice(t, i, i + {DUP_SHINGLE_N} - 1), ' ')
+             )) AS shingle
+      FROM toks WHERE len(t) >= {DUP_SHINGLE_N}
+    ), df AS (
+      SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           round(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS dup_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-shingle fraction per document: the share of a doc's
+    distinct {DUP_SHINGLE_N}-gram shingles that also appear in at least
+    one OTHER document — the RefinedWeb/MassiveWeb "duplicated n-gram"
+    near-dup signal, the content-overlap filter that exact and MinHash
+    dedup both miss (partial copies, boilerplate).
+
+    Shape: the same trick as DSIR — distinct per-(doc, shingle) pairs
+    are ONE exchange that both consumers share (the shingle
+    document-frequency table on one side, the per-doc join-back on the
+    other). Shingle df is the only corpus-global state and it is
+    Heaps-bounded.
+
+    Scale: at 100 TB, hash the shingles (md5/xxhash) before the
+    exchange so the shuffle carries 16-byte keys, not text; the plan is
+    otherwise unchanged. Kept as plain text here so the oracle pins the
+    exact values.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= DUP_SHINGLE_N)
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {DUP_SHINGLE_N}), "
+                    f"i -> array_join(slice(t, i + 1, {DUP_SHINGLE_N}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())  # canonical-equality guard
+        .distinct()
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                * F.lit(1e0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# -- dup-cluster size distribution (round 5) ---------------------------------
+
+
+@register(
+    "dedup_cluster_stats",
+    """
+    WITH clusters AS (
+      SELECT md5(text) AS h, count(*) AS cluster_size
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS rows_covered
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: how many clusters exist
+    at each multiplicity and how many rows they cover — the dedup
+    DIAGNOSTIC that decides strategy before any dedup runs (a corpus
+    whose mass sits in size-2 clusters wants hash dedup; a few giant
+    clusters want popularity caps).
+
+    Scale: two cascaded aggregations, each with map-side partial
+    aggregation; the first shuffles md5 keys (16 bytes/row), the
+    second shuffles |distinct sizes| rows. No full-text shuffle — the
+    hash IS the key.
+    """
+    d = _docs(spark, sf_dir)
+    clusters = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("rows_covered"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "rows_covered",
+    )

@@ -234,7 +234,6 @@ _CURATED_WINDOW = (
     "window_funcs_suite",
     "cube_orders",
     # events / time series
-    "events_json_extract",
     "events_sessionize",
     "events_skew_salted",
     "timeseries_gapfill",
@@ -249,31 +248,31 @@ _CURATED_WINDOW = (
     "bq_dialect_hll_rollup",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
-    # dedup family (round-4 rotation per VERDICT r3 #2: keep_best /
-    # simhash / embedding_cosine / incremental_batch yield their slots
-    # to the round-3 operators; all stay verify_driver-checked past the
-    # window, and the family keeps 5 in-window reps)
+    # dedup family (round-5 rotation: components / fuzzy_name_pairs
+    # yield their slots to the new shingle-fraction near-dup signal and
+    # the cluster-size diagnostic; everything rotated out stays
+    # verify_driver-checked past the window)
     "dedup_exact",
     "dedup_minhash_survivors",
-    "dedup_components",
     "dedup_semantic",
-    "fuzzy_name_pairs",
-    # similarity search / embedding analytics (sim_lsh_topk rotated out
-    # round 3 — family already covered by sim_topk_brute/sim_ivf_rerank/
-    # sim_pq_codes; it stays verify_driver-checked past the window);
-    # round 4 adds contrastive hard-negative mining
+    "dedup_shingle_fraction",
+    "dedup_cluster_stats",
+    # similarity search / embedding analytics (round 5: sim_pq_codes
+    # yields its slot to MMR diversification so every round-3 operator
+    # finally has in-window evidence; IVF-PQ stays covered past-window)
     "sim_topk_brute",
     "sim_ivf_rerank",
-    "sim_pq_codes",
     "emb_kmeans_step",
     "emb_hard_negatives",
-    # text analysis (text_chunk_dedup rotated out round 3; round 4
-    # swaps perplexity_proxy for the count-table bigram LM + DSIR
-    # data-selection weights)
-    "text_token_stats",
+    "emb_mmr_diversify",
+    # text analysis (round 5: token_stats yields its slot to the
+    # Gopher-rule quality gates; BPE pair counts joins so tokenizer
+    # training has in-window evidence)
     "text_lang_id",
     "text_bigram_lm_nll",
     "dsir_importance_weights",
+    "quality_gopher_rules",
+    "bpe_pair_counts",
     # multimodal
     "mm_payload_dedup",
     "mm_decode_features",

@@ -115,3 +115,56 @@ def test_bpe_pair_counts_conserve_totals(spark, sf_small):
         .first()[0]
     )
     assert total_pairs == expected
+
+
+def test_gopher_rules_signals_and_verdict(spark, crafted_docs_dir):
+    """Crafted docs pin the gates: doc 1 ('ping pong'x30) fails on
+    top-word share; doc 2 (stopword-dense English) passes; doc 4
+    (unique word soup, no stopwords) fails on stopword presence. The
+    combined verdict must equal the conjunction of its own emitted
+    signals — an inconsistency means the two were computed from
+    different intermediate state."""
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_gopher_rules"](spark, crafted_docs_dir).collect()
+    }
+    assert not rows[1].passes and rows[1].top_word_frac > 0.3
+    assert rows[2].passes and rows[2].has_stopword
+    assert not rows[4].passes and not rows[4].has_stopword
+    for r in rows.values():
+        expected = (
+            5 <= r.n_words
+            and 2.0 <= r.mean_word_len <= 12.0
+            and r.top_word_frac <= 0.30
+            and r.has_stopword
+        )
+        assert r.passes == expected, r
+
+
+def test_shingle_fraction_bounds_and_self_novelty(spark, crafted_docs_dir):
+    """dup_frac must lie in [0, 1] with n_dup_shingles <= n_shingles;
+    doc 4 (every word unique corpus-wide) must have dup_frac = 0 — its
+    shingles cannot appear in any other document."""
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["dedup_shingle_fraction"](spark, crafted_docs_dir).collect()
+    }
+    for r in rows.values():
+        assert 0 <= r.n_dup_shingles <= r.n_shingles, r
+        assert 0.0 <= r.dup_frac <= 1.0, r
+    assert rows[4].dup_frac == 0.0
+
+
+def test_cluster_stats_conserve_rows(spark, sf_small):
+    """Conservation: sum(cluster_size * n_clusters) over the histogram
+    must equal the document count exactly — every row belongs to
+    exactly one exact-hash cluster (the invariant a shared off-by-one
+    in both engines would break)."""
+    from dbt_bigquery_udf_spark.sources.registry import register_sources
+
+    hist = Q.QUERIES["dedup_cluster_stats"](spark, sf_small).collect()
+    total = sum(r.rows_covered for r in hist)
+    docs = register_sources(spark, sf_small, tables=("documents",))["documents"]
+    assert total == docs.count()
+    for r in hist:
+        assert r.rows_covered == r.cluster_size * r.n_clusters

@@ -1171,18 +1171,27 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- Gopher-style quality rules (round 5) -----------------------------------
+# -- Gopher-style quality rules (rounds 5-6) ---------------------------------
 
-# The published Gopher/MassiveText quality-filter family: documents fail
-# on word count, mean word length, symbol ratio, or missing common
-# stopwords. Thresholds follow the published recipe, adapted to this
-# corpus's space-separated text (no symbol classes needed here beyond
-# non-alpha).
+# The published Gopher/MassiveText quality-filter family (Rae et al.
+# 2021, Table A1): documents fail on word count, mean word length,
+# repetition, symbol-to-word ratio, bullet/ellipsis line shares,
+# duplicate lines, or missing common stopwords. The repetition gate is
+# STOPWORD-AWARE (round 6): natural English is legitimately ~5-7% "the",
+# so the share gate is computed over non-stopword tokens — the published
+# recipe's intent (catch "ping pong ping pong ...", not prose).
 GOPHER_MIN_WORDS = 5
 GOPHER_MAX_WORDS = 10_000_000
 GOPHER_MIN_MEAN_WORD_LEN = 2.0
 GOPHER_MAX_MEAN_WORD_LEN = 12.0
-GOPHER_MAX_TOP_WORD_FRAC = 0.30  # repetition gate: top word share
+GOPHER_MAX_TOP_WORD_FRAC = 0.30  # repetition gate: top NON-stopword share
+GOPHER_MAX_SYMBOL_RATIO = 0.10  # '#' + '…' occurrences per word
+GOPHER_MAX_BULLET_FRAC = 0.90  # lines starting with a bullet marker
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30  # lines ending with '...' / '…'
+GOPHER_MAX_DUP_LINE_FRAC = 0.30  # (n_lines - n_distinct_lines) / n_lines
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 
 @register(
@@ -1190,61 +1199,116 @@ GOPHER_MAX_TOP_WORD_FRAC = 0.30  # repetition gate: top word share
     f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t <> '') AS t
+             list_filter(string_split(text, ' '), t -> t <> '') AS t,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+               AS ls,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + length(text) - length(replace(text, '…', '')) AS BIGINT)
+               AS n_symbols
       FROM documents
     ), stats AS (
       SELECT doc_id,
              CAST(len(t) AS BIGINT) AS n_words,
-             round(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE)))
-                   / len(t), 6) AS mean_word_len,
-             CAST(list_max(list_transform(list_distinct(t),
-                 w -> len(list_filter(t, x -> x = w)))) AS BIGINT)
+             CASE WHEN len(t) = 0 THEN NULL ELSE
+               round(list_sum(list_transform(t,
+                   w -> CAST(length(w) AS DOUBLE))) / len(t), 6) END
+               AS mean_word_len,
+             CAST(coalesce(list_max(list_transform(
+                 list_distinct(list_filter(t,
+                     w -> w NOT IN ({_GOPHER_STOP_SQL}))),
+                 w -> len(list_filter(t, x -> x = w)))), 0) AS BIGINT)
                AS top_word_n,
-             len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and', 'to')))
-               > 0 AS has_stopword
-      FROM toks WHERE len(t) > 0
+             len(list_filter(t, w -> w IN ({_GOPHER_STOP_SQL}))) > 0
+               AS has_stopword,
+             n_symbols,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+             CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+                 OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+                 OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines
+      FROM toks
     )
     SELECT doc_id, n_words, mean_word_len,
-           round(top_word_n * 1e0 / n_words, 6) AS top_word_frac,
+           CASE WHEN n_words = 0 THEN NULL ELSE
+             round(top_word_n * 1e0 / n_words, 6) END AS top_word_frac,
            has_stopword,
+           round(n_symbols * 1e0 / greatest(n_words, 1), 6)
+             AS symbol_word_ratio,
+           round(n_dup_lines * 1e0 / greatest(n_lines, 1), 6)
+             AS dup_line_frac,
+           round(n_bullet_lines * 1e0 / greatest(n_lines, 1), 6)
+             AS bullet_line_frac,
+           round(n_ellipsis_lines * 1e0 / greatest(n_lines, 1), 6)
+             AS ellipsis_line_frac,
            (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-            AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
-            AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
-            AND top_word_n * 1e0 / n_words <= {GOPHER_MAX_TOP_WORD_FRAC}
-            AND has_stopword) AS passes
+            AND coalesce(mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                         AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN},
+                         FALSE)
+            AND top_word_n * 1e0 / greatest(n_words, 1)
+                <= {GOPHER_MAX_TOP_WORD_FRAC}
+            AND has_stopword
+            AND n_symbols * 1e0 / greatest(n_words, 1)
+                <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND n_dup_lines * 1e0 / greatest(n_lines, 1)
+                <= {GOPHER_MAX_DUP_LINE_FRAC}
+            AND n_bullet_lines * 1e0 / greatest(n_lines, 1)
+                <= {GOPHER_MAX_BULLET_FRAC}
+            AND n_ellipsis_lines * 1e0 / greatest(n_lines, 1)
+                <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS passes
     FROM stats
     """,
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/MassiveText-style quality gates per document: word count
-    bounds, mean word length bounds, top-word repetition share, and
-    stopword presence — the published pretraining-data filter family
-    (Rae et al. 2021), each signal emitted alongside the combined
-    verdict so a pipeline can tune thresholds without re-scanning.
+    """Gopher/MassiveText quality gates per document (Rae et al. 2021,
+    Table A1): word-count bounds, mean-word-length bounds, top
+    NON-stopword repetition share, stopword presence, symbol-to-word
+    ratio ('#' and '…'), duplicate-line fraction, and bullet/ellipsis
+    line shares — each signal emitted alongside the combined verdict so
+    a pipeline can tune thresholds without re-scanning.
+
+    The repetition gate deliberately excludes stopwords: English prose
+    is legitimately ~5-7% "the", so a raw top-word share flags normal
+    text; the gate's published intent is mechanical repetition. Empty /
+    whitespace-only documents are EMITTED with n_words=0, NULL
+    mean_word_len, and passes=false (not silently dropped) so an
+    anti-join on passes=false cannot let them through.
 
     Scale: one narrow pass per document (split + array aggregates, all
-    codegen; the top-word count is an in-array group-by via
-    aggregate over the sorted array — no explode, no shuffle at all
-    until any downstream summary). The embarrassing-parallel shape is
-    the point: quality gating 100 TB is scan-bound.
+    codegen; the top-word count is an in-array group-by via aggregate
+    over the sorted array — no explode, no shuffle at all until any
+    downstream summary). The embarrassing-parallel shape is the point:
+    quality gating 100 TB is scan-bound.
     """
     d = _docs(spark, sf_dir)
+    stop_sql = _GOPHER_STOP_SQL
     toks = d.select(
         "doc_id",
         F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
-    ).filter(F.size("t") > 0)
+        F.expr("filter(split(text, '\\n'), l -> trim(l) <> '')").alias("ls"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+            + F.length("text") - F.length(F.expr("replace(text, '…', '')"))
+        ).cast("bigint").alias("n_symbols"),
+    )
     stats = toks.select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_words"),
-        F.round(
-            F.expr("aggregate(t, 0D, (acc, w) -> acc + length(w))")
-            / F.size("t"),
-            6,
+        F.when(
+            F.size("t") > 0,
+            F.round(
+                F.expr("aggregate(t, 0D, (acc, w) -> acc + length(w))")
+                / F.size("t"),
+                6,
+            ),
         ).alias("mean_word_len"),
-        # top word count without explode: sort the array, then the
-        # longest run of equal neighbours IS the max frequency.
+        # top non-stopword count without explode: sort the filtered
+        # array, then the longest run of equal neighbours IS the max
+        # frequency (0 for stopword-only / empty docs).
         F.expr(
-            "aggregate(sort_array(t), struct(0L AS best, 0L AS run, "
+            f"aggregate(sort_array(filter(t, w -> w NOT IN ({stop_sql}))), "
+            "struct(0L AS best, 0L AS run, "
             "CAST(NULL AS STRING) AS prev), "
             "(acc, w) -> struct("
             "greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND w = acc.prev "
@@ -1254,27 +1318,74 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc -> acc.best)"
         ).cast("bigint").alias("top_word_n"),
         F.expr(
-            "size(filter(t, w -> w IN ('the', 'a', 'of', 'and', 'to'))) > 0"
+            f"size(filter(t, w -> w IN ({stop_sql}))) > 0"
         ).alias("has_stopword"),
+        "n_symbols",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        (F.size("ls") - F.size(F.array_distinct("ls")))
+        .cast("bigint").alias("n_dup_lines"),
+        F.expr(
+            "size(filter(ls, l -> ltrim(l) LIKE '-%' "
+            "OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%'))"
+        ).cast("bigint").alias("n_bullet_lines"),
+        F.expr(
+            "size(filter(ls, l -> rtrim(l) LIKE '%...' "
+            "OR rtrim(l) LIKE '%…'))"
+        ).cast("bigint").alias("n_ellipsis_lines"),
     )
+    one = F.lit(1e0)
+    n_words_safe = F.greatest(F.col("n_words"), F.lit(1))
+    n_lines_safe = F.greatest(F.col("n_lines"), F.lit(1))
     return stats.select(
         "doc_id",
         "n_words",
         "mean_word_len",
-        F.round(F.col("top_word_n") * F.lit(1e0) / F.col("n_words"), 6).alias(
-            "top_word_frac"
-        ),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("top_word_n") * one / F.col("n_words"), 6),
+        ).alias("top_word_frac"),
         "has_stopword",
+        F.round(F.col("n_symbols") * one / n_words_safe, 6).alias(
+            "symbol_word_ratio"
+        ),
+        F.round(F.col("n_dup_lines") * one / n_lines_safe, 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(F.col("n_bullet_lines") * one / n_lines_safe, 6).alias(
+            "bullet_line_frac"
+        ),
+        F.round(F.col("n_ellipsis_lines") * one / n_lines_safe, 6).alias(
+            "ellipsis_line_frac"
+        ),
         (
             (F.col("n_words") >= GOPHER_MIN_WORDS)
             & (F.col("n_words") <= GOPHER_MAX_WORDS)
-            & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
-            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+            & F.coalesce(
+                (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+                & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN),
+                F.lit(False),
+            )
             & (
-                F.col("top_word_n") * F.lit(1e0) / F.col("n_words")
+                F.col("top_word_n") * one / n_words_safe
                 <= GOPHER_MAX_TOP_WORD_FRAC
             )
             & F.col("has_stopword")
+            & (
+                F.col("n_symbols") * one / n_words_safe
+                <= GOPHER_MAX_SYMBOL_RATIO
+            )
+            & (
+                F.col("n_dup_lines") * one / n_lines_safe
+                <= GOPHER_MAX_DUP_LINE_FRAC
+            )
+            & (
+                F.col("n_bullet_lines") * one / n_lines_safe
+                <= GOPHER_MAX_BULLET_FRAC
+            )
+            & (
+                F.col("n_ellipsis_lines") * one / n_lines_safe
+                <= GOPHER_MAX_ELLIPSIS_FRAC
+            )
         ).alias("passes"),
     )
 

@@ -118,12 +118,14 @@ def test_bpe_pair_counts_conserve_totals(spark, sf_small):
 
 
 def test_gopher_rules_signals_and_verdict(spark, crafted_docs_dir):
-    """Crafted docs pin the gates: doc 1 ('ping pong'x30) fails on
-    top-word share; doc 2 (stopword-dense English) passes; doc 4
-    (unique word soup, no stopwords) fails on stopword presence. The
-    combined verdict must equal the conjunction of its own emitted
-    signals — an inconsistency means the two were computed from
-    different intermediate state."""
+    """Crafted docs pin the gates: doc 1 ('ping pong'x30, no stopwords)
+    fails on top NON-stopword share AND stopword presence; doc 2
+    (stopword-dense English prose — 'the' is 7/22 of it, which a naive
+    top-word gate would wrongly flag) passes because the repetition
+    gate excludes stopwords; doc 4 (unique word soup, no stopwords)
+    fails on stopword presence. The combined verdict must equal the
+    conjunction of its own emitted signals — an inconsistency means the
+    two were computed from different intermediate state."""
     rows = {
         r.doc_id: r
         for r in Q.QUERIES["quality_gopher_rules"](spark, crafted_docs_dir).collect()
@@ -137,8 +139,54 @@ def test_gopher_rules_signals_and_verdict(spark, crafted_docs_dir):
             and 2.0 <= r.mean_word_len <= 12.0
             and r.top_word_frac <= 0.30
             and r.has_stopword
+            and r.symbol_word_ratio <= 0.10
+            and r.dup_line_frac <= 0.30
+            and r.bullet_line_frac <= 0.90
+            and r.ellipsis_line_frac <= 0.30
         )
         assert r.passes == expected, r
+
+
+def test_gopher_rules_line_gates_and_empty_docs(spark, tmp_path):
+    """The round-6 gate breadth + the empty-doc contract: (a) an
+    empty / whitespace-only doc is EMITTED with n_words=0, NULL
+    mean_word_len, passes=false — not silently dropped; (b) a
+    bullet-heavy listicle fails the bullet-line gate; (c) duplicated
+    lines trip the duplicate-line gate; (d) symbol-spam ('#'/'…')
+    trips the symbol-to-word ratio; (e) ellipsis-trailing lines trip
+    the ellipsis gate. All while prose with the same structure
+    passes."""
+    rows_in = [
+        (1, ""),  # empty
+        (2, "   "),  # whitespace-only
+        (3, "\n".join(f"- the item number {i} of note" for i in range(10))),
+        (4, "the cat sat on a mat\n" * 8 + "and the dog slept well"),
+        (5, "the price of # things # is # up # again # and # more #"),
+        (6, "\n".join(f"the story part {i} trails off..." for i in range(5))),
+        (7, "the quick brown fox jumps over a lazy dog near the river\n"
+            "it then rests in the shade of an old oak tree"),
+    ]
+    root = str(tmp_path / "gopher_line_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows_in],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_gopher_rules"](spark, root).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}, "empty docs must be emitted"
+    for empty_id in (1, 2):
+        r = rows[empty_id]
+        assert r.n_words == 0 and r.mean_word_len is None
+        assert r.passes is False
+    assert rows[3].bullet_line_frac == 1.0 and not rows[3].passes
+    assert rows[4].dup_line_frac > 0.30 and not rows[4].passes
+    assert rows[5].symbol_word_ratio > 0.10 and not rows[5].passes
+    assert rows[6].ellipsis_line_frac == 1.0 and not rows[6].passes
+    assert rows[7].passes
 
 
 def test_shingle_fraction_bounds_and_self_novelty(spark, crafted_docs_dir):

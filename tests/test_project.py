@@ -1182,13 +1182,15 @@ def test_packages_collisions_and_unsupported(tmp_path):
     with pytest.raises(EngineError, match="clash"):
         load_project(root)
 
-    # non-local package entries fail loudly
+    # hub entries with NO vendored mirror and no dbt_packages/ install
+    # still fail loudly (dbt-labs/dbt_utils itself resolves by design
+    # via the shipped mirror — covered in test_hub_package_resolution)
     root2 = str(tmp_path / "hubproj")
     _write(root2, "dbt_project.yml", "name: hubproj\n")
     _write(root2, "packages.yml",
            """\
            packages:
-             - package: dbt-labs/dbt_utils
+             - package: some-org/not_vendored
                version: 1.1.1
            """)
     with pytest.raises(EngineError, match="local"):

@@ -34,6 +34,8 @@ inserted). Plain parquet has no MERGE, so:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +69,17 @@ def table_provider(spark: SparkSession, table: str) -> str:
     return ""
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote one identifier (reserved words, dashes, dots in a
+    column name all survive; embedded backticks double per Spark SQL)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _bq_qualified(name: str) -> str:
+    """Backtick-quote a possibly-dotted table/view name part by part."""
+    return ".".join(_bq(p) for p in name.split("."))
+
+
 def merge_into_sql(
     target: str,
     source: str,
@@ -88,16 +101,17 @@ def merge_into_sql(
     reference ``t.``(target) / ``s.``(source) explicitly.
     """
     keys = [k.strip() for k in unique_key.split(",")]
-    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    on = " AND ".join(f"t.{_bq(k)} <=> s.{_bq(k)}" for k in keys)
     for pred in predicates:
         on += f" AND ({pred})"
     upd_cols = [c for c in (update_columns or columns) if c not in keys]
-    set_clause = ", ".join(f"t.{c} = s.{c}" for c in upd_cols)
-    col_list = ", ".join(columns)
-    val_list = ", ".join(f"s.{c}" for c in columns)
+    set_clause = ", ".join(f"t.{_bq(c)} = s.{_bq(c)}" for c in upd_cols)
+    col_list = ", ".join(_bq(c) for c in columns)
+    val_list = ", ".join(f"s.{_bq(c)}" for c in columns)
     matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} " if upd_cols else ""
     return (
-        f"MERGE INTO {target} AS t USING {source} AS s ON {on} "
+        f"MERGE INTO {_bq_qualified(target)} AS t "
+        f"USING {_bq_qualified(source)} AS s ON {on} "
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
     )
@@ -188,7 +202,9 @@ def merge_upsert(
     # INTO — row-level writes, no rewrite, no partition-stability
     # invariant. Plain parquet continues below on the rewrite path.
     if table_provider(spark, target) in MERGE_CAPABLE_PROVIDERS:
-        view = f"__merge_batch_{abs(hash(target)) % 10**8}"
+        # uuid-suffixed so two concurrent merges into the same target in
+        # one session can't race on createOrReplaceTempView
+        view = f"__merge_batch_{uuid.uuid4().hex}"
         batch.createOrReplaceTempView(view)
         try:
             spark.sql(

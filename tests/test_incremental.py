@@ -575,20 +575,32 @@ def test_merge_into_sql_generation():
         "datamart.t", "batch_v", "id", ["id", "v", "ts"],
     )
     assert sql == (
-        "MERGE INTO datamart.t AS t USING batch_v AS s ON t.id <=> s.id "
-        "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.ts = s.ts "
-        "WHEN NOT MATCHED THEN INSERT (id, v, ts) VALUES (s.id, s.v, s.ts)"
+        "MERGE INTO `datamart`.`t` AS t USING `batch_v` AS s "
+        "ON t.`id` <=> s.`id` "
+        "WHEN MATCHED THEN UPDATE SET t.`v` = s.`v`, t.`ts` = s.`ts` "
+        "WHEN NOT MATCHED THEN INSERT (`id`, `v`, `ts`) "
+        "VALUES (s.`id`, s.`v`, s.`ts`)"
     )
     # composite key + predicates + restricted update set
     sql2 = merge_into_sql(
         "t", "b", "k1, k2", ["k1", "k2", "a", "b"],
         update_columns=("a",), predicates=("t.ts > '2024-01-01'",),
     )
-    assert "ON t.k1 <=> s.k1 AND t.k2 <=> s.k2 AND (t.ts > '2024-01-01')" in sql2
-    assert "UPDATE SET t.a = s.a " in sql2 and "t.b = s.b" not in sql2
+    assert (
+        "ON t.`k1` <=> s.`k1` AND t.`k2` <=> s.`k2` "
+        "AND (t.ts > '2024-01-01')" in sql2
+    )
+    assert "UPDATE SET t.`a` = s.`a` " in sql2 and "t.`b` = s.`b`" not in sql2
     # keys-only update set degenerates to insert-only (no empty SET)
     sql3 = merge_into_sql("t", "b", "id", ["id"])
     assert "WHEN MATCHED" not in sql3 and "WHEN NOT MATCHED" in sql3
+    # reserved words / special characters survive via backtick quoting
+    sql4 = merge_into_sql(
+        "db.order", "b", "select", ["select", "from", "da-sh"],
+    )
+    assert "MERGE INTO `db`.`order` AS t" in sql4
+    assert "ON t.`select` <=> s.`select`" in sql4
+    assert "t.`from` = s.`from`" in sql4 and "t.`da-sh` = s.`da-sh`" in sql4
 
 
 def test_table_provider_probe_and_parquet_fallback(spark, sf_small):
@@ -652,5 +664,8 @@ def test_merge_dispatches_to_merge_into_on_capable_provider(spark, sf_small, mon
     batch = spark.createDataFrame([(2, "b")], "id bigint, v string")
     inc.merge_upsert(_FakeSpark(), tbl, batch, "id")
     assert len(issued) == 1
-    assert issued[0].startswith(f"MERGE INTO {tbl} AS t USING __merge_batch_")
-    assert "t.id <=> s.id" in issued[0]
+    db, name = tbl.split(".")
+    assert issued[0].startswith(
+        f"MERGE INTO `{db}`.`{name}` AS t USING `__merge_batch_"
+    )
+    assert "t.`id` <=> s.`id`" in issued[0]

@@ -378,8 +378,20 @@ def main(argv: list[str] | None = None) -> int:
             except json.JSONDecodeError:
                 import ast as _ast_mod
 
-                quoted = re.sub(
-                    r"([{,]\s*)([A-Za-z_]\w*)\s*:", r"\1'\2':", args.args
+                # Quote bare-word keys OUTSIDE quoted spans only — a
+                # value like 'retry: later, level: high' must survive
+                # the rewrite untouched (round-5 ADVICE: the naive
+                # re.sub also fired inside string literals).
+                parts = re.split(
+                    r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", args.args
+                )
+                quoted = "".join(
+                    p
+                    if i % 2
+                    else re.sub(
+                        r"([{,]\s*)([A-Za-z_]\w*)\s*:", r"\1'\2':", p
+                    )
+                    for i, p in enumerate(parts)
                 )
                 try:
                     kwargs = _ast_mod.literal_eval(quoted)
@@ -455,6 +467,32 @@ def main(argv: list[str] | None = None) -> int:
             return result
 
         op_env["run_query"] = _run_query
+
+        # {% call statement('name', fetch_result=True) %} support: the
+        # block body executes through the same once-each path as
+        # run_query; named results come back via load_result('name') as
+        # dbt's {'table', 'data', 'response'} dict.
+        _stmt_results: dict[str, QueryResultTable] = {}
+
+        def _statement_hook(name, sql_text, fetch_result):
+            result = _run_query(sql_text)
+            if name:
+                _stmt_results[str(name)] = (
+                    result if fetch_result else QueryResultTable([], [])
+                )
+
+        def _load_result(name):
+            if str(name) not in _stmt_results:
+                raise EngineError(
+                    f"load_result({name!r}): no statement of that name "
+                    "has run (ran: "
+                    f"{', '.join(sorted(_stmt_results)) or 'none'})"
+                )
+            t = _stmt_results[str(name)]
+            return {"table": t, "data": t.rows, "response": "OK"}
+
+        op_env["__statement__"] = _statement_hook
+        op_env["load_result"] = _load_result
         op_env["context"] = macro_context_callables(
             proj.macros,
             origin=f"run-operation {args.macro}",
@@ -478,7 +516,12 @@ def main(argv: list[str] | None = None) -> int:
 
         sql = _TARGET_ATTR_RE.sub(_tgt_attr, sql)
 
-        statements = split_sql_statements(sql)
+        # Leftover rendered statements run once: anything the macro
+        # already executed via run_query / {% call statement %} is
+        # skipped here, not double-applied (the `executed` ledger).
+        statements = [
+            st for st in split_sql_statements(sql) if st not in executed
+        ]
         if args.dry_run:
             for st in statements:
                 print(st + ";")

@@ -155,7 +155,10 @@ def parse_macros(text: str, origin: str = "<macros>") -> dict[str, MacroDef]:
 # Tags the control-flow evaluator (bottom of module) understands —
 # permitted both in model bodies and, since round 3, in macro bodies.
 _CF_TAGS = frozenset(
-    {"if", "elif", "else", "endif", "for", "endfor", "set", "endset", "do"}
+    {
+        "if", "elif", "else", "endif", "for", "endfor", "set", "endset",
+        "do", "call", "endcall",
+    }
 )
 
 
@@ -574,12 +577,39 @@ class QueryResultTable:
         return f"QueryResultTable({self.column_names}, {len(self.rows)} rows)"
 
 
+class MacroContext(dict):
+    """dbt's run-operation ``context`` dict of macro handles.
+
+    ``get(name)`` with no default RAISES on an unknown macro, naming it
+    and listing what exists — dbt's clear compilation error, instead of
+    a None that fails later at the call site with a generic
+    unknown-name message (round-5 ADVICE). An explicit default keeps
+    plain dict semantics for feature probes:
+    ``context.get('maybe_macro', none)``."""
+
+    _MISSING = object()
+
+    def __init__(self, mapping, origin: str = "<run-operation>"):
+        super().__init__(mapping)
+        self._origin = origin
+
+    def get(self, name, default=_MISSING):
+        if name in self:
+            return self[name]
+        if default is self._MISSING:
+            raise EngineError(
+                f"{self._origin}: context.get({name!r}): no such macro "
+                f"(available: {', '.join(sorted(self)) or 'none'})"
+            )
+        return default
+
+
 def macro_context_callables(
     macros: dict[str, MacroDef],
     origin: str = "<run-operation>",
     var_fn=None,
     env: dict | None = None,
-) -> dict:
+) -> MacroContext:
     """Build dbt's ``context`` dict of macro handles for run-operation.
 
     ``context.get('parse_datetime')`` must return a CALLABLE that, when
@@ -621,7 +651,9 @@ def macro_context_callables(
 
         return call
 
-    return {name: _handle(mdef) for name, mdef in macros.items()}
+    return MacroContext(
+        {name: _handle(mdef) for name, mdef in macros.items()}, origin
+    )
 
 
 # --------------------------------------------------------------------------
@@ -667,31 +699,67 @@ def apply_whitespace_control(text: str) -> str:
 
 
 _TAG_RE = re.compile(
-    r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset|do)\b(.*?)-?%\}", re.S
+    r"\{%-?\s*(if|elif|else|endif|for|endfor|set|endset|do|call|endcall)"
+    r"\b(.*?)-?%\}",
+    re.S,
 )
 _LOOPVAR_SUB_RE = re.compile(
-    r"\{\{-?\s*(\w+)(?:\.(\w+))?((?:\s*\|\s*\w+)*)\s*-?\}\}"
+    r"\{\{-?\s*(\w+)(?:\.(\w+))?((?:\s*\|\s*\w+(?:\((?:[^()']|'[^']*')*\))?)*)\s*-?\}\}"
 )
 
+
+def _flt_default(v, d, boolean=False):
+    # Jinja's |default: replaces None (our evaluator raises on truly
+    # undefined names long before a filter runs); boolean=true also
+    # replaces falsy values — dbt's `var('x') | default('y', true)`.
+    if v is None or (boolean and not v):
+        return d
+    return v
+
+
 # The minimal Jinja filter set (dbt's default generate_schema_name
-# pipes through `| trim`); anything else fails loudly.
+# pipes through `| trim`; dbt_utils-era maintenance macros lean on
+# default/join/replace/length); anything else fails loudly.
 _FILTERS = {
     "trim": lambda v: str(v).strip(),
     "lower": lambda v: str(v).lower(),
     "upper": lambda v: str(v).upper(),
     "string": str,
+    "default": _flt_default,
+    "join": lambda v, sep="": str(sep).join(str(x) for x in v),
+    "replace": lambda v, old, new: str(v).replace(str(old), str(new)),
+    "length": len,
 }
+
+_FILTER_CALL_RE = re.compile(r"\|\s*(\w+)(\((?:[^()']|'[^']*')*\))?")
 
 
 def _apply_filters(value, filter_text: str, origin: str):
-    for fname in re.findall(r"\|\s*(\w+)", filter_text or ""):
+    for fname, argtext in _FILTER_CALL_RE.findall(filter_text or ""):
         fn = _FILTERS.get(fname)
         if fn is None:
             raise EngineError(
                 f"{origin}: unsupported Jinja filter |{fname} "
                 f"(supported: {', '.join(sorted(_FILTERS))})"
             )
-        value = fn(value)
+        args = ()
+        if argtext and argtext[1:-1].strip():
+            try:
+                import ast as _ast_mod
+
+                args = _ast_mod.literal_eval(argtext[1:-1].strip() + ",")
+            except (ValueError, SyntaxError) as exc:
+                raise EngineError(
+                    f"{origin}: unparseable arguments for Jinja filter "
+                    f"|{fname}{argtext} (literal arguments only)"
+                ) from exc
+        try:
+            value = fn(value, *args)
+        except TypeError as exc:
+            raise EngineError(
+                f"{origin}: Jinja filter |{fname} rejected its "
+                f"arguments: {exc}"
+            ) from exc
     return value
 
 
@@ -719,22 +787,67 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
         if node.id in env:
             return env[node.id]
         raise EngineError(f"{origin}: unknown name {node.id!r} in Jinja expression")
-    if isinstance(node, _ast.Attribute) and isinstance(node.value, _ast.Name):
-        obj = env.get(node.value.id)
+    if isinstance(node, _ast.Attribute):
+        obj = (
+            env.get(node.value.id)
+            if isinstance(node.value, _ast.Name)
+            else _cf_node(node.value, env, var_fn, origin)
+        )
         if isinstance(obj, dict) and node.attr in obj:
             return obj[node.attr]
+        if isinstance(obj, QueryResultTable) and node.attr in (
+            "rows", "columns", "column_names",
+        ):
+            # `load_result('q')['table'].rows` — the agate attributes
+            # dbt statement-macros conventionally read.
+            return getattr(obj, node.attr)
         if isinstance(obj, dict):
             # A typo like target.schma should list the dict's real keys,
             # not the stale loop-only message (round-3 ADVICE).
             raise EngineError(
-                f"{origin}: unknown attribute {node.value.id}.{node.attr} "
+                f"{origin}: unknown attribute .{node.attr} "
                 f"(available: {', '.join(sorted(map(str, obj)))})"
             )
         raise EngineError(
-            f"{origin}: unsupported attribute {node.value.id}.{node.attr} "
+            f"{origin}: unsupported attribute .{node.attr} "
             "(attribute access is supported on context dicts — "
-            "target/config/node/loop — in scope here)"
+            "target/config/node/loop — and statement result tables)"
         )
+    if isinstance(node, _ast.Subscript):
+        # r['data'][0] — dict / list indexing on statement results and
+        # context dicts (literal or env-bound index).
+        obj = _cf_node(node.value, env, var_fn, origin)
+        idx = _cf_node(node.slice, env, var_fn, origin)
+        try:
+            return obj[idx]
+        except (KeyError, IndexError, TypeError) as exc:
+            raise EngineError(
+                f"{origin}: bad subscript [{idx!r}] in Jinja expression: "
+                f"{exc}"
+            ) from exc
+    if isinstance(node, _ast.BinOp) and isinstance(node.op, _ast.BitOr):
+        # Jinja filter pipe inside an expression:
+        # {% set s = parts | join(', ') %}, {% if xs | length > 0 %}.
+        value = _cf_node(node.left, env, var_fn, origin)
+        right = node.right
+        if isinstance(right, _ast.Name):
+            fname, fargs = right.id, []
+        elif isinstance(right, _ast.Call) and isinstance(
+            right.func, _ast.Name
+        ):
+            fname = right.func.id
+            fargs = [_cf_node(a, env, var_fn, origin) for a in right.args]
+        else:
+            raise EngineError(
+                f"{origin}: unsupported right side of a Jinja filter pipe"
+            )
+        fn = _FILTERS.get(fname)
+        if fn is None:
+            raise EngineError(
+                f"{origin}: unsupported Jinja filter |{fname} "
+                f"(supported: {', '.join(sorted(_FILTERS))})"
+            )
+        return fn(value, *fargs)
     if isinstance(node, (_ast.List, _ast.Tuple)):
         return [_cf_node(e, env, var_fn, origin) for e in node.elts]
     if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.Not):
@@ -787,7 +900,10 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
             obj = env[recv.id]
             args = [_cf_node(a, env, var_fn, origin) for a in node.args]
             if node.func.attr == "get" and 1 <= len(args) <= 2:
-                return obj.get(args[0], args[1] if len(args) == 2 else None)
+                # Arity-faithful: MacroContext.get(name) raises a clear
+                # missing-macro error only when NO default was written,
+                # matching dbt's compile-time unknown-macro message.
+                return obj.get(*args)
             if node.func.attr == "require" and len(args) == 1:
                 if args[0] not in obj:
                     raise EngineError(
@@ -863,10 +979,24 @@ def _cf_tokens(text: str) -> list:
     return out
 
 
-def _cf_subst_loop_vars(text: str, env: dict, origin: str = "<model>") -> str:
+_GENERAL_SPAN_RE = re.compile(r"\{\{-?\s*(.+?)\s*-?\}\}", re.S)
+
+
+def _cf_subst_loop_vars(
+    text: str, env: dict, origin: str = "<model>", var_fn=None
+) -> str:
     """Substitute {{ x }} / {{ loop.index }} / {{ x | trim }} for
     env-bound names only; every other placeholder (var/ref/source/this)
-    passes through."""
+    passes through. Spans the simple pattern can't parse — subscripts
+    (`{{ row[0] }}`), chained attributes, parenthesized filters — are
+    evaluated by the full expression walker IF their leading identifier
+    is env-bound (so a genuine error there is loud); spans leading with
+    an unbound name still pass through for the engine renderer."""
+
+    def _to_text(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
 
     def repl(m: re.Match) -> str:
         name, attr, filters = m.group(1), m.group(2), m.group(3)
@@ -880,11 +1010,22 @@ def _cf_subst_loop_vars(text: str, env: dict, origin: str = "<model>") -> str:
                 return m.group(0)
         if filters:
             v = _apply_filters(v, filters, origin)
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
+        return _to_text(v)
 
-    return _LOOPVAR_SUB_RE.sub(repl, text)
+    out = _LOOPVAR_SUB_RE.sub(repl, text)
+    if "{{" not in out:
+        return out
+
+    def general_repl(m: re.Match) -> str:
+        expr = m.group(1)
+        lead = re.match(r"[A-Za-z_]\w*", expr)
+        if not lead or lead.group(0) not in env:
+            return m.group(0)
+        return _to_text(
+            _cf_eval(expr, env, var_fn or _no_var_fn, origin)
+        )
+
+    return _GENERAL_SPAN_RE.sub(general_repl, out)
 
 
 def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
@@ -902,7 +1043,11 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
         lit, tag, expr = tokens[i]
         if tag is None:
             if active:
-                out.append(_cf_subst_loop_vars(lit, env, origin) if env else lit)
+                out.append(
+                    _cf_subst_loop_vars(lit, env, origin, var_fn)
+                    if env
+                    else lit
+                )
             i += 1
             continue
         if tag in stop:
@@ -973,6 +1118,63 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
             out.append("".join(rendered_parts))
             i = end_i + 1
             continue
+        if tag == "call":
+            # {% call statement('name', fetch_result=True) %}SQL{% endcall %}
+            # — dbt's statement block (the dominant maintenance-macro
+            # shape after run_query): the body renders to SQL, executes
+            # via the context's statement hook, and the result is
+            # retrievable with load_result('name'). Only statement() is
+            # supported as the call target; general {% call %} caller()
+            # blocks are out of the subset.
+            text, end_i, _ = _cf_render(
+                tokens, i + 1, env, var_fn, origin, ("endcall",),
+                active=active,
+            )
+            if active:
+                try:
+                    call_tree = _ast.parse(expr.strip(), mode="eval").body
+                except SyntaxError as exc:
+                    raise EngineError(
+                        f"{origin}: unparseable {{% call %}} expression "
+                        f"{expr!r}"
+                    ) from exc
+                if not (
+                    isinstance(call_tree, _ast.Call)
+                    and isinstance(call_tree.func, _ast.Name)
+                    and call_tree.func.id == "statement"
+                ):
+                    raise EngineError(
+                        f"{origin}: only {{% call statement(...) %}} is "
+                        "supported (general call blocks are out of the "
+                        "subset)"
+                    )
+                hook = env.get("__statement__")
+                if hook is None:
+                    raise EngineError(
+                        f"{origin}: statement() is not available in this "
+                        "context (run-operation provides it)"
+                    )
+                cargs = [
+                    _cf_node(a, env, var_fn, origin) for a in call_tree.args
+                ]
+                ckw = {}
+                for kw in call_tree.keywords:
+                    if kw.arg is None:
+                        raise EngineError(
+                            f"{origin}: **kwargs unpacking is out of the "
+                            "supported Jinja subset"
+                        )
+                    ckw[kw.arg] = _cf_node(kw.value, env, var_fn, origin)
+                stmt_name = cargs[0] if cargs else ckw.get("name")
+                fetch = bool(
+                    ckw.get(
+                        "fetch_result",
+                        cargs[1] if len(cargs) > 1 else False,
+                    )
+                )
+                hook(stmt_name, text, fetch)
+            i = end_i + 1
+            continue
         if tag == "do":
             # {% do expr %} — evaluate for side effects, emit nothing
             # (dbt's statement-expression tag; the reference README's v2
@@ -1010,7 +1212,8 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
             continue
         raise EngineError(
             f"{origin}: unsupported Jinja tag {{% {tag} %}} "
-            "(supported: if/elif/else/endif, for/endfor, set)"
+            "(supported: if/elif/else/endif, for/endfor, set, do, "
+            "call statement(...))"
         )
     if stop:
         raise EngineError(f"{origin}: unterminated Jinja block (missing {stop})")

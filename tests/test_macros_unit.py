@@ -138,7 +138,13 @@ def test_config_require_missing_key_fails_loudly():
 
 def test_unsupported_macro_body_tag_rejected_at_load():
     with pytest.raises(EngineError, match="unsupported Jinja tag"):
-        parse_macros("{% macro m() %}{% call x() %}{% endcall %}{% endmacro %}")
+        parse_macros("{% macro m() %}{% block x %}{% endblock %}{% endmacro %}")
+    # {% call %} now loads (round 6) — but only statement() renders
+    md = parse_macros(
+        "{% macro m() %}{% call x() %}b{% endcall %}{% endmacro %}"
+    )
+    with pytest.raises(EngineError, match="statement"):
+        expand_macros("{{ m() }}", md)
 
 
 def test_bool_ops_return_operand_not_bool():
@@ -268,3 +274,150 @@ class TestDoTagAndRunQueryContext:
                 _vf,
                 extra_env={"f": lambda **k: None},
             )
+
+
+class TestCallStatementAndFilters:
+    """Round-6 Jinja subset growth: {% call statement(...) %} blocks and
+    the default/join/replace/length filters (the dominant dbt_utils /
+    maintenance-macro shapes after run_query)."""
+
+    def test_call_statement_executes_body_and_names_result(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        ran = []
+        out = render_control_flow(
+            "a{% call statement('q', fetch_result=True) %}"
+            "SELECT {{ n }}{% endcall %}b",
+            _vf,
+            extra_env={
+                "__statement__": lambda nm, sql, fetch: ran.append(
+                    (nm, sql.strip(), fetch)
+                ),
+                "n": 7,
+            },
+        )
+        assert out == "ab"  # the block emits nothing
+        assert ran == [("q", "SELECT 7", True)]
+
+    def test_call_statement_default_fetch_is_false(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        ran = []
+        render_control_flow(
+            "{% call statement('x') %}DROP TABLE t{% endcall %}",
+            _vf,
+            extra_env={
+                "__statement__": lambda nm, sql, fetch: ran.append(
+                    (nm, fetch)
+                )
+            },
+        )
+        assert ran == [("x", False)]
+
+    def test_call_statement_untaken_branch_scan_only(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        ran = []
+        out = render_control_flow(
+            "{% if false %}{% call statement('x') %}BAD{% endcall %}"
+            "{% endif %}ok",
+            _vf,
+            extra_env={"__statement__": lambda *a: ran.append(a)},
+        )
+        assert out == "ok" and ran == []
+
+    def test_call_non_statement_target_rejected(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        with pytest.raises(EngineError, match="statement"):
+            render_control_flow(
+                "{% call other('x') %}b{% endcall %}",
+                _vf,
+                extra_env={"other": lambda *a: None},
+            )
+
+    def test_call_statement_without_hook_fails_loudly(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        with pytest.raises(EngineError, match="not available"):
+            render_control_flow(
+                "{% call statement('x') %}SELECT 1{% endcall %}", _vf
+            )
+
+    def test_load_result_table_attrs_in_expressions(self):
+        from dbt_bigquery_udf_spark.macros import (
+            QueryResultTable,
+            render_control_flow,
+        )
+
+        t = QueryResultTable(["a"], [(1,), (2,)])
+        out = render_control_flow(
+            "{% set r = load_result('q') %}"
+            "{% for row in r['data'] %}{{ row[0] }};{% endfor %}"
+            "n={{ r['table'].rows | length }}",
+            _vf,
+            extra_env={
+                "load_result": lambda nm: {
+                    "table": t, "data": t.rows, "response": "OK",
+                }
+            },
+        )
+        assert out == "1;2;n=2"
+
+    def test_filters_default_join_replace_length(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        out = render_control_flow(
+            "{% set xs = ['a', 'b', 'c'] %}"
+            "{{ xs | join('-') }} {{ xs | length }} "
+            "{% set s = 'x_y' | replace('_', '.') %}{{ s }} "
+            "{% set d = none | default('fb') %}{{ d }} "
+            "{% set e = '' | default('fb2', true) %}{{ e }}",
+            _vf,
+        )
+        assert out.split() == ["a-b-c", "3", "x.y", "fb", "fb2"]
+
+    def test_filter_pipe_in_if_condition(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        out = render_control_flow(
+            "{% if items | length > 1 %}many{% else %}few{% endif %}",
+            _vf,
+            extra_env={"items": [1, 2, 3]},
+        )
+        assert out == "many"
+
+    def test_unknown_filter_still_fails_loudly(self):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        with pytest.raises(EngineError, match="unsupported Jinja filter"):
+            render_control_flow(
+                "{% set y = 1 %}{{ x | wordwrap }}",
+                _vf,
+                extra_env={"x": "a"},
+            )
+
+    def test_context_get_unknown_macro_names_it(self):
+        from dbt_bigquery_udf_spark.macros import (
+            macro_context_callables,
+            parse_macros,
+            render_control_flow,
+        )
+
+        ctx = macro_context_callables(
+            parse_macros("{% macro real() %}x{% endmacro %}")
+        )
+        with pytest.raises(EngineError, match="no_such_macro.*real"):
+            render_control_flow(
+                "{% set f = context.get('no_such_macro') %}",
+                _vf,
+                extra_env={"context": ctx},
+            )
+        # an explicit default keeps probe semantics
+        out = render_control_flow(
+            "{% set f = context.get('no_such_macro', none) %}"
+            "{% if f is none %}absent{% endif %}",
+            _vf,
+            extra_env={"context": ctx},
+        )
+        assert out == "absent"

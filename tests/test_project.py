@@ -822,10 +822,11 @@ def test_user_macro_rejects_control_flow_and_collisions(tmp_path):
 
     root = str(tmp_path / "badmacro")
     _write(root, "dbt_project.yml", "name: badmacro\n")
-    # control flow in macro bodies is supported since round 3; tags
-    # OUTSIDE the evaluator's subset still fail loudly at load.
+    # control flow in macro bodies is supported since round 3 (and
+    # {% call statement %} since round 6); tags OUTSIDE the evaluator's
+    # subset still fail loudly at load.
     _write(root, "macros/ctrl.sql",
-           "{% macro pick(col) %}{% call odd() %}x{% endcall %}{% endmacro %}\n")
+           "{% macro pick(col) %}{% block odd %}x{% endblock %}{% endmacro %}\n")
     with _pytest.raises(EngineError, match="unsupported Jinja tag"):
         load_project(root)
 
@@ -1847,3 +1848,65 @@ def test_hub_package_vendored_resolution(spark, sf_small, tmp_path):
            "packages:\n  - git: https://example.com/repo.git\n")
     with pytest.raises(EngineError, match="unsupported package entry"):
         load_project(root4)
+
+
+def test_run_operation_call_statement_load_result(spark, tmp_path):
+    """{% call statement('name', fetch_result=True) %} — dbt's statement
+    block, the dominant dbt_utils/maintenance-macro shape after
+    run_query — executes its rendered body during macro evaluation and
+    exposes the rows to the rest of the macro via load_result('name').
+    The follow-up statement built FROM the fetched value proves the
+    execute-then-read round trip; nothing double-executes."""
+    import io
+    import uuid as _uuid
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    tbl = f"ops_callstmt.t_{_uuid.uuid4().hex[:8]}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops_callstmt")
+    spark.createDataFrame([(3,), (5,)], "v int").write.saveAsTable(tbl)
+    root = str(tmp_path / "callproj")
+    _write(root, "dbt_project.yml", "name: callproj\n")
+    _write(root, "macros/sweep.sql",
+           """\
+           {% macro sweep(table_name) %}
+           {% call statement('mx', fetch_result=True) %}
+               SELECT max(v) AS mv FROM {{ table_name }}
+           {% endcall %}
+           {% set r = load_result('mx') %}
+           SELECT {{ r['data'][0][0] }} AS got_max
+           {% endmacro %}
+           """)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "sweep", "--project", root,
+                   "--args", '{"table_name": "' + tbl + '"}'])
+    assert rc == 0
+    out = buf.getvalue()
+    # the statement body executed once (run_query ledger line) and the
+    # leftover SELECT used its fetched max
+    assert '"rows": 1' in out
+    assert "SELECT 5 AS got_max" in out or '"statement": "SELECT 5' in out
+
+
+def test_run_operation_args_colon_inside_string_value(tmp_path):
+    """The YAML-ish --args fallback must not rewrite bare-word-key
+    patterns INSIDE quoted string values: {msg: 'retry: later, level:
+    high'} keeps the value intact (round-5 ADVICE)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "colonproj")
+    _write(root, "dbt_project.yml", "name: colonproj\n")
+    _write(root, "macros/ops.sql",
+           "{% macro note(msg) %}SELECT '{{ msg }}' AS m{% endmacro %}\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "note", "--project", root,
+                   "--args", "{msg: 'retry: later, level: high'}",
+                   "--dry-run"])
+    assert rc == 0
+    assert "retry: later, level: high" in buf.getvalue()

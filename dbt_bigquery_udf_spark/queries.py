@@ -222,12 +222,13 @@ _CURATED_WINDOW = (
     "ref_parse_datetime",
     "ref_tvf_param",
     "ref_incremental_mart",
-    # TPC-H repertoire (joins, correlated subqueries, multi-way aggs)
+    # TPC-H repertoire (joins, correlated subqueries, multi-way aggs;
+    # round-6 rotation: q18/q21 — near-duplicates of the q1/q2/q9 join
+    # + agg shapes — yield their slots so the ANN serving stack is
+    # fully in-window; both stay verify_driver-checked past the window)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q9_product_profit",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
     # join / window / grouping shapes
     "semi_anti_join",
     "asof_click_attribution",
@@ -262,6 +263,7 @@ _CURATED_WINDOW = (
     # finally has in-window evidence; IVF-PQ stays covered past-window)
     "sim_topk_brute",
     "sim_ivf_rerank",
+    "sim_ivfpq_adc",
     "emb_kmeans_step",
     "emb_hard_negatives",
     "emb_mmr_diversify",
@@ -270,6 +272,7 @@ _CURATED_WINDOW = (
     # training has in-window evidence)
     "text_lang_id",
     "text_bigram_lm_nll",
+    "text_bm25_topk",
     "dsir_importance_weights",
     "quality_gopher_rules",
     "bpe_pair_counts",

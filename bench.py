@@ -93,6 +93,9 @@ HEADLINE = [
     "quality_gopher_rules",
     "dedup_shingle_fraction",
     "dedup_cluster_stats",
+    # round 6: C4 line-level cleaning, 1-bit Hamming ANN
+    "quality_c4_rules",
+    "sim_hamming_topk",
 ]
 
 
@@ -146,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "n_runs": n_runs,
                 "sf": sf,
                 "startup_sec": round(startup, 3),

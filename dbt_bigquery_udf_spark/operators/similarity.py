@@ -775,6 +775,79 @@ def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- binary quantization + Hamming shortlist (1-bit ANN) -------------------
+
+HAMMING_SHORTLIST = 50  # stage-1 candidates kept by Hamming distance
+
+
+@register(
+    "sim_hamming_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    h AS (
+      SELECT e.vec_id, e.emb, q.qv,
+             CAST(len(list_filter(range(1, len(e.emb) + 1),
+                 i -> (e.emb[i] > 0) <> (q.qv[i] > 0))) AS BIGINT)
+               AS hamming
+      FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    short AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {HAMMING_SHORTLIST}
+    )
+    SELECT vec_id, hamming,
+           round(list_cosine_similarity(emb, qv), 4) AS cosine
+    FROM short
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit codes + Hamming-distance
+    shortlist, exact-cosine re-rank — the 1-bit quantization serving
+    path (32x memory cut vs float32; Hamming distance on sign bits is
+    a monotone proxy for angular distance on roughly-centered
+    embeddings). Stage 1 scans CODES, not vectors; stage 2 re-scores
+    only {HAMMING_SHORTLIST} rows.
+
+    Shape: the query's sign pattern folds into the plan as a literal,
+    the per-row Hamming distance is an in-array codegen'd count (on a
+    real deployment the codes pack into one BIGINT per 64 dims and
+    stage 1 becomes bit_count(xor(code, qcode)) over a 8-byte column —
+    same plan, 1/32 the bytes), and the only shuffle is the
+    TakeOrdered heap merge of {HAMMING_SHORTLIST} rows. Both
+    tie-breaks (hamming, vec_id) and (cosine DESC, vec_id) are
+    engine-deterministic.
+    """
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv]).alias("qv")
+    shortlist = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "emb", q_lit)
+        .select(
+            "vec_id",
+            "emb",
+            F.expr(
+                "size(filter(zip_with(emb, qv, "
+                "(x, y) -> (x > 0) != (y > 0)), b -> b))"
+            ).cast("bigint").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(HAMMING_SHORTLIST)
+    )
+    return (
+        shortlist.withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            "hamming",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 # -- PCA (one power-iteration step, the embedding-reduction inner loop) ----
 
 PCA_DIMS = 64

@@ -1390,6 +1390,130 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- C4-style line-level cleaning + page gates (round 6) ---------------------
+
+# The C4 recipe (Raffel et al. 2020, §2.2): KEEP only lines that end in
+# terminal punctuation and have at least 5 words; then DISCARD pages
+# with fewer than 3 sentences, any "lorem ipsum", or a curly brace
+# (code signal). Unlike Gopher's page-level gates this is a TRANSFORM +
+# gate: clean_text is the kept-lines page a downstream tokenizer
+# actually consumes.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+@register(
+    "quality_c4_rules",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+               AS ls,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, has_lorem, has_brace,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             list_filter(ls, l ->
+               (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+               AND len(list_filter(string_split(l, ' '), w -> w <> ''))
+                   >= {C4_MIN_LINE_WORDS}) AS kl
+      FROM pages
+    ), stats AS (
+      SELECT doc_id, has_lorem, has_brace, n_lines,
+             CAST(len(kl) AS BIGINT) AS n_kept_lines,
+             coalesce(array_to_string(kl, chr(10)), '') AS clean_text
+      FROM kept
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           round(n_kept_lines * 1e0 / greatest(n_lines, 1), 6)
+             AS kept_line_frac,
+           CAST(length(clean_text) - length(replace(clean_text, '.', ''))
+                + length(clean_text) - length(replace(clean_text, '!', ''))
+                + length(clean_text) - length(replace(clean_text, '?', ''))
+             AS BIGINT) AS n_sentences,
+           has_lorem, has_brace, clean_text,
+           (length(clean_text) - length(replace(clean_text, '.', ''))
+            + length(clean_text) - length(replace(clean_text, '!', ''))
+            + length(clean_text) - length(replace(clean_text, '?', ''))
+              >= {C4_MIN_SENTENCES}
+            AND NOT has_lorem AND NOT has_brace) AS passes
+    FROM stats
+    """,
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning + page gates (Raffel et al. 2020, §2.2): keep only
+    lines ending in terminal punctuation with >= 5 words
+    (``clean_text`` is the kept page), then gate pages on >= 3
+    sentences, no "lorem ipsum", no curly brace.
+    Emits the per-page signals alongside the verdict AND the cleaned
+    text, so the same pass feeds both filtering and tokenization.
+
+    Scale: identical shape to quality_gopher_rules — one narrow
+    per-document pass, all in-array codegen (split / filter / LIKE /
+    replace-count), zero shuffles. C4 on 100 TB is scan-bound; the
+    cleaned page rides the same row, so no second pass re-reads the
+    corpus to materialize it.
+    """
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        "doc_id",
+        F.expr("filter(split(text, '\\n'), l -> trim(l) <> '')").alias("ls"),
+        F.expr("contains(lower(text), 'lorem ipsum')").alias("has_lorem"),
+        F.expr("contains(text, '{')").alias("has_brace"),
+    )
+    kept = pages.select(
+        "doc_id",
+        "has_lorem",
+        "has_brace",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.expr(
+            "filter(ls, l -> "
+            "(rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' "
+            "OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%\"') "
+            "AND size(filter(split(l, ' '), w -> w <> '')) "
+            f">= {C4_MIN_LINE_WORDS})"
+        ).alias("kl"),
+    )
+    stats = kept.select(
+        "doc_id",
+        "has_lorem",
+        "has_brace",
+        "n_lines",
+        F.size("kl").cast("bigint").alias("n_kept_lines"),
+        F.array_join("kl", "\n").alias("clean_text"),
+    )
+    n_sent = (
+        F.length("clean_text")
+        - F.length(F.expr("replace(clean_text, '.', '')"))
+        + F.length("clean_text")
+        - F.length(F.expr("replace(clean_text, '!', '')"))
+        + F.length("clean_text")
+        - F.length(F.expr("replace(clean_text, '?', '')"))
+    ).cast("bigint")
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.round(
+            F.col("n_kept_lines") * F.lit(1e0)
+            / F.greatest(F.col("n_lines"), F.lit(1)),
+            6,
+        ).alias("kept_line_frac"),
+        n_sent.alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        "clean_text",
+        (
+            (n_sent >= C4_MIN_SENTENCES)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("passes"),
+    )
+
+
 # -- duplicate-shingle fraction (RefinedWeb-style, round 5) ------------------
 
 DUP_SHINGLE_N = 5  # 5-gram shingles, the near-dup filter's unit

@@ -216,3 +216,48 @@ def test_cluster_stats_conserve_rows(spark, sf_small):
     assert total == docs.count()
     for r in hist:
         assert r.rows_covered == r.cluster_size * r.n_clusters
+
+
+def test_c4_rules_line_cleaning_and_page_gates(spark, tmp_path):
+    """C4 semantics pinned on crafted pages: (1) only terminal-punct
+    lines with >=5 words survive into clean_text; (2) <3 sentences
+    fails the page; (3) 'lorem ipsum' and '{' each fail the page even
+    when the line gates pass; (4) a clean 3-sentence page passes and
+    its clean_text drops exactly the junk lines."""
+    rows_in = [
+        (1, "The quick brown fox jumps over the dog.\n"
+            "menu home about\n"
+            "It then rests in the shade of an oak tree.\n"
+            "The river nearby flows quietly to the sea."),
+        (2, "Short sentence here is fine today.\n"
+            "Another good sentence follows right after this."),  # 2 sents
+        (3, "Lorem ipsum dolor sit amet is placeholder text everyone.\n"
+            "This real sentence would otherwise pass the line gate.\n"
+            "And this one also passes the line gate fine.\n"
+            "A third sentence keeps the count at three."),
+        (4, "function f() { return 1; } is code noise.\n"
+            "This real sentence would otherwise pass the gate.\n"
+            "And this one also passes the line gate fine.\n"
+            "A third sentence keeps the count at three."),
+        (5, "too short.\nno punct line at all here today"),
+    ]
+    root = str(tmp_path / "c4_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows_in],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_c4_rules"](spark, root).collect()
+    }
+    r1 = rows[1]
+    assert r1.passes and r1.n_kept_lines == 3 and r1.n_lines == 4
+    assert "menu home about" not in r1.clean_text
+    assert r1.clean_text.count("\n") == 2  # exactly the 3 kept lines
+    assert not rows[2].passes and rows[2].n_sentences == 2
+    assert not rows[3].passes and rows[3].has_lorem
+    assert not rows[4].passes and rows[4].has_brace
+    r5 = rows[5]
+    assert not r5.passes and r5.n_kept_lines == 0 and r5.clean_text == ""

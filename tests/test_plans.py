@@ -669,3 +669,23 @@ def test_dsir_and_bigram_single_tokenize_pass(spark, sf_small):
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
         assert "ReusedExchange" in final, f"{name}: no exchange reuse\n{final}"
+
+
+def test_gopher_rules_shuffle_free_narrow_scan(spark, sf_small):
+    """quality_gopher_rules is one narrow pass per document: all eight
+    gate signals (word/line/symbol families) compute in-array with NO
+    exchange at all, and the scan reads only doc_id + text."""
+    f = _facts(spark, sf_small, "quality_gopher_rules")
+    assert f.exchanges == 0, f.text
+    cols = f.scan_columns()
+    assert "lang" not in cols and "source" not in cols, f.read_schemas
+
+
+def test_hamming_topk_joinless_heap_shortlist(spark, sf_small):
+    """sim_hamming_topk: the query's sign pattern is a plan literal (no
+    join anywhere), stage 1 is a TakeOrdered heap of the Hamming
+    shortlist, and there is no full-corpus Sort or sort-merge join."""
+    f = _facts(spark, sf_small, "sim_hamming_topk")
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0, f.text
+    assert "TakeOrderedAndProject" in f.text, f.text
+    assert "Sort " not in f.text.replace("TakeOrdered", ""), f.text

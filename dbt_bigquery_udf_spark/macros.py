@@ -95,6 +95,25 @@ class MacroDef:
     defaults: dict[str, str]  # param -> raw (possibly quoted) default text
     body: str
 
+    @property
+    def catch_varargs(self) -> bool:
+        """Jinja semantics: a macro accepts EXTRA positional arguments
+        only if its body references ``varargs`` (Jinja's
+        caught-varargs flag); otherwise over-calling stays a loud
+        error."""
+        return re.search(r"\bvarargs\b", self.body) is not None
+
+    @property
+    def catch_kwargs(self) -> bool:
+        """Same for extra keyword arguments via ``kwargs``."""
+        return re.search(r"\bkwargs\b", self.body) is not None
+
+
+# Internal bound-args keys for caught extras; asterisks keep them from
+# ever colliding with a real parameter identifier.
+_VARARGS_KEY = "*varargs*"
+_KWARGS_KEY = "*kwargs*"
+
 
 def _parse_signature(sig: str) -> tuple[tuple[str, ...], dict[str, str]]:
     params: list[str] = []
@@ -307,6 +326,8 @@ def _bind_args(
     bound: dict[str, tuple[str, bool]] = {
         p: (_arg_text(t), _arg_was_string(t)) for p, t in macro.defaults.items()
     }
+    extra_pos: list = []
+    extra_kw: dict = {}
     pos_i = 0
     for raw in _split_args(argtext):
         if not raw.strip():
@@ -315,14 +336,32 @@ def _bind_args(
         if km and km.group(1) in macro.params:
             rest = raw[km.end():]
             bound[km.group(1)] = (_arg_text(rest), _arg_was_string(rest))
+        elif km and macro.catch_kwargs:
+            rest = raw[km.end():]
+            extra_kw[km.group(1)] = (
+                _arg_text(rest)
+                if _arg_was_string(rest)
+                else _py_value(_arg_text(rest))
+            )
         else:
             if pos_i >= len(macro.params):
+                if macro.catch_varargs:
+                    extra_pos.append(
+                        _arg_text(raw)
+                        if _arg_was_string(raw)
+                        else _py_value(_arg_text(raw))
+                    )
+                    continue
                 raise EngineError(
                     f"{origin}: macro {macro.name!r} takes at most "
                     f"{len(macro.params)} arguments"
                 )
             bound[macro.params[pos_i]] = (_arg_text(raw), _arg_was_string(raw))
             pos_i += 1
+    if macro.catch_varargs:
+        bound[_VARARGS_KEY] = (repr(extra_pos), False)
+    if macro.catch_kwargs:
+        bound[_KWARGS_KEY] = (repr(extra_kw), False)
     missing = [p for p in macro.params if p not in bound]
     if missing:
         raise EngineError(
@@ -426,7 +465,12 @@ def _render_body(
     if "{%" in body:
         cf_env = dict(env or {})
         for p, (text, was_str) in bound.items():
-            cf_env[p] = text if was_str else _py_value(text)
+            if p == _VARARGS_KEY:
+                cf_env["varargs"] = _py_value(text)
+            elif p == _KWARGS_KEY:
+                cf_env["kwargs"] = _py_value(text)
+            else:
+                cf_env[p] = text if was_str else _py_value(text)
         body = render_control_flow(
             body,
             var_fn or _no_var_fn,
@@ -626,8 +670,13 @@ def macro_context_callables(
                 p: (_arg_text(t), _arg_was_string(t))
                 for p, t in mdef.defaults.items()
             }
+            extra_pos: list = []
+            extra_kw: dict = {}
             for i, v in enumerate(args):
                 if i >= len(mdef.params):
+                    if mdef.catch_varargs:
+                        extra_pos.append(v)
+                        continue
                     raise EngineError(
                         f"{origin}: macro {mdef.name!r} takes at most "
                         f"{len(mdef.params)} arguments"
@@ -635,11 +684,18 @@ def macro_context_callables(
                 bound[mdef.params[i]] = (str(v), isinstance(v, str))
             for k, v in kwargs.items():
                 if k not in mdef.params:
+                    if mdef.catch_kwargs:
+                        extra_kw[k] = v
+                        continue
                     raise EngineError(
                         f"{origin}: macro {mdef.name!r} got unexpected "
                         f"keyword {k!r} (params: {list(mdef.params)})"
                     )
                 bound[k] = (str(v), isinstance(v, str))
+            if mdef.catch_varargs:
+                bound[_VARARGS_KEY] = (repr(extra_pos), False)
+            if mdef.catch_kwargs:
+                bound[_KWARGS_KEY] = (repr(extra_kw), False)
             missing = [p for p in mdef.params if p not in bound]
             if missing:
                 raise EngineError(
@@ -1089,6 +1145,8 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
                 i = end_i + 1
                 continue
             items = _cf_eval(iter_expr, env, var_fn, origin)
+            if isinstance(items, dict):
+                items = list(items)  # Jinja: iterating a dict yields keys
             if not isinstance(items, (list, tuple)):
                 raise EngineError(
                     f"{origin}: for-loop iterable must be a literal list/var list"

@@ -421,3 +421,43 @@ class TestCallStatementAndFilters:
             extra_env={"context": ctx},
         )
         assert out == "absent"
+
+
+class TestVarargsKwargs:
+    """Jinja's caught-extras semantics: a macro accepts extra
+    positional/keyword arguments ONLY when its body references
+    varargs/kwargs; otherwise over-calling stays a loud error."""
+
+    def test_varargs_collects_extras(self):
+        md = parse_macros(
+            "{% macro cols(first) %}{{ first }}"
+            "{% for v in varargs %}, {{ v }}{% endfor %}{% endmacro %}"
+        )
+        assert expand_macros("{{ cols('a', 'b', 'c') }}", md) == "a, b, c"
+        # no extras -> empty varargs, not an error
+        assert expand_macros("{{ cols('a') }}", md) == "a"
+
+    def test_kwargs_collects_unknown_keywords(self):
+        md = parse_macros(
+            "{% macro opts(base) %}{{ base }}"
+            "{% for k in kwargs %}/{{ k }}={{ kwargs.get(k) }}"
+            "{% endfor %}{% endmacro %}"
+        )
+        out = expand_macros("{{ opts('x', mode='fast', retries=2) }}", md)
+        assert "/mode=fast" in out and "/retries=2" in out
+
+    def test_uncaught_extras_still_fail_loudly(self):
+        md = parse_macros("{% macro m(x) %}{{ x }}{% endmacro %}")
+        with pytest.raises(EngineError, match="at most"):
+            expand_macros("{{ m(1, 2) }}", md)
+
+    def test_context_handle_varargs_kwargs(self):
+        from dbt_bigquery_udf_spark.macros import macro_context_callables
+
+        md = parse_macros(
+            "{% macro vjoin() %}"
+            "{% for v in varargs %}{{ v }};{% endfor %}"
+            "n={{ kwargs | length }}{% endmacro %}"
+        )
+        ctx = macro_context_callables(md)
+        assert ctx["vjoin"](1, "two", extra=True) == "1;two;n=1"

@@ -703,12 +703,38 @@ def load_project(
                         f"{mirror}); place the package tree in "
                         f"dbt_packages/{hub_name}/ or use a local: path"
                     )
+            elif isinstance(entry, dict) and "git" in entry:
+                # Git entry (`- git: https://... /dbt_utils.git`). Same
+                # offline posture as hub entries: NO network — resolve
+                # only a pre-installed tree at dbt_packages/<repo-name>
+                # (what `dbt deps` would have left behind); anything
+                # else rejects loudly with the exact path looked up.
+                # `revision:`/`subdirectory:` are accepted: revision is
+                # informational (the vendored tree IS the pin),
+                # subdirectory narrows the resolved root like dbt's.
+                repo = str(entry["git"]).rstrip("/").rsplit("/", 1)[-1]
+                if repo.endswith(".git"):
+                    repo = repo[:-4]
+                installed = os.path.join(project_dir, "dbt_packages", repo)
+                if "subdirectory" in entry:
+                    installed = os.path.join(
+                        installed, str(entry["subdirectory"])
+                    )
+                if not os.path.isdir(installed):
+                    raise EngineError(
+                        f"packages.yml: git package {entry['git']!r} is "
+                        f"not vendored (looked in {installed}); run your "
+                        "package install OUTSIDE this engine and place "
+                        f"the tree in dbt_packages/{repo}/, or use a "
+                        "local: path"
+                    )
+                pkg_dir = installed
             else:
                 raise EngineError(
                     f"packages.yml: unsupported package entry {entry!r} "
-                    "(supported: 'local:' paths and vendored hub "
-                    "'package:' names; git packages must be vendored "
-                    "into a local directory)"
+                    "(supported: 'local:' paths, vendored hub "
+                    "'package:' names, and vendored 'git:' entries "
+                    "resolved from dbt_packages/)"
                 )
             pkg_proj_path = os.path.join(pkg_dir, "dbt_project.yml")
             if not os.path.exists(pkg_proj_path):

@@ -176,7 +176,9 @@ except ImportError:  # pragma: no cover
     _HYP = False
 
 if _HYP:
-    _ALPHABET = list("{}%#()'\", mxorifsetnd.|~=1 \n")
+    # covers the round-6 additions too: call/statement/endcall tags,
+    # filter args, subscripts, varargs/kwargs
+    _ALPHABET = list("{}%#()'\", mxorifsetndcalbg[]kwv.|~=1 \n")
 
     @given(st.text(alphabet=_ALPHABET, max_size=120))
     @settings(max_examples=300, deadline=None)

@@ -1841,12 +1841,13 @@ def test_hub_package_vendored_resolution(spark, sf_small, tmp_path):
     with pytest.raises(EngineError, match="no_such_pkg.*not vendored|not vendored.*no_such_pkg"):
         load_project(root3)
 
-    # git entries still reject loudly
+    # unvendored git entries still reject loudly (round 6: vendored
+    # ones resolve from dbt_packages/ — test_git_package_vendored_resolution)
     root4 = str(tmp_path / "hubproj4")
     _write(root4, "dbt_project.yml", "name: hubproj4\n")
     _write(root4, "packages.yml",
            "packages:\n  - git: https://example.com/repo.git\n")
-    with pytest.raises(EngineError, match="unsupported package entry"):
+    with pytest.raises(EngineError, match="not vendored"):
         load_project(root4)
 
 
@@ -1910,3 +1911,33 @@ def test_run_operation_args_colon_inside_string_value(tmp_path):
                    "--dry-run"])
     assert rc == 0
     assert "retry: later, level: high" in buf.getvalue()
+
+
+def test_git_package_vendored_resolution(spark, sf_small, tmp_path):
+    """packages.yml git entries resolve OFFLINE from the tree a `dbt
+    deps` run left in dbt_packages/<repo>/ (revision informational,
+    subdirectory honored); an unvendored git URL rejects loudly with
+    the looked-up path — never a clone."""
+    from dbt_bigquery_udf_spark.models.core import EngineError
+
+    root = str(tmp_path / "gitproj")
+    _write(root, "dbt_project.yml", "name: gitproj\n")
+    _write(root, "dbt_packages/audit_helpers/dbt_project.yml",
+           "name: audit_helpers\n")
+    _write(root, "dbt_packages/audit_helpers/macros/h.sql",
+           "{% macro mark(x) %}SELECT '{{ x }}' AS marked{% endmacro %}\n")
+    _write(root, "packages.yml",
+           """\
+           packages:
+             - git: https://github.com/example-org/audit_helpers.git
+               revision: 1.2.0
+           """)
+    proj = load_project(root)
+    assert "mark" in proj.macros
+    # unvendored -> loud, names the path
+    root2 = str(tmp_path / "gitproj2")
+    _write(root2, "dbt_project.yml", "name: gitproj2\n")
+    _write(root2, "packages.yml",
+           "packages:\n  - git: https://example.com/org/nope.git\n")
+    with pytest.raises(EngineError, match="dbt_packages/nope"):
+        load_project(root2)

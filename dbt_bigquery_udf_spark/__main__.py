@@ -382,16 +382,34 @@ def main(argv: list[str] | None = None) -> int:
                 # value like 'retry: later, level: high' must survive
                 # the rewrite untouched (round-5 ADVICE: the naive
                 # re.sub also fired inside string literals).
-                parts = re.split(
-                    r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", args.args
-                )
-                quoted = "".join(
-                    p
-                    if i % 2
-                    else re.sub(
-                        r"([{,]\s*)([A-Za-z_]\w*)\s*:", r"\1'\2':", p
+                def _outside_strings(s, sub_fn):
+                    parts = re.split(
+                        r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s
                     )
-                    for i, p in enumerate(parts)
+                    return "".join(
+                        p if i % 2 else sub_fn(p)
+                        for i, p in enumerate(parts)
+                    )
+
+                quoted = _outside_strings(
+                    args.args,
+                    lambda p: re.sub(
+                        r"([{,]\s*)([A-Za-z_]\w*)\s*:", r"\1'\2':", p
+                    ),
+                )
+                # YAML literals dbt accepts: true/false/null (and
+                # Jinja-ish none) -> Python spelling, outside strings
+                _YAML_LIT = {
+                    "true": "True", "false": "False",
+                    "null": "None", "none": "None",
+                }
+                quoted = _outside_strings(
+                    quoted,
+                    lambda p: re.sub(
+                        r"\b(true|false|null|none)\b",
+                        lambda m: _YAML_LIT[m.group(1)],
+                        p,
+                    ),
                 )
                 try:
                     kwargs = _ast_mod.literal_eval(quoted)

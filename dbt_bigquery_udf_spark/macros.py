@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import cached_property
 
 from .models.core import EngineError
 
@@ -95,18 +96,29 @@ class MacroDef:
     defaults: dict[str, str]  # param -> raw (possibly quoted) default text
     body: str
 
-    @property
+    @cached_property
+    def _jinja_span_text(self) -> str:
+        # only {{ ... }} / {% ... %} regions — a mention of
+        # varargs/kwargs in a SQL string or comment must NOT flip the
+        # caught-extras flags (that would silently swallow a caller's
+        # misspelled keyword).
+        return " ".join(
+            m.group(0)
+            for m in re.finditer(r"\{\{.*?\}\}|\{%.*?%\}", self.body, re.S)
+        )
+
+    @cached_property
     def catch_varargs(self) -> bool:
         """Jinja semantics: a macro accepts EXTRA positional arguments
-        only if its body references ``varargs`` (Jinja's
-        caught-varargs flag); otherwise over-calling stays a loud
-        error."""
-        return re.search(r"\bvarargs\b", self.body) is not None
+        only if its body references ``varargs`` inside a Jinja span
+        (Jinja's caught-varargs flag); otherwise over-calling stays a
+        loud error."""
+        return re.search(r"\bvarargs\b", self._jinja_span_text) is not None
 
-    @property
+    @cached_property
     def catch_kwargs(self) -> bool:
         """Same for extra keyword arguments via ``kwargs``."""
-        return re.search(r"\bkwargs\b", self.body) is not None
+        return re.search(r"\bkwargs\b", self._jinja_span_text) is not None
 
 
 # Internal bound-args keys for caught extras; asterisks keep them from
@@ -374,7 +386,9 @@ def _bind_args(
 # ({{ pkg.macro(...) }}, dbt's cross-package call form).
 _CALL_OPEN_RE = re.compile(r"\{\{\s*(\w+(?:\.\w+)?)\s*\(")
 _SPAN_RE = re.compile(r"\{\{(.*?)\}\}", re.S)
-_STANDALONE_RE = re.compile(r"^\s*(\w+)((?:\s*\|\s*\w+)*)\s*$")
+_STANDALONE_RE = re.compile(
+    r"^\s*(\w+)((?:\s*\|\s*\w+(?:\((?:[^()']|'[^']*')*\))?)*)\s*$"
+)
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
@@ -483,9 +497,14 @@ def _render_body(
         sm = _STANDALONE_RE.match(inner)
         if sm:
             if sm.group(1) in bound:
-                return str(
-                    _apply_filters(bound[sm.group(1)][0], sm.group(2), origin)
-                )
+                text, was_str = bound[sm.group(1)]
+                if sm.group(2):
+                    # Filters act on the Python VALUE, matching the
+                    # control-flow path: {{ xs | length }} of ['a','b']
+                    # is 2, not the length of the repr text.
+                    v = text if was_str else _py_value(text)
+                    return str(_apply_filters(v, sm.group(2), origin))
+                return text
             return mm.group(0)  # ref-less placeholder (this, etc.)
         return "{{" + _sub_idents_outside_strings(inner, bound) + "}}"
 
@@ -788,6 +807,24 @@ _FILTERS = {
 }
 
 _FILTER_CALL_RE = re.compile(r"\|\s*(\w+)(\((?:[^()']|'[^']*')*\))?")
+_QUOTED_SPAN_SPLIT_RE = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
+_JINJA_LITERAL_WORDS = {"true": "True", "false": "False", "none": "None"}
+
+
+def _pythonize_jinja_literals(text: str) -> str:
+    """Rewrite bare Jinja true/false/none to Python spelling OUTSIDE
+    quoted spans, so ast.literal_eval accepts `default('y', true)`."""
+    parts = _QUOTED_SPAN_SPLIT_RE.split(text)
+    return "".join(
+        p
+        if i % 2
+        else re.sub(
+            r"\b(true|false|none)\b",
+            lambda m: _JINJA_LITERAL_WORDS[m.group(1)],
+            p,
+        )
+        for i, p in enumerate(parts)
+    )
 
 
 def _apply_filters(value, filter_text: str, origin: str):
@@ -803,7 +840,9 @@ def _apply_filters(value, filter_text: str, origin: str):
             try:
                 import ast as _ast_mod
 
-                args = _ast_mod.literal_eval(argtext[1:-1].strip() + ",")
+                args = _ast_mod.literal_eval(
+                    _pythonize_jinja_literals(argtext[1:-1].strip()) + ","
+                )
             except (ValueError, SyntaxError) as exc:
                 raise EngineError(
                     f"{origin}: unparseable arguments for Jinja filter "

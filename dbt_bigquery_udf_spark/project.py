@@ -715,17 +715,47 @@ def load_project(
                 repo = str(entry["git"]).rstrip("/").rsplit("/", 1)[-1]
                 if repo.endswith(".git"):
                     repo = repo[:-4]
-                installed = os.path.join(project_dir, "dbt_packages", repo)
-                if "subdirectory" in entry:
-                    installed = os.path.join(
-                        installed, str(entry["subdirectory"])
-                    )
-                if not os.path.isdir(installed):
+                # dbt deps installs under the package's PROJECT name,
+                # not the repo basename (dbt-utils.git -> dbt_utils/),
+                # so probe the basename, its dash->underscore form, and
+                # finally any dbt_packages/*/dbt_project.yml whose name
+                # normalizes to the repo name.
+                pkg_root = os.path.join(project_dir, "dbt_packages")
+                sub = str(entry.get("subdirectory", "")) or None
+                candidates = [repo, repo.replace("-", "_")]
+                tried = []
+                installed = None
+                for cand in dict.fromkeys(candidates):
+                    p = os.path.join(pkg_root, cand)
+                    tried.append(p)
+                    if os.path.isdir(p):
+                        installed = p
+                        break
+                if installed is None and os.path.isdir(pkg_root):
+                    want = repo.replace("-", "_").lower()
+                    for d in sorted(os.listdir(pkg_root)):
+                        py = os.path.join(pkg_root, d, "dbt_project.yml")
+                        if not os.path.exists(py):
+                            continue
+                        with open(py) as fh:
+                            nm = (yaml.safe_load(fh) or {}).get("name", "")
+                        if str(nm).replace("-", "_").lower() == want:
+                            installed = os.path.join(pkg_root, d)
+                            break
+                if installed is not None and sub:
+                    subpath = os.path.join(installed, sub)
+                    if os.path.isdir(subpath):
+                        installed = subpath
+                    else:
+                        tried.append(subpath)
+                        installed = None
+                if installed is None:
                     raise EngineError(
                         f"packages.yml: git package {entry['git']!r} is "
-                        f"not vendored (looked in {installed}); run your "
-                        "package install OUTSIDE this engine and place "
-                        f"the tree in dbt_packages/{repo}/, or use a "
+                        f"not vendored (looked in {', '.join(tried)} and "
+                        "scanned dbt_packages/*/dbt_project.yml names); "
+                        "run your package install OUTSIDE this engine "
+                        f"and place the tree in dbt_packages/, or use a "
                         "local: path"
                     )
                 pkg_dir = installed

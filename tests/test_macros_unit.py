@@ -463,3 +463,44 @@ class TestVarargsKwargs:
         )
         ctx = macro_context_callables(md)
         assert ctx["vjoin"](1, "two", extra=True) == "1;two;n=1"
+
+
+class TestReviewRegressionsRound6:
+    """Pins for the round-6 self-review findings."""
+
+    def test_standalone_span_filters_act_on_value(self):
+        # {{ xs | length }} of a 2-list is 2, not len of the repr text
+        md = parse_macros(
+            "{% macro n(xs) %}SELECT {{ xs | length }}{% endmacro %}"
+        )
+        assert expand_macros("{{ n(['a', 'b']) }}", md) == "SELECT 2"
+        md2 = parse_macros(
+            "{% macro j(xs) %}{{ xs | join('-') }}{% endmacro %}"
+        )
+        assert expand_macros("{{ j(['a', 'b']) }}", md2) == "a-b"
+
+    def test_filter_args_accept_jinja_literals_in_spans(self):
+        out = render_control_flow(
+            "{% for x in xs %}{{ x | default('-', true) }};{% endfor %}",
+            _vf,
+            extra_env={"xs": ["a", "", None]},
+        )
+        assert out == "a;-;-;"
+
+    def test_caught_extras_not_triggered_by_comments_or_sql(self):
+        # 'kwargs' in plain SQL text / comments must not flip the
+        # caught-extras flag: a typo'd keyword through the context
+        # handle stays a loud error, and over-calling positionally
+        # stays a loud error on the expansion path.
+        from dbt_bigquery_udf_spark.macros import macro_context_callables
+
+        md = parse_macros(
+            "{% macro m(column) %}-- kwargs are unsupported here\n"
+            "SELECT {{ column }} /* varargs */{% endmacro %}"
+        )
+        assert not md["m"].catch_kwargs and not md["m"].catch_varargs
+        ctx = macro_context_callables(md)
+        with pytest.raises(EngineError, match="unexpected keyword"):
+            ctx["m"]("c1", colmn="x")
+        with pytest.raises(EngineError, match="at most"):
+            expand_macros("{{ m('a', 'b') }}", md)

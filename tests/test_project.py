@@ -1941,3 +1941,54 @@ def test_git_package_vendored_resolution(spark, sf_small, tmp_path):
            "packages:\n  - git: https://example.com/org/nope.git\n")
     with pytest.raises(EngineError, match="dbt_packages/nope"):
         load_project(root2)
+
+
+def test_run_operation_args_yaml_booleans(tmp_path):
+    """dbt-style --args with YAML booleans/null parses: {flag: true,
+    cap: null} binds Python True/None (round-6 review fix)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    root = str(tmp_path / "boolproj")
+    _write(root, "dbt_project.yml", "name: boolproj\n")
+    _write(root, "macros/ops.sql",
+           """\
+           {% macro note(flag, cap) %}
+           {% if flag and cap is none %}SELECT 'armed' AS m{% else %}SELECT 'off' AS m{% endif %}
+           {% endmacro %}
+           """)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["run-operation", "note", "--project", root,
+                   "--args", "{flag: true, cap: null}", "--dry-run"])
+    assert rc == 0
+    assert "'armed'" in buf.getvalue()
+
+
+def test_git_package_dash_to_underscore_and_project_name(tmp_path):
+    """A git URL whose repo basename (dbt-utils) differs from the
+    installed project-name directory (dbt_utils) still resolves — the
+    dbt deps layout (round-6 review fix); project-name scan covers
+    arbitrary renames."""
+    root = str(tmp_path / "gitdash")
+    _write(root, "dbt_project.yml", "name: gitdash\n")
+    _write(root, "dbt_packages/dbt_utils/dbt_project.yml", "name: dbt_utils\n")
+    _write(root, "dbt_packages/dbt_utils/macros/u.sql",
+           "{% macro u_mark() %}SELECT 1{% endmacro %}\n")
+    _write(root, "packages.yml",
+           "packages:\n  - git: https://github.com/dbt-labs/dbt-utils.git\n")
+    proj = load_project(root)
+    assert any(m.endswith("u_mark") or m == "u_mark" for m in proj.macros)
+    # arbitrary directory name, matched via dbt_project.yml name scan
+    root2 = str(tmp_path / "gitscan")
+    _write(root2, "dbt_project.yml", "name: gitscan\n")
+    _write(root2, "dbt_packages/checkout_xyz/dbt_project.yml",
+           "name: audit-kit\n")
+    _write(root2, "dbt_packages/checkout_xyz/macros/a.sql",
+           "{% macro a_mark() %}SELECT 2{% endmacro %}\n")
+    _write(root2, "packages.yml",
+           "packages:\n  - git: https://example.com/org/audit-kit.git\n")
+    proj2 = load_project(root2)
+    assert any("a_mark" in m for m in proj2.macros)

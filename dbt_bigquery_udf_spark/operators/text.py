@@ -1559,10 +1559,14 @@ def dedup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     other). Shingle df is the only corpus-global state and it is
     Heaps-bounded.
 
-    Scale: at 100 TB, hash the shingles (md5/xxhash) before the
-    exchange so the shuffle carries 16-byte keys, not text; the plan is
-    otherwise unchanged. Kept as plain text here so the oracle pins the
-    exact values.
+    Scale (round 6, measured): the shingles are HASHED to 64-bit keys
+    scan-side (xxhash64) before the exchange, so the shared shuffle and
+    the sort-merge join-back carry 8-byte longs instead of ~40-byte
+    text — the round-6 probe had the string form going 2.7s -> 20.7s
+    across x1 -> x30 (sorting 37M wide rows twice); the hashed form
+    cuts the sorted bytes ~5x. The per-doc COUNTS are unchanged up to
+    64-bit collisions (~n²/2⁶⁴ per doc, vanishing), which is why the
+    string-keyed DuckDB oracle still matches exactly at test scales.
     """
     d = _docs(spark, sf_dir)
     toks = d.select(
@@ -1575,7 +1579,8 @@ def dedup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(0, size(t) - {DUP_SHINGLE_N}), "
-                    f"i -> array_join(slice(t, i + 1, {DUP_SHINGLE_N}), ' '))"
+                    f"i -> xxhash64(array_join(slice(t, i + 1, "
+                    f"{DUP_SHINGLE_N}), ' ')))"
                 )
             ).alias("shingle"),
         )
@@ -1642,4 +1647,110 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         "n_clusters",
         "rows_covered",
+    )
+
+
+# -- quality funnel: the audit report a curation run starts with (round 6) --
+
+# Composed AFTER the gate operators so their registered oracle texts can
+# be reused verbatim as subqueries — the funnel's oracle is BY
+# CONSTRUCTION consistent with each gate's own driver-checked oracle.
+from ..queries import ORACLES as _ORACLES  # noqa: E402
+
+DUP_FRAC_GATE = 0.5  # shingle-overlap survival threshold
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    SELECT 'c4' AS gate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE passes) AS BIGINT) AS n_pass,
+           round(count(*) FILTER (WHERE passes) * 1e0 / count(*), 6)
+             AS pass_frac
+    FROM ({_ORACLES["quality_c4_rules"]})
+    UNION ALL
+    SELECT 'exact_unique',
+           CAST(sum(dup_count) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(count(*) * 1e0 / sum(dup_count), 6)
+    FROM ({_ORACLES["dedup_exact"]})
+    UNION ALL
+    SELECT 'gopher',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE passes) AS BIGINT),
+           round(count(*) FILTER (WHERE passes) * 1e0 / count(*), 6)
+    FROM ({_ORACLES["quality_gopher_rules"]})
+    UNION ALL
+    SELECT 'nondup_shingle',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE dup_frac <= {DUP_FRAC_GATE})
+             AS BIGINT),
+           round(count(*) FILTER (WHERE dup_frac <= {DUP_FRAC_GATE})
+                 * 1e0 / count(*), 6)
+    FROM ({_ORACLES["dedup_shingle_fraction"]})
+    ORDER BY gate
+    """
+
+
+@register("pipeline_quality_funnel", _funnel_oracle())
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation audit report: per gate family (Gopher page gates,
+    C4 page gates, duplicate-shingle overlap <= {0.5}, exact-hash
+    uniqueness), how many documents enter and how many survive — the
+    first table any 100 TB pipeline run produces, and the one that
+    decides which gate to tune before burning a full pass.
+
+    Composition, not reimplementation: each branch calls the SAME
+    registered operator (and the oracle reuses the SAME registered
+    oracle SQL), so the funnel can never drift from the gates it
+    summarizes. Each branch aggregates to ONE row map-side
+    (count/conditional-count only); the union of four 1-row aggregates
+    involves no join, so the funnel costs exactly the sum of its
+    branches' scans (the shingle branch's exchange is the only real
+    shuffle; for the exact-dup branch only 16-byte hashes move).
+
+    Note the denominators are each gate's own input contract: gopher/C4
+    see every document (empty docs included, round 6), the shingle gate
+    sees documents long enough to have a 5-gram, exact-dedup counts all
+    rows vs surviving hash groups.
+    """
+    from .dedup import dedup_exact
+
+    def one(gate: str, df: DataFrame, pass_col) -> DataFrame:
+        return df.agg(
+            F.lit(gate).alias("gate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(pass_col, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.round(
+                F.sum(F.when(pass_col, 1).otherwise(0))
+                * F.lit(1e0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_frac"),
+        )
+
+    gopher = one(
+        "gopher", quality_gopher_rules(spark, sf_dir), F.col("passes")
+    )
+    c4 = one("c4", quality_c4_rules(spark, sf_dir), F.col("passes"))
+    shingle = one(
+        "nondup_shingle",
+        dedup_shingle_fraction(spark, sf_dir),
+        F.col("dup_frac") <= DUP_FRAC_GATE,
+    )
+    exact = dedup_exact(spark, sf_dir).agg(
+        F.lit("exact_unique").alias("gate"),
+        F.sum("dup_count").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pass"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1e0) / F.sum("dup_count"), 6
+        ).alias("pass_frac"),
+    )
+    return (
+        c4.unionByName(exact)
+        .unionByName(gopher)
+        .unionByName(shingle)
+        .orderBy("gate")
     )

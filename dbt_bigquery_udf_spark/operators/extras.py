@@ -1604,35 +1604,44 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.2  # weight on the most recent observation
 EWMA_WINDOW = 30  # trailing days in the (truncated) weight sum
 
-# Decay weights precomputed ONCE in Python and inlined as literals into
-# BOTH engines' expressions: JVM Math.pow and DuckDB/glibc pow are
-# bitwise-divergent for pow(0.8, k) at several k (verified on this
-# machine), so letting each engine exponentiate would make the two
-# sides compute genuinely different weight vectors — a half-boundary
-# rounding flake waiting for the right dataset. W[j] = decay^j (lag j).
-_EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_WINDOW)]
-_EWMA_W_SQL = ", ".join(repr(w) for w in _EWMA_W)
+# Decay weights precomputed ONCE in Python, QUANTIZED to integer
+# micro-weights, and inlined as literals into BOTH engines'
+# expressions. Two separate float-parity traps forced this shape
+# (both observed on this machine): (1) JVM Math.pow and DuckDB/glibc
+# pow are bitwise-divergent for pow(0.8, k) at several k; (2) even
+# with shared double weights, the two engines' fold association
+# differs by an ulp, which at sf0.1 landed one row's weighted mean
+# exactly on a round-half boundary (…69905 vs …699049…). With integer
+# cents x integer weights the numerator/denominator sums are EXACT in
+# any association order; the single double division then runs on
+# bit-identical operands in both engines. W[j] = round(decay^j * 1e6).
+_EWMA_W = [round((1.0 - EWMA_ALPHA) ** j * 1_000_000) for j in range(EWMA_WINDOW)]
+_EWMA_W_SQL = ", ".join(str(w) for w in _EWMA_W)
 
 
 @register(
     "timeseries_ewma",
     f"""
     WITH daily AS (
-      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
       FROM orders GROUP BY o_orderdate
     ), arr AS (
-      SELECT day, revenue,
-             list(revenue) OVER (ORDER BY day
-                                 ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
-                                 AND CURRENT ROW) AS win
+      SELECT day, cents,
+             list(cents) OVER (ORDER BY day
+                               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW) AS win
       FROM daily
     ), wlit AS (SELECT [{_EWMA_W_SQL}] AS wv)
-    SELECT day, revenue,
+    SELECT day, cents / 100.0 AS revenue,
            round(
-             list_sum([win[i] * wv[len(win) - i + 1]
-                       for i in generate_series(1, len(win))])
-             / list_sum([wv[len(win) - i + 1] + 0.0
-                         for i in generate_series(1, len(win))]),
+             CAST(list_sum([win[i] * wv[len(win) - i + 1]
+                            for i in generate_series(1, len(win))])
+               AS DOUBLE)
+             / (CAST(list_sum([wv[len(win) - i + 1]
+                               for i in generate_series(1, len(win))])
+                  AS DOUBLE) * 100.0),
              4) AS ewma
     FROM arr, wlit
     """,
@@ -1657,25 +1666,31 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _src(spark, sf_dir)["orders"]
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
     )
     w = W.orderBy("day").rowsBetween(-(EWMA_WINDOW - 1), 0)
     arr = daily.select(
-        "day", "revenue", F.collect_list("revenue").over(w).alias("win")
+        "day", "cents", F.collect_list("cents").over(w).alias("win")
     )
-    wv = "array(" + _EWMA_W_SQL + ")"
+    wv = "array(" + ", ".join(f"{x}L" for x in _EWMA_W) + ")"
     num = F.expr(
         "aggregate(zip_with(win, sequence(1, size(win)), "
         f"(x, i) -> x * element_at({wv}, size(win) - i + 1)), "
-        "cast(0 as double), (s, x) -> s + x)"
+        "cast(0 as bigint), (s, x) -> s + x)"
     )
     den = F.expr(
         "aggregate(transform(sequence(1, size(win)), "
         f"i -> element_at({wv}, size(win) - i + 1)), "
-        "cast(0 as double), (s, x) -> s + x)"
+        "cast(0 as bigint), (s, x) -> s + x)"
     )
     return arr.select(
-        "day", "revenue", F.round(num / den, 4).alias("ewma")
+        "day",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.round(
+            num.cast("double") / (den.cast("double") * F.lit(100.0)), 4
+        ).alias("ewma"),
     )
 
 

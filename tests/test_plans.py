@@ -689,3 +689,10 @@ def test_hamming_topk_joinless_heap_shortlist(spark, sf_small):
     assert f.sort_merge_joins == 0 and f.broadcast_joins == 0, f.text
     assert "TakeOrderedAndProject" in f.text, f.text
     assert "Sort " not in f.text.replace("TakeOrdered", ""), f.text
+
+
+def test_dsir_select_is_heap_topk(spark, sf_small):
+    """dsir_select_topk: the global selection is a TakeOrdered heap (no
+    full Sort) over the weight stream — O(k) driver traffic."""
+    f = _facts(spark, sf_small, "dsir_select_topk")
+    assert "TakeOrderedAndProject" in f.text, f.text

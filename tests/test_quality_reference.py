@@ -1,0 +1,196 @@
+"""Three-way checks for the quality gates: Spark and the DuckDB oracle
+share SQL-shaped thinking, so a misconception copied into both passes
+every parity check. These tests re-implement quality_gopher_rules and
+quality_c4_rules in plain Python from the PUBLISHED rule definitions
+(Rae et al. 2021 Table A1; Raffel et al. 2020 §2.2) and compare
+row-by-row on a seeded randomized corpus that exercises empty docs,
+stopword-only docs, newline structure, bullets, ellipses, symbols, and
+unicode — one Spark job for the whole corpus, not one per example.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pytest
+
+from dbt_bigquery_udf_spark import queries as Q
+from dbt_bigquery_udf_spark.operators.text import (
+    C4_MIN_LINE_WORDS,
+    C4_MIN_SENTENCES,
+    GOPHER_MAX_BULLET_FRAC,
+    GOPHER_MAX_DUP_LINE_FRAC,
+    GOPHER_MAX_ELLIPSIS_FRAC,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_TOP_WORD_FRAC,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+)
+
+_WORDS = [
+    "the", "a", "of", "and", "to", "cat", "dog", "tree", "run", "fast",
+    "slow", "supercalifragilistic", "x", "héllo", "naïve", "data",
+]
+_LINE_ENDS = ["", ".", "!", "?", '"', "...", "…"]
+_LINE_STARTS = ["", "- ", "* ", "• ", "  "]
+
+
+def _rand_line(rng: random.Random) -> str:
+    n = rng.randint(0, 9)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.25:
+        words.append("#" * rng.randint(1, 3))
+    return (
+        rng.choice(_LINE_STARTS)
+        + " ".join(words)
+        + rng.choice(_LINE_ENDS)
+    )
+
+
+def _rand_doc(rng: random.Random) -> str:
+    kind = rng.random()
+    if kind < 0.05:
+        return ""
+    if kind < 0.1:
+        return "   "
+    lines = [_rand_line(rng) for _ in range(rng.randint(1, 6))]
+    if rng.random() < 0.3:  # force duplicate lines
+        lines += [lines[0]] * rng.randint(1, 2)
+    if rng.random() < 0.1:
+        lines.append("some Lorem Ipsum filler { maybe }")
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def random_corpus_dir(tmp_path_factory, spark):
+    rng = random.Random(20260814)
+    docs = [(i, _rand_doc(rng)) for i in range(200)]
+    root = str(tmp_path_factory.mktemp("rand_quality_sf"))
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    return root, dict(docs)
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in text.split(" ") if w != ""]
+
+
+def _lines(text: str) -> list[str]:
+    return [l for l in text.split("\n") if l.strip() != ""]
+
+
+def _py_gopher(text: str) -> dict:
+    # Whitespace tokens (round 6: the operator splits on \s+ so
+    # newline-adjacent words count separately; Python's bare split()
+    # is the same contract).
+    t = text.split()
+    ls = _lines(text)
+    n_words = len(t)
+    mean_wl = sum(len(w) for w in t) / n_words if n_words else None
+    non_stop = [w for w in t if w not in GOPHER_STOPWORDS]
+    top_n = max((non_stop.count(w) for w in set(non_stop)), default=0)
+    has_stop = any(w in GOPHER_STOPWORDS for w in t)
+    n_sym = text.count("#") + text.count("…")
+    n_lines = len(ls)
+    n_dup = n_lines - len(set(ls))
+    n_bullet = sum(
+        1 for l in ls
+        if l.lstrip().startswith(("-", "*", "•"))
+    )
+    n_ell = sum(
+        1 for l in ls if l.rstrip().endswith(("...", "…"))
+    )
+    nl = max(n_lines, 1)
+    nw = max(n_words, 1)
+    passes = (
+        GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+        and mean_wl is not None
+        and GOPHER_MIN_MEAN_WORD_LEN <= mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+        and top_n / nw <= GOPHER_MAX_TOP_WORD_FRAC
+        and has_stop
+        and n_sym / nw <= GOPHER_MAX_SYMBOL_RATIO
+        and n_dup / nl <= GOPHER_MAX_DUP_LINE_FRAC
+        and n_bullet / nl <= GOPHER_MAX_BULLET_FRAC
+        and n_ell / nl <= GOPHER_MAX_ELLIPSIS_FRAC
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": round(mean_wl, 6) if mean_wl is not None else None,
+        "top_word_frac": round(top_n / n_words, 6) if n_words else None,
+        "has_stopword": has_stop,
+        "symbol_word_ratio": round(n_sym / nw, 6),
+        "dup_line_frac": round(n_dup / nl, 6),
+        "bullet_line_frac": round(n_bullet / nl, 6),
+        "ellipsis_line_frac": round(n_ell / nl, 6),
+        "passes": passes,
+    }
+
+
+def _py_c4(text: str) -> dict:
+    ls = _lines(text)
+    kept = [
+        l for l in ls
+        if l.rstrip().endswith((".", "!", "?", '"'))
+        and len(_tokens(l)) >= C4_MIN_LINE_WORDS
+    ]
+    clean = "\n".join(kept)
+    n_sent = clean.count(".") + clean.count("!") + clean.count("?")
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return {
+        "n_lines": len(ls),
+        "n_kept_lines": len(kept),
+        "kept_line_frac": round(len(kept) / max(len(ls), 1), 6),
+        "n_sentences": n_sent,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "clean_text": clean,
+        "passes": (
+            n_sent >= C4_MIN_SENTENCES and not has_lorem and not has_brace
+        ),
+    }
+
+
+def _approx(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(float(a), float(b), rel_tol=0, abs_tol=1e-9)
+    return a == b
+
+
+def test_gopher_matches_python_reference(spark, random_corpus_dir):
+    root, docs = random_corpus_dir
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_gopher_rules"](spark, root).collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        want = _py_gopher(text)
+        got = rows[doc_id]
+        for k, v in want.items():
+            assert _approx(getattr(got, k), v), (doc_id, k, getattr(got, k), v, repr(text))
+
+
+def test_c4_matches_python_reference(spark, random_corpus_dir):
+    root, docs = random_corpus_dir
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_c4_rules"](spark, root).collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        want = _py_c4(text)
+        got = rows[doc_id]
+        for k, v in want.items():
+            assert _approx(getattr(got, k), v), (doc_id, k, getattr(got, k), v, repr(text))

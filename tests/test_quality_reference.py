@@ -194,3 +194,37 @@ def test_c4_matches_python_reference(spark, random_corpus_dir):
         got = rows[doc_id]
         for k, v in want.items():
             assert _approx(getattr(got, k), v), (doc_id, k, getattr(got, k), v, repr(text))
+
+
+def test_shingle_fraction_matches_python_reference(spark, random_corpus_dir):
+    """Three-way check for dedup_shingle_fraction: pure-Python distinct
+    5-gram shingles + cross-document document-frequency — also
+    validates that the round-6 xxhash64 key optimization changed keys,
+    not counts."""
+    from dbt_bigquery_udf_spark.operators.text import DUP_SHINGLE_N
+
+    root, docs = random_corpus_dir
+    sh_by_doc = {}
+    for doc_id, text in docs.items():
+        t = [w for w in text.split(" ") if w != ""]
+        sh_by_doc[doc_id] = {
+            " ".join(t[i : i + DUP_SHINGLE_N])
+            for i in range(len(t) - DUP_SHINGLE_N + 1)
+        }
+    df_count = {}
+    for shingles in sh_by_doc.values():
+        for s in shingles:
+            df_count[s] = df_count.get(s, 0) + 1
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["dedup_shingle_fraction"](spark, root).collect()
+    }
+    expect_ids = {d for d, s in sh_by_doc.items() if s}
+    assert set(rows) == expect_ids
+    for doc_id in expect_ids:
+        n = len(sh_by_doc[doc_id])
+        dup = sum(1 for s in sh_by_doc[doc_id] if df_count[s] > 1)
+        r = rows[doc_id]
+        assert r.n_shingles == n, (doc_id, r.n_shingles, n)
+        assert r.n_dup_shingles == dup, (doc_id, r.n_dup_shingles, dup)
+        assert _approx(r.dup_frac, round(dup / n, 6)), (doc_id, r.dup_frac)

@@ -228,3 +228,42 @@ def test_shingle_fraction_matches_python_reference(spark, random_corpus_dir):
         assert r.n_shingles == n, (doc_id, r.n_shingles, n)
         assert r.n_dup_shingles == dup, (doc_id, r.n_dup_shingles, dup)
         assert _approx(r.dup_frac, round(dup / n, 6)), (doc_id, r.dup_frac)
+
+
+def test_bigram_nll_matches_python_reference(spark, random_corpus_dir):
+    """Three-way check for text_bigram_lm_nll: pure-Python add-one
+    bigram LM (corpus pair counts, per-context totals, |V| from
+    distinct second words) — the conventions (which side of the pair
+    defines V, whether counts are token- or type-level) are exactly
+    the kind of shared-misconception risk oracle parity can't see."""
+    root, docs = random_corpus_dir
+    per_doc_bigrams = {}
+    pair_n: dict[str, int] = {}
+    for doc_id, text in docs.items():
+        t = [w for w in text.lower().strip().split(" ") if w != ""]
+        bgs = [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        if bgs:
+            per_doc_bigrams[doc_id] = bgs
+        for b in set(bgs):
+            pair_n[b] = pair_n.get(b, 0) + sum(1 for x in bgs if x == b)
+    ctx_n: dict[str, int] = {}
+    seconds = set()
+    for b, n in pair_n.items():
+        w1, w2 = b.split(" ")
+        ctx_n[w1] = ctx_n.get(w1, 0) + n
+        seconds.add(w2)
+    v = len(seconds)
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["text_bigram_lm_nll"](spark, root).collect()
+    }
+    assert set(rows) == set(per_doc_bigrams)
+    for doc_id, bgs in per_doc_bigrams.items():
+        want_sum = 0
+        for b in bgs:
+            w1 = b.split(" ")[0]
+            p = (pair_n[b] + 1.0) / (ctx_n[w1] + v)
+            want_sum += math.floor(-math.log(p) * 1_000_000 + 0.5)
+        r = rows[doc_id]
+        assert r.n_bigrams == len(bgs), (doc_id, r.n_bigrams, len(bgs))
+        assert r.nll_sum_micro == want_sum, (doc_id, r.nll_sum_micro, want_sum)

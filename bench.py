@@ -93,9 +93,12 @@ HEADLINE = [
     "quality_gopher_rules",
     "dedup_shingle_fraction",
     "dedup_cluster_stats",
-    # round 6: C4 line-level cleaning, 1-bit Hamming ANN
+    # round 6: C4 line-level cleaning, 1-bit Hamming ANN, DSIR
+    # selection, the quality-funnel audit
     "quality_c4_rules",
     "sim_hamming_topk",
+    "dsir_select_topk",
+    "pipeline_quality_funnel",
 ]
 
 

@@ -294,6 +294,10 @@ _CURATED_WINDOW = (
     "events_variant_extract",
     "funnel_signup_purchase",
 )
+# Round-7 rotation candidates (new in round 6, verify_driver-green but
+# not yet in-window): quality_c4_rules, sim_hamming_topk,
+# pipeline_quality_funnel (its oracle embeds the c4/gopher/shingle/exact
+# oracles), dsir_select_topk.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1675,15 +1675,21 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "cents", F.collect_list("cents").over(w).alias("win")
     )
     wv = "array(" + ", ".join(f"{x}L" for x in _EWMA_W) + ")"
+    # DECIMAL(38,0) accumulator: DuckDB's list_sum silently promotes
+    # past int64 while a bigint fold in Spark would WRAP (ANSI off) —
+    # at ~$3.1B daily revenue the 30-term cents x 1e6-weight sum
+    # crosses 2^63. Decimal keeps the sum exact on both sides; each
+    # individual PRODUCT must still fit bigint (daily cents < 9.2e12,
+    # i.e. < $92B/day — comfortably above any real corpus).
     num = F.expr(
         "aggregate(zip_with(win, sequence(1, size(win)), "
         f"(x, i) -> x * element_at({wv}, size(win) - i + 1)), "
-        "cast(0 as bigint), (s, x) -> s + x)"
+        "cast(0 as decimal(38,0)), (s, x) -> s + x)"
     )
     den = F.expr(
         "aggregate(transform(sequence(1, size(win)), "
         f"i -> element_at({wv}, size(win) - i + 1)), "
-        "cast(0 as bigint), (s, x) -> s + x)"
+        "cast(0 as decimal(38,0)), (s, x) -> s + x)"
     )
     return arr.select(
         "day",

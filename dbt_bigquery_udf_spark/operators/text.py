@@ -1271,9 +1271,11 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     f"""
     WITH toks AS (
       SELECT doc_id,
-             -- whitespace-regex tokens: newline-adjacent words must
-             -- count as separate words (round-6 reference-impl catch)
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t,
+             -- whitespace tokens via an EXPLICIT class: Java regex
+             -- backslash-s includes U+000B but RE2's does not, so
+             -- spelling the set out is the only engine-identical form
+             list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+                         t -> t <> '') AS t,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
                AS ls,
              CAST(length(text) - length(replace(text, '#', ''))
@@ -1359,7 +1361,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_sql = _GOPHER_STOP_SQL
     toks = d.select(
         "doc_id",
-        F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("t"),
+        F.expr(
+            "filter(split(text, '[ \\\\t\\\\n\\\\f\\\\r]+'), t -> t <> '')"
+        ).alias("t"),
         F.expr("filter(split(text, '\\n'), l -> trim(l) <> '')").alias("ls"),
         (
             F.length("text") - F.length(F.expr("replace(text, '#', '')"))

@@ -26,7 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
+from _probe_common import stage as _stage  # noqa: E402
+from _probe_common import timed as _timed  # noqa: E402
 
 from dbt_bigquery_udf_spark import get_spark  # noqa: E402
 from dbt_bigquery_udf_spark.operators.dedup import (  # noqa: E402
@@ -57,45 +58,11 @@ STRIDES = {
 
 
 def stage(spark, n: int, root: str) -> str:
-    out = os.path.join(root, f"x{n}")
-    for table, strides in STRIDES.items():
-        df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
-        parts = []
-        for i in range(n):
-            c = df
-            for col, stride in strides.items():
-                c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
-            parts.append(c)
-        rep = parts[0]
-        for p in parts[1:]:
-            rep = rep.unionByName(p)
-        # Stage as >=32 splits REGARDLESS of N, rounded to a whole
-        # multiple of the 32 cores: a xN union otherwise writes ~N
-        # files (small N under-splits the map stage), and a near-1.x
-        # multiple of the core count (e.g. 40 tasks) schedules a
-        # half-idle straggler wave — both made "x10 slower than x30"
-        # in the round-3 probe (VERDICT round-3 #7).
-        rep = rep.repartition(32 * max(1, (4 * n + 31) // 32))
-        rep.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
-    for f in os.listdir(SF_DIR):
-        dst = os.path.join(out, f)
-        if f.endswith(".parquet") and not os.path.exists(dst):
-            os.symlink(os.path.join(SF_DIR, f), dst)
-    return out
+    # shared harness (round 6): one staging discipline for all probes
+    return _stage(spark, n, root, SF_DIR, STRIDES)
 
 
-def timed(label: str, fn, spark, sf_dir: str, **kw) -> None:
-    # min-of-2: the FIRST run over freshly-staged files pays cold page
-    # cache + plan compilation that later runs don't (measured 2-3x on
-    # dsir/emb_hard_negatives) — single-shot timing made xN columns
-    # non-monotone through no fault of the operators.
-    best, rows = None, 0
-    for _ in range(2):
-        t = time.perf_counter()
-        rows = fn(spark, sf_dir, **kw).count()
-        dt = time.perf_counter() - t
-        best = dt if best is None or dt < best else best
-    print(f"{label}: {best:.2f}s ({rows} rows)", flush=True)
+timed = _timed
 
 
 def main() -> None:

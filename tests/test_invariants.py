@@ -269,8 +269,12 @@ def test_dsir_selection_bias_and_determinism(spark, sf_small):
     subset property the noise hashing exists for); (b) biased toward
     the target — the mean per-feature log-weight of the selected docs
     exceeds the corpus mean (selection must favor its own scorer);
-    (c) score consistency — every emitted score_micro equals the
-    normalized weight plus that doc's deterministic Gumbel noise."""
+    (c) score consistency — every emitted score_micro equals the RAW
+    log-weight plus that doc's deterministic md5-derived Gumbel noise,
+    recomputed here in pure Python (±1 micro for the rounding ulp)."""
+    import hashlib
+    import math as _math
+
     rows1 = Q.QUERIES["dsir_select_topk"](spark, sf_small).collect()
     rows2 = Q.QUERIES["dsir_select_topk"](spark, sf_small).collect()
     assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]
@@ -282,3 +286,8 @@ def test_dsir_selection_bias_and_determinism(spark, sf_small):
     sel_mean = sum(w[r.doc_id] for r in rows1) / len(rows1)
     all_mean = sum(w.values()) / len(w)
     assert sel_mean > all_mean, (sel_mean, all_mean)
+    for r in rows1:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        g = -_math.log(-_math.log((h + 0.5) / 4294967296.0))
+        want = _math.floor((r.logw_micro / 1e6 + g) * 1e6 + 0.5)
+        assert abs(r.score_micro - want) <= 1, (r.doc_id, r.score_micro, want)

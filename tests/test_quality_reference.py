@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import re
 
 import pytest
 
@@ -35,6 +36,10 @@ from dbt_bigquery_udf_spark.operators.text import (
 _WORDS = [
     "the", "a", "of", "and", "to", "cat", "dog", "tree", "run", "fast",
     "slow", "supercalifragilistic", "x", "héllo", "naïve", "data",
+    # engine-identity edge cases: U+000B (Java \s but not RE2 \s) and
+    # NBSP (Python str.split() whitespace, NOT engine whitespace) must
+    # stay INSIDE a single word in all three implementations
+    "a\x0bb", "c\xa0d",
 ]
 _LINE_ENDS = ["", ".", "!", "?", '"', "...", "…"]
 _LINE_STARTS = ["", "- ", "* ", "• ", "  "]
@@ -84,15 +89,18 @@ def _tokens(text: str) -> list[str]:
     return [w for w in text.split(" ") if w != ""]
 
 
+_ENGINE_TRIM = " "  # Spark/DuckDB trim/ltrim/rtrim strip SPACES only
+
+
 def _lines(text: str) -> list[str]:
-    return [l for l in text.split("\n") if l.strip() != ""]
+    return [l for l in text.split("\n") if l.strip(_ENGINE_TRIM) != ""]
 
 
 def _py_gopher(text: str) -> dict:
-    # Whitespace tokens (round 6: the operator splits on \s+ so
-    # newline-adjacent words count separately; Python's bare split()
-    # is the same contract).
-    t = text.split()
+    # Whitespace tokens, EXPLICIT class [ \t\n\f\r] — matches both
+    # engines exactly; Python's bare split() would also split U+000B /
+    # NBSP / U+2028 etc., which neither engine treats as whitespace.
+    t = [w for w in re.split(r"[ \t\n\f\r]+", text) if w != ""]
     ls = _lines(text)
     n_words = len(t)
     mean_wl = sum(len(w) for w in t) / n_words if n_words else None
@@ -104,10 +112,10 @@ def _py_gopher(text: str) -> dict:
     n_dup = n_lines - len(set(ls))
     n_bullet = sum(
         1 for l in ls
-        if l.lstrip().startswith(("-", "*", "•"))
+        if l.lstrip(_ENGINE_TRIM).startswith(("-", "*", "•"))
     )
     n_ell = sum(
-        1 for l in ls if l.rstrip().endswith(("...", "…"))
+        1 for l in ls if l.rstrip(_ENGINE_TRIM).endswith(("...", "…"))
     )
     nl = max(n_lines, 1)
     nw = max(n_words, 1)
@@ -139,7 +147,7 @@ def _py_c4(text: str) -> dict:
     ls = _lines(text)
     kept = [
         l for l in ls
-        if l.rstrip().endswith((".", "!", "?", '"'))
+        if l.rstrip(_ENGINE_TRIM).endswith((".", "!", "?", '"'))
         and len(_tokens(l)) >= C4_MIN_LINE_WORDS
     ]
     clean = "\n".join(kept)

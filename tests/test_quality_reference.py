@@ -75,14 +75,16 @@ def _rand_doc(rng: random.Random) -> str:
 def random_corpus_dir(tmp_path_factory, spark):
     rng = random.Random(20260814)
     docs = [(i, _rand_doc(rng)) for i in range(200)]
+    # mixed langs so DSIR's target (en) vs raw split is non-trivial
+    langs = {i: ("en" if i % 3 else "de") for i, _ in docs}
     root = str(tmp_path_factory.mktemp("rand_quality_sf"))
     spark.createDataFrame(
-        [(i, t, "en", "src", len(t)) for i, t in docs],
+        [(i, t, langs[i], "src", len(t)) for i, t in docs],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(root, "documents.parquet")
     )
-    return root, dict(docs)
+    return root, {"docs": dict(docs), "langs": langs}
 
 
 def _tokens(text: str) -> list[str]:
@@ -177,7 +179,8 @@ def _approx(a, b):
 
 
 def test_gopher_matches_python_reference(spark, random_corpus_dir):
-    root, docs = random_corpus_dir
+    root, bundle = random_corpus_dir
+    docs = bundle["docs"]
     rows = {
         r.doc_id: r
         for r in Q.QUERIES["quality_gopher_rules"](spark, root).collect()
@@ -191,7 +194,8 @@ def test_gopher_matches_python_reference(spark, random_corpus_dir):
 
 
 def test_c4_matches_python_reference(spark, random_corpus_dir):
-    root, docs = random_corpus_dir
+    root, bundle = random_corpus_dir
+    docs = bundle["docs"]
     rows = {
         r.doc_id: r
         for r in Q.QUERIES["quality_c4_rules"](spark, root).collect()
@@ -211,7 +215,8 @@ def test_shingle_fraction_matches_python_reference(spark, random_corpus_dir):
     not counts."""
     from dbt_bigquery_udf_spark.operators.text import DUP_SHINGLE_N
 
-    root, docs = random_corpus_dir
+    root, bundle = random_corpus_dir
+    docs = bundle["docs"]
     sh_by_doc = {}
     for doc_id, text in docs.items():
         t = [w for w in text.split(" ") if w != ""]
@@ -244,7 +249,8 @@ def test_bigram_nll_matches_python_reference(spark, random_corpus_dir):
     distinct second words) — the conventions (which side of the pair
     defines V, whether counts are token- or type-level) are exactly
     the kind of shared-misconception risk oracle parity can't see."""
-    root, docs = random_corpus_dir
+    root, bundle = random_corpus_dir
+    docs = bundle["docs"]
     per_doc_bigrams = {}
     pair_n: dict[str, int] = {}
     for doc_id, text in docs.items():
@@ -275,3 +281,65 @@ def test_bigram_nll_matches_python_reference(spark, random_corpus_dir):
         r = rows[doc_id]
         assert r.n_bigrams == len(bgs), (doc_id, r.n_bigrams, len(bgs))
         assert r.nll_sum_micro == want_sum, (doc_id, r.nll_sum_micro, want_sum)
+
+
+def test_dsir_weights_match_python_reference(spark, random_corpus_dir):
+    """Three-way check for dsir_importance_weights: pure-Python hashed
+    unigram+bigram features, Laplace-smoothed bucket log-ratios in
+    integer micro-units — the bucket-hash convention, token- (not
+    type-) level counting, and smoothing constants are all pinned
+    against an implementation that shares nothing with SQL. Exact
+    integer equality expected: the micro-unit terms make the per-doc
+    sums order-free, and Python/JVM/DuckDB ln agree bitwise on
+    identical doubles (see parity notes); a genuine half-boundary ulp
+    would show up as an n_feats-bounded drift, so the assertion allows
+    +-1 micro per feature before failing."""
+    import hashlib
+
+    from dbt_bigquery_udf_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    root, bundle = random_corpus_dir
+    docs, langs = bundle["docs"], bundle["langs"]
+    doc_grams = {}
+    ct = [0] * DSIR_BUCKETS
+    cr = [0] * DSIR_BUCKETS
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    for doc_id, text in docs.items():
+        t = [w for w in text.split(" ") if w != ""]
+        grams = t + [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        if not grams:
+            continue
+        bs = [bucket(g) for g in grams]
+        doc_grams[doc_id] = bs
+        is_target = langs[doc_id] == DSIR_TARGET_LANG
+        for b in bs:
+            cr[b] += 1
+            if is_target:
+                ct[b] += 1
+    tt, tr = sum(ct), sum(cr)
+    term = {}
+    for b in range(DSIR_BUCKETS):
+        if cr[b] == 0:
+            continue
+        p = ((ct[b] + 1.0) / (tt + DSIR_BUCKETS)) / (
+            (cr[b] + 1.0) / (tr + DSIR_BUCKETS)
+        )
+        term[b] = math.floor(math.log(p) * 1_000_000 + 0.5)
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["dsir_importance_weights"](spark, root).collect()
+    }
+    assert set(rows) == set(doc_grams)
+    for doc_id, bs in doc_grams.items():
+        r = rows[doc_id]
+        assert r.n_feats == len(bs), (doc_id, r.n_feats, len(bs))
+        want = sum(term[b] for b in bs)
+        assert abs(r.logw_micro - want) <= len(bs), (
+            doc_id, r.logw_micro, want
+        )

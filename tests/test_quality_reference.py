@@ -343,3 +343,37 @@ def test_dsir_weights_match_python_reference(spark, random_corpus_dir):
         assert abs(r.logw_micro - want) <= len(bs), (
             doc_id, r.logw_micro, want
         )
+
+
+def test_brute_topk_matches_numpy_reference(spark, sf_small):
+    """Three-way check for sim_topk_brute: exact cosine top-10 computed
+    with numpy over the raw embeddings parquet — pins the dot-product /
+    norm conventions and the (rounded score DESC, vec_id) tie-break
+    against an implementation that shares nothing with either SQL
+    engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_small, "embeddings.parquet"))
+    ids = np.asarray(tbl["vec_id"])
+    embs = np.array([np.asarray(v) for v in tbl["embedding"].to_pylist()],
+                    dtype=np.float64)
+    q = embs[ids == QUERY_VEC_ID][0]
+    mask = ids != QUERY_VEC_ID
+    cand_ids, cand = ids[mask], embs[mask]
+    cos = cand @ q / (np.linalg.norm(cand, axis=1) * np.linalg.norm(q))
+    cos = np.round(cos, 4)
+    order = sorted(range(len(cand_ids)), key=lambda i: (-cos[i], cand_ids[i]))
+    want = [(int(cand_ids[i]), float(cos[i])) for i in order[:TOP_K]]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in Q.QUERIES["sim_topk_brute"](spark, sf_small).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], (got, want)
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert _approx(gc, wc), (gi, gc, wc)

@@ -377,3 +377,44 @@ def test_brute_topk_matches_numpy_reference(spark, sf_small):
     assert [g[0] for g in got] == [w[0] for w in want], (got, want)
     for (gi, gc), (wi, wc) in zip(got, want):
         assert _approx(gc, wc), (gi, gc, wc)
+
+
+def test_hamming_topk_matches_numpy_reference(spark, sf_small):
+    """Three-way check for sim_hamming_topk: numpy sign-bit Hamming
+    shortlist (50, tie-break vec_id) then exact-cosine re-rank — pins
+    the two-stage boundary (which vectors make the shortlist) and the
+    sign convention (x > 0, zeros negative) end to end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.operators.similarity import (
+        HAMMING_SHORTLIST,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_small, "embeddings.parquet"))
+    ids = np.asarray(tbl["vec_id"])
+    embs = np.array([np.asarray(v) for v in tbl["embedding"].to_pylist()],
+                    dtype=np.float64)
+    q = embs[ids == QUERY_VEC_ID][0]
+    mask = ids != QUERY_VEC_ID
+    cand_ids, cand = ids[mask], embs[mask]
+    ham = ((cand > 0) != (q > 0)).sum(axis=1)
+    short = sorted(range(len(cand_ids)), key=lambda i: (ham[i], cand_ids[i]))
+    short = short[:HAMMING_SHORTLIST]
+    cos = {
+        i: round(
+            float(cand[i] @ q
+                  / (np.linalg.norm(cand[i]) * np.linalg.norm(q))), 4)
+        for i in short
+    }
+    order = sorted(short, key=lambda i: (-cos[i], cand_ids[i]))[:TOP_K]
+    want = [(int(cand_ids[i]), int(ham[i]), cos[i]) for i in order]
+    got = [
+        (r.vec_id, r.hamming, r.cosine)
+        for r in Q.QUERIES["sim_hamming_topk"](spark, sf_small).collect()
+    ]
+    assert [g[:2] for g in got] == [w[:2] for w in want], (got, want)
+    for g, w in zip(got, want):
+        assert _approx(g[2], w[2]), (g, w)

@@ -1631,20 +1631,20 @@ def dedup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup signal, the content-overlap filter that exact and MinHash
     dedup both miss (partial copies, boilerplate).
 
-    Shape: the same trick as DSIR — distinct per-(doc, shingle) pairs
-    are ONE exchange that both consumers share (the shingle
-    document-frequency table on one side, the per-doc join-back on the
-    other). Shingle df is the only corpus-global state and it is
-    Heaps-bounded.
-
-    Scale (round 6, measured): the shingles are HASHED to 64-bit keys
-    scan-side (xxhash64) before the exchange, so the shared shuffle and
-    the sort-merge join-back carry 8-byte longs instead of ~40-byte
-    text — the round-6 probe had the string form going 2.7s -> 20.7s
-    across x1 -> x30 (sorting 37M wide rows twice); the hashed form
-    cuts the sorted bytes ~5x. The per-doc COUNTS are unchanged up to
-    64-bit collisions (~n²/2⁶⁴ per doc, vanishing), which is why the
-    string-keyed DuckDB oracle still matches exactly at test scales.
+    Shape (round 6, rewritten JOINLESS): a shingle with document
+    frequency 1 has exactly ONE owner, so
+    n_dup(doc) = n_shingles(doc) − |{doc's shingles that are unique
+    corpus-wide}| — the per-doc dup count falls out of two
+    AGGREGATIONS over the distinct (doc, shingle) pairs (per-doc
+    totals; per-shingle (df, min-owner) → unique-owner counts) plus a
+    doc-level join of two |docs|-row tables. The earlier join-back of
+    the full pair stream onto the df table sort-merged 37M rows twice;
+    measured at x30 replication the joinless form is 2.1s vs 37.5s in
+    the same session (~17x). Shingles are HASHED to 64-bit keys
+    scan-side (xxhash64) so both exchanges carry 8-byte longs; per-doc
+    counts are unchanged up to 64-bit collisions (~n²/2⁶⁴, vanishing),
+    which is why the string-keyed DuckDB oracle still matches exactly.
+    Shingle df remains the only corpus-global state (Heaps-bounded).
     """
     d = _docs(spark, sf_dir)
     toks = d.select(
@@ -1665,22 +1665,29 @@ def dedup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shingle").isNotNull())  # canonical-equality guard
         .distinct()
     )
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        sh.join(df_tbl, "shingle")
-        .groupBy("doc_id")
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    uniq_owned = (
+        sh.groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_shingles"),
-            F.round(
-                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-                * F.lit(1e0)
-                / F.count(F.lit(1)),
-                6,
-            ).alias("dup_frac"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("doc_id"),
         )
+        .filter(F.col("n_docs") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_uniq"))
+    )
+    n_dup = (
+        F.col("n_shingles") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    ).cast("bigint")
+    return per_doc.join(uniq_owned, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup_shingles"),
+        F.round(n_dup * F.lit(1e0) / F.col("n_shingles"), 6).alias(
+            "dup_frac"
+        ),
     )
 
 

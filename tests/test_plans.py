@@ -696,3 +696,15 @@ def test_dsir_select_is_heap_topk(spark, sf_small):
     full Sort) over the weight stream — O(k) driver traffic."""
     f = _facts(spark, sf_small, "dsir_select_topk")
     assert "TakeOrderedAndProject" in f.text, f.text
+
+
+def test_shingle_fraction_joinless_pair_stream(spark, sf_small):
+    """dedup_shingle_fraction (round-6 rewrite): the distinct
+    (doc, shingle) pair stream is only ever AGGREGATED — no sort-merge
+    join anywhere; the sole join is the doc-level combine of two
+    |docs|-row aggregates (broadcast at this sf). The pre-rewrite shape
+    sort-merged the full pair stream onto the df table (~17x slower at
+    x30)."""
+    f = _facts(spark, sf_small, "dedup_shingle_fraction")
+    assert f.sort_merge_joins == 0, f.text
+    assert f.broadcast_joins == 1, f.text

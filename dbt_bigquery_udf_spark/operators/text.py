@@ -810,11 +810,18 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT sum(n) AS big_n FROM uni
     ), scored AS (
-      SELECT t.doc_id, -ln(uni.n / tot.big_n) AS nll
+      -- integer micro-unit terms BEFORE summation: avg() of raw
+      -- doubles folds in engine-specific order (the EWMA lesson —
+      -- a half-boundary ulp is a latent parity flake); bigint sums
+      -- are order-free and the single division is bit-identical.
+      SELECT t.doc_id,
+             CAST(round(-ln(uni.n / (tot.big_n * 1e0)) * 1000000)
+               AS BIGINT) AS nll_micro
       FROM tok_ne t JOIN uni ON t.token = uni.token, tot
     )
     SELECT doc_id, count(*) AS n_tokens,
-           round(avg(nll), 4) AS avg_nll
+           round(CAST(sum(nll_micro) AS BIGINT)
+                 / (count(*) * 1e6), 4) AS avg_nll
     FROM scored GROUP BY doc_id
     """,
 )
@@ -846,11 +853,21 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tok.join(F.broadcast(uni), "token")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", (-F.log(F.col("n") / F.col("big_n"))).alias("nll"))
+        .select(
+            "doc_id",
+            # micro-unit terms before summation (see oracle comment)
+            F.round(-F.log(F.col("n") / F.col("big_n")) * 1e6)
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(
+            F.sum("nll_micro").cast("bigint")
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            4,
+        ).alias("avg_nll"),
     )
 
 

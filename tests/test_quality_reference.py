@@ -418,3 +418,35 @@ def test_hamming_topk_matches_numpy_reference(spark, sf_small):
     assert [g[:2] for g in got] == [w[:2] for w in want], (got, want)
     for g, w in zip(got, want):
         assert _approx(g[2], w[2]), (g, w)
+
+
+def test_perplexity_proxy_matches_python_reference(spark, random_corpus_dir):
+    """Three-way check for text_perplexity_proxy: pure-Python corpus
+    unigram distribution + per-token micro-unit NLL terms — pins the
+    token-level (not type-level) expectation and the lowercase/trim
+    tokenization."""
+    root, bundle = random_corpus_dir
+    docs = bundle["docs"]
+    uni: dict[str, int] = {}
+    doc_toks = {}
+    for doc_id, text in docs.items():
+        t = [w for w in text.lower().strip().split(" ") if w != ""]
+        if t:
+            doc_toks[doc_id] = t
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+    big_n = sum(uni.values())
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["text_perplexity_proxy"](spark, root).collect()
+    }
+    assert set(rows) == set(doc_toks)
+    for doc_id, t in doc_toks.items():
+        terms = [
+            math.floor(-math.log(uni[w] / big_n) * 1_000_000 + 0.5)
+            for w in t
+        ]
+        r = rows[doc_id]
+        assert r.n_tokens == len(t), (doc_id, r.n_tokens, len(t))
+        want = round(sum(terms) / (len(t) * 1e6), 4)
+        assert _approx(r.avg_nll, want), (doc_id, r.avg_nll, want)

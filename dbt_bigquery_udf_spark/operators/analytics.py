@@ -33,10 +33,14 @@ def _src(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS DOUBLE) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                   AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS DOUBLE) / (count(*) * 100.0), 6) AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -46,22 +50,44 @@ def _src(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: scan -> partial agg -> final agg.
 
+    The monetary aggregates run in EXACT integer units (cents; price x
+    (1-discount) in 1e-4-dollar units — both inputs carry exactly two
+    decimals, so the per-row products are integers), summed in
+    decimal/HUGEINT, with one double division at the end: raw
+    double sums fold in engine- and partition-order and a half-boundary
+    ulp would flake the rounded column (the round-6 EWMA lesson).
+    l_quantity is integer-valued, so its double sum is already exact in
+    any order and stays as-is.
+
     Scale: map-side partial aggregation keeps the shuffle at
     |groups| x |partitions| rows — a few KB even at 100 TB; the parquet
     scan prunes to 6 of 11 columns and pushes the date filter down.
+    Decimal(38,0) accumulation gives ~1e20 headroom over int64 (which
+    would wrap silently under ANSI-off at ~2e12 rows of cents).
     """
     li = _src(spark, sf_dir)["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0, 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum((cents * (100 - disc_c)).cast("decimal(38,0)"))
+                .cast("double")
+                / 10000.0,
+                2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(
+                F.sum(cents.cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)) * 100.0),
+                6,
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ._money import disc_revenue_sum as _disc_revenue_sum
 from ..queries import register
 from ..sources.registry import register_sources
 
@@ -96,7 +97,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(round(l_discount * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -116,7 +119,20 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & F.col("l_discount").between(0.02, 0.09)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        # exact 1e-4-dollar integer units, one double division (the
+        # round-6 order-free-sum discipline; see q1)
+        F.round(
+            F.sum(
+                (
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                    * F.round(F.col("l_discount") * 100, 0).cast("bigint")
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue")
+    )
 
 
 # -- joins ----------------------------------------------------------------
@@ -125,7 +141,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_top_orders",
     """
-    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT o.o_orderkey, round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -151,7 +167,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _disc_revenue_sum().alias(
                 "revenue"
             )
         )
@@ -164,7 +180,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_nation_volume",
     """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name, round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -188,7 +204,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _disc_revenue_sum().alias(
                 "revenue"
             )
         )

@@ -77,11 +77,14 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume_m4) AS DOUBLE) / 10000.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l.l_shipdate) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+               AS volume_m4
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -129,10 +132,20 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            # exact 1e-4-dollar integer units (round-6 order-free sums)
+            (
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+            ).alias("volume_m4"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("volume_m4").cast("decimal(38,0)")).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -141,11 +154,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_m4
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_m4) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+               AS volume_m4,
              n2.n_name AS nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -189,18 +205,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-dollar integer units for BOTH ratio legs, one double
+    # division (round-6 order-free-sum discipline)
+    vol_m4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+    )
     return (
         joined.select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            vol.alias("volume"),
+            vol_m4.alias("volume_m4"),
             "nation",
         )
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume_m4"))
+                    .otherwise(0)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum(F.col("volume_m4").cast("decimal(38,0)")).cast(
+                    "double"
+                ),
                 4,
             ).alias("mkt_share")
         )
@@ -211,12 +238,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           round(CAST(sum(amount_m4) AS DOUBLE) / 10000.0, 2) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              EXTRACT(year FROM o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+             -- exact 1e-4-dollar integers: price/discount/retail all
+             -- carry two decimals, quantity is integral, and
+             -- 0.6 * retail * qty in 1e-4 units = 60 * retail_cents * qty
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+               - 60 * CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                    * CAST(round(l.l_quantity, 0) AS BIGINT) AS amount_m4
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN part p ON p.p_partkey = l.l_partkey
@@ -241,10 +274,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = _src(spark, sf_dir)
     p = s["part"].filter(F.col("p_name").like("%widget%"))
+    # exact 1e-4-dollar integer units (see oracle comment; round 6)
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    ).alias("amount")
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+        - 60
+        * F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        * F.round(F.col("l_quantity"), 0).cast("bigint")
+    ).alias("amount_m4")
     return (
         s["lineitem"]
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -257,7 +294,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount,
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(
+                F.sum(F.col("amount_m4").cast("decimal(38,0)")).cast("double")
+                / 10000.0,
+                2,
+            ).alias("sum_profit")
+        )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -360,10 +403,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                     AS DOUBLE), 4) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
@@ -382,14 +428,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-dollar integer units for both ratio legs (round 6)
+    rev_m4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+    )
     return (
         li.join(F.broadcast(s["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_m4)
+                    .otherwise(0)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum(rev_m4.cast("decimal(38,0)")).cast("double"),
                 4,
             ).alias("promo_revenue")
         )

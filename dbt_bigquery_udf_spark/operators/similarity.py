@@ -1473,3 +1473,55 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "rk int, vec_id bigint, mmr_score_x10_micro bigint"
     )
+
+
+# -- range (radius) search -------------------------------------------------
+
+RANGE_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+RANGE_COS_TAU = 0.25  # cosine radius; calibrated to the synthetic corpus
+
+
+def _duck_range_search() -> str:
+    ids = ", ".join(str(i) for i in RANGE_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id IN ({ids}))
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    FROM e JOIN q ON e.vec_id <> q.query_id
+    WHERE round(list_cosine_similarity(e.emb, q.qv), 4) >= {RANGE_COS_TAU}
+    """
+
+
+@register("sim_range_search", _duck_range_search())
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) query: ALL corpus vectors within cosine >=
+    RANGE_COS_TAU of each query vector — the fixed-threshold sibling of
+    top-k serving (dedup candidate pull, recommendation pools, dataset
+    decontamination by embedding radius want *every* in-range neighbor,
+    not a capped k).
+
+    Shape: the query batch is broadcast (a handful of 64-float rows);
+    scoring is a broadcast nested-loop join with the threshold predicate
+    applied inline, so the corpus side streams partition-local through
+    whole-stage codegen and never shuffles — unlike top-k there is no
+    global heap or window, so the output needs NO exchange at all.
+
+    Scale: one corpus scan per query batch at any corpus size; the
+    result is naturally bounded by the radius, and batches of queries
+    amortize the scan exactly as sim_topk_batch does. An IVF-routed
+    variant (probe only centroids within tau minus the cluster radius)
+    composes from sim_ivf_topk's index when the corpus outgrows
+    brute-force scanning.
+    """
+    e = _emb(spark, sf_dir)
+    q = (
+        e.filter(F.col("vec_id").isin(*RANGE_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qv"))
+    )
+    cos = F.round(F.expr(_cosine_expr("emb", "qv")), 4)
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_COS_TAU)
+    )

@@ -1856,3 +1856,305 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shingle)
         .orderBy("gate")
     )
+
+
+# -- exact substring dedup: block removal (round 6) --------------------------
+
+DEDUP_BLOCK_TOKENS = 16  # removal granularity, tokens per block
+
+
+def _block_removal_oracle() -> str:
+    b = DEDUP_BLOCK_TOKENS
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), t -> t <> '') AS t
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             unnest(range(1, greatest((len(t) + {b} - 1) // {b}, 1) + 1))
+               AS blk,
+             unnest(list_transform(
+               range(1, greatest((len(t) + {b} - 1) // {b}, 1) + 1),
+               i -> array_to_string(list_slice(t, (i-1)*{b} + 1, i*{b}), ' ')
+             )) AS block
+      FROM w
+    ), c AS (
+      SELECT block, count(DISTINCT doc_id) AS nd
+      FROM blk WHERE n_tokens > 0 GROUP BY block
+    ), f AS (
+      SELECT blk.*, coalesce(c.nd >= 2, FALSE) AND blk.n_tokens > 0 AS dup
+      FROM blk LEFT JOIN c USING (block)
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_blocks,
+           CAST(coalesce(sum(CASE WHEN dup
+             THEN len(string_split(block, ' ')) END), 0) AS BIGINT)
+             AS n_removed_tokens,
+           round(coalesce(sum(CASE WHEN dup
+                 THEN len(string_split(block, ' ')) END), 0) * 1e0
+                 / greatest(max(n_tokens), 1), 6) AS removed_frac,
+           coalesce(string_agg(
+             CASE WHEN n_tokens > 0 AND NOT dup THEN block END,
+             ' ' ORDER BY blk), '') AS clean_text
+    FROM f GROUP BY doc_id
+    """
+
+
+@register("dedup_block_removal", _block_removal_oracle())
+def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, REMOVE step (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): cut each document into
+    consecutive {DEDUP_BLOCK_TOKENS}-token blocks, drop every block whose
+    exact text occurs in >= 2 DISTINCT documents, and re-emit the cleaned
+    text — the surgical-removal pass that text_chunk_dedup's flag-only
+    output promises. Whole-document dedup misses shared boilerplate
+    (headers, licenses, templates); this removes just those spans and
+    keeps the rest of each page.
+
+    Shape: one posexplode into fixed blocks; the duplicate-block set is
+    derived from a (xxhash64, doc_id)-only aggregation — block TEXT never
+    enters that exchange — then broadcast back onto the block stream, so
+    the only shuffle carrying text is the final per-document reassembly
+    (output-sized, unavoidable: the product IS the cleaned corpus).
+    Zero-token documents pass through as n_blocks=0 / clean_text='' —
+    never silently dropped.
+
+    Scale: at 100 TB the dup-block set is boilerplate-bounded (Heaps-ish;
+    Lee et al. report ~1-3%% of blocks); if it outgrows the broadcast
+    threshold the same plan degrades gracefully to a shuffle join keyed
+    by the 8-byte hash. Two corpus scans (count + removal) is the
+    published two-pass structure of the suffix-array pipeline itself.
+    """
+    b = DEDUP_BLOCK_TOKENS
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id",
+        F.expr("filter(split(trim(text), ' '), t -> t <> '')").alias("t"),
+    )
+    nb = f"greatest((size(t) + {b} - 1) div {b}, 1)"
+    blocks = w.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {nb}), "
+                f"i -> concat_ws(' ', slice(t, (i-1)*{b} + 1, {b})))"
+            )
+        ).alias("blk0", "block"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("blk0") + 1).alias("blk"),
+        "block",
+        F.xxhash64("block").alias("h"),
+    )
+    dups = (
+        blocks.filter(F.col("n_tokens") > 0)
+        .select("h", "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select(F.col("h").alias("dup_h"))
+    )
+    flagged = blocks.join(
+        F.broadcast(dups), F.col("h") == F.col("dup_h"), "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "blk",
+        "block",
+        (F.col("dup_h").isNotNull() & (F.col("n_tokens") > 0)).alias("dup"),
+    )
+    blk_tokens = F.expr("size(split(block, ' '))")
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sum(F.when(F.col("n_tokens") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocks"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_blocks"),
+        F.coalesce(
+            F.sum(F.when(F.col("dup"), blk_tokens)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("dup"), blk_tokens)), F.lit(0))
+            * F.lit(1e0)
+            / F.greatest(F.max("n_tokens"), F.lit(1)),
+            6,
+        ).alias("removed_frac"),
+        F.coalesce(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN "
+                    "n_tokens > 0 AND NOT dup THEN struct(blk, block) END)), "
+                    "s -> s.block)"
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
+# -- BPE merge training (round 6) --------------------------------------------
+
+BPE_MERGE_STEPS = 4  # training steps; each yields one merge rule
+
+
+def _bpe_merges_oracle(k: int = BPE_MERGE_STEPS) -> str:
+    """CTE-unrolled BPE trainer. Token state strings are '||'-joined
+    ('||h||e||y||'): one occurrence of pair (a,b) is the substring
+    '|a||b|', which borrows ONE bar from each side's double delimiter —
+    so a single replace() pass performs exactly the left-greedy
+    non-overlapping merge of classic BPE, consecutive occurrences
+    included."""
+    parts = [
+        r"""
+    WITH words AS (
+      -- explicit whitespace class (the engine-parity class: Java \s
+      -- includes U+000B, RE2 does not) so no word retains \n / \r —
+      -- '.' excludes line terminators differently per engine, and a
+      -- newline inside a word would corrupt the char-wrapping below.
+      SELECT unnest(list_filter(
+               string_split_regex(lower(trim(text)), '[ \t\n\f\r]'),
+               w -> w <> '')) AS word
+      FROM documents
+    ), vocab0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             '|' || regexp_replace(word, '(?s)(.)', '|\1|', 'g') || '|'
+               AS state
+      FROM words
+      WHERE NOT contains(word, '|')  -- delimiter guard, both engines
+      GROUP BY word
+    )"""
+    ]
+    for i in range(k):
+        parts.append(f"""
+    , toks{i} AS (
+      SELECT freq, list_filter(string_split(state, '||'), x -> x <> '') AS t
+      FROM vocab{i}
+    ), pairs{i} AS (
+      SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(t)),
+                      j -> {{'a': t[j], 'b': t[j+1]}})) AS p
+        FROM toks{i} WHERE len(t) >= 2
+      ) GROUP BY p.a, p.b
+    ), best{i} AS (
+      SELECT a, b, cnt FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), vocab{i + 1} AS (
+      SELECT word, freq,
+             replace(state, '|' || a || '||' || b || '|',
+                     '|' || a || b || '|') AS state
+      FROM vocab{i}, best{i}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS step, a, b, a || b AS merged, cnt FROM best{i}"
+        for i in range(k)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_merges_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): starting from
+    characters, repeatedly find the corpus-wide most-frequent adjacent
+    token pair (frequency-weighted over the word vocabulary, ties broken
+    lexicographically) and merge it, BPE_MERGE_STEPS times. Emits the
+    learned merge table (step, a, b, merged, cnt) — the artifact a
+    tokenizer ships. Extends bpe_pair_counts (one counting pass) into
+    the full iterative trainer.
+
+    Merge application uses the '||'-delimited state encoding (see
+    _bpe_merges_oracle): replace('|a||b|' -> '|ab|') IS the left-greedy
+    non-overlapping merge, so both engines apply byte-identical
+    tokenization state transitions — no UDF, no recursion.
+
+    Shape: the corpus is scanned ONCE to build the (word, freq, state)
+    vocabulary, which is persisted; each training step is one
+    explode-and-aggregate over the VOCABULARY (Heaps-bounded — millions
+    of rows at 100 TB, not corpus-sized) plus a 1-row argmax collect and
+    a map-side literal replace. This is exactly how published distributed
+    BPE trainers structure the loop: corpus-sized work once, per-step
+    work vocabulary-sized.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(
+            F.expr(
+                "filter(split(lower(trim(text)), '[ \\t\\n\\f\\r]'), "
+                "w -> w <> '')"
+            )
+        ).alias("word")
+    )
+    base = (
+        words.filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "state",
+            F.concat(
+                F.lit("|"),
+                F.regexp_replace("word", r"(?s)(.)", r"|$1|"),
+                F.lit("|"),
+            ),
+        )
+        .persist()
+    )
+    try:
+        vocab = base
+        rows: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, BPE_MERGE_STEPS + 1):
+            toks = vocab.select(
+                "freq",
+                F.expr(
+                    "filter(split(state, '\\\\|\\\\|'), x -> x <> '')"
+                ).alias("t"),
+            )
+            pairs = toks.filter(F.size("t") >= 2).select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "j -> struct(element_at(t, j) AS a, "
+                        "element_at(t, j + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.select(
+                    F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq"
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            rows.append((step, a, b, a + b, cnt))
+            vocab = vocab.withColumn(
+                "state",
+                F.replace(
+                    F.col("state"),
+                    F.lit(f"|{a}||{b}|"),
+                    F.lit(f"|{a}{b}|"),
+                ),
+            )
+        return spark.createDataFrame(
+            rows, "step int, a string, b string, merged string, cnt bigint"
+        ).orderBy("step")
+    finally:
+        base.unpersist()

@@ -708,3 +708,42 @@ def test_shingle_fraction_joinless_pair_stream(spark, sf_small):
     f = _facts(spark, sf_small, "dedup_shingle_fraction")
     assert f.sort_merge_joins == 0, f.text
     assert f.broadcast_joins == 1, f.text
+
+
+def test_block_removal_broadcasts_dup_set(spark, sf_small):
+    """dedup_block_removal: the duplicate-block set joins back via
+    BROADCAST (the block stream never sort-merges), and the exchange
+    feeding the dup-set aggregation carries (hash, doc_id) only — block
+    TEXT must not appear in any exchange before the final per-document
+    reassembly."""
+    f = _facts(spark, sf_small, "dedup_block_removal")
+    assert f.broadcast_joins == 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_range_search_no_exchange(spark, sf_small):
+    """sim_range_search: broadcast nested-loop scoring with an inline
+    radius predicate — the corpus side streams partition-local; unlike
+    top-k there is NO global heap, so the whole plan needs zero
+    exchanges."""
+    f = _facts(spark, sf_small, "sim_range_search")
+    assert f.exchanges == 0, f.text
+    assert f.sort_merge_joins == 0, f.text
+
+
+def test_bpe_trainer_vocab_sized_steps(spark, sf_small):
+    """bpe_train_merges: each training step aggregates the VOCABULARY
+    (one pair-explode over Heaps-bounded state rows), never re-reads
+    the corpus — the returned merge table itself is a local relation
+    built from 1-row argmax collects."""
+    df = Q.QUERIES["bpe_train_merges"](spark, sf_small)
+    rows = df.collect()
+    from dbt_bigquery_udf_spark.operators.text import BPE_MERGE_STEPS
+
+    assert len(rows) == BPE_MERGE_STEPS
+    assert [r.step for r in rows] == list(range(1, BPE_MERGE_STEPS + 1))
+    # merged token really is the concatenation, counts monotone non-incr
+    for r in rows:
+        assert r.merged == r.a + r.b
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True), cnts

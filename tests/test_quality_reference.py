@@ -450,3 +450,178 @@ def test_perplexity_proxy_matches_python_reference(spark, random_corpus_dir):
         assert r.n_tokens == len(t), (doc_id, r.n_tokens, len(t))
         want = round(sum(terms) / (len(t) * 1e6), 4)
         assert _approx(r.avg_nll, want), (doc_id, r.avg_nll, want)
+
+
+def test_range_search_matches_numpy_reference(spark, sf_small):
+    """Three-way check for sim_range_search: numpy cosine radius query —
+    pins the threshold-on-ROUNDED-score convention, the self-exclusion,
+    and the query-batch membership against an implementation that
+    shares nothing with either SQL engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.operators.similarity import (
+        RANGE_COS_TAU,
+        RANGE_QUERY_IDS,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_small, "embeddings.parquet"))
+    ids = np.asarray(tbl["vec_id"])
+    embs = np.array([np.asarray(v) for v in tbl["embedding"].to_pylist()],
+                    dtype=np.float64)
+    want: dict[tuple[int, int], float] = {}
+    for qid in RANGE_QUERY_IDS:
+        q = embs[ids == qid][0]
+        cos = np.round(
+            embs @ q / (np.linalg.norm(embs, axis=1) * np.linalg.norm(q)), 4
+        )
+        for vid, c in zip(ids, cos):
+            if int(vid) != qid and c >= RANGE_COS_TAU:
+                want[(qid, int(vid))] = float(c)
+    got = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in Q.QUERIES["sim_range_search"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want), (
+        set(got) - set(want), set(want) - set(got))
+    for k, v in want.items():
+        assert _approx(got[k], v), (k, got[k], v)
+
+
+@pytest.fixture(scope="module")
+def block_corpus_dir(tmp_path_factory, spark):
+    """Corpus crafted for block-level dedup: a fixed 16-token boilerplate
+    header shared by ~40% of docs (block-ALIGNED duplicates), the same
+    phrase inserted mid-document elsewhere (misaligned — block
+    granularity must MISS these, a documented limitation vs true suffix
+    arrays), verbatim full-document copies, double spaces, newlines
+    inside the text, and empty / whitespace-only docs. All docs < 128
+    tokens so round(x, 6) never lands on a half-boundary (Python
+    banker's rounding vs engine half-up would differ there)."""
+    rng = random.Random(20260815)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    boiler = " ".join(
+        ["terms", "of", "service", "all", "rights", "reserved", "contact",
+         "us", "at", "example", "dot", "com", "for", "more", "info", "now"]
+    )  # exactly 16 tokens
+    docs: list[tuple[int, str]] = []
+    for i in range(120):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 80)))
+        r = rng.random()
+        if r < 0.4:
+            text = boiler + " " + body          # aligned: block 0 duplicated
+        elif r < 0.5:
+            cut = rng.randint(1, 4)
+            pre = " ".join(rng.choice(vocab) for _ in range(cut))
+            text = pre + " " + boiler + " " + body   # misaligned copy
+        else:
+            text = body
+        if rng.random() < 0.08:
+            text = text.replace(" ", "  ", 2)   # double spaces -> empty toks
+        if rng.random() < 0.1 and " " in text:
+            k = text.find(" ", len(text) // 2)
+            text = text[:k] + "\n" + text[k + 1:]  # newline INSIDE a token
+        docs.append((i, text))
+    docs.append((200, docs[0][1]))  # verbatim full-document copy
+    docs.append((201, ""))
+    docs.append((202, "   "))
+    root = str(tmp_path_factory.mktemp("rand_block_sf"))
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    return root, dict(docs)
+
+
+def test_block_removal_matches_python_reference(spark, block_corpus_dir):
+    """Three-way check for dedup_block_removal: plain-Python block
+    dedup (space-split tokens, consecutive 16-token blocks, drop blocks
+    in >= 2 distinct docs, reassemble) — pins block alignment, the
+    distinct-DOC (not occurrence) dup criterion, partial-final-block
+    token accounting, and the empty-doc n_blocks=0 contract."""
+    from dbt_bigquery_udf_spark.operators.text import DEDUP_BLOCK_TOKENS
+
+    root, docs = block_corpus_dir
+    B = DEDUP_BLOCK_TOKENS
+    toks = {
+        i: [w for w in t.strip(" ").split(" ") if w != ""]
+        for i, t in docs.items()
+    }
+    blocks = {
+        i: [" ".join(ts[o:o + B]) for o in range(0, len(ts), B)]
+        for i, ts in toks.items()
+    }
+    owners: dict[str, set[int]] = {}
+    for i, bs in blocks.items():
+        for b in bs:
+            owners.setdefault(b, set()).add(i)
+    rows = {r.doc_id: r for r in
+            Q.QUERIES["dedup_block_removal"](spark, root).collect()}
+    assert set(rows) == set(docs)
+    for i, ts in toks.items():
+        bs = blocks[i]
+        dup = [len(owners[b]) >= 2 for b in bs]
+        kept = [b for b, d in zip(bs, dup) if not d]
+        n_rm_tok = sum(len(b.split(" ")) for b, d in zip(bs, dup) if d)
+        got = rows[i]
+        assert got.n_tokens == len(ts), (i, got)
+        assert got.n_blocks == len(bs), (i, got)
+        assert got.n_removed_blocks == sum(dup), (i, got)
+        assert got.n_removed_tokens == n_rm_tok, (i, got)
+        assert _approx(
+            got.removed_frac, round(n_rm_tok / max(len(ts), 1), 6)
+        ), (i, got)
+        assert got.clean_text == " ".join(kept), (i, repr(got.clean_text))
+
+
+def test_bpe_merges_match_python_reference(spark, random_corpus_dir):
+    """Three-way check for bpe_train_merges: classic tuple-based BPE
+    (Sennrich et al. 2016) in plain Python — pair counts weighted by
+    word frequency, (count DESC, a, b) tie-break, left-greedy
+    non-overlapping merge application. Proves the '||'-delimited
+    replace() encoding used by BOTH engines is byte-equivalent to real
+    BPE state transitions, on a corpus with newlines, unicode, U+000B
+    and NBSP inside words."""
+    from collections import Counter
+
+    from dbt_bigquery_udf_spark.operators.text import BPE_MERGE_STEPS
+
+    root, meta = random_corpus_dir
+    vocab: Counter[str] = Counter()
+    for text in meta["docs"].values():
+        for w in re.split(r"[ \t\n\f\r]", text.lower().strip(" ")):
+            if w != "" and "|" not in w:
+                vocab[w] += 1
+    states: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
+    want: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        counts: Counter[tuple[str, str]] = Counter()
+        for w, f in vocab.items():
+            t = states[w]
+            for j in range(len(t) - 1):
+                counts[(t[j], t[j + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, a + b, cnt))
+        for w, t in states.items():
+            out: list[str] = []
+            j = 0
+            while j < len(t):
+                if j + 1 < len(t) and t[j] == a and t[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(t[j])
+                    j += 1
+            states[w] = tuple(out)
+    got = [
+        (r.step, r.a, r.b, r.merged, r.cnt)
+        for r in Q.QUERIES["bpe_train_merges"](spark, root).collect()
+    ]
+    assert got == want, (got, want)

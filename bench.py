@@ -99,6 +99,10 @@ HEADLINE = [
     "sim_hamming_topk",
     "dsir_select_topk",
     "pipeline_quality_funnel",
+    # round 6 (cont.): BPE trainer, substring-removal dedup, radius ANN
+    "bpe_train_merges",
+    "dedup_block_removal",
+    "sim_range_search",
 ]
 
 

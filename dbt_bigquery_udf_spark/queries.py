@@ -243,10 +243,11 @@ _CURATED_WINDOW = (
     "stats_approx_sketches",
     "decimal_money_sum",
     "sample_stratified",
-    # BigQuery-dialect transpiler (string_agg yields its slot to the
-    # hybrid-retrieval capstone; it stays verify_driver-checked)
+    # BigQuery-dialect transpiler (string_agg yielded in r5; hll_rollup
+    # yields in r6 to the substring-removal pass — sketch evidence stays
+    # in-window via stats_approx_sketches, and both rotated-out dialect
+    # queries remain verify_driver-checked)
     "bq_dialect_qualify",
-    "bq_dialect_hll_rollup",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
     # dedup family (round-5 rotation: components / fuzzy_name_pairs
@@ -258,6 +259,9 @@ _CURATED_WINDOW = (
     "dedup_semantic",
     "dedup_shingle_fraction",
     "dedup_cluster_stats",
+    # new in round 6: the exact-substring REMOVE pass (Lee et al.) —
+    # flag-only chunk dedup already in-window via dedup_shingle_fraction
+    "dedup_block_removal",
     # similarity search / embedding analytics (round 5: sim_pq_codes
     # yields its slot to MMR diversification so every round-3 operator
     # finally has in-window evidence; IVF-PQ stays covered past-window)
@@ -276,6 +280,12 @@ _CURATED_WINDOW = (
     "dsir_importance_weights",
     "quality_gopher_rules",
     "bpe_pair_counts",
+    # new in round 6: the full iterative BPE trainer built on the pair
+    # counts (graph_pagerank_step yields its slot — pagerank_converged
+    # runs the identical per-round plan PLUS the convergence loop, so
+    # the family keeps stronger in-window evidence; step stays
+    # verify_driver-checked)
+    "bpe_train_merges",
     # multimodal
     "mm_payload_dedup",
     "mm_decode_features",
@@ -283,7 +293,6 @@ _CURATED_WINDOW = (
     # the single step; checkpoint kill-and-resume equivalence joins the
     # windowed rollup + dedup)
     "profile_columns",
-    "graph_pagerank_step",
     "graph_pagerank_converged",
     "stream_hourly_rollup",
     "stream_dedup",
@@ -294,8 +303,8 @@ _CURATED_WINDOW = (
     "events_variant_extract",
     "funnel_signup_purchase",
 )
-# Round-7 rotation candidates (new in round 6, verify_driver-green but
-# not yet in-window): quality_c4_rules, sim_hamming_topk,
+# Round-7 rotation candidates (verify_driver-green but not yet
+# in-window): quality_c4_rules, sim_hamming_topk, sim_range_search,
 # pipeline_quality_funnel (its oracle embeds the c4/gopher/shingle/exact
 # oracles), dsir_select_topk.
 

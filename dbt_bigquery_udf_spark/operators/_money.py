@@ -35,3 +35,85 @@ def disc_revenue_sum_sql(prefix: str = "") -> str:
         f" * (100 - CAST(round({prefix}l_discount * 100, 0) AS BIGINT)))"
         " AS DOUBLE) / 10000.0, 2)"
     )
+
+
+def cents_sum(col: str) -> Column:
+    """Spark: exact BIGINT-cents sum of a 2-decimal money column,
+    DECIMAL(38,0)-accumulated (order-free)."""
+    return F.sum(
+        F.round(F.col(col) * 100, 0).cast("bigint").cast("decimal(38,0)")
+    )
+
+
+def cents_sum_sql(col: str) -> str:
+    """DuckDB oracle text for the same exact cents sum (HUGEINT)."""
+    return f"sum(CAST(round({col} * 100, 0) AS BIGINT))"
+
+
+def money_sum(col: str) -> Column:
+    """round(sum(money), 2) with an order-free integer-cents sum and a
+    single double division — bit-identical across engines."""
+    return F.round(cents_sum(col).cast("double") / 100.0, 2)
+
+
+def money_sum_sql(col: str) -> str:
+    return f"round(CAST({cents_sum_sql(col)} AS DOUBLE) / 100.0, 2)"
+
+
+def money_avg(col: str) -> Column:
+    """round(avg(money), 2): the mean is an ARBITRARY real (can sit a
+    ulp from a .005 boundary), so the only safe form is exact-integer
+    cents summed order-free, then ONE division both engines perform on
+    identical operands."""
+    return F.round(
+        cents_sum(col).cast("double")
+        / (F.count(F.lit(1)) * F.lit(100.0)),
+        2,
+    )
+
+
+def money_avg_sql(col: str) -> str:
+    return (
+        f"round(CAST({cents_sum_sql(col)} AS DOUBLE)"
+        " / (count(*) * 100.0), 2)"
+    )
+
+
+def micro_sum(col: str, decimals: int = 2) -> Column:
+    """round(sum(x), d) for an ARBITRARY double column: quantize each
+    addend to integer 1e-6 units first (a documented 5e-7-per-row
+    semantic quantization), so the sum is order-free; one final
+    division. Use when addends are not fixed-decimal."""
+    return F.round(
+        F.sum(
+            F.round(F.col(col) * 1e6, 0).cast("bigint").cast("decimal(38,0)")
+        ).cast("double")
+        / 1e6,
+        decimals,
+    )
+
+
+def micro_sum_sql(col: str, decimals: int = 2) -> str:
+    return (
+        f"round(CAST(sum(CAST(round({col} * 1e6, 0) AS BIGINT)) AS DOUBLE)"
+        f" / 1e6, {decimals})"
+    )
+
+
+def micro_avg(col: str, decimals: int = 6) -> Column:
+    """round(avg(x), d) for an arbitrary double column via the same
+    1e-6 quantization (order-free sum, one division)."""
+    return F.round(
+        F.sum(
+            F.round(F.col(col) * 1e6, 0).cast("bigint").cast("decimal(38,0)")
+        ).cast("double")
+        / (F.count(F.lit(1)) * F.lit(1e6)),
+        decimals,
+    )
+
+
+def micro_avg_sql(col: str, decimals: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST(round({col} * 1e6, 0) AS BIGINT)) AS DOUBLE)"
+        f" / (count(*) * 1e6), {decimals})"
+    )

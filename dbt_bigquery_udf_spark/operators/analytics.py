@@ -548,15 +548,36 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_summary",
     """
+    -- mean/sd/corr from EXACT integer moments (cents, 1e-2 discount
+    -- units): integer sums are order-free; doubles appear only in the
+    -- final division/sqrt on identical operands. Raw avg/stddev/corr
+    -- fold doubles in engine order — the latent half-boundary class.
+    -- Variance factors convert to double BEFORE multiplying (their
+    -- int128 product would overflow at large SF).
     SELECT l_returnflag,
            count(*) AS n,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(stddev_samp(l_extendedprice), 2) AS sd_price,
-           round(corr(l_extendedprice, l_discount), 4) AS price_discount_corr,
-           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
-           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS p90_cents,
-           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99_cents
-    FROM lineitem
+           round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100.0), 2)
+             AS avg_price,
+           round(sqrt(CAST(count(*) * sum(cents * cents)
+                           - sum(cents) * sum(cents) AS DOUBLE)
+                      / (count(*) * (count(*) - 1))) / 100.0, 2)
+             AS sd_price,
+           round(CAST(count(*) * sum(cents * disc)
+                      - sum(cents) * sum(disc) AS DOUBLE)
+                 / (sqrt(CAST(count(*) * sum(cents * cents)
+                              - sum(cents) * sum(cents) AS DOUBLE))
+                    * sqrt(CAST(count(*) * sum(disc * disc)
+                                - sum(disc) * sum(disc) AS DOUBLE))), 4)
+             AS price_discount_corr,
+           quantile_cont(cents, 0.5) AS p50_cents,
+           quantile_cont(cents, 0.9) AS p90_cents,
+           quantile_cont(cents, 0.99) AS p99_cents
+    FROM (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc
+      FROM lineitem
+    )
     GROUP BY l_returnflag
     """,
 )
@@ -591,15 +612,37 @@ def stats_summary(
         if approx
         else f"percentile({cents}, array(0.5, 0.9, 0.99))"
     )
+    # mean/sd/corr from EXACT integer moments (cents, 1e-2 discount
+    # units): order-free integer sums; doubles only in the final
+    # division/sqrt on identical operands (built-in avg/stddev/corr
+    # fold doubles in partition order — the latent half-boundary class).
+    # Variance factors convert to double BEFORE multiplying (their
+    # decimal product would overflow 38 digits at large SF).
+    cents_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    n = F.count(F.lit(1))
+    sx = F.sum(cents_c.cast("decimal(38,0)"))
+    sxx = F.sum((cents_c * cents_c).cast("decimal(38,0)"))
+    sy = F.sum(disc_c.cast("decimal(38,0)"))
+    syy = F.sum((disc_c * disc_c).cast("decimal(38,0)"))
+    sxy = F.sum((cents_c * disc_c).cast("decimal(38,0)"))
+    mx = (n * sxx - sx * sx).cast("double")
+    my = (n * syy - sy * sy).cast("double")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
-                "price_discount_corr"
+            n.alias("n"),
+            F.round(sx.cast("double") / (n * F.lit(100.0)), 2).alias(
+                "avg_price"
             ),
+            F.round(
+                F.sqrt(mx / (n * (n - F.lit(1)))) / F.lit(100.0), 2
+            ).alias("sd_price"),
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / (F.sqrt(mx) * F.sqrt(my)),
+                4,
+            ).alias("price_discount_corr"),
             F.expr(pct).alias("_pcts"),
         )
         .select(
@@ -690,8 +733,14 @@ N_SALTS = 16
 @register(
     "events_skew_salted",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum,
-           round(avg(value), 6) AS value_avg
+    SELECT event_type, count(*) AS n,
+           -- value is an arbitrary double: quantize each addend to
+           -- integer 1e-6 units so partial sums are order-free across
+           -- salts/partitions; one division per output column
+           round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                 AS DOUBLE) / 1e6, 2) AS value_sum,
+           round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                 AS DOUBLE) / (count(*) * 1e6), 6) AS value_avg
     FROM events
     GROUP BY event_type
     """,
@@ -714,14 +763,25 @@ def events_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _src(spark, sf_dir)["events"]
     salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS))
+    # integer 1e-6-unit partials: order-free across salts AND partitions
+    # (raw double partials fold in salt order, the oracle in scan order —
+    # a latent half-boundary ulp); one division per output column
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        F.sum(
+            F.round(F.col("value") * 1e6, 0).cast("bigint").cast("decimal(38,0)")
+        ).alias("psum_micro"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 2).alias("value_sum"),
-        F.round(F.sum("psum") / F.sum("pn"), 6).alias("value_avg"),
+        F.round(F.sum("psum_micro").cast("double") / F.lit(1e6), 2).alias(
+            "value_sum"
+        ),
+        F.round(
+            F.sum("psum_micro").cast("double")
+            / (F.sum("pn") * F.lit(1e6)),
+            6,
+        ).alias("value_avg"),
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from . import _money
 from ._money import disc_revenue_sum as _disc_revenue_sum
 from ..queries import register
 from .analytics import _src
@@ -74,8 +75,10 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT o_orderstatus,
              CAST(count(*) AS DOUBLE) AS n_orders,
-             round(sum(o_totalprice), 2) AS total_price,
-             round(avg(o_totalprice), 2) AS avg_price
+             round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS DOUBLE) / 100.0, 2) AS total_price,
+             round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS DOUBLE) / (count(*) * 100.0), 2) AS avg_price
       FROM orders GROUP BY o_orderstatus
     )
     SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM m
@@ -94,8 +97,8 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _src(spark, sf_dir)["orders"]
     wide = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        _money.money_sum("o_totalprice").alias("total_price"),
+        _money.money_avg("o_totalprice").alias("avg_price"),
     )
     return wide.unpivot(
         ["o_orderstatus"],
@@ -783,7 +786,10 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS qty_limit
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    -- /7 makes the result an arbitrary real: exact-integer cents sum
+    -- (order-free), ONE division on identical operands in both engines
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS DOUBLE) / 700.0, 2) AS avg_yearly
     FROM lineitem JOIN thresholds ON l_partkey = t_partkey
     WHERE l_quantity < qty_limit
     """,
@@ -809,7 +815,15 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # /7 makes the result an arbitrary real: exact cents sum
+        # (order-free), one division on identical operands both engines
+        .agg(
+            F.round(
+                _money.cents_sum("l_extendedprice").cast("double")
+                / F.lit(700.0),
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1416,8 +1430,18 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            count(*) FILTER (WHERE o_totalprice < lo OR o_totalprice > hi)
              AS n_clamped,
-           round(avg(o_totalprice), 2) AS raw_avg,
-           round(avg(least(greatest(o_totalprice, lo), hi)), 2) AS wins_avg
+           -- means are arbitrary reals: exact-integer cents sums
+           -- (order-free), clamped rows contribute count * bound with
+           -- the identical double the clamp itself uses; ONE division
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS DOUBLE) / (count(*) * 100.0), 2) AS raw_avg,
+           round((CAST(sum(CASE WHEN o_totalprice >= lo
+                                 AND o_totalprice <= hi
+                    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE) / 100.0
+                  + count(*) FILTER (WHERE o_totalprice < lo) * min(lo)
+                  + count(*) FILTER (WHERE o_totalprice > hi) * min(hi))
+                 / count(*), 2) AS wins_avg
     FROM orders, b
     GROUP BY o_orderstatus
     """,
@@ -1443,7 +1467,15 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
         F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
     )
-    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    in_band = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") <= F.col("hi")
+    )
+    in_cents = F.sum(
+        F.when(in_band, cents).otherwise(F.lit(0)).cast("decimal(38,0)")
+    )
+    n_lo = F.count_if(F.col("o_totalprice") < F.col("lo"))
+    n_hi = F.count_if(F.col("o_totalprice") > F.col("hi"))
     return (
         o.crossJoin(F.broadcast(b))
         .groupBy("o_orderstatus")
@@ -1453,8 +1485,23 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice") < F.col("lo"))
                 | (F.col("o_totalprice") > F.col("hi"))
             ).alias("n_clamped"),
-            F.round(F.avg("o_totalprice"), 2).alias("raw_avg"),
-            F.round(F.avg(clamped), 2).alias("wins_avg"),
+            # means are arbitrary reals: exact cents sums, clamped rows
+            # contribute count * bound (the same double the clamp uses),
+            # one division — mirrors the oracle expression shape exactly
+            F.round(
+                F.sum(cents.cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(100.0)),
+                2,
+            ).alias("raw_avg"),
+            F.round(
+                (
+                    in_cents.cast("double") / F.lit(100.0)
+                    + n_lo * F.min("lo")
+                    + n_hi * F.min("hi")
+                )
+                / F.count(F.lit(1)),
+                2,
+            ).alias("wins_avg"),
         )
     )
 

@@ -617,15 +617,21 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bot_regularity_flags",
     """
     WITH gaps AS (
+      -- integer MICROSECOND gaps: exact, so the mean and the
+      -- second-moment variance below are order-free integer sums; the
+      -- only doubles are one division / sqrt on identical operands
       SELECT user_id,
-             epoch(ts) - epoch(lag(ts) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     ), stats AS (
       SELECT user_id, count(*) AS n_gaps,
-             round(avg(gap_s), 4) AS mean_gap_s,
-             round(coalesce(stddev_samp(gap_s), 0), 4) AS sd_gap_s
-      FROM gaps WHERE gap_s IS NOT NULL
+             round(CAST(sum(gap_us) AS DOUBLE)
+                   / (count(*) * 1e6), 4) AS mean_gap_s,
+             round(sqrt(CAST(count(*) * sum(CAST(gap_us AS HUGEINT) * gap_us)
+                             - sum(gap_us) * sum(gap_us) AS DOUBLE)
+                        / (count(*) * (count(*) - 1))) / 1e6, 4) AS sd_gap_s
+      FROM gaps WHERE gap_us IS NOT NULL
       GROUP BY user_id HAVING count(*) >= 5
     )
     SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
@@ -651,22 +657,37 @@ def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # micros-to-seconds keeps fractional seconds (unix_timestamp
-    # truncates, which would diverge from DuckDB's epoch()); the NTZ ->
-    # TIMESTAMP hop is identity under the engine's UTC session
-    sec = F.expr("unix_micros(cast(ts AS timestamp_ltz))") / 1e6
-    prev = F.lag(sec).over(w)
-    gaps = ev.select("user_id", (sec - prev).alias("gap_s")).filter(
-        F.col("gap_s").isNotNull()
+    # integer MICROSECOND gaps (unix_micros is exact; the NTZ ->
+    # TIMESTAMP hop is identity under the engine's UTC session): the
+    # mean and the second-moment variance are order-free integer sums;
+    # doubles appear only in one division / sqrt on identical operands
+    # (stddev_samp over raw doubles folds engine-order — the EWMA class)
+    us = F.expr("unix_micros(cast(ts AS timestamp_ltz))")
+    prev = F.lag(us).over(w)
+    gaps = ev.select("user_id", (us - prev).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("gap_us").cast("decimal(38,0)"))
+    sxx = F.sum(
+        F.col("gap_us").cast("decimal(20,0)")
+        * F.col("gap_us").cast("decimal(20,0)")
     )
     stats = (
         gaps.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
-            F.round(F.coalesce(F.stddev_samp("gap_s"), F.lit(0.0)), 4).alias(
-                "sd_gap_s"
+            n.alias("n_gaps"),
+            F.round(sx.cast("double") / (n * F.lit(1e6)), 4).alias(
+                "mean_gap_s"
             ),
+            F.round(
+                F.sqrt(
+                    (n * sxx - sx * sx).cast("double")
+                    / (n * (n - F.lit(1)))
+                )
+                / F.lit(1e6),
+                4,
+            ).alias("sd_gap_s"),
         )
         .filter(F.col("n_gaps") >= 5)
     )

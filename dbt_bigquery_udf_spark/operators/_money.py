@@ -79,40 +79,22 @@ def money_avg_sql(col: str) -> str:
     )
 
 
-def micro_sum(col: str, decimals: int = 2) -> Column:
-    """round(sum(x), d) for an ARBITRARY double column: quantize each
-    addend to integer 1e-6 units first (a documented 5e-7-per-row
-    semantic quantization), so the sum is order-free; one final
-    division. Use when addends are not fixed-decimal."""
-    return F.round(
-        F.sum(
-            F.round(F.col(col) * 1e6, 0).cast("bigint").cast("decimal(38,0)")
-        ).cast("double")
-        / 1e6,
-        decimals,
-    )
-
-
 def micro_sum_sql(col: str, decimals: int = 2) -> str:
+    """Oracle text: round(sum(x), d) for an ARBITRARY double column —
+    quantize each addend to integer 1e-6 units first (a documented
+    5e-7-per-row semantic quantization), so the sum is order-free; one
+    final division. Use when addends are not fixed-decimal. The Spark
+    twin lives at its call site (events_skew_salted splits the sum
+    across salted partials, which a single Column helper can't)."""
     return (
         f"round(CAST(sum(CAST(round({col} * 1e6, 0) AS BIGINT)) AS DOUBLE)"
         f" / 1e6, {decimals})"
     )
 
 
-def micro_avg(col: str, decimals: int = 6) -> Column:
-    """round(avg(x), d) for an arbitrary double column via the same
-    1e-6 quantization (order-free sum, one division)."""
-    return F.round(
-        F.sum(
-            F.round(F.col(col) * 1e6, 0).cast("bigint").cast("decimal(38,0)")
-        ).cast("double")
-        / (F.count(F.lit(1)) * F.lit(1e6)),
-        decimals,
-    )
-
-
 def micro_avg_sql(col: str, decimals: int = 6) -> str:
+    """Oracle text: round(avg(x), d) for an arbitrary double column via
+    the same 1e-6 quantization (order-free sum, one division)."""
     return (
         f"round(CAST(sum(CAST(round({col} * 1e6, 0) AS BIGINT)) AS DOUBLE)"
         f" / (count(*) * 1e6), {decimals})"

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from . import _money
 from ._money import disc_revenue_sum as _disc_revenue_sum
 from ..queries import register
 from ..sources.registry import register_sources
@@ -732,15 +733,13 @@ N_SALTS = 16
 
 @register(
     "events_skew_salted",
-    """
+    f"""
     SELECT event_type, count(*) AS n,
            -- value is an arbitrary double: quantize each addend to
            -- integer 1e-6 units so partial sums are order-free across
            -- salts/partitions; one division per output column
-           round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
-                 AS DOUBLE) / 1e6, 2) AS value_sum,
-           round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
-                 AS DOUBLE) / (count(*) * 1e6), 6) AS value_avg
+           {_money.micro_sum_sql("value", 2)} AS value_sum,
+           {_money.micro_avg_sql("value", 6)} AS value_avg
     FROM events
     GROUP BY event_type
     """,

@@ -71,14 +71,12 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unpivot_order_measures",
-    """
+    f"""
     WITH m AS (
       SELECT o_orderstatus,
              CAST(count(*) AS DOUBLE) AS n_orders,
-             round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                   AS DOUBLE) / 100.0, 2) AS total_price,
-             round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                   AS DOUBLE) / (count(*) * 100.0), 2) AS avg_price
+             {_money.money_sum_sql("o_totalprice")} AS total_price,
+             {_money.money_avg_sql("o_totalprice")} AS avg_price
       FROM orders GROUP BY o_orderstatus
     )
     SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM m
@@ -781,14 +779,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_qty_revenue",
-    """
+    f"""
     WITH thresholds AS (
       SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS qty_limit
       FROM lineitem GROUP BY l_partkey
     )
     -- /7 makes the result an arbitrary real: exact-integer cents sum
     -- (order-free), ONE division on identical operands in both engines
-    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+    SELECT round(CAST({_money.cents_sum_sql("l_extendedprice")}
                  AS DOUBLE) / 700.0, 2) AS avg_yearly
     FROM lineitem JOIN thresholds ON l_partkey = t_partkey
     WHERE l_quantity < qty_limit
@@ -1420,7 +1418,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_winsorize",
-    """
+    f"""
     WITH b AS (
       SELECT quantile_cont(o_totalprice, 0.01) AS lo,
              quantile_cont(o_totalprice, 0.99) AS hi
@@ -1433,8 +1431,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- means are arbitrary reals: exact-integer cents sums
            -- (order-free), clamped rows contribute count * bound with
            -- the identical double the clamp itself uses; ONE division
-           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                 AS DOUBLE) / (count(*) * 100.0), 2) AS raw_avg,
+           {_money.money_avg_sql("o_totalprice")} AS raw_avg,
            round((CAST(sum(CASE WHEN o_totalprice >= lo
                                  AND o_totalprice <= hi
                     THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)

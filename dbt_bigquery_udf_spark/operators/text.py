@@ -1909,15 +1909,15 @@ def _block_removal_oracle() -> str:
 def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup, REMOVE step (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): cut each document into
-    consecutive {DEDUP_BLOCK_TOKENS}-token blocks, drop every block whose
-    exact text occurs in >= 2 DISTINCT documents, and re-emit the cleaned
-    text — the surgical-removal pass that text_chunk_dedup's flag-only
-    output promises. Whole-document dedup misses shared boilerplate
-    (headers, licenses, templates); this removes just those spans and
-    keeps the rest of each page.
+    consecutive DEDUP_BLOCK_TOKENS-token (16) blocks, drop every block
+    whose exact text occurs in >= 2 DISTINCT documents, and re-emit the
+    cleaned text — the surgical-removal pass that text_chunk_dedup's
+    flag-only output promises. Whole-document dedup misses shared
+    boilerplate (headers, licenses, templates); this removes just those
+    spans and keeps the rest of each page.
 
     Shape: one posexplode into fixed blocks; the duplicate-block set is
-    derived from a (xxhash64, doc_id)-only aggregation — block TEXT never
+    derived from an (md5, doc_id)-only aggregation — block TEXT never
     enters that exchange — then broadcast back onto the block stream, so
     the only shuffle carrying text is the final per-document reassembly
     (output-sized, unavoidable: the product IS the cleaned corpus).
@@ -1951,7 +1951,12 @@ def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("blk0") + 1).alias("blk"),
         "block",
-        F.xxhash64("block").alias("h"),
+        # md5, not xxhash64: a 64-bit cross-doc collision would delete a
+        # unique block AND diverge from the text-keyed oracle; 128 bits
+        # is collision-free at any realistic corpus (same tradeoff as
+        # dedup_exact). Swap to xxhash64 only where 2^-64 loss is
+        # acceptable and key bytes dominate the exchange.
+        F.md5("block").alias("h"),
     )
     dups = (
         blocks.filter(F.col("n_tokens") > 0)
@@ -2089,10 +2094,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     work vocabulary-sized.
     """
     d = _docs(spark, sf_dir)
+    # NOTE the four backslashes: Spark's SQL string unescaper has no
+    # case for \f (it maps \t/\n/\r but silently drops the backslash
+    # before f), so the two-backslash form would split words on the
+    # LETTER 'f'. '\\\\f' delivers a literal backslash-f to the regex
+    # engine, which reads it as form feed — same as the gopher gate.
     words = d.select(
         F.explode(
             F.expr(
-                "filter(split(lower(trim(text)), '[ \\t\\n\\f\\r]'), "
+                "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\f\\\\r]'), "
                 "w -> w <> '')"
             )
         ).alias("word")

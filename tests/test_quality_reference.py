@@ -625,3 +625,41 @@ def test_bpe_merges_match_python_reference(spark, random_corpus_dir):
         for r in Q.QUERIES["bpe_train_merges"](spark, root).collect()
     ]
     assert got == want, (got, want)
+
+
+def test_bpe_merges_learn_f_pairs(spark, tmp_path):
+    """Regression for the Spark SQL-unescaper \\f trap: Spark's string
+    unescaper has no case for \\f, so a two-backslash whitespace class
+    reaches the regex engine as '[ \\t\\nf\\r]' and silently splits
+    words on the LETTER 'f' — no f-containing merge could ever be
+    learned, while the DuckDB oracle (raw-string regex) behaved
+    correctly. This corpus FORCES ('o','f') to win step 1, and the
+    oracle comparison plus the form-feed word pin make any per-engine
+    tokenization drift loud."""
+    import duckdb
+
+    from dbt_bigquery_udf_spark.queries import ORACLES
+
+    root = str(tmp_path / "fcorpus")
+    text = "of of of of fun fun for for info off\x0cofficial"
+    spark.createDataFrame(
+        [(1, text, "en", "src", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    got = [
+        (r.step, r.a, r.b, r.merged, r.cnt)
+        for r in Q.QUERIES["bpe_train_merges"](spark, root).collect()
+    ]
+    # ('o','f') occurrences: of x4 + off + official (the form feed
+    # separates off/official into two words) = 6 -> must win step 1
+    assert got[0][1:] == ("o", "f", "of", 6), got
+    assert any("f" in a or "f" in b for _, a, b, _, _ in got[1:]), got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(root, 'documents.parquet', '*.parquet')}'"
+    )
+    want = [tuple(r) for r in con.execute(ORACLES["bpe_train_merges"]).fetchall()]
+    assert got == want, (got, want)

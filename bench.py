@@ -99,10 +99,13 @@ HEADLINE = [
     "sim_hamming_topk",
     "dsir_select_topk",
     "pipeline_quality_funnel",
-    # round 6 (cont.): BPE trainer, substring-removal dedup, radius ANN
+    # round 6 (cont.): BPE trainer, substring-removal dedup, radius ANN,
+    # containment scoring, cluster-blocked kNN graph
     "bpe_train_merges",
     "dedup_block_removal",
     "sim_range_search",
+    "dedup_containment",
+    "emb_knn_graph",
 ]
 
 

@@ -101,13 +101,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash + LSH ---------------------------------------------------------
 
 
-def _minhash_lsh_candidates(
-    spark: SparkSession, sf_dir: str, threshold: float | None = JACCARD_THRESHOLD
-) -> DataFrame:
-    """Verified near-dup pairs via minhash banding.
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
-    to 4 decimals, filtered to >= ``threshold`` unless it is None.
+def _lsh_candidate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with their hashed-shingle sets:
+    (doc_a, doc_b, ha, hb), doc_a < doc_b — the shared verify-stage
+    input for Jaccard (dedup_minhash_*) and containment
+    (dedup_containment) scoring.
 
     Shape chosen for 100 TB scale (and measured ~10x faster + stable
     vs the naive carry-arrays-through-the-join version at sf0.1):
@@ -189,11 +187,20 @@ def _minhash_lsh_candidates(
     # Verify: fetch hashed-shingle sets for candidate docs only.
     x = sigs.select("doc_id", "hs").alias("x")
     y = sigs.select("doc_id", "hs").alias("y")
-    cand = (
+    return (
         pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b", F.col("x.hs").alias("ha"), F.col("y.hs").alias("hb"))
     )
+
+
+def _minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float | None = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Verified near-dup pairs via minhash banding: (doc_a, doc_b,
+    jaccard), jaccard rounded to 4 decimals, filtered to >=
+    ``threshold`` unless it is None."""
+    cand = _lsh_candidate_sets(spark, sf_dir)
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.size("ha") + F.size("hb") - inter
     out = cand.select(
@@ -289,6 +296,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for every LSH candidate pair
     (unfiltered — exposes the verify stage itself)."""
     return _minhash_lsh_candidates(spark, sf_dir, threshold=None)
+
+
+# -- shingle containment (asymmetric near-dup) ------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    _duck_minhash_pairs()
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS n_common,
+           CAST(len(x.hs) AS BIGINT) AS n_a,
+           CAST(len(y.hs) AS BIGINT) AS n_b,
+           round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / len(x.hs), 4) AS c_ab,
+           round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / len(y.hs), 4) AS c_ba
+    FROM cand c JOIN hx x ON x.doc_id = c.doc_a
+                JOIN hx y ON y.doc_id = c.doc_b
+    WHERE greatest(round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                         / len(x.hs), 4),
+                   round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                         / len(y.hs), 4)) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT scoring (Broder 1997's asymmetric resemblance
+    twin): C(A,B) = |S(A) n S(B)| / |S(A)| over the LSH candidate pairs.
+    Jaccard misses doc-inside-doc relationships — a short page quoted
+    verbatim inside a long one has tiny |intersection|/|union| but
+    containment ~1 in one direction — exactly the partial-copy profile
+    (syndication, quoting, template wrapping) a curation pipeline wants
+    to catch AFTER whole-doc near-dup removal.
+
+    Emits both directions plus set sizes for every candidate pair where
+    either direction clears CONTAINMENT_THRESHOLD; counts are exact
+    integers, each ratio is ONE division of exact integers (engine-
+    identical).
+
+    Shape: reuses _lsh_candidate_sets — the banded self-join moves only
+    fixed-width (doc_id, band, key) rows; shingle sets join in as sorted
+    int arrays for candidates only. Zero new exchanges beyond the shared
+    verify stage; at 100 TB the candidate set is LSH-bounded exactly as
+    dedup_minhash_pairs documents. Recall caveat (documented, inherent):
+    MinHash LSH recalls by RESEMBLANCE, so high-containment pairs with
+    low Jaccard may not band-collide — production containment detection
+    pairs this scorer with the seeded-shingle candidate generator of
+    dedup_shingle_fraction's stream.
+    """
+    cand = _lsh_candidate_sets(spark, sf_dir)
+    inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    c_ab = F.round(inter.cast("double") / F.size("ha"), 4)
+    c_ba = F.round(inter.cast("double") / F.size("hb"), 4)
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.size("ha").cast("bigint").alias("n_a"),
+            F.size("hb").cast("bigint").alias("n_b"),
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .filter(
+            F.greatest(F.col("c_ab"), F.col("c_ba")) >= CONTAINMENT_THRESHOLD
+        )
+    )
 
 
 # -- SimHash ---------------------------------------------------------------
@@ -591,6 +667,74 @@ def semdedup_k(n_vectors: int) -> int:
     return min(SEMDEDUP_MAX_K, max(SEMDEDUP_MIN_K, n_vectors // SEMDEDUP_TARGET_CLUSTER))
 
 
+def _cluster_assigned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Corpus-scaling k-means-style cluster assignment over the
+    embeddings table, shared by dedup_semantic and emb_knn_graph:
+    returns (assigned, dims) where ``assigned`` is persisted-and-
+    materialized wide rows (vec_id, nrm, e0..e{dims-1}, cluster_id).
+
+    Assignment is a BROADCAST JOIN against the k-row centroid table,
+    not k expressions folded into the scan: with k scaling as n/64,
+    literal-folding k per-centroid distance expressions exploded the
+    plan (k zip_with lambdas: 7.7s; k unpacked 64-term codegen sums:
+    blew the codegen method limit, 20s interpreted — both measured at
+    sf0.1, k=31). The join form keeps the plan O(1) in k and pays the
+    irreducible n x k distance evaluations — as ONE codegen'd 64-term
+    (e_i - c_i)^2 sum over wide columns on both sides (an interpreted
+    zip_with here costs 4M lambda evals, measured ~4s at sf0.1). The
+    summation is the same left-to-right order as DuckDB's
+    list_distance, so the 6-dp micro rounding agrees bit-for-bit, and
+    the argmin is integer-encoded (micro-distance * 1e5 + cid) so
+    min() needs no string compares.
+
+    Round 3: the centroid relation is DERIVED, not collected — a
+    filtered projection of the embeddings scan (PushedFilters:
+    vec_id < k), broadcast as-is. At the 64k-cluster cap the round-2
+    form pulled ~33 MB of centroid rows through the driver and pushed
+    them back as literals; this keeps them executor-side end to end
+    and the plan stays one broadcast exchange at every k
+    (test_plans.py pins the shape).
+    """
+    e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    dims = len(e.select("embedding").first()["embedding"])
+    k = semdedup_k(e.count())
+    e = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    cents_wide = e.filter(F.col("vec_id") < k).selectExpr(
+        "vec_id AS cid", *[f"emb[{i}] AS c{i}" for i in range(dims)]
+    )
+    # Wide expressions assemble as SQL STRINGS (one F.expr each), not
+    # Column-by-Column: building ~200 Column objects costs a driver<->JVM
+    # round trip apiece (~1s of plan construction per call; same fix and
+    # measurement as sim_ivfpq_adc). The arithmetic text is unchanged.
+    nrm_sql = (
+        "sqrt(aggregate(transform(emb, x -> x * x), "
+        "cast(0 as double), (s, x) -> s + x))"
+    )
+    unpacked = e.selectExpr(
+        "vec_id",
+        f"{nrm_sql} AS nrm",
+        *[f"emb[{i}] AS e{i}" for i in range(dims)],
+    )
+    sq_sql = " + ".join(f"(e{i} - c{i}) * (e{i} - c{i})" for i in range(dims))
+    enc_sql = (
+        f"cast(round(sqrt({sq_sql}) * 1000000) as bigint) * 100000 + cid"
+    )
+    assignment = (
+        unpacked.crossJoin(F.broadcast(cents_wide))
+        .selectExpr("vec_id", f"({enc_sql}) AS enc")
+        .groupBy("vec_id")
+        .agg((F.min("enc") % 100000).cast("int").alias("cluster_id"))
+    )
+    assigned = unpacked.join(assignment, "vec_id").persist()
+    assigned.count()  # materialize once: all consumers read the cache
+    return assigned, dims
+
+
 @register(
     "dedup_semantic",
     f"""
@@ -660,63 +804,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per VECTOR (plus its norm), and the per-PAIR dot is a 64-term
     codegen'd product sum — the SimHash trade exactly.
     """
-    e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    dims = len(e.select("embedding").first()["embedding"])
-    k = semdedup_k(e.count())
-    e = e.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
-    )
-    # Assignment is a BROADCAST JOIN against the k-row centroid table,
-    # not k expressions folded into the scan: with k scaling as n/64,
-    # literal-folding k per-centroid distance expressions exploded the
-    # plan (k zip_with lambdas: 7.7s; k unpacked 64-term codegen sums:
-    # blew the codegen method limit, 20s interpreted — both measured at
-    # sf0.1, k=31). The join form keeps the plan O(1) in k and pays the
-    # irreducible n x k distance evaluations — as ONE codegen'd 64-term
-    # (e_i - c_i)^2 sum over wide columns on both sides (an interpreted
-    # zip_with here costs 4M lambda evals, measured ~4s at sf0.1). The
-    # summation is the same left-to-right order as DuckDB's
-    # list_distance, so the 6-dp micro rounding agrees bit-for-bit, and
-    # the argmin is integer-encoded (micro-distance * 1e5 + cid) so
-    # min() needs no string compares.
-    #
-    # Round 3: the centroid relation is DERIVED, not collected — a
-    # filtered projection of the embeddings scan (PushedFilters:
-    # vec_id < k), broadcast as-is. At the 64k-cluster cap the round-2
-    # form pulled ~33 MB of centroid rows through the driver and pushed
-    # them back as literals; this keeps them executor-side end to end
-    # and the plan stays one broadcast exchange at every k
-    # (test_plans.py pins the shape).
-    cents_wide = e.filter(F.col("vec_id") < k).selectExpr(
-        "vec_id AS cid", *[f"emb[{i}] AS c{i}" for i in range(dims)]
-    )
-    # Wide expressions assemble as SQL STRINGS (one F.expr each), not
-    # Column-by-Column: building ~200 Column objects costs a driver<->JVM
-    # round trip apiece (~1s of plan construction per call; same fix and
-    # measurement as sim_ivfpq_adc). The arithmetic text is unchanged.
-    nrm_sql = (
-        "sqrt(aggregate(transform(emb, x -> x * x), "
-        "cast(0 as double), (s, x) -> s + x))"
-    )
-    unpacked = e.selectExpr(
-        "vec_id",
-        f"{nrm_sql} AS nrm",
-        *[f"emb[{i}] AS e{i}" for i in range(dims)],
-    )
-    sq_sql = " + ".join(f"(e{i} - c{i}) * (e{i} - c{i})" for i in range(dims))
-    enc_sql = (
-        f"cast(round(sqrt({sq_sql}) * 1000000) as bigint) * 100000 + cid"
-    )
-    assignment = (
-        unpacked.crossJoin(F.broadcast(cents_wide))
-        .selectExpr("vec_id", f"({enc_sql}) AS enc")
-        .groupBy("vec_id")
-        .agg((F.min("enc") % 100000).cast("int").alias("cluster_id"))
-    )
-    assigned = unpacked.join(assignment, "vec_id").persist()
-    assigned.count()  # materialize once: both join sides read it
-
+    assigned, dims = _cluster_assigned(spark, sf_dir)
     dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
     cos = F.expr(f"({dot_sql}) / (a.nrm * b.nrm)")
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -1525,3 +1525,117 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= RANGE_COS_TAU)
     )
+
+
+# -- cluster-blocked kNN graph ----------------------------------------------
+
+KNN_GRAPH_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    from .dedup import (
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
+        SEMDEDUP_TARGET_CLUSTER,
+    )
+
+    cos = "round(list_cosine_similarity(ex.emb, ey.emb), 4)"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cv FROM e
+          WHERE vec_id < LEAST({SEMDEDUP_MAX_K}, GREATEST({SEMDEDUP_MIN_K},
+                (SELECT count(*) FROM e) // {SEMDEDUP_TARGET_CLUSTER}))),
+    pick AS (
+      SELECT e.vec_id,
+             min(CAST(round(list_distance(e.emb, c.cv) * 1000000) AS BIGINT)
+                 * 100000 + c.cid) AS p
+      FROM e, c GROUP BY e.vec_id
+    ),
+    a AS (SELECT vec_id, CAST(p % 100000 AS INT) AS cluster_id FROM pick),
+    edges AS (
+      SELECT x.vec_id AS src, y.vec_id AS dst, x.cluster_id,
+             {cos} AS cosine,
+             row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {cos} DESC, y.vec_id) AS rk
+      FROM a x JOIN a y ON x.cluster_id = y.cluster_id
+                       AND x.vec_id <> y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+    ),
+    knn AS (SELECT * FROM edges WHERE rk <= {KNN_GRAPH_K})
+    SELECT k.src, k.dst, k.cluster_id, k.rk, k.cosine,
+           (m.src IS NOT NULL) AS mutual
+    FROM knn k LEFT JOIN knn m ON m.src = k.dst AND m.dst = k.src
+    """
+
+
+@register("emb_knn_graph", _knn_graph_oracle())
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked k-nearest-neighbor GRAPH with mutual-kNN edge
+    flags — the substrate of graph-based curation (kNN-graph clustering,
+    SemDeDup successors, label propagation, UMAP-style manifold steps).
+    Each vector gets its top-{KNN_GRAPH_K} most-cosine-similar neighbors
+    WITHIN its k-means cell (the published approximation: true kNN over
+    web-scale corpora is O(n^2); cluster blocking bounds the pair space
+    to O(n * cell) and near neighbors co-cluster); an edge is ``mutual``
+    when each endpoint ranks the other in its own top-k — the symmetric
+    graph most downstream algorithms want.
+
+    Shape: reuses _cluster_assigned (dedup.py — broadcast centroid join,
+    persisted wide rows), one equi self-join on cluster_id with the
+    codegen'd wide-column dot product, a per-src window for rank, and
+    one |edges|-row self-join for mutuality. Ordering is on the ROUNDED
+    cosine + dst id, so ranks are engine-exact.
+
+    Scale: identical blocking maths to dedup_semantic — expected cell
+    ~64 keeps the pair space O(n * 64); the rank window shuffles
+    |cells| * 64 * 64 fixed-width rows on src; mutuality joins
+    |n * k| narrow edges. All stages measured flat-to-sublinear for the
+    shared assignment in scripts/scale_probe_r2.py.
+    """
+    from .dedup import _cluster_assigned
+
+    assigned, dims = _cluster_assigned(spark, sf_dir)
+    dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
+    cos = F.round(F.expr(f"({dot_sql}) / (a.nrm * b.nrm)"), 4)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    from pyspark.sql import Window as W
+
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+    )
+    rev = edges.select(
+        F.col("src").alias("m_dst"), F.col("dst").alias("m_src")
+    )
+    return (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("m_src")) & (F.col("dst") == F.col("m_dst")),
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            "cluster_id",
+            "rk",
+            "cosine",
+            F.col("m_src").isNotNull().alias("mutual"),
+        )
+    )

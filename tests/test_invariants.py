@@ -291,3 +291,45 @@ def test_dsir_selection_bias_and_determinism(spark, sf_small):
         g = -_math.log(-_math.log((h + 0.5) / 4294967296.0))
         want = _math.floor((r.logw_micro / 1e6 + g) * 1e6 + 0.5)
         assert abs(r.score_micro - want) <= 1, (r.doc_id, r.score_micro, want)
+
+
+def test_knn_graph_mutual_edges_symmetric(spark, sf_small):
+    """emb_knn_graph: every row has rank in [1, K]; each src has <= K
+    neighbors with distinct contiguous ranks; and mutual=True edges come
+    in (src,dst)/(dst,src) pairs that BOTH carry mutual=True — the
+    symmetry downstream graph algorithms rely on."""
+    from dbt_bigquery_udf_spark.operators.similarity import KNN_GRAPH_K
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    rows = QUERIES["emb_knn_graph"](spark, sf_small).collect()
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    edge = {(r.src, r.dst): r for r in rows}
+    for src, es in by_src.items():
+        ranks = sorted(e.rk for e in es)
+        assert ranks == list(range(1, len(es) + 1)), (src, ranks)
+        assert len(es) <= KNN_GRAPH_K
+    for (s, d), r in edge.items():
+        want_mutual = (d, s) in edge
+        assert r.mutual == want_mutual, (s, d, r.mutual)
+        if r.mutual:
+            assert edge[(d, s)].mutual
+
+
+def test_containment_bounds_and_direction(spark, sf_small):
+    """dedup_containment: each direction's ratio is n_common over its
+    own side's set size, both in (0, 1], and n_common <= min(n_a, n_b);
+    every emitted pair clears the threshold in at least one direction."""
+    from dbt_bigquery_udf_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+    )
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_containment"](spark, sf_small).collect()
+    assert rows, "fixture corpus should produce containment pairs"
+    for r in rows:
+        assert 0 < r.n_common <= min(r.n_a, r.n_b), r
+        assert abs(r.c_ab - round(r.n_common / r.n_a, 4)) < 1e-9, r
+        assert abs(r.c_ba - round(r.n_common / r.n_b, 4)) < 1e-9, r
+        assert max(r.c_ab, r.c_ba) >= CONTAINMENT_THRESHOLD, r

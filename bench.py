@@ -106,6 +106,7 @@ HEADLINE = [
     "sim_range_search",
     "dedup_containment",
     "emb_knn_graph",
+    "pipeline_dedup_funnel",
 ]
 
 

@@ -2168,3 +2168,120 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("step")
     finally:
         base.unpersist()
+
+
+# -- dedup strategy funnel (round 6, cont.) ----------------------------------
+
+
+def _dedup_funnel_oracle() -> str:
+    return f"""
+    SELECT 'block' AS method, 'blocks' AS unit,
+           CAST(sum(n_blocks) AS BIGINT) AS n_input,
+           CAST(sum(n_removed_blocks) AS BIGINT) AS n_removed,
+           round(sum(n_removed_blocks) * 1e0 / sum(n_blocks), 6)
+             AS removed_frac
+    FROM ({_ORACLES["dedup_block_removal"]})
+    UNION ALL
+    SELECT 'exact', 'docs',
+           CAST(sum(dup_count) AS BIGINT),
+           CAST(sum(dup_count) - count(*) AS BIGINT),
+           round((sum(dup_count) - count(*)) * 1e0 / sum(dup_count), 6)
+    FROM ({_ORACLES["dedup_exact"]})
+    UNION ALL
+    SELECT 'minhash', 'docs',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents) - count(*),
+           round(((SELECT count(*) FROM documents) - count(*)) * 1e0
+                 / (SELECT count(*) FROM documents), 6)
+    FROM ({_ORACLES["dedup_minhash_survivors"]})
+    UNION ALL
+    SELECT 'semantic', 'vectors',
+           (SELECT count(*) FROM embeddings),
+           (SELECT count(*) FROM embeddings) - count(*),
+           round(((SELECT count(*) FROM embeddings) - count(*)) * 1e0
+                 / (SELECT count(*) FROM embeddings), 6)
+    FROM ({_ORACLES["dedup_semantic"]})
+    ORDER BY method
+    """
+
+
+@register("pipeline_dedup_funnel", _dedup_funnel_oracle())
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup STRATEGY report, sibling of pipeline_quality_funnel:
+    for each dedup method (exact hash, MinHash near-dup, substring block
+    removal, SemDeDup) — how much would it remove, in its own unit —
+    the table a 100 TB curation run produces FIRST to decide which
+    dedup passes are worth a full-corpus execution and in which order
+    (Lee et al. 2022 report exactly this comparison).
+
+    Composition, not reimplementation: every branch calls the SAME
+    registered operator and the oracle embeds the SAME registered
+    oracle SQL, so the report can never drift from the methods it
+    compares. Each branch collapses to ONE row map-side; the two
+    survivor-based branches combine two 1-row aggregates via a
+    broadcast crossJoin (1 x 1 rows). All removed_frac ratios are one
+    division of exact integers.
+    """
+    from .dedup import (
+        dedup_exact,
+        dedup_minhash_survivors,
+        dedup_semantic,
+    )
+    from ..sources.registry import register_sources
+
+    def ratio(removed, total):
+        return F.round(removed * F.lit(1e0) / total, 6)
+
+    block = dedup_block_removal(spark, sf_dir).agg(
+        F.lit("block").alias("method"),
+        F.lit("blocks").alias("unit"),
+        F.sum("n_blocks").cast("bigint").alias("n_input"),
+        F.sum("n_removed_blocks").cast("bigint").alias("n_removed"),
+        ratio(F.sum("n_removed_blocks"), F.sum("n_blocks")).alias(
+            "removed_frac"
+        ),
+    )
+    exact = dedup_exact(spark, sf_dir).agg(
+        F.lit("exact").alias("method"),
+        F.lit("docs").alias("unit"),
+        F.sum("dup_count").cast("bigint").alias("n_input"),
+        (F.sum("dup_count") - F.count(F.lit(1))).cast("bigint").alias(
+            "n_removed"
+        ),
+        ratio(
+            F.sum("dup_count") - F.count(F.lit(1)), F.sum("dup_count")
+        ).alias("removed_frac"),
+    )
+    src = register_sources(
+        spark, sf_dir, tables=("documents", "embeddings")
+    )
+    n_docs = src["documents"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    n_vecs = src["embeddings"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    mh_surv = dedup_minhash_survivors(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_surv")
+    )
+    sem_surv = dedup_semantic(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_surv")
+    )
+
+    def survivors(method: str, unit: str, total_df, surv_df) -> DataFrame:
+        return total_df.crossJoin(F.broadcast(surv_df)).select(
+            F.lit(method).alias("method"),
+            F.lit(unit).alias("unit"),
+            F.col("n_total").alias("n_input"),
+            (F.col("n_total") - F.col("n_surv")).alias("n_removed"),
+            ratio(
+                F.col("n_total") - F.col("n_surv"), F.col("n_total")
+            ).alias("removed_frac"),
+        )
+
+    return (
+        block.unionByName(exact)
+        .unionByName(survivors("minhash", "docs", n_docs, mh_surv))
+        .unionByName(survivors("semantic", "vectors", n_vecs, sem_surv))
+        .orderBy("method")
+    )

@@ -306,7 +306,7 @@ _CURATED_WINDOW = (
 # Round-7 rotation candidates (verify_driver-green but not yet
 # in-window): quality_c4_rules, sim_hamming_topk, sim_range_search,
 # pipeline_quality_funnel (its oracle embeds the c4/gopher/shingle/exact
-# oracles), dsir_select_topk.
+# oracles), dsir_select_topk, dedup_containment, emb_knn_graph.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -663,3 +663,150 @@ def test_bpe_merges_learn_f_pairs(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(ORACLES["bpe_train_merges"]).fetchall()]
     assert got == want, (got, want)
+
+
+def test_containment_matches_python_reference(spark, sf_small):
+    """Three-way check replicating the ENTIRE MinHash-LSH stack in plain
+    Python — shingles, md5-prefix base hashes, the 16-member universal
+    hash family, banding, candidate generation — then Broder containment
+    on the candidate pairs. Every stage is integer math, so the match is
+    exact; this is the first non-SQL check of the banding pipeline
+    itself (dedup_minhash_* previously had only Spark<->DuckDB parity).
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_small, "documents.parquet"))
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    hs: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    for i, t in docs.items():
+        words = t.strip(" ").lower().split(" ")
+        sh = {
+            " ".join(words[j:j + 3])
+            for j in range(max(len(words) - 2, 1))
+        }
+        xs = {
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        }
+        if not xs:
+            continue
+        hs[i] = xs
+        sigs[i] = [
+            min((a * x + b) % MINHASH_P for x in xs)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(N_BANDS):
+            key = ":".join(
+                str(sig[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            buckets.setdefault((b, key), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for x in members:
+            for y in members:
+                if x < y:
+                    cand.add((x, y))
+    want = {}
+    for a, b in cand:
+        inter = len(hs[a] & hs[b])
+        c_ab = round(inter / len(hs[a]), 4)
+        c_ba = round(inter / len(hs[b]), 4)
+        if max(c_ab, c_ba) >= CONTAINMENT_THRESHOLD:
+            want[(a, b)] = (inter, len(hs[a]), len(hs[b]), c_ab, c_ba)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.c_ab, r.c_ba)
+        for r in Q.QUERIES["dedup_containment"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k, w in want.items():
+        g = got[k]
+        assert g[:3] == w[:3], (k, g, w)
+        assert _approx(g[3], w[3]) and _approx(g[4], w[4]), (k, g, w)
+
+
+def test_knn_graph_matches_numpy_reference(spark, sf_small):
+    """Three-way check for emb_knn_graph replicating the cluster
+    assignment's integer-encoded argmin (left-to-right fold, half-up
+    micro rounding), the within-cell rounded-cosine ranking, and the
+    mutual flags in plain Python/numpy."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from dbt_bigquery_udf_spark.operators.dedup import semdedup_k
+    from dbt_bigquery_udf_spark.operators.similarity import KNN_GRAPH_K
+
+    tbl = pq.read_table(os.path.join(sf_small, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_pylist()
+    embs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(ids, tbl["embedding"].to_pylist())
+    }
+    k = semdedup_k(len(embs))
+
+    def l2r_sum(terms):  # left-to-right fold == the codegen'd sum
+        s = 0.0
+        for t in terms:
+            s = s + t
+        return s
+
+    def half_up(x, d):  # Spark/DuckDB round() (Python round is banker's)
+        scale = 10 ** d
+        return math.floor(x * scale + 0.5) / scale
+
+    cents = {i: v for i, v in embs.items() if i < k}
+    cluster = {}
+    for i, v in embs.items():
+        best = None
+        for cid, c in sorted(cents.items()):
+            dist = math.sqrt(
+                l2r_sum((a - b) * (a - b) for a, b in zip(v, c))
+            )
+            enc = int(math.floor(dist * 1e6 + 0.5)) * 100000 + cid
+            best = enc if best is None else min(best, enc)
+        cluster[i] = best % 100000
+    nrm = {
+        i: math.sqrt(l2r_sum(x * x for x in v)) for i, v in embs.items()
+    }
+    want = {}
+    for i in embs:
+        peers = [j for j in embs if j != i and cluster[j] == cluster[i]]
+        scored = sorted(
+            (
+                (
+                    -half_up(
+                        l2r_sum(a * b for a, b in zip(embs[i], embs[j]))
+                        / (nrm[i] * nrm[j]),
+                        4,
+                    ),
+                    j,
+                )
+                for j in peers
+            )
+        )[:KNN_GRAPH_K]
+        for rk, (negcos, j) in enumerate(scored, start=1):
+            want[(i, j)] = (cluster[i], rk, -negcos)
+    got = {
+        (r.src, r.dst): (r.cluster_id, r.rk, r.cosine, r.mutual)
+        for r in Q.QUERIES["emb_knn_graph"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for key, (cid, rk, cos) in want.items():
+        g = got[key]
+        assert g[0] == cid and g[1] == rk, (key, g, (cid, rk, cos))
+        assert _approx(g[2], cos), (key, g[2], cos)
+        assert g[3] == ((key[1], key[0]) in want), (key, g)

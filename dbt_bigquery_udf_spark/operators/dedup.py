@@ -101,6 +101,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash + LSH ---------------------------------------------------------
 
 
+# Memo for the persisted shared stages (signature table, cluster
+# assignment), keyed by (applicationId, sf_dir): without it every
+# consumer call persisted a FRESH copy that stayed pinned for the JVM
+# lifetime (dedup_minhash_pairs + _survivors + containment + the dedup
+# funnel = four sigs copies in one bench pass). One shared entry per
+# session+dataset; bench's clearCache() only drops blocks — the next
+# action on the memoized frame transparently re-caches it.
+_STAGE_MEMO: dict[tuple[str, str, str], object] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, stage: str):
+    return (spark.sparkContext.applicationId, sf_dir, stage)
+
+
 def _lsh_candidate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with their hashed-shingle sets:
     (doc_a, doc_b, ha, hb), doc_a < doc_b — the shared verify-stage
@@ -128,6 +142,9 @@ def _lsh_candidate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
        standard at-scale trick; the oracle applies the identical
        transformation so the comparison stays exact.
     """
+    key = _memo_key(spark, sf_dir, "lsh_cand")
+    if key in _STAGE_MEMO:
+        return _STAGE_MEMO[key]
     d = ensure_min_partitions(_docs(spark, sf_dir))
     words = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("words")
@@ -187,11 +204,13 @@ def _lsh_candidate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify: fetch hashed-shingle sets for candidate docs only.
     x = sigs.select("doc_id", "hs").alias("x")
     y = sigs.select("doc_id", "hs").alias("y")
-    return (
+    out = (
         pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b", F.col("x.hs").alias("ha"), F.col("y.hs").alias("hb"))
     )
+    _STAGE_MEMO[key] = out
+    return out
 
 
 def _minhash_lsh_candidates(
@@ -697,6 +716,9 @@ def _cluster_assigned(
     and the plan stays one broadcast exchange at every k
     (test_plans.py pins the shape).
     """
+    key = _memo_key(spark, sf_dir, "cluster_assigned")
+    if key in _STAGE_MEMO:
+        return _STAGE_MEMO[key]
     e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
     dims = len(e.select("embedding").first()["embedding"])
     k = semdedup_k(e.count())
@@ -732,12 +754,17 @@ def _cluster_assigned(
     )
     assigned = unpacked.join(assignment, "vec_id").persist()
     assigned.count()  # materialize once: all consumers read the cache
+    _STAGE_MEMO[key] = (assigned, dims)
     return assigned, dims
 
 
-@register(
-    "dedup_semantic",
-    f"""
+def duck_cluster_assign_ctes() -> str:
+    """The cluster-assignment CTE chain (e, c, pick, a) shared VERBATIM
+    by the dedup_semantic and emb_knn_graph oracles — one definition so
+    the two can never drift (e.g. when the cluster-id encoding widens
+    past 100k clusters, both oracles move together, like the Spark side
+    already does via _cluster_assigned)."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     c AS (SELECT vec_id AS cid, emb AS cv FROM e
           WHERE vec_id < LEAST({SEMDEDUP_MAX_K}, GREATEST({SEMDEDUP_MIN_K},
@@ -752,7 +779,14 @@ def _cluster_assigned(
                  * 100000 + c.cid) AS p
       FROM e, c GROUP BY e.vec_id
     ),
-    a AS (SELECT vec_id, CAST(p % 100000 AS INT) AS cluster_id FROM pick),
+    a AS (SELECT vec_id, CAST(p % 100000 AS INT) AS cluster_id FROM pick)
+    """
+
+
+@register(
+    "dedup_semantic",
+    duck_cluster_assign_ctes()
+    + f""",
     pairs AS (
       SELECT y.vec_id AS vb
       FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id

@@ -1533,25 +1533,10 @@ KNN_GRAPH_K = 5
 
 
 def _knn_graph_oracle() -> str:
-    from .dedup import (
-        SEMDEDUP_MAX_K,
-        SEMDEDUP_MIN_K,
-        SEMDEDUP_TARGET_CLUSTER,
-    )
+    from .dedup import duck_cluster_assign_ctes
 
     cos = "round(list_cosine_similarity(ex.emb, ey.emb), 4)"
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    c AS (SELECT vec_id AS cid, emb AS cv FROM e
-          WHERE vec_id < LEAST({SEMDEDUP_MAX_K}, GREATEST({SEMDEDUP_MIN_K},
-                (SELECT count(*) FROM e) // {SEMDEDUP_TARGET_CLUSTER}))),
-    pick AS (
-      SELECT e.vec_id,
-             min(CAST(round(list_distance(e.emb, c.cv) * 1000000) AS BIGINT)
-                 * 100000 + c.cid) AS p
-      FROM e, c GROUP BY e.vec_id
-    ),
-    a AS (SELECT vec_id, CAST(p % 100000 AS INT) AS cluster_id FROM pick),
+    return duck_cluster_assign_ctes() + f""",
     edges AS (
       SELECT x.vec_id AS src, y.vec_id AS dst, x.cluster_id,
              {cos} AS cosine,

@@ -2227,7 +2227,6 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_survivors,
         dedup_semantic,
     )
-    from ..sources.registry import register_sources
 
     def ratio(removed, total):
         return F.round(removed * F.lit(1e0) / total, 6)

@@ -764,9 +764,12 @@ def test_knn_graph_matches_numpy_reference(spark, sf_small):
             s = s + t
         return s
 
-    def half_up(x, d):  # Spark/DuckDB round() (Python round is banker's)
+    def half_up(x, d):
+        # Spark/DuckDB round() = half AWAY FROM ZERO (Python round is
+        # banker's; floor(x+0.5) alone would be half-toward-+inf, wrong
+        # for negative cosines at exact .5 boundaries)
         scale = 10 ** d
-        return math.floor(x * scale + 0.5) / scale
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
     cents = {i: v for i, v in embs.items() if i < k}
     cluster = {}

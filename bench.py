@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_containment",
     "emb_knn_graph",
     "pipeline_dedup_funnel",
+    "quality_classifier_score",
+    "bpe_encode_corpus",
 ]
 
 

@@ -2070,6 +2070,47 @@ def _bpe_merges_oracle(k: int = BPE_MERGE_STEPS) -> str:
     return "".join(parts)
 
 
+def _bpe_vocab_ctes(k: int = BPE_MERGE_STEPS) -> str:
+    """The trainer's CTE chain up to (and including) vocab{k} — the
+    post-merge tokenization state — WITHOUT the final merge-table
+    select, for oracles that consume the trained state (encode)."""
+    full = _bpe_merges_oracle(k)
+    cut = full.rindex(")\n    SELECT * FROM (")
+    return full[: cut + 1]
+
+
+def _bpe_base_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, state) initial BPE vocabulary — char-wrapped
+    '||'-delimited states. NOTE the four backslashes in the split
+    class: Spark's SQL string unescaper has no case for \f (it maps
+    \t/\n/\r but silently drops the backslash before f), so the
+    two-backslash form would split words on the LETTER 'f'. '\\\\f'
+    delivers a literal backslash-f to the regex engine, which reads it
+    as form feed — same as the gopher gate."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(
+            F.expr(
+                "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\f\\\\r]'), "
+                "w -> w <> '')"
+            )
+        ).alias("word")
+    )
+    return (
+        words.filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "state",
+            F.concat(
+                F.lit("|"),
+                F.regexp_replace("word", r"(?s)(.)", r"|$1|"),
+                F.lit("|"),
+            ),
+        )
+    )
+
+
 @register("bpe_train_merges", _bpe_merges_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016): starting from
@@ -2093,81 +2134,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE trainers structure the loop: corpus-sized work once, per-step
     work vocabulary-sized.
     """
-    d = _docs(spark, sf_dir)
-    # NOTE the four backslashes: Spark's SQL string unescaper has no
-    # case for \f (it maps \t/\n/\r but silently drops the backslash
-    # before f), so the two-backslash form would split words on the
-    # LETTER 'f'. '\\\\f' delivers a literal backslash-f to the regex
-    # engine, which reads it as form feed — same as the gopher gate.
-    words = d.select(
-        F.explode(
-            F.expr(
-                "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\f\\\\r]'), "
-                "w -> w <> '')"
-            )
-        ).alias("word")
-    )
-    base = (
-        words.filter(~F.col("word").contains("|"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .withColumn(
-            "state",
-            F.concat(
-                F.lit("|"),
-                F.regexp_replace("word", r"(?s)(.)", r"|$1|"),
-                F.lit("|"),
-            ),
-        )
-        .persist()
-    )
+    base = _bpe_base_vocab(spark, sf_dir).persist()
     try:
-        vocab = base
-        rows: list[tuple[int, str, str, str, int]] = []
-        for step in range(1, BPE_MERGE_STEPS + 1):
-            toks = vocab.select(
-                "freq",
-                F.expr(
-                    "filter(split(state, '\\\\|\\\\|'), x -> x <> '')"
-                ).alias("t"),
-            )
-            pairs = toks.filter(F.size("t") >= 2).select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1), "
-                        "j -> struct(element_at(t, j) AS a, "
-                        "element_at(t, j + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            best = (
-                pairs.select(
-                    F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq"
-                )
-                .groupBy("a", "b")
-                .agg(F.sum("freq").cast("bigint").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-            rows.append((step, a, b, a + b, cnt))
-            vocab = vocab.withColumn(
-                "state",
-                F.replace(
-                    F.col("state"),
-                    F.lit(f"|{a}||{b}|"),
-                    F.lit(f"|{a}{b}|"),
-                ),
-            )
+        rows, _ = _learn_merges(base)
         return spark.createDataFrame(
             rows, "step int, a string, b string, merged string, cnt bigint"
         ).orderBy("step")
     finally:
         base.unpersist()
+
+
+def _learn_merges(base: DataFrame):
+    """Run the BPE_MERGE_STEPS training loop over a (word, freq, state)
+    vocabulary frame (persisted by the caller). Returns (merge rows,
+    final vocabulary frame with post-merge states) — shared by the
+    trainer (which emits the rows) and the encoder (which consumes the
+    final states)."""
+    vocab = base
+    rows: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        toks = vocab.select(
+            "freq",
+            F.expr(
+                "filter(split(state, '\\\\|\\\\|'), x -> x <> '')"
+            ).alias("t"),
+        )
+        pairs = toks.filter(F.size("t") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "j -> struct(element_at(t, j) AS a, "
+                    "element_at(t, j + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.select(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq"
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        rows.append((step, a, b, a + b, cnt))
+        vocab = vocab.withColumn(
+            "state",
+            F.replace(
+                F.col("state"),
+                F.lit(f"|{a}||{b}|"),
+                F.lit(f"|{a}{b}|"),
+            ),
+        )
+    return rows, vocab
 
 
 # -- dedup strategy funnel (round 6, cont.) ----------------------------------
@@ -2284,3 +2308,220 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(survivors("semantic", "vectors", n_vecs, sem_surv))
         .orderBy("method")
     )
+
+
+# -- hashed linear quality classifier (round 6, cont.) ------------------------
+
+CLS_BUCKETS = 1024   # hashed feature space (fastText-style)
+CLS_W_SPAN = 20001   # integer weights in [-10000, 10000] (1e-4 units)
+
+
+def _classifier_oracle() -> str:
+    b32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+    bucket = f"({b32.format(x='feat')} % {CLS_BUCKETS})"
+    w_int = (
+        f"({b32.format(x=f'CAST({bucket} AS VARCHAR)')} % {CLS_W_SPAN})"
+        " - 10000"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '),
+                         w -> w <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             unnest(t || list_transform(range(1, len(t)),
+                                        j -> t[j] || ' ' || t[j+1])) AS feat
+      FROM toks
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum({w_int}) AS BIGINT) AS logit_q
+      FROM feats GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_feats, 0) AS n_feats,
+           coalesce(a.logit_q, 0) AS logit_q,
+           round(coalesce(a.logit_q, 0)
+                 / (greatest(coalesce(a.n_feats, 0), 1) * 10000.0), 6)
+             AS mean_w,
+           coalesce(a.logit_q, 0) >= 0 AND coalesce(a.n_feats, 0) > 0
+             AS passes
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("quality_classifier_score", _classifier_oracle())
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3 / FineWeb-Edu
+    recipe class): a linear model over HASHED word unigram + bigram
+    features scores each page, and pages below the threshold drop.
+    Heuristic gates (Gopher/C4) encode rules; the classifier encodes a
+    reference distribution — production pipelines run both.
+
+    The weight vector here is deterministic (md5-derived per bucket),
+    so both engines and the oracle score identically — the PLUMBING is
+    the recipe: hashed features (no vocabulary table to ship), integer
+    1e-4-unit weights so the per-doc logit is an ORDER-FREE bigint sum
+    (a float dot product would fold in partition order — the EWMA
+    class), and a threshold on the logit (equivalent to thresholding
+    the sigmoid, no transcendentals near rounding boundaries).
+    Swapping in trained fastText / regression weights is a literal
+    table swap; the plan is unchanged.
+
+    Shape: explode unigram+bigram features (codegen; in-array
+    higher-order scoring would evaluate interpreted), two md5 calls per
+    feature, one groupBy(doc_id) carrying (doc_id, int) rows, one
+    |docs|-row join back so empty documents emit n_feats=0 /
+    passes=false rather than vanishing. Scan-bound at 100 TB; the
+    weight "table" is arithmetic, so nothing broadcasts.
+    """
+    d = _docs(spark, sf_dir)
+    b32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
+    bucket = f"({b32.format(x='feat')} % {CLS_BUCKETS})"
+    w_int = (
+        f"({b32.format(x=f'cast({bucket} as string)')} % {CLS_W_SPAN})"
+        " - 10000"
+    )
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), w -> w <> '')").alias(
+            "t"
+        ),
+    )
+    # CASE-guarded bigrams: sequence(1, size-1) with size<2 produces a
+    # DESCENDING range ([1,0]) and element_at then throws on the empty
+    # array — caught by the empty-doc rows of the three-way corpus
+    # (slice(t, 1, 0) is the type-correct empty array)
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(t, CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))) "
+                "ELSE slice(t, 1, 0) END)"
+            )
+        ).alias("feat"),
+    )
+    agg = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.sum(F.expr(w_int)).cast("bigint").alias("logit_q"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce("logit_q", F.lit(0)).alias("logit_q"),
+        F.round(
+            F.coalesce("logit_q", F.lit(0))
+            / (F.greatest(F.coalesce("n_feats", F.lit(0)), F.lit(1))
+               * F.lit(10000.0)),
+            6,
+        ).alias("mean_w"),
+        (
+            (F.coalesce("logit_q", F.lit(0)) >= 0)
+            & (F.coalesce("n_feats", F.lit(0)) > 0)
+        ).alias("passes"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return _bpe_vocab_ctes() + f"""
+    , ntok AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(state, '||'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM vocab{BPE_MERGE_STEPS}
+    ), dw AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '[ \t\n\f\r]'),
+               w -> w <> '' AND NOT contains(w, '|'))) AS word
+      FROM documents
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n.n_tok) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+      FROM dw JOIN ntok n USING (word)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(a.n_chars, 0) AS n_chars,
+           round(coalesce(a.n_chars, 0) * 1e0
+                 / greatest(coalesce(a.n_bpe_tokens, 0), 1), 4)
+             AS chars_per_token
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE pass: apply the learned merge table (the
+    bpe_train_merges artifact) to the corpus and report per-document
+    token counts and chars-per-token — the number that decides context
+    budgets, packing, and $/token for a training run. Completes the
+    tokenizer story: pair counts -> trainer -> corpus encoding.
+
+    Shape: tokenization states live on the VOCABULARY (Heaps-bounded),
+    never on the token stream — the trained per-word token count is a
+    tiny (word, n_tok) relation broadcast onto the per-doc word stream,
+    so the corpus-sized side only explodes words and sums integers
+    (order-free bigint sums; chars_per_token is one division of exact
+    ints). Empty docs emit zeros via the |docs|-row join back.
+
+    Scale: same learning cost as bpe_train_merges (corpus scanned once
+    for word counts, per-step work vocab-sized), then ONE more corpus
+    scan for the encode join. At a production merge count (~32k), the
+    per-word state chain becomes a vocab-sized iterative job with the
+    same shape — per-doc work never exceeds a broadcast lookup.
+    """
+    base = _bpe_base_vocab(spark, sf_dir).persist()
+    try:
+        _, final_vocab = _learn_merges(base)
+        ntok = final_vocab.select(
+            "word",
+            F.expr(
+                "cast(size(filter(split(state, '\\\\|\\\\|'), "
+                "x -> x <> '')) as bigint)"
+            ).alias("n_tok"),
+        )
+        d = _docs(spark, sf_dir)
+        dw = d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(trim(text)), "
+                    "'[ \\\\t\\\\n\\\\f\\\\r]'), "
+                    "w -> w <> '' AND NOT contains(w, '|'))"
+                )
+            ).alias("word"),
+        )
+        agg = (
+            dw.join(F.broadcast(ntok), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            )
+        )
+        return d.select("doc_id").join(agg, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.round(
+                F.coalesce("n_chars", F.lit(0))
+                * F.lit(1e0)
+                / F.greatest(
+                    F.coalesce("n_bpe_tokens", F.lit(0)), F.lit(1)
+                ),
+                4,
+            ).alias("chars_per_token"),
+        )
+    finally:
+        base.unpersist()

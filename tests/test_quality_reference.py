@@ -813,3 +813,106 @@ def test_knn_graph_matches_numpy_reference(spark, sf_small):
         assert g[0] == cid and g[1] == rk, (key, g, (cid, rk, cos))
         assert _approx(g[2], cos), (key, g[2], cos)
         assert g[3] == ((key[1], key[0]) in want), (key, g)
+
+
+def test_classifier_score_matches_python_reference(spark, random_corpus_dir):
+    """Three-way check for quality_classifier_score: hashlib md5
+    feature hashing, integer weights, bigram construction, and the
+    empty-doc n_feats=0/passes=false contract replicated in plain
+    Python."""
+    import hashlib
+
+    from dbt_bigquery_udf_spark.operators.text import (
+        CLS_BUCKETS,
+        CLS_W_SPAN,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    root, meta = random_corpus_dir
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["quality_classifier_score"](spark, root).collect()
+    }
+    assert set(rows) == set(meta["docs"])
+    for doc_id, text in meta["docs"].items():
+        t = [w for w in text.strip(" ").lower().split(" ") if w != ""]
+        feats = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        logit = sum(
+            (h32(str(h32(f) % CLS_BUCKETS)) % CLS_W_SPAN) - 10000
+            for f in feats
+        )
+        got = rows[doc_id]
+        assert got.n_feats == len(feats), (doc_id, got)
+        assert got.logit_q == (logit if feats else 0), (doc_id, got)
+        assert _approx(
+            got.mean_w,
+            round((logit if feats else 0) / (max(len(feats), 1) * 10000.0), 6),
+        ), (doc_id, got)
+        assert got.passes == (len(feats) > 0 and logit >= 0), (doc_id, got)
+
+
+def test_bpe_encode_matches_python_reference(spark, random_corpus_dir):
+    """Three-way check for bpe_encode_corpus: train true tuple-based
+    BPE in Python (as in test_bpe_merges_match_python_reference), then
+    encode every document with the learned states and compare token /
+    char counts — pins the train->encode consistency, the '|'-word
+    exclusion, and the empty-doc zero-row contract."""
+    from collections import Counter
+
+    from dbt_bigquery_udf_spark.operators.text import BPE_MERGE_STEPS
+
+    root, meta = random_corpus_dir
+
+    def words_of(text: str) -> list[str]:
+        return [
+            w
+            for w in re.split(r"[ \t\n\f\r]", text.lower().strip(" "))
+            if w != "" and "|" not in w
+        ]
+
+    vocab: Counter[str] = Counter()
+    for text in meta["docs"].values():
+        vocab.update(words_of(text))
+    states: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
+    for _ in range(BPE_MERGE_STEPS):
+        counts: Counter[tuple[str, str]] = Counter()
+        for w, f in vocab.items():
+            t = states[w]
+            for j in range(len(t) - 1):
+                counts[(t[j], t[j + 1])] += f
+        if not counts:
+            break
+        (a, b), _cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, t in states.items():
+            out: list[str] = []
+            j = 0
+            while j < len(t):
+                if j + 1 < len(t) and t[j] == a and t[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(t[j])
+                    j += 1
+            states[w] = tuple(out)
+    rows = {
+        r.doc_id: r
+        for r in Q.QUERIES["bpe_encode_corpus"](spark, root).collect()
+    }
+    assert set(rows) == set(meta["docs"])
+    for doc_id, text in meta["docs"].items():
+        ws = words_of(text)
+        n_tok = sum(len(states[w]) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        got = rows[doc_id]
+        assert got.n_words == len(ws), (doc_id, got)
+        assert got.n_bpe_tokens == n_tok, (doc_id, got, repr(text))
+        assert got.n_chars == n_chars, (doc_id, got)
+        # engine round() is half-away-from-zero; Python round is
+        # banker's, and dyadic ratios DO land on exact halves here
+        # (37/32 = 1.15625 -> engines 1.1563, Python round 1.1562)
+        want_cpt = math.floor(n_chars / max(n_tok, 1) * 1e4 + 0.5) / 1e4
+        assert _approx(got.chars_per_token, want_cpt), (doc_id, got)

@@ -305,8 +305,9 @@ _CURATED_WINDOW = (
 )
 # Round-7 rotation candidates (verify_driver-green but not yet
 # in-window): quality_c4_rules, sim_hamming_topk, sim_range_search,
-# pipeline_quality_funnel (its oracle embeds the c4/gopher/shingle/exact
-# oracles), dsir_select_topk, dedup_containment, emb_knn_graph.
+# pipeline_quality_funnel / pipeline_dedup_funnel (oracles embed the
+# registered gate/dedup oracles), dsir_select_topk, dedup_containment,
+# emb_knn_graph, quality_classifier_score, bpe_encode_corpus.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

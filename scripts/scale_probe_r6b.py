@@ -66,6 +66,11 @@ def main() -> None:
     try:
         for fn in OPS:  # warmup, untimed (see _probe_common)
             fn(spark, SF_DIR).count()
+        # warmup populated the memoized stages / block cache for
+        # SF_DIR; clear so the x1 column isn't measured under that
+        # cache pressure (same reason as the per-multiple clear below)
+        _STAGE_MEMO.clear()
+        spark.catalog.clearCache()
         for n in ns:
             d = stage(spark, n, root, SF_DIR)
             n_doc = spark.read.parquet(

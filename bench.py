@@ -109,6 +109,7 @@ HEADLINE = [
     "pipeline_dedup_funnel",
     "quality_classifier_score",
     "bpe_encode_corpus",
+    "stream_quality_gate",
 ]
 
 

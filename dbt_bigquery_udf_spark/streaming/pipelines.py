@@ -846,3 +846,114 @@ def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n bigint, value_cents bigint"
     )
+
+
+# -- streaming quality gate --------------------------------------------------
+
+
+def stage_documents_dir(sf_dir: str) -> str:
+    """Same staging trick as stage_events_dir, for the documents table."""
+    name = "documents_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    stage = os.path.abspath(os.path.join(_STAGING_ROOT, name))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
+def _gate_bounds() -> tuple[int, int, int, int]:
+    from ..operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return (
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        int(GOPHER_MIN_MEAN_WORD_LEN * 10),
+        int(GOPHER_MAX_MEAN_WORD_LEN * 10),
+    )
+
+
+def _stream_gate_oracle() -> str:
+    lo, hi, mlo, mhi = _gate_bounds()
+    toks = (
+        "list_filter(string_split_regex(lower(trim(text)), "
+        "'[ \\t\\n\\f\\r]'), w -> w <> '')"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT source,
+             len({toks}) AS n,
+             length(array_to_string({toks}, '')) AS sum_wl
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n >= {lo} AND n <= {hi}
+                 AND sum_wl * 10 >= n * {mlo}
+                 AND sum_wl * 10 <= n * {mhi}) AS BIGINT) AS n_pass,
+           round(count(*) FILTER (WHERE n >= {lo} AND n <= {hi}
+                 AND sum_wl * 10 >= n * {mlo}
+                 AND sum_wl * 10 <= n * {mhi}) * 1e0 / count(*), 6)
+             AS pass_frac
+    FROM sig GROUP BY source
+    """
+
+
+@register("stream_quality_gate", _stream_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating IN-STREAM: per-source pass rates for the core
+    Gopher bounds (word count, mean word length — shared constants with
+    quality_gopher_rules) computed over a document file stream — the
+    shape of a live ingestion pipeline where pages are gated as they
+    land instead of by a nightly batch pass.
+
+    The gate signals are PER-ROW stateless expressions (split / size /
+    array_join-length, all codegen; mean-word-length bounds compare as
+    exact integers, sum_wl*10 vs n*bound, so stream and oracle agree
+    bit-for-bit); the only state is the |sources|-keyed rollup.
+    Complete output mode makes the memory-sink table equal the batch
+    GROUP BY — the oracle-checkable configuration; production uses
+    append mode + watermark on an arrival-time column with the same
+    gate expressions.
+
+    Scale: stateless gating is scan-parallel at any rate; rollup state
+    is O(|sources|) per partition. The full Gopher/C4 gate set (line
+    fractions, stopwords) is the same per-row shape and rides the same
+    stream — this pipeline pins the composition, not a new gate.
+    """
+    stage = stage_documents_dir(sf_dir)
+    schema = spark.read.parquet(stage).schema
+    docs = spark.readStream.schema(schema).parquet(stage)
+    lo, hi, mlo, mhi = _gate_bounds()
+    toks = (
+        "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\f\\\\r]'), "
+        "w -> w <> '')"
+    )
+    sig = docs.select(
+        "source",
+        F.expr(f"size({toks})").alias("n"),
+        F.expr(f"length(array_join({toks}, ''))").alias("sum_wl"),
+    )
+    passes = (
+        (F.col("n") >= lo)
+        & (F.col("n") <= hi)
+        & (F.col("sum_wl") * 10 >= F.col("n") * mlo)
+        & (F.col("sum_wl") * 10 <= F.col("n") * mhi)
+    )
+    agg = sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(passes, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.round(
+            F.sum(F.when(passes, 1).otherwise(0))
+            * F.lit(1e0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_frac"),
+    )
+    return _run_to_memory(agg, "complete")

@@ -863,19 +863,26 @@ def stage_documents_dir(sf_dir: str) -> str:
     return stage
 
 
-def _gate_bounds() -> tuple[int, int, int, int]:
-    from ..operators.text import (
-        GOPHER_MAX_MEAN_WORD_LEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_MEAN_WORD_LEN,
-        GOPHER_MIN_WORDS,
-    )
+# Local copies of the Gopher gate bounds. NOT imported from
+# operators.text: this module's register() calls run at import time, and
+# on PYTHON WORKERS the package import enters via operators/__init__
+# (unpickling a pandas UDF), where importing text mid-chain registers
+# the oracle-composing funnels before the dedup oracles exist
+# (KeyError 'dedup_exact' — broke every mapInPandas query). Equality
+# with the text.py constants is pinned by
+# tests/test_invariants.py::test_stream_gate_bounds_match_gopher.
+STREAM_GATE_MIN_WORDS = 5
+STREAM_GATE_MAX_WORDS = 10_000_000
+STREAM_GATE_MIN_MWL_X10 = 20
+STREAM_GATE_MAX_MWL_X10 = 120
 
+
+def _gate_bounds() -> tuple[int, int, int, int]:
     return (
-        GOPHER_MIN_WORDS,
-        GOPHER_MAX_WORDS,
-        int(GOPHER_MIN_MEAN_WORD_LEN * 10),
-        int(GOPHER_MAX_MEAN_WORD_LEN * 10),
+        STREAM_GATE_MIN_WORDS,
+        STREAM_GATE_MAX_WORDS,
+        STREAM_GATE_MIN_MWL_X10,
+        STREAM_GATE_MAX_MWL_X10,
     )
 
 
@@ -908,8 +915,9 @@ def _stream_gate_oracle() -> str:
 @register("stream_quality_gate", _stream_gate_oracle())
 def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating IN-STREAM: per-source pass rates for the core
-    Gopher bounds (word count, mean word length — shared constants with
-    quality_gopher_rules) computed over a document file stream — the
+    Gopher bounds (word count, mean word length — equal to the
+    quality_gopher_rules constants, pinned by test) computed over a
+    document file stream — the
     shape of a live ingestion pipeline where pages are gated as they
     land instead of by a nightly batch pass.
 

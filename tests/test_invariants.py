@@ -333,3 +333,27 @@ def test_containment_bounds_and_direction(spark, sf_small):
         assert abs(r.c_ab - round(r.n_common / r.n_a, 4)) < 1e-9, r
         assert abs(r.c_ba - round(r.n_common / r.n_b, 4)) < 1e-9, r
         assert max(r.c_ab, r.c_ba) >= CONTAINMENT_THRESHOLD, r
+
+
+def test_stream_gate_bounds_match_gopher():
+    """stream_quality_gate keeps LOCAL copies of the Gopher bounds
+    (importing operators.text at pipelines import time broke the
+    worker-side import order for every mapInPandas query); this pin is
+    the anti-drift coupling."""
+    from dbt_bigquery_udf_spark.operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+    from dbt_bigquery_udf_spark.streaming.pipelines import (
+        STREAM_GATE_MAX_MWL_X10,
+        STREAM_GATE_MAX_WORDS,
+        STREAM_GATE_MIN_MWL_X10,
+        STREAM_GATE_MIN_WORDS,
+    )
+
+    assert STREAM_GATE_MIN_WORDS == GOPHER_MIN_WORDS
+    assert STREAM_GATE_MAX_WORDS == GOPHER_MAX_WORDS
+    assert STREAM_GATE_MIN_MWL_X10 == int(GOPHER_MIN_MEAN_WORD_LEN * 10)
+    assert STREAM_GATE_MAX_MWL_X10 == int(GOPHER_MAX_MEAN_WORD_LEN * 10)

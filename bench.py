@@ -67,6 +67,7 @@ HEADLINE = [
     "q12_ship_priority",
     "train_split_shards",
     "emb_kmeans_step",
+    "emb_kmeans_train",
     "fuzzy_name_pairs",
     "pii_scan",
     "market_basket_pairs",

@@ -558,6 +558,150 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(norms, "cluster_id").orderBy("cluster_id")
 
 
+# -- k-means TRAINING (Lloyd's iterated — the full IVF trainer) ------------
+
+KMEANS_TRAIN_ROUNDS = 3
+
+
+def _duck_kmeans_train() -> str:
+    """Unrolled-CTE DuckDB twin of the iterated Lloyd trainer: round r
+    assigns against the round r-1 centroids, then recomputes them —
+    the same unroll-the-loop oracle pattern as PageRank-converged."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {KMEANS_K})",
+    ]
+    for r in range(1, KMEANS_TRAIN_ROUNDS + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{r - 1} c GROUP BY e.vec_id
+    )""",
+            f"""a{r} AS (
+      SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid,
+             CAST(substr(p, 1, 15) AS DOUBLE) AS d
+      FROM p{r}
+    )""",
+            f"""s{r} AS (
+      SELECT {r} AS round, cid AS cluster_id, count(*) AS n_vecs,
+             CAST(sum(CAST(floor(d * d * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS inertia_micros
+      FROM a{r} GROUP BY cid
+    )""",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"""c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)""",
+            f"""n{r} AS (
+      SELECT cid AS cluster_id,
+             printf('%.4f', round(sqrt(sum(m * m)), 4) + 0.0) AS centroid_norm
+      FROM dims{r} GROUP BY cid
+    )""",
+        ]
+    unions = "\n    UNION ALL ".join(
+        f"SELECT round, cluster_id, n_vecs, centroid_norm, inertia_micros\n"
+        f"    FROM s{r} JOIN n{r} USING (cluster_id)"
+        for r in range(1, KMEANS_TRAIN_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+        + "\n    ORDER BY round, cluster_id"
+    )
+
+
+@register("emb_kmeans_train", _duck_kmeans_train())
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means iterated {KMEANS_TRAIN_ROUNDS} rounds (k=4,
+    deterministic lowest-vec_id init) — the full IVF-index training
+    loop next to the single oracle-checkable step (emb_kmeans_step),
+    emitting the per-round training trajectory: cluster sizes, centroid
+    norms, and integer-exact inertia (what a production trainer logs to
+    decide k and convergence).
+
+    Round r semantics (both engines identically): assign every vector
+    against the round r-1 centroids (argmin encoded as min over
+    '%015.6f|%05d'(dist, cid) strings — distance ties break on cid),
+    log n_vecs + inertia of THAT assignment, then recompute centroids
+    as per-(cluster, dim) means rounded to 4 decimals. Inertia travels
+    as integer micro-units via floor(d*d*1e6 + 0.5) where d is parsed
+    back from the SAME 15-char distance string in both engines, so the
+    per-cluster sum is bit-exact regardless of addition order.
+
+    Scale: per round, assignment is k x 64 literal-folded distances
+    (no join, no shuffle — centroids ride the plan) over the PERSISTED
+    corpus, and the update shuffles only k x dims partial aggregates;
+    every driver collect is k-bounded (k summary rows + k x 64 centroid
+    cells). The returned trajectory is a driver-built k x rounds-row
+    DataFrame, so the cached corpus is released before return. This is
+    exactly the kmeans|| production shape minus sampled init; swapping
+    the literal centroids for a broadcast join generalizes to large k.
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "emb").persist()
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    zero = F.lit(0.0)
+    out_rows: list[tuple] = []
+    for rnd in range(1, KMEANS_TRAIN_ROUNDS + 1):
+        picks = []
+        for cid, cv in cents:
+            cvec = F.array(*[F.lit(x) for x in cv])
+            sq = F.aggregate(
+                F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
+                zero,
+                lambda s, x: s + x,
+            )
+            picks.append(
+                F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
+            )
+        assigned = e.select(
+            "vec_id",
+            "emb",
+            F.substring(F.least(*picks), 17, 5).cast("int").alias("cid"),
+            F.substring(F.least(*picks), 1, 15).cast("double").alias("d"),
+        )
+        stats = {
+            int(r["cid"]): (int(r["n_vecs"]), int(r["inertia_micros"]))
+            for r in assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(
+                    F.floor(F.col("d") * F.col("d") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("inertia_micros"),
+            )
+            .collect()
+        }
+        dim_rows = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for row in dim_rows:
+            by_cid.setdefault(int(row["cid"]), [0.0] * 64)[int(row["pos"])] = float(
+                row["m"]
+            )
+        cents = sorted(by_cid.items())
+        for cid, cv in cents:
+            norm = round(sum(m * m for m in cv) ** 0.5, 4) + 0.0
+            n_vecs, inertia = stats[cid]
+            out_rows.append((rnd, cid, n_vecs, "%.4f" % norm, inertia))
+    e.unpersist()
+    return spark.createDataFrame(
+        sorted(out_rows),
+        "round int, cluster_id int, n_vecs bigint, "
+        "centroid_norm string, inertia_micros bigint",
+    )
+
+
 # -- multi-probe LSH (the recall dial) -------------------------------------
 
 

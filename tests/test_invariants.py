@@ -357,3 +357,45 @@ def test_stream_gate_bounds_match_gopher():
     assert STREAM_GATE_MAX_WORDS == GOPHER_MAX_WORDS
     assert STREAM_GATE_MIN_MWL_X10 == int(GOPHER_MIN_MEAN_WORD_LEN * 10)
     assert STREAM_GATE_MAX_MWL_X10 == int(GOPHER_MAX_MEAN_WORD_LEN * 10)
+
+
+def test_kmeans_train_inertia_monotone_and_conserving(spark, sf_small):
+    """emb_kmeans_train: Lloyd's guarantees per-round total inertia is
+    non-increasing (up to the documented 4-decimal centroid rounding),
+    every round partitions the full corpus (n_vecs sums to the corpus
+    size each round, all k clusters non-empty here), and round 1's
+    summary equals the single-step operator's view of the same init —
+    an implementation error copied into both engines (e.g. assigning
+    against the NEW centroids) would break one of these even though
+    parity stays green."""
+    from dbt_bigquery_udf_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_TRAIN_ROUNDS,
+    )
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.sources.registry import register_sources
+
+    rows = QUERIES["emb_kmeans_train"](spark, sf_small).collect()
+    n_corpus = register_sources(spark, sf_small, tables=("embeddings",))[
+        "embeddings"
+    ].count()
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    assert sorted(by_round) == list(range(1, KMEANS_TRAIN_ROUNDS + 1))
+    inertias = []
+    for rnd, rs in sorted(by_round.items()):
+        assert sorted(r.cluster_id for r in rs) == list(range(KMEANS_K))
+        assert sum(r.n_vecs for r in rs) == n_corpus
+        inertias.append(sum(r.inertia_micros for r in rs))
+    # 4-decimal centroid rounding can perturb inertia by at most
+    # ~2*d*eps per vector; 1% slack is orders of magnitude above that.
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev * 1.01, inertias
+
+    step = {
+        (r.cluster_id): (r.n_vecs, r.centroid_norm)
+        for r in QUERIES["emb_kmeans_step"](spark, sf_small).collect()
+    }
+    for r in by_round[1]:
+        assert step[r.cluster_id] == (r.n_vecs, r.centroid_norm)

@@ -57,10 +57,13 @@ MINHASH_B = [
 
 # Shared shingle expressions (word 3-grams over lowercased text), kept
 # textually parallel between Spark SQL and the DuckDB oracle.
+# get() (0-based, NULL past the end) + concat_ws's null-skipping mirrors
+# the oracle's clamped slice for docs shorter than one shingle; a bare
+# words[i+2] ANSI-crashes on 1-2 word docs (tests/test_property_diff.py).
 _SPARK_SHINGLES = """
 array_distinct(transform(
   sequence(0, greatest(size(words) - 3, 0)),
-  i -> concat_ws(' ', words[i], words[i+1], words[i+2])
+  i -> concat_ws(' ', get(words, i), get(words, i+1), get(words, i+2))
 ))
 """
 

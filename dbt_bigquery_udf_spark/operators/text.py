@@ -188,10 +188,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 keeps it engine-portable and deterministic)."""
     d = _docs(spark, sf_dir)
     words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    # F.get (0-based, NULL past the end) + concat_ws's null-skipping
+    # mirrors the oracle's clamped list slice for docs shorter than one
+    # shingle; bare words[i + 2] would ANSI-crash on a 1-2 word doc
+    # (found by tests/test_property_diff.py, never by the sf corpora).
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(
-            " ", words[i], words[i + 1], words[i + 2]
+            " ", F.get(words, i), F.get(words, i + 1), F.get(words, i + 2)
         ),
     )
     return d.select(

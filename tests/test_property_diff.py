@@ -1,0 +1,129 @@
+"""Property-based differential testing: hypothesis-generated document
+corpora pushed through BOTH engines (Spark operator vs DuckDB oracle)
+via the driver-replica comparator.
+
+The fixture corpora and three-way references pin known inputs; this
+suite pins ARBITRARY inputs — empty strings, whitespace-only docs,
+punctuation runs, non-ASCII (including non-BMP 𝔘/😀, where UTF-16
+engines historically miscount lengths), and exact duplicates — against
+the dtype-sensitive hash the driver uses. A Spark/DuckDB divergence in
+tokenization, regex class semantics, or codepoint counting fails here
+before it can fail at the driver on real data.
+
+Runtime discipline: ONE corpus example exercises every operator under
+test, `max_examples` is small, and `derandomize=True` keeps CI
+deterministic (no flaky exploration; hypothesis still varies corpora
+across examples).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_bigquery_udf_spark.queries import ORACLES, QUERIES
+from dbt_bigquery_udf_spark.testing import TABLES, compare_query
+
+# Documents-only operators whose oracle must hash-match on ANY corpus.
+_OPS = (
+    "text_token_stats",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_clean",
+    "text_lang_id",
+    "quality_gopher_rules",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_novelty_ratio",
+)
+
+# ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP
+# codepoints. Deliberately excludes locale-trap casing chars (İ/ı whose
+# lowercase differs byte-wise across ICU versions) — that's a known,
+# documented engine boundary, not a regression this suite hunts.
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+    " \n\t"
+    ".,;:!?'\"()[]-_/@#$%&*+=<>|~^"
+    "éüñçøß中日𝔘😀"
+)
+
+_text = st.text(alphabet=st.sampled_from(list(_ALPHABET)), max_size=300)
+_corpus = st.lists(_text, min_size=1, max_size=6).flatmap(
+    lambda texts: st.booleans().map(
+        # exact-duplicate injection so dedup paths see real collisions
+        lambda dup: texts + [texts[0]] if dup else texts
+    )
+)
+_langs = st.lists(
+    st.sampled_from(["en", "de", "fr", "xx"]), min_size=12, max_size=12
+)
+
+
+_EXAMPLE_SEQ = iter(range(10**6))
+
+
+def _write_corpus(base: str, texts: list[str], langs: list[str]) -> str:
+    """Materialize an sf-layout dir: generated documents + symlinks to
+    the sf0.001 parquet for every other table (compare_query binds all
+    ten views eagerly). Each example gets a FRESH directory: operators
+    memoize stages per sf_dir and Spark's CacheManager serves persisted
+    data by plan equality, so overwriting one path in place would feed
+    later examples stale bytes through either cache. A new path is a
+    new plan — no eviction protocol to get wrong."""
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = os.path.join(root, f"{t}.parquet")
+        os.symlink(os.path.join(sf_small, f"{t}.parquet"), dst)
+    rows = {
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": texts,
+        "lang": [langs[i % len(langs)] for i in range(len(texts))],
+        "source": ["srcA" if i % 2 else "srcB" for i in range(len(texts))],
+        "n_chars": [len(t) for t in texts],
+    }
+    table = pa.table(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "documents.parquet"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def prop_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop_sf"))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_corpus, langs=_langs)
+def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
+    ex_dir = _write_corpus(prop_dir, texts, langs)
+    for name in _OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, texts)

@@ -41,6 +41,10 @@ _OPS = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_novelty_ratio",
+    "quality_c4_rules",
+    "text_chunk_windows",
+    "bpe_pair_counts",
+    "text_repetition_stats",
 )
 
 # ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP

@@ -455,7 +455,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+           round((list_dot_product(a.emb, b.emb) / nullif(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)), 0)), 4) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     ORDER BY cosine DESC, vec_a, vec_b
     LIMIT 20
@@ -475,7 +475,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = (
         "sqrt(aggregate(transform({side}.emb, x -> x * x), cast(0 as double), (s, x) -> s + x))"
     )
-    cos = F.expr(f"{dot} / ({nrm.format(side='a')} * {nrm.format(side='b')})")
+    # Zero-norm guard as plain CASE (NOT nullif — its With node blocks
+    # TakeOrderedAndProject fusion; see similarity._cosine_expr).
+    den = f"({nrm.format(side='a')} * {nrm.format(side='b')})"
+    cos = F.expr(
+        f"{dot} / (CASE WHEN {den} = cast(0 as double) "
+        f"THEN cast(null as double) ELSE {den} END)"
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -795,7 +801,7 @@ def duck_cluster_assign_ctes() -> str:
       FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
       JOIN e ex ON ex.vec_id = x.vec_id
       JOIN e ey ON ey.vec_id = y.vec_id
-      WHERE round(list_cosine_similarity(ex.emb, ey.emb), 4) >= {SEMDEDUP_COS}
+      WHERE round((list_dot_product(ex.emb, ey.emb) / nullif(sqrt(list_dot_product(ex.emb, ex.emb)) * sqrt(list_dot_product(ey.emb, ey.emb)), 0)), 4) >= {SEMDEDUP_COS}
     )
     SELECT a.vec_id, a.cluster_id FROM a
     WHERE a.vec_id NOT IN (SELECT vb FROM pairs)
@@ -843,7 +849,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assigned, dims = _cluster_assigned(spark, sf_dir)
     dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
-    cos = F.expr(f"({dot_sql}) / (a.nrm * b.nrm)")
+    # Zero-norm guard as plain CASE (NOT nullif — its With node blocks
+    # TakeOrderedAndProject fusion; see similarity._cosine_expr).
+    cos = F.expr(
+        f"({dot_sql}) / (CASE WHEN a.nrm * b.nrm = cast(0 as double) "
+        "THEN cast(null as double) ELSE a.nrm * b.nrm END)"
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

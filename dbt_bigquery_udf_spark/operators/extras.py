@@ -714,7 +714,7 @@ def _rrf_oracle() -> str:
     q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     ann_raw AS (
       SELECT e.vec_id,
-             round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+             round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
       FROM e, q
       WHERE e.vec_id <> {QUERY_VEC_ID}
       ORDER BY cosine DESC, e.vec_id

@@ -54,9 +54,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_expr(a: str, b: str) -> str:
+    # Zero-norm guard: a zero vector (failed encode — present in any
+    # real 100 TB corpus) makes cosine NULL instead of ANSI-crashing
+    # the job with DIVIDE_BY_ZERO; the oracles carry the same guard and
+    # both engines order NULLS LAST under DESC (test_property_diff.py).
+    # Spelled as a plain CASE, NOT nullif(): nullif desugars to a
+    # With/CommonExpressionRef node that blocks TakeOrderedAndProject
+    # fusion — the shortlist top-k would regress to a full-corpus
+    # range-partitioned Sort (caught by test_plans.py). The textual
+    # duplication of the denominator is deduped by codegen subexpression
+    # elimination.
+    den = f"({_NRM.format(a=a)} * {_NRM.format(a=b)})"
     return (
         f"{_DOT.format(a=a, b=b)} / "
-        f"({_NRM.format(a=a)} * {_NRM.format(a=b)})"
+        f"(CASE WHEN {den} = cast(0 as double) THEN cast(null as double) "
+        f"ELSE {den} END)"
     )
 
 
@@ -69,7 +81,7 @@ def _cosine_expr(a: str, b: str) -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+           round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e, q
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, e.vec_id
@@ -108,10 +120,10 @@ def _duck_batch_topk() -> str:
     q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id IN ({ids})),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine,
+             round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine,
              row_number() OVER (
                PARTITION BY q.query_id
-               ORDER BY round(list_cosine_similarity(e.emb, q.qv), 4) DESC,
+               ORDER BY round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) DESC,
                         e.vec_id) AS rk
       FROM e JOIN q ON e.vec_id <> q.query_id
     )
@@ -180,7 +192,7 @@ def _spark_bucket(col: str) -> str:
     ),
     q AS (SELECT emb AS qv, bucket AS qb FROM e WHERE vec_id = {QUERY_VEC_ID})
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+           round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e, q
     WHERE e.bucket = q.qb AND e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, e.vec_id
@@ -252,10 +264,10 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     best AS (
       SELECT carr.label FROM carr, q
-      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
+      ORDER BY (list_dot_product(carr.cvec, q.qv) / nullif(sqrt(list_dot_product(carr.cvec, carr.cvec)) * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, carr.label
       LIMIT 1
     )
-    SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    SELECT e.vec_id, round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e, q, best
     WHERE e.label = best.label AND e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, e.vec_id
@@ -448,15 +460,18 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scale"),
     )
     q = emb.crossJoin(F.broadcast(bounds))
+    # A constant corpus makes scale 0; NULL codes (matching DuckDB's
+    # x/0 -> NULL) instead of an ANSI DIVIDE_BY_ZERO crash.
+    scale = F.nullif(F.col("scale"), F.lit(0.0))
     code = lambda i: (  # noqa: E731
-        F.round((F.element_at("embedding", i) - F.col("lo")) / F.col("scale"), 0)
+        F.round((F.element_at("embedding", i) - F.col("lo")) / scale, 0)
         .cast("bigint")
         - 127
     )
     dequant_err = F.transform(
         "embedding",
         lambda x: F.abs(
-            x - (F.col("lo") + F.round((x - F.col("lo")) / F.col("scale"), 0) * F.col("scale"))
+            x - (F.col("lo") + F.round((x - F.col("lo")) / scale, 0) * scale)
         ),
     )
     return q.select(
@@ -715,7 +730,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT emb AS qv, bucket AS qb FROM e WHERE vec_id = {QUERY_VEC_ID})
     SELECT e.vec_id,
-           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+           round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e, q
     WHERE e.bucket IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
       AND e.vec_id <> {QUERY_VEC_ID}
@@ -773,7 +788,7 @@ _DUCK_IVF_PROBES = f"""\n    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[
     q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     best AS (
       SELECT carr.label FROM carr, q
-      ORDER BY list_cosine_similarity(carr.cvec, q.qv) DESC, carr.label
+      ORDER BY (list_dot_product(carr.cvec, q.qv) / nullif(sqrt(list_dot_product(carr.cvec, carr.cvec)) * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, carr.label
       LIMIT {IVF_NPROBE}
     )"""
 
@@ -814,7 +829,7 @@ def _ivf_probe_lists(e: DataFrame):
 @register(
     "sim_ivf_multiprobe",
     _DUCK_IVF_PROBES + f"""
-    SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+    SELECT e.vec_id, round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e, q
     WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cosine DESC, e.vec_id
@@ -866,7 +881,7 @@ RERANK_SHORTLIST = 50
       ORDER BY approx DESC, e.vec_id
       LIMIT {RERANK_SHORTLIST}
     )
-    SELECT s.vec_id, round(list_cosine_similarity(s.emb, q.qv), 4) AS cosine
+    SELECT s.vec_id, round((list_dot_product(s.emb, q.qv) / nullif(sqrt(list_dot_product(s.emb, s.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM shortlist s, q
     ORDER BY cosine DESC, s.vec_id
     LIMIT {TOP_K}
@@ -940,7 +955,7 @@ HAMMING_SHORTLIST = 50  # stage-1 candidates kept by Hamming distance
       SELECT * FROM h ORDER BY hamming, vec_id LIMIT {HAMMING_SHORTLIST}
     )
     SELECT vec_id, hamming,
-           round(list_cosine_similarity(emb, qv), 4) AS cosine
+           round((list_dot_product(emb, qv) / nullif(sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv)), 0)), 4) AS cosine
     FROM short
     ORDER BY cosine DESC, vec_id
     LIMIT {TOP_K}
@@ -1325,7 +1340,7 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.vec_id
     )
     SELECT a.vec_id, a.adc_d2_micro,
-           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+           round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM adc a JOIN e ON e.vec_id = a.vec_id, q
     ORDER BY a.adc_d2_micro ASC, a.vec_id
     LIMIT {TOP_K}
@@ -1434,10 +1449,10 @@ def _duck_hard_negatives() -> str:
     scored AS (
       SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
              e.label AS negative_label,
-             round(list_cosine_similarity(e.emb, a.av), 4) AS cosine,
+             round((list_dot_product(e.emb, a.av) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(a.av, a.av)), 0)), 4) AS cosine,
              row_number() OVER (
                PARTITION BY a.anchor_id
-               ORDER BY round(list_cosine_similarity(e.emb, a.av), 4) DESC,
+               ORDER BY round((list_dot_product(e.emb, a.av) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(a.av, a.av)), 0)), 4) DESC,
                         e.vec_id) AS rk
       FROM e JOIN a ON e.label <> a.anchor_label
     )
@@ -1513,13 +1528,13 @@ def _duck_mmr() -> str:
     q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     cand AS MATERIALIZED (
       SELECT e.vec_id, e.emb,
-             CAST(round(list_cosine_similarity(e.emb, q.qv) * 1000000) AS BIGINT) AS simq
+             CAST(round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)) * 1000000) AS BIGINT) AS simq
       FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
       ORDER BY simq DESC, e.vec_id LIMIT {MMR_CANDIDATES}
     ),
     pairs AS MATERIALIZED (
       SELECT a.vec_id AS ai, b.vec_id AS bi,
-             CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000) AS BIGINT) AS sim
+             CAST(round((list_dot_product(a.emb, b.emb) / nullif(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)), 0)) * 1000000) AS BIGINT) AS sim
       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
     ),
     chosen0(vec_id, rk, score) AS (SELECT CAST(NULL AS BIGINT), 0, CAST(NULL AS BIGINT) WHERE false)
@@ -1631,9 +1646,9 @@ def _duck_range_search() -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id IN ({ids}))
     SELECT q.query_id, e.vec_id,
-           round(list_cosine_similarity(e.emb, q.qv), 4) AS cosine
+           round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
     FROM e JOIN q ON e.vec_id <> q.query_id
-    WHERE round(list_cosine_similarity(e.emb, q.qv), 4) >= {RANGE_COS_TAU}
+    WHERE round((list_dot_product(e.emb, q.qv) / nullif(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) >= {RANGE_COS_TAU}
     """
 
 
@@ -1679,7 +1694,7 @@ KNN_GRAPH_K = 5
 def _knn_graph_oracle() -> str:
     from .dedup import duck_cluster_assign_ctes
 
-    cos = "round(list_cosine_similarity(ex.emb, ey.emb), 4)"
+    cos = "round((list_dot_product(ex.emb, ey.emb) / nullif(sqrt(list_dot_product(ex.emb, ex.emb)) * sqrt(list_dot_product(ey.emb, ey.emb)), 0)), 4)"
     return duck_cluster_assign_ctes() + f""",
     edges AS (
       SELECT x.vec_id AS src, y.vec_id AS dst, x.cluster_id,

@@ -131,3 +131,76 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
     for name in _OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r, texts)
+
+
+# -- embeddings side --------------------------------------------------------
+
+# Operators that read only the embeddings table. Vector values are
+# 3-decimal rationals (exactly round-trippable through float32 within
+# the comparator's 6-decimal tolerance); corpora deliberately include
+# all-zero vectors (cosine's 0/0), exact duplicate vectors, and
+# constant corpora (quantizer scale = 0).
+_EMB_OPS = (
+    "sim_topk_brute",
+    "emb_norm_stats",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "emb_kmeans_step",
+    "dedup_embedding_cosine",
+)
+
+_vec = st.lists(
+    st.integers(-1000, 1000).map(lambda i: i / 1000.0),
+    min_size=64,
+    max_size=64,
+)
+_vectors = st.lists(_vec, min_size=5, max_size=10).flatmap(
+    lambda vs: st.tuples(st.booleans(), st.booleans()).map(
+        lambda fl: vs
+        + ([vs[0]] if fl[0] else [])        # exact duplicate vector
+        + ([[0.0] * 64] if fl[1] else [])   # zero vector (0/0 cosine)
+    )
+)
+
+
+def _write_embeddings(base: str, vectors: list[list[float]]) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    table = pa.table(
+        {
+            "vec_id": list(range(len(vectors))),
+            "embedding": vectors,
+            "label": [i % 3 for i in range(len(vectors))],
+        },
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vectors=_vectors)
+def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
+    ex_dir = _write_embeddings(prop_dir, vectors)
+    for name in _EMB_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r)

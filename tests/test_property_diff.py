@@ -204,3 +204,89 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
     for name in _EMB_OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r)
+
+
+# -- events side ------------------------------------------------------------
+
+# Edge cases the sf generators never produce: EQUAL timestamps within a
+# user (window tie-breaks), single-event users/sessions, all events in
+# one hour, missing JSON keys, negative values. `value` is a multiple of
+# 0.25 (exactly representable) so double sums are order-free and parity
+# is exact regardless of partitioning/aggregation order.
+_EVT_OPS = (
+    "events_sessionize",
+    "events_hourly_windows",
+    "events_json_extract",
+    "events_rolling_wau",
+    "graph_event_transitions",
+    "funnel_signup_purchase",
+    "events_pareto_concentration",
+    "events_cohort_retention",
+    "timeseries_locf",
+)
+
+_EPOCH_NS = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z
+
+_event = st.tuples(
+    st.integers(0, 3),                                   # user_id
+    st.sampled_from(["signup", "purchase", "click", "error", "view"]),
+    st.integers(0, 5_000),                               # offset seconds
+    st.integers(-400, 400).map(lambda i: i / 4.0),       # value (k/4)
+    st.one_of(st.integers(-99, 99), st.none()),          # props k (None=absent)
+)
+_events = st.lists(_event, min_size=1, max_size=25)
+
+
+def _write_events(base: str, events: list[tuple]) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    table = pa.table(
+        {
+            "event_id": list(range(len(events))),
+            "ts": pa.array(
+                [_EPOCH_NS + off * 10**9 for _, _, off, _, _ in events],
+                type=pa.timestamp("ns"),
+            ),
+            "user_id": [u for u, _, _, _, _ in events],
+            "event_type": [t for _, t, _, _, _ in events],
+            "value": [v for _, _, _, v, _ in events],
+            "props": [
+                '{"k": %d}' % k if k is not None else '{"x": 1}'
+                for _, _, _, _, k in events
+            ],
+        },
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("ns")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "events.parquet"))
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_events)
+def test_event_ops_parity_on_arbitrary_logs(spark, prop_dir, events):
+    ex_dir = _write_events(prop_dir, events)
+    for name in _EVT_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, events)

@@ -475,12 +475,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = (
         "sqrt(aggregate(transform({side}.emb, x -> x * x), cast(0 as double), (s, x) -> s + x))"
     )
-    # Zero-norm guard as plain CASE (NOT nullif — its With node blocks
-    # TakeOrderedAndProject fusion; see similarity._cosine_expr).
-    den = f"({nrm.format(side='a')} * {nrm.format(side='b')})"
+    # Zero-norm guard via try_divide (NULL on zero, single evaluation,
+    # no plan-shape side effects; see similarity._cosine_expr).
     cos = F.expr(
-        f"{dot} / (CASE WHEN {den} = cast(0 as double) "
-        f"THEN cast(null as double) ELSE {den} END)"
+        f"try_divide({dot}, {nrm.format(side='a')} * {nrm.format(side='b')})"
     )
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -849,12 +847,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assigned, dims = _cluster_assigned(spark, sf_dir)
     dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
-    # Zero-norm guard as plain CASE (NOT nullif — its With node blocks
-    # TakeOrderedAndProject fusion; see similarity._cosine_expr).
-    cos = F.expr(
-        f"({dot_sql}) / (CASE WHEN a.nrm * b.nrm = cast(0 as double) "
-        "THEN cast(null as double) ELSE a.nrm * b.nrm END)"
-    )
+    # Zero-norm guard via try_divide (NULL on zero, single evaluation,
+    # no plan-shape side effects; see similarity._cosine_expr).
+    cos = F.expr(f"try_divide({dot_sql}, a.nrm * b.nrm)")
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

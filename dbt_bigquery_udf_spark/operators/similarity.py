@@ -58,17 +58,16 @@ def _cosine_expr(a: str, b: str) -> str:
     # real 100 TB corpus) makes cosine NULL instead of ANSI-crashing
     # the job with DIVIDE_BY_ZERO; the oracles carry the same guard and
     # both engines order NULLS LAST under DESC (test_property_diff.py).
-    # Spelled as a plain CASE, NOT nullif(): nullif desugars to a
+    # try_divide, NOT nullif() and NOT a CASE: nullif desugars to a
     # With/CommonExpressionRef node that blocks TakeOrderedAndProject
-    # fusion — the shortlist top-k would regress to a full-corpus
-    # range-partitioned Sort (caught by test_plans.py). The textual
-    # duplication of the denominator is deduped by codegen subexpression
-    # elimination.
-    den = f"({_NRM.format(a=a)} * {_NRM.format(a=b)})"
+    # fusion (the shortlist top-k regressed to a full-corpus
+    # range-partitioned Sort — caught by test_plans.py), and a CASE
+    # duplicates the norm product, which the interpreted higher-order-
+    # function path evaluates TWICE per row (measured 3x on
+    # sim_topk_brute). try_divide is a single plain Divide(TRY).
     return (
-        f"{_DOT.format(a=a, b=b)} / "
-        f"(CASE WHEN {den} = cast(0 as double) THEN cast(null as double) "
-        f"ELSE {den} END)"
+        f"try_divide({_DOT.format(a=a, b=b)}, "
+        f"{_NRM.format(a=a)} * {_NRM.format(a=b)})"
     )
 
 
@@ -460,18 +459,24 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scale"),
     )
     q = emb.crossJoin(F.broadcast(bounds))
-    # A constant corpus makes scale 0; NULL codes (matching DuckDB's
-    # x/0 -> NULL) instead of an ANSI DIVIDE_BY_ZERO crash.
-    scale = F.nullif(F.col("scale"), F.lit(0.0))
+    # A constant corpus makes scale 0; try_divide yields NULL codes
+    # (matching DuckDB's x/0 -> NULL) instead of an ANSI crash.
+    scale = F.col("scale")
     code = lambda i: (  # noqa: E731
-        F.round((F.element_at("embedding", i) - F.col("lo")) / scale, 0)
+        F.round(
+            F.try_divide(F.element_at("embedding", i) - F.col("lo"), scale), 0
+        )
         .cast("bigint")
         - 127
     )
     dequant_err = F.transform(
         "embedding",
         lambda x: F.abs(
-            x - (F.col("lo") + F.round((x - F.col("lo")) / scale, 0) * scale)
+            x
+            - (
+                F.col("lo")
+                + F.round(F.try_divide(x - F.col("lo"), scale), 0) * scale
+            )
         ),
     )
     return q.select(

@@ -1746,7 +1746,9 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, dims = _cluster_assigned(spark, sf_dir)
     dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
-    cos = F.round(F.expr(f"({dot_sql}) / (a.nrm * b.nrm)"), 4)
+    # try_divide: zero-norm vectors yield NULL cosine, not an ANSI
+    # crash (see _cosine_expr).
+    cos = F.round(F.expr(f"try_divide({dot_sql}, a.nrm * b.nrm)"), 4)
     a, b = assigned.alias("a"), assigned.alias("b")
     from pyspark.sql import Window as W
 

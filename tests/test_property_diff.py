@@ -147,6 +147,8 @@ _EMB_OPS = (
     "emb_quantize_int8",
     "emb_kmeans_step",
     "dedup_embedding_cosine",
+    "emb_knn_graph",
+    "sim_range_search",
 )
 
 _vec = st.lists(

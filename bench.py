@@ -107,6 +107,7 @@ HEADLINE = [
     "sim_range_search",
     "dedup_containment",
     "emb_knn_graph",
+    "emb_label_propagation",
     "pipeline_dedup_funnel",
     "quality_classifier_score",
     "bpe_encode_corpus",

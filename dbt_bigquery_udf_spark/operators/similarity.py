@@ -1696,7 +1696,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 5
 
 
-def _knn_graph_oracle() -> str:
+def _knn_graph_ctes() -> str:
+    """Cluster-assignment + kNN-edge CTE chain (…, edges, knn), shared
+    by the kNN-graph oracle and the label-propagation oracle so the
+    graph construction can never drift between them."""
     from .dedup import duck_cluster_assign_ctes
 
     cos = "round((list_dot_product(ex.emb, ey.emb) / nullif(sqrt(list_dot_product(ex.emb, ex.emb)) * sqrt(list_dot_product(ey.emb, ey.emb)), 0)), 4)"
@@ -1712,6 +1715,11 @@ def _knn_graph_oracle() -> str:
       JOIN e ey ON ey.vec_id = y.vec_id
     ),
     knn AS (SELECT * FROM edges WHERE rk <= {KNN_GRAPH_K})
+    """
+
+
+def _knn_graph_oracle() -> str:
+    return _knn_graph_ctes() + """
     SELECT k.src, k.dst, k.cluster_id, k.rk, k.cosine,
            (m.src IS NOT NULL) AS mutual
     FROM knn k LEFT JOIN knn m ON m.src = k.dst AND m.dst = k.src
@@ -1788,5 +1796,103 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
             "cosine",
             F.col("m_src").isNotNull().alias("mutual"),
+        )
+    )
+
+
+# -- label propagation over the kNN graph -----------------------------------
+
+LABEL_PROP_SEED_MOD = 5  # vec_id % 5 == 0 -> labeled seed (20% of corpus)
+
+
+def _label_prop_oracle() -> str:
+    return _knn_graph_ctes() + f""",
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT k.src, s.label AS pred_label,
+             CAST(sum(CAST(round(k.cosine * 10000) AS BIGINT)) AS BIGINT)
+               AS vote_micro,
+             count(*) AS n_seed_votes
+      FROM knn k JOIN lab s ON s.vec_id = k.dst
+      WHERE s.vec_id % {LABEL_PROP_SEED_MOD} = 0
+      GROUP BY k.src, s.label
+    ),
+    best AS (
+      SELECT src, pred_label, vote_micro, n_seed_votes,
+             row_number() OVER (PARTITION BY src
+               ORDER BY vote_micro DESC, pred_label) AS rk
+      FROM votes
+    )
+    SELECT b.src AS vec_id, b.pred_label, b.vote_micro, b.n_seed_votes,
+           (b.src % {LABEL_PROP_SEED_MOD} = 0) AS is_seed,
+           (b.pred_label = l.label) AS agrees
+    FROM best b JOIN lab l ON l.vec_id = b.src
+    WHERE b.rk = 1
+    """
+
+
+@register("emb_label_propagation", _label_prop_oracle())
+def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of label propagation over the cluster-blocked kNN
+    graph: every vector whose top-{KNN_GRAPH_K} neighborhood contains a
+    labeled SEED (vec_id % {LABEL_PROP_SEED_MOD} == 0, the
+    20%-annotated-corpus scenario) takes the cosine-weighted majority
+    label of those seed neighbors — the standard semi-supervised label
+    spreading step for propagating scarce human annotations (quality
+    marks, topic tags, license classes) across an embedding corpus.
+    Iterating with the winners added to the seed set is the full
+    algorithm; each round is oracle-checkable like PageRank/k-means.
+
+    Exactness: votes are sums of round(cosine*1e4) INTEGER micro-weights
+    over the rounded edge cosines, so the per-(src,label) tally and the
+    (vote DESC, label) argmax tie-break are engine-identical.
+
+    Emits is_seed + agrees (prediction == own label) so the operator
+    doubles as its own transductive accuracy report — the number a real
+    deployment watches before trusting propagated labels.
+
+    Scale: reuses the persisted kNN edge table (n x k narrow rows); the
+    seed join shuffles edges on dst against an n/{LABEL_PROP_SEED_MOD}
+    label relation (NOT broadcast — at 100 TB the seed set is
+    corpus-sized); the vote aggregate and argmax window move
+    |srcs| x |labels| fixed-width rows. No stage touches vector data —
+    the graph was the only geometric cost.
+    """
+    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    edges = emb_knn_graph(spark, sf_dir)
+    seeds = (
+        lab.filter(F.col("vec_id") % LABEL_PROP_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("dst"), F.col("label").alias("pred_label"))
+    )
+    votes = (
+        edges.join(seeds, "dst")
+        .select(
+            "src",
+            "pred_label",
+            F.round(F.col("cosine") * 10000, 0).cast("bigint").alias("wm"),
+        )
+        .groupBy("src", "pred_label")
+        .agg(
+            F.sum("wm").cast("bigint").alias("vote_micro"),
+            F.count(F.lit(1)).alias("n_seed_votes"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    best = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("src").orderBy(F.col("vote_micro").desc(), "pred_label")
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        best.join(lab, best["src"] == lab["vec_id"])
+        .select(
+            F.col("src").alias("vec_id"),
+            "pred_label",
+            "vote_micro",
+            "n_seed_votes",
+            (F.col("src") % LABEL_PROP_SEED_MOD == 0).alias("is_seed"),
+            (F.col("pred_label") == F.col("label")).alias("agrees"),
         )
     )

@@ -399,3 +399,50 @@ def test_kmeans_train_inertia_monotone_and_conserving(spark, sf_small):
     }
     for r in by_round[1]:
         assert step[r.cluster_id] == (r.n_vecs, r.centroid_norm)
+
+
+def test_label_propagation_votes_consistent_with_graph(spark, sf_small):
+    """emb_label_propagation: one row per src; n_seed_votes in
+    [1, KNN_GRAPH_K]; the row set is exactly the srcs whose kNN
+    neighborhood contains a seed; and the predicted label is the true
+    argmax of the seed-neighbor vote tally recomputed from the graph —
+    a tie-break or join error would pass oracle parity only if copied
+    into both engines, which this recomputation catches."""
+    from dbt_bigquery_udf_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        LABEL_PROP_SEED_MOD,
+    )
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.sources.registry import register_sources
+
+    pred = {
+        r.vec_id: r
+        for r in QUERIES["emb_label_propagation"](spark, sf_small).collect()
+    }
+    edges = QUERIES["emb_knn_graph"](spark, sf_small).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in register_sources(spark, sf_small, tables=("embeddings",))[
+            "embeddings"
+        ].collect()
+    }
+    tally: dict[int, dict[int, list]] = {}
+    for e in edges:
+        if e.dst % LABEL_PROP_SEED_MOD == 0:
+            by_label = tally.setdefault(e.src, {})
+            w, n = by_label.get(labels[e.dst], (0, 0))
+            by_label[labels[e.dst]] = (w + round(e.cosine * 10000), n + 1)
+    assert set(pred) == set(tally)
+    for src, by_label in tally.items():
+        r = pred[src]
+        assert 1 <= r.n_seed_votes <= KNN_GRAPH_K
+        want = min(
+            by_label.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        assert (r.pred_label, r.vote_micro, r.n_seed_votes) == (
+            want[0],
+            want[1][0],
+            want[1][1],
+        ), (src, by_label, r)
+        assert r.is_seed == (src % LABEL_PROP_SEED_MOD == 0)
+        assert r.agrees == (r.pred_label == labels[src])

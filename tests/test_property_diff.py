@@ -292,3 +292,102 @@ def test_event_ops_parity_on_arbitrary_logs(spark, prop_dir, events):
     for name in _EVT_OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r, events)
+
+
+# -- lineitem side -----------------------------------------------------------
+
+# TPC-H-domain values (2-decimal money, percent-grid discount/tax) with
+# the edges the sf generator avoids: ship dates exactly AT q1's
+# 1998-09-02 cutoff, single-row groups, qty extremes, zero discounts.
+# Only lineitem is generated; other tables are the sf0.001 symlinks, so
+# join queries see FK misses — a parity-relevant edge of its own.
+_LI_OPS = (
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "decimal_money_sum",
+)
+
+_DAY_US = 86_400 * 10**6
+_CUTOFF_US = int(
+    (__import__("datetime").datetime(1998, 9, 2)
+     - __import__("datetime").datetime(1970, 1, 1)).total_seconds()
+) * 10**6
+
+_li_row = st.tuples(
+    st.integers(1, 30),                                  # l_orderkey
+    st.integers(1, 50),                                  # l_partkey
+    st.integers(1, 10),                                  # l_suppkey
+    st.integers(1, 50),                                  # l_quantity
+    st.integers(100, 10_000_000),                        # price cents
+    st.integers(0, 10),                                  # discount pct
+    st.integers(0, 8),                                   # tax pct
+    st.sampled_from(["R", "A", "N"]),
+    st.sampled_from(["F", "O"]),
+    st.integers(-400, 2),                                # days vs cutoff
+)
+_li_rows = st.lists(_li_row, min_size=1, max_size=30)
+
+
+def _write_lineitem(base: str, rows: list[tuple]) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "lineitem":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    table = pa.table(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": [r[2] for r in rows],
+            "l_linenumber": list(range(1, len(rows) + 1)),
+            "l_quantity": [float(r[3]) for r in rows],
+            "l_extendedprice": [r[4] / 100.0 for r in rows],
+            "l_discount": [r[5] / 100.0 for r in rows],
+            "l_tax": [r[6] / 100.0 for r in rows],
+            "l_returnflag": [r[7] for r in rows],
+            "l_linestatus": [r[8] for r in rows],
+            "l_shipdate": pa.array(
+                [_CUTOFF_US + r[9] * _DAY_US for r in rows],
+                type=pa.timestamp("us"),
+            ),
+        },
+        schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "lineitem.parquet"))
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_li_rows)
+def test_lineitem_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
+    ex_dir = _write_lineitem(prop_dir, rows)
+    for name in _LI_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, rows)

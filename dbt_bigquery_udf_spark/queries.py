@@ -268,7 +268,11 @@ _CURATED_WINDOW = (
     "sim_topk_brute",
     "sim_ivf_rerank",
     "sim_ivfpq_adc",
-    "emb_kmeans_step",
+    # round-6 continuation: the iterated trainer displaces the single
+    # step (identical per-round plan PLUS the loop — the same stronger-
+    # evidence swap as pagerank_converged over pagerank_step; the step
+    # stays verify_driver-checked past the window)
+    "emb_kmeans_train",
     "emb_hard_negatives",
     "emb_mmr_diversify",
     # text analysis (round 5: token_stats yields its slot to the
@@ -301,7 +305,10 @@ _CURATED_WINDOW = (
     "udtf_grouped_topk",
     "source_csv_roundtrip",
     "events_variant_extract",
-    "funnel_signup_purchase",
+    # round-6 continuation: funnel_signup_purchase (5th events-family
+    # rep, now also property-diff-tested) yields its slot to the new
+    # label-propagation round over the kNN graph
+    "emb_label_propagation",
 )
 # Round-7 rotation candidates (verify_driver-green but not yet
 # in-window): quality_c4_rules, sim_hamming_topk, sim_range_search,

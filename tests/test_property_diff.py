@@ -45,6 +45,11 @@ _OPS = (
     "text_chunk_windows",
     "bpe_pair_counts",
     "text_repetition_stats",
+    # multimodal: payloads are built FROM documents.text, so arbitrary
+    # corpora exercise the binary plumbing (empty text -> 0-pixel BMP)
+    "mm_media_stats",
+    "mm_payload_dedup",
+    "mm_decode_features",
 )
 
 # ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP

@@ -680,15 +680,27 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
             )
         assigned = e.select(
-            "vec_id",
             "emb",
             F.substring(F.least(*picks), 17, 5).cast("int").alias("cid"),
             F.substring(F.least(*picks), 1, 15).cast("double").alias("d"),
         )
-        stats = {
-            int(r["cid"]): (int(r["n_vecs"]), int(r["inertia_micros"]))
-            for r in assigned.groupBy("cid")
+        # ONE exploded aggregation per round carries the dim means AND
+        # the round stats: every vector contributes each pos exactly
+        # once, so count(*) and the inertia sum are IDENTICAL across a
+        # cid's 64 (cid, pos) groups and the driver reads them from the
+        # pos=0 slice. One scan of the cached corpus, one shuffle of
+        # k x 64 x 3 partials, one k x 64-row collect per round. (A
+        # 64-wide avg(get(emb, i)) single-group variant measured 1.25x
+        # SLOWER than this exploded single-buffer form — same lesson as
+        # the minhash signature build; and try_element_at's TryEval
+        # wrapper costs another 1.2x by dropping out of codegen.)
+        round_rows = (
+            assigned.select(
+                "cid", "d", F.posexplode("emb").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
             .agg(
+                (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"),
                 F.count(F.lit(1)).alias("n_vecs"),
                 F.sum(
                     F.floor(F.col("d") * F.col("d") * F.lit(1e6) + F.lit(0.5)).cast(
@@ -697,18 +709,14 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("inertia_micros"),
             )
             .collect()
-        }
-        dim_rows = (
-            assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
-            .collect()
         )
         by_cid: dict[int, list[float]] = {}
-        for row in dim_rows:
-            by_cid.setdefault(int(row["cid"]), [0.0] * 64)[int(row["pos"])] = float(
-                row["m"]
-            )
+        stats: dict[int, tuple[int, int]] = {}
+        for row in round_rows:
+            cid, pos = int(row["cid"]), int(row["pos"])
+            by_cid.setdefault(cid, [0.0] * 64)[pos] = float(row["m"])
+            if pos == 0:
+                stats[cid] = (int(row["n_vecs"]), int(row["inertia_micros"]))
         cents = sorted(by_cid.items())
         for cid, cv in cents:
             norm = round(sum(m * m for m in cv) ** 0.5, 4) + 0.0

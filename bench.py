@@ -68,6 +68,7 @@ HEADLINE = [
     "train_split_shards",
     "emb_kmeans_step",
     "emb_kmeans_train",
+    "emb_kcenter_init",
     "fuzzy_name_pairs",
     "pii_scan",
     "market_basket_pairs",

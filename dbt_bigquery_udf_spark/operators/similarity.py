@@ -1904,3 +1904,115 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("label")).alias("agrees"),
         )
     )
+
+
+# -- greedy farthest-point (k-center) init ----------------------------------
+
+KCENTER_STEPS = 3  # greedy picks AFTER the vec_id-0 seed -> k = 4 centers
+
+
+def _duck_kcenter_init() -> str:
+    """Unrolled greedy farthest-point oracle: step s picks the vector
+    maximizing its min distance to the s centers chosen so far (argmax
+    encoded like the k-means argmin: '%015.6f|%012d' with the id
+    INVERTED so distance ties break on the SMALLEST vec_id)."""
+    inv = 999_999_999_999
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    chosen = ["CAST(0 AS BIGINT)"]
+    for s in range(1, KCENTER_STEPS + 1):
+        dists = ", ".join(
+            f"round(list_distance(e.emb, (SELECT emb FROM e WHERE vec_id = {c})), 6)"
+            for c in chosen
+        )
+        mind = f"least({dists})" if len(chosen) > 1 else dists
+        ctes.append(
+            f"""p{s} AS (
+      SELECT max(printf('%015.6f|%012d', {mind}, {inv} - e.vec_id)) AS p
+      FROM e WHERE e.vec_id NOT IN ({", ".join(chosen)})
+    )"""
+        )
+        ctes.append(
+            f"""pick{s} AS (
+      SELECT CAST(round(CAST(substr(p, 1, 15) AS DOUBLE) * 1e6) AS BIGINT)
+               AS dist_micro,
+             {inv} - CAST(substr(p, 17, 12) AS BIGINT) AS vec_id
+      FROM p{s}
+    )"""
+        )
+        chosen.append(f"(SELECT vec_id FROM pick{s})")
+    unions = "\n    UNION ALL ".join(
+        [f"SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist_micro"]
+        + [
+            f"SELECT {s} AS step, vec_id, dist_micro FROM pick{s}"
+            for s in range(1, KCENTER_STEPS + 1)
+        ]
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + unions + "\n    ORDER BY step"
+    )
+
+
+@register("emb_kcenter_init", _duck_kcenter_init())
+def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point initialization (k-center / Gonzalez
+    2-approximation — the deterministic cousin of kmeans++ seeding):
+    seed with vec_id 0, then {KCENTER_STEPS} times pick the vector whose
+    min distance to the chosen centers is LARGEST. The emitted
+    dist_micro trajectory is non-increasing and step s's value is the
+    exact coverage radius of the first s centers — the number that
+    decides k for emb_kmeans_train, whose deterministic lowest-id init
+    this replaces in a production pipeline.
+
+    Determinism/exactness: per-center distances are rounded to 6
+    decimals before the least(); the argmax string '%015.6f|%012d'
+    INVERTS the id so ties break on the smallest vec_id; dist_micro =
+    round(d * 1e6) of the already-rounded d — all engine-identical.
+
+    Scale: step s is ONE scan with s literal-folded distance
+    expressions and a single max() — no join, no shuffle beyond the
+    1-row aggregate; the driver collects one row per step. k scans for
+    k centers is the textbook cost; at large k swap the literals for a
+    broadcast centers table exactly like the k-means assignment.
+    """
+    inv = 999_999_999_999
+    e = _emb(spark, sf_dir).select("vec_id", "emb").persist()
+    seed = e.filter(F.col("vec_id") == 0).select("emb").head()
+    chosen: list[tuple[int, list[float]]] = [
+        (0, [float(x) for x in seed[0]])
+    ]
+    out_rows: list[tuple] = [(0, 0, 0)]
+    zero = F.lit(0.0)
+    for s in range(1, KCENTER_STEPS + 1):
+        dists = []
+        for _, cv in chosen:
+            cvec = F.array(*[F.lit(x) for x in cv])
+            sq = F.aggregate(
+                F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
+                zero,
+                lambda s_, x: s_ + x,
+            )
+            dists.append(F.round(F.sqrt(sq), 6))
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        ids = [c for c, _ in chosen]
+        p = (
+            e.filter(~F.col("vec_id").isin(ids))
+            .select(
+                F.format_string(
+                    "%015.6f|%012d", mind, F.lit(inv) - F.col("vec_id")
+                ).alias("enc")
+            )
+            .agg(F.max("enc").alias("p"))
+            .head()["p"]
+        )
+        d = float(p[:15])
+        vid = inv - int(p[16:28])
+        out_rows.append((s, vid, int(round(d * 1e6))))
+        cv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == vid).select("emb").head()[0]
+        ]
+        chosen.append((vid, cv))
+    e.unpersist()
+    return spark.createDataFrame(
+        out_rows, "step int, vec_id bigint, dist_micro bigint"
+    )

@@ -446,3 +446,43 @@ def test_label_propagation_votes_consistent_with_graph(spark, sf_small):
         ), (src, by_label, r)
         assert r.is_seed == (src % LABEL_PROP_SEED_MOD == 0)
         assert r.agrees == (r.pred_label == labels[src])
+
+
+def test_kcenter_init_radius_monotone_and_valid(spark, sf_small):
+    """emb_kcenter_init: the greedy farthest-point guarantee — the
+    coverage-radius trajectory is strictly positive and NON-INCREASING
+    (each new center can only shrink the farthest gap), centers are
+    distinct, step 0 is the vec_id-0 seed, and step 1's distance equals
+    the true max distance-to-seed recomputed in numpy."""
+    import numpy as np
+
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.sources.registry import register_sources
+
+    rows = sorted(
+        QUERIES["emb_kcenter_init"](spark, sf_small).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows[0].step == 0 and rows[0].vec_id == 0 and rows[0].dist_micro == 0
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    dists = [r.dist_micro for r in rows[1:]]
+    assert all(d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+    emb = {
+        int(r.vec_id): np.array([float(x) for x in r.embedding])
+        for r in register_sources(spark, sf_small, tables=("embeddings",))[
+            "embeddings"
+        ].collect()
+    }
+    seed = emb[0]
+    best = max(
+        ((vid, round(float(np.sqrt(((v - seed) ** 2).sum())), 6))
+         for vid, v in emb.items() if vid != 0),
+        key=lambda t: (t[1], -t[0]),
+    )
+    assert (rows[1].vec_id, rows[1].dist_micro) == (
+        best[0],
+        int(round(best[1] * 1e6)),
+    )

@@ -482,3 +482,77 @@ def test_orders_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
     for name in _ORD_OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r, rows)
+
+
+# -- part side ---------------------------------------------------------------
+
+# String-function and histogram edges: duplicate part names, empty-ish
+# names, single-brand tables, identical retail prices (histogram bucket
+# ties), extreme sizes. Prices stay 2-decimal.
+_PART_OPS = (
+    "string_funcs_part",
+    "histogram_prices",
+    "q16_supplier_counts",
+    "q19_disjunctive_revenue",
+    "window_top_parts_per_brand",
+)
+
+_part_row = st.tuples(
+    st.sampled_from(
+        ["cold widget", "small widget", "BIG gear", "x", "warm warm sprocket"]
+    ),
+    st.integers(1, 5).map(lambda i: f"Brand#{i}"),
+    st.sampled_from(["ECONOMY", "STANDARD", "PROMO", "PROMO BURNISHED"]),
+    st.integers(1, 50),                                  # p_size
+    st.integers(100, 200_000),                           # price cents
+)
+_part_rows = st.lists(_part_row, min_size=1, max_size=25)
+
+
+def _write_part(base: str, rows: list[tuple]) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "part":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    table = pa.table(
+        {
+            "p_partkey": list(range(1, len(rows) + 1)),
+            "p_name": [r[0] for r in rows],
+            "p_brand": [r[1] for r in rows],
+            "p_type": [r[2] for r in rows],
+            "p_size": [r[3] for r in rows],
+            "p_retailprice": [r[4] / 100.0 for r in rows],
+        },
+        schema=pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int32()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "part.parquet"))
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_part_rows)
+def test_part_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
+    ex_dir = _write_part(prop_dir, rows)
+    for name in _PART_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, rows)

@@ -556,3 +556,77 @@ def test_part_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
     for name in _PART_OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r, rows)
+
+
+# -- customer side -----------------------------------------------------------
+
+# Segment/balance edges: negative balances, all-one-segment tables,
+# duplicate names (fuzzy-pair candidates), customers with no orders
+# (the symlinked orders cover custkeys 0..N of sf0.001 only).
+_CUST_OPS = (
+    "customer_rfm_segments",
+    "q13_customer_distribution",
+    "q22_idle_customers",
+    "semi_anti_join",
+    "fuzzy_name_pairs",
+)
+
+_cust_row = st.tuples(
+    st.sampled_from(
+        ["Customer#000000001", "Customer#000000002", "Custoner#000000001",
+         "Acme Corp", "acme corp", "Zeta  Ltd"]
+    ),
+    st.integers(0, 24),                                  # c_nationkey
+    st.integers(-99_999, 999_999),                       # balance cents
+    st.sampled_from(
+        ["FURNITURE", "AUTOMOBILE", "BUILDING", "MACHINERY", "HOUSEHOLD"]
+    ),
+)
+_cust_rows = st.lists(_cust_row, min_size=1, max_size=25)
+
+
+def _write_customer(base: str, rows: list[tuple]) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "customer":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    table = pa.table(
+        {
+            "c_custkey": list(range(1, len(rows) + 1)),
+            "c_name": [r[0] for r in rows],
+            "c_nationkey": [r[1] for r in rows],
+            "c_acctbal": [r[2] / 100.0 for r in rows],
+            "c_mktsegment": [r[3] for r in rows],
+        },
+        schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+                ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(root, "customer.parquet"))
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_cust_rows)
+def test_customer_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
+    ex_dir = _write_customer(prop_dir, rows)
+    for name in _CUST_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, rows)

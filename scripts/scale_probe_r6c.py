@@ -6,6 +6,10 @@
                      ~linearly with the corpus and the per-round driver
                      traffic stays k-bounded)
 - emb_kmeans_step   (the single round, as the per-round unit cost)
+- emb_kcenter_init  (k scans, each one literal-folded min-distance
+                     argmax — cost = k x one corpus pass)
+- emb_label_propagation (reuses the persisted kNN edges; the vote join
+                     and argmax window move n x k narrow rows)
 
     python scripts/scale_probe_r6c.py [N ...]     # default: 1 10 30
 
@@ -25,13 +29,15 @@ from _probe_common import stage, timed  # noqa: E402
 
 from dbt_bigquery_udf_spark import get_spark  # noqa: E402
 from dbt_bigquery_udf_spark.operators.similarity import (  # noqa: E402
+    emb_kcenter_init,
     emb_kmeans_step,
     emb_kmeans_train,
+    emb_label_propagation,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-OPS = (emb_kmeans_step, emb_kmeans_train)
+OPS = (emb_kmeans_step, emb_kmeans_train, emb_kcenter_init, emb_label_propagation)
 
 
 def main() -> None:

@@ -491,6 +491,41 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- k-means (one Lloyd iteration, the IVF-training inner loop) -----------
 
+def _kmeans_wide(e: DataFrame, dims: int = 64) -> DataFrame:
+    """Unpack the embedding into e0..e{dims-1} doubles: centroid
+    distances become FLAT arithmetic chains (whole-stage codegen)
+    instead of zip_with/aggregate lambdas, which evaluate interpreted —
+    the scale probe measured the HOF form 7x slower at x30 (same lesson
+    as _cluster_assigned / sim_ivfpq_adc)."""
+    return e.selectExpr(
+        "vec_id", "emb", *[f"emb[{i}] AS e{i}" for i in range(dims)]
+    )
+
+
+def _sq_dist_sql(cv: list[float]) -> str:
+    """Squared distance to a literal centroid as a flat left-assoc sum —
+    numerically identical to the fold (0.0 + t0 + ... ; squares are
+    non-negative so the dropped leading 0.0 is exact). `!r`+`D` keeps
+    the literals shortest-roundtrip DOUBLEs."""
+    return " + ".join(
+        f"(e{i} - {v!r}D) * (e{i} - {v!r}D)" for i, v in enumerate(cv)
+    )
+
+
+def _argmin_pick(cents: list[tuple[int, list[float]]]):
+    """least() over '%015.6f|%05d'(dist, cid) strings — ties on the
+    rounded distance break on cid, identically in every engine."""
+    picks = [
+        F.format_string(
+            "%015.6f|%05d",
+            F.round(F.sqrt(F.expr(_sq_dist_sql(cv))), 6),
+            F.lit(cid),
+        )
+        for cid, cv in cents
+    ]
+    return F.least(*picks) if len(picks) > 1 else picks[0]
+
+
 KMEANS_K = 4
 
 
@@ -529,11 +564,13 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     point is the full algorithm, and each step is oracle-checkable.
 
     Assignment is a broadcast of k 64-dim centroids folded into the
-    plan as LITERALS: per row, k JVM-side zip_with/aggregate distances
-    and an elementwise least() — no join, no shuffle, no Python. The
-    argmin is encoded as min over '%015.6f|%05d'(dist, cid) strings so
-    distance ties break on cid identically in every engine. The update
-    step is the posexplode + per-(cluster, dim) mean pattern from
+    plan as LITERALS over unpacked e0..e63 doubles: per row, k flat
+    codegen'd arithmetic chains and an elementwise least() — no join,
+    no shuffle, no Python, no interpreted higher-order lambdas (the
+    HOF form measured 7x slower at the x30 probe scale). The argmin is
+    encoded as min over '%015.6f|%05d'(dist, cid) strings so distance
+    ties break on cid identically in every engine. The update step is
+    the posexplode + per-(cluster, dim) mean pattern from
     emb_label_centroids: shuffle volume is k x dims partials, constant
     in corpus size.
 
@@ -547,22 +584,10 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in e.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "emb").collect()
     ]
-    zero = F.lit(0.0)
-    picks = []
-    for cid, cv in cents:
-        cvec = F.array(*[F.lit(x) for x in cv])
-        sq = F.aggregate(
-            F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda s, x: s + x,
-        )
-        picks.append(
-            F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
-        )
-    assigned = e.select(
+    assigned = _kmeans_wide(e).select(
         "vec_id",
         "emb",
-        F.substring(F.least(*picks), 17, 5).cast("int").alias("cluster_id"),
+        F.substring(_argmin_pick(cents), 17, 5).cast("int").alias("cluster_id"),
     )
     counts = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
     dims = (
@@ -660,29 +685,18 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the kmeans|| production shape minus sampled init; swapping
     the literal centroids for a broadcast join generalizes to large k.
     """
-    e = _emb(spark, sf_dir).select("vec_id", "emb").persist()
+    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
-        for r in e.filter(F.col("vec_id") < KMEANS_K).collect()
+        for r in e.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "emb").collect()
     ]
-    zero = F.lit(0.0)
     out_rows: list[tuple] = []
     for rnd in range(1, KMEANS_TRAIN_ROUNDS + 1):
-        picks = []
-        for cid, cv in cents:
-            cvec = F.array(*[F.lit(x) for x in cv])
-            sq = F.aggregate(
-                F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
-                zero,
-                lambda s, x: s + x,
-            )
-            picks.append(
-                F.format_string("%015.6f|%05d", F.round(F.sqrt(sq), 6), F.lit(cid))
-            )
+        pick = _argmin_pick(cents)
         assigned = e.select(
             "emb",
-            F.substring(F.least(*picks), 17, 5).cast("int").alias("cid"),
-            F.substring(F.least(*picks), 1, 15).cast("double").alias("d"),
+            F.substring(pick, 17, 5).cast("int").alias("cid"),
+            F.substring(pick, 1, 15).cast("double").alias("d"),
         )
         # ONE exploded aggregation per round carries the dim means AND
         # the round stats: every vector contributes each pos exactly
@@ -1975,23 +1989,16 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centers table exactly like the k-means assignment.
     """
     inv = 999_999_999_999
-    e = _emb(spark, sf_dir).select("vec_id", "emb").persist()
+    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
     seed = e.filter(F.col("vec_id") == 0).select("emb").head()
     chosen: list[tuple[int, list[float]]] = [
         (0, [float(x) for x in seed[0]])
     ]
     out_rows: list[tuple] = [(0, 0, 0)]
-    zero = F.lit(0.0)
     for s in range(1, KCENTER_STEPS + 1):
-        dists = []
-        for _, cv in chosen:
-            cvec = F.array(*[F.lit(x) for x in cv])
-            sq = F.aggregate(
-                F.zip_with(F.col("emb"), cvec, lambda x, y: (x - y) * (x - y)),
-                zero,
-                lambda s_, x: s_ + x,
-            )
-            dists.append(F.round(F.sqrt(sq), 6))
+        dists = [
+            F.round(F.sqrt(F.expr(_sq_dist_sql(cv))), 6) for _, cv in chosen
+        ]
         mind = F.least(*dists) if len(dists) > 1 else dists[0]
         ids = [c for c, _ in chosen]
         p = (

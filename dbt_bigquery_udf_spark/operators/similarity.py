@@ -512,18 +512,44 @@ def _sq_dist_sql(cv: list[float]) -> str:
     )
 
 
-def _argmin_pick(cents: list[tuple[int, list[float]]]):
-    """least() over '%015.6f|%05d'(dist, cid) strings — ties on the
-    rounded distance break on cid, identically in every engine."""
-    picks = [
-        F.format_string(
-            "%015.6f|%05d",
-            F.round(F.sqrt(F.expr(_sq_dist_sql(cv))), 6),
-            F.lit(cid),
-        )
-        for cid, cv in cents
-    ]
-    return F.least(*picks) if len(picks) > 1 else picks[0]
+def _assign_enc(
+    spark: SparkSession,
+    wide: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dims: int = 64,
+) -> DataFrame:
+    """(vec_id, enc) assignment via a broadcast centroid crossJoin and
+    min over integer encodings round(d,6)*1e6*100000 + cid — the SAME
+    total order as the oracle's '%015.6f|%05d' string min (ties on the
+    rounded distance break on cid), and the decoded d_micro/1e6 is the
+    identical double to parsing the oracle's 6-decimal string.
+
+    This is the `_cluster_assigned` shape, chosen over two measured
+    dead ends: per-centroid zip_with/aggregate lambdas evaluate
+    INTERPRETED (11x at the x30 probe), and folding k x 64 literal
+    chains into the plan costs ~2.5s of per-run analysis/codegen at ANY
+    scale. One 64-term codegen'd chain over a k-row broadcast + a
+    narrow (vec_id, enc) min-aggregate keeps both the plan and the
+    execution small."""
+    cents_wide = spark.createDataFrame(
+        [(cid, *cv) for cid, cv in cents],
+        "cid int, " + ", ".join(f"c{i} double" for i in range(dims)),
+    )
+    sq = " + ".join(f"(e{i} - c{i}) * (e{i} - c{i})" for i in range(dims))
+    enc = (
+        f"cast(round(round(sqrt({sq}), 6) * 1e6) as bigint) * 100000 + cid"
+    )
+    # emb rides the SAME aggregation (first() over k identical copies)
+    # so consumers need no join-back: the map-side partial min/first
+    # collapses the k crossJoin copies before the exchange, so the
+    # shuffle carries n x (enc + emb) — the same bytes a join-back
+    # would move, one exchange fewer.
+    return (
+        wide.crossJoin(F.broadcast(cents_wide))
+        .selectExpr("vec_id", f"({enc}) AS enc", "emb")
+        .groupBy("vec_id")
+        .agg(F.min("enc").alias("enc"), F.first("emb").alias("emb"))
+    )
 
 
 KMEANS_K = 4
@@ -563,44 +589,54 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-based corpus clustering; iterating this step to a fixed
     point is the full algorithm, and each step is oracle-checkable.
 
-    Assignment is a broadcast of k 64-dim centroids folded into the
-    plan as LITERALS over unpacked e0..e63 doubles: per row, k flat
-    codegen'd arithmetic chains and an elementwise least() — no join,
-    no shuffle, no Python, no interpreted higher-order lambdas (the
-    HOF form measured 7x slower at the x30 probe scale). The argmin is
-    encoded as min over '%015.6f|%05d'(dist, cid) strings so distance
-    ties break on cid identically in every engine. The update step is
-    the posexplode + per-(cluster, dim) mean pattern from
-    emb_label_centroids: shuffle volume is k x dims partials, constant
-    in corpus size.
+    Assignment is the `_assign_enc` broadcast shape (see its docstring
+    for the two measured dead ends it replaces): one codegen'd 64-term
+    distance chain over a k-row broadcast crossJoin, integer-encoded
+    argmin (same total order as the oracle's '%015.6f|%05d' string min,
+    ties on cid), and a narrow per-vector min-aggregate that carries
+    emb map-side. The update step is the posexplode + per-(cluster,
+    dim) mean pattern from emb_label_centroids: shuffle volume is
+    k x dims partials, constant in corpus size.
 
-    Scale: at 100 TB per iteration this is one scan + one k x 64-cell
-    aggregate; the driver-side collect is k vectors. Compare kmeans||
-    init: swap the literal centroids for a broadcast join — the shape
-    is otherwise unchanged.
+    Scale: at 100 TB per iteration this is one scan + one narrow
+    per-vector aggregate + one k x 64-cell aggregate; the driver-side
+    collect is k vectors. The broadcast centroid table already IS the
+    large-k production form.
     """
     e = _emb(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in e.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "emb").collect()
     ]
-    assigned = _kmeans_wide(e).select(
+    assigned = _assign_enc(spark, _kmeans_wide(e), cents).select(
         "vec_id",
         "emb",
-        F.substring(_argmin_pick(cents), 17, 5).cast("int").alias("cluster_id"),
+        (F.col("enc") % 100000).cast("int").alias("cluster_id"),
     )
-    counts = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # counts ride the exploded dim aggregation (every vector contributes
+    # each pos once, so count(*) is identical across a cluster's 64
+    # (cid, pos) groups — same fusion as the trainer): ONE assignment
+    # evaluation, one scan, no counts-vs-norms join at all.
     dims = (
         assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cluster_id", "pos")
-        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+        .agg(
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"),
+            F.count(F.lit(1)).alias("nv"),
+        )
     )
-    norms = dims.groupBy("cluster_id").agg(
-        F.format_string(
-            "%.4f", F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4) + F.lit(0.0)
-        ).alias("centroid_norm")
+    return (
+        dims.groupBy("cluster_id")
+        .agg(
+            F.max("nv").alias("n_vecs"),
+            F.format_string(
+                "%.4f",
+                F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4) + F.lit(0.0),
+            ).alias("centroid_norm"),
+        )
+        .select("cluster_id", "n_vecs", "centroid_norm")
+        .orderBy("cluster_id")
     )
-    return counts.join(norms, "cluster_id").orderBy("cluster_id")
 
 
 # -- k-means TRAINING (Lloyd's iterated — the full IVF trainer) ------------
@@ -692,11 +728,16 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out_rows: list[tuple] = []
     for rnd in range(1, KMEANS_TRAIN_ROUNDS + 1):
-        pick = _argmin_pick(cents)
-        assigned = e.select(
+        assigned = _assign_enc(spark, e, cents).select(
             "emb",
-            F.substring(pick, 17, 5).cast("int").alias("cid"),
-            F.substring(pick, 1, 15).cast("double").alias("d"),
+            (F.col("enc") % 100000).cast("int").alias("cid"),
+            # d_micro/1e6 is the same double as parsing the oracle's
+            # 6-decimal string: both nearest-double of one decimal.
+            (
+                (F.col("enc") - F.col("enc") % 100000)
+                / F.lit(100000)
+                / F.lit(1e6)
+            ).alias("d"),
         )
         # ONE exploded aggregation per round carries the dim means AND
         # the round stats: every vector contributes each pos exactly

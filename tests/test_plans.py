@@ -184,14 +184,21 @@ def test_q12_single_join_shuffle_with_pushdown(spark, sf_small):
     assert "l_extendedprice" not in cols and "o_totalprice" not in cols
 
 
-def test_kmeans_assignment_is_join_free(spark, sf_small):
-    """Centroids are plan literals: the assignment pass must contain no
-    join of any kind (the only joins allowed are the final k-row
-    counts-to-norms combine)."""
+def test_kmeans_assignment_is_broadcast_bounded(spark, sf_small):
+    """Assignment joins the corpus against a BROADCAST k-row centroid
+    table (one nested-loop crossJoin against a bounded relation — the
+    `_assign_enc` shape) and must never sort-merge: a sort-merge join
+    here would mean the centroid side stopped broadcasting and the
+    corpus shuffled on a join key. The only other join allowed is the
+    final k-row counts-to-norms combine."""
     f = _facts(spark, sf_small, "emb_kmeans_step")
-    assert f.nested_loop_joins == 0 and f.sort_merge_joins == 0
-    # counts ⋈ norms over k=4 rows broadcasts.
-    assert f.broadcast_joins <= 1
+    assert f.sort_merge_joins == 0
+    # exactly the assignment crossJoin (counted as both a nested-loop
+    # and a broadcast join — its build side is a BroadcastExchange);
+    # counts are fused into the exploded dim aggregation so there is no
+    # second join or scan.
+    assert f.nested_loop_joins == 1 and f.broadcast_joins <= 1
+    assert f.scans == 1, f.text
 
 
 def test_fuzzy_pairs_is_equi_join_not_cross(spark, sf_small):

@@ -110,6 +110,7 @@ HEADLINE = [
     "emb_knn_graph",
     "emb_label_propagation",
     "pipeline_dedup_funnel",
+    "pipeline_embedding_curation",
     "quality_classifier_score",
     "bpe_encode_corpus",
     "stream_quality_gate",

@@ -2064,3 +2064,83 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "step int, vec_id bigint, dist_micro bigint"
     )
+
+
+# -- embedding-curation pipeline audit ---------------------------------------
+
+
+def _emb_curation_oracle() -> str:
+    from ..queries import ORACLES as O
+
+    return f"""
+    SELECT 'kcenter' AS stage, 'coverage_radius_micro' AS metric,
+           CAST(max(dist_micro) AS BIGINT) AS value
+    FROM ({O["emb_kcenter_init"]})
+    UNION ALL
+    SELECT 'kmeans', 'final_inertia_micro',
+           CAST(sum(inertia_micros) AS BIGINT)
+    FROM ({O["emb_kmeans_train"]}) WHERE round = {KMEANS_TRAIN_ROUNDS}
+    UNION ALL
+    SELECT 'knn_graph', 'n_mutual_edges',
+           CAST(count(*) FILTER (WHERE mutual) AS BIGINT)
+    FROM ({O["emb_knn_graph"]})
+    UNION ALL
+    SELECT 'label_prop', 'n_agree',
+           CAST(count(*) FILTER (WHERE agrees) AS BIGINT)
+    FROM ({O["emb_label_propagation"]})
+    UNION ALL
+    SELECT 'label_prop', 'n_scored', CAST(count(*) AS BIGINT)
+    FROM ({O["emb_label_propagation"]})
+    ORDER BY stage, metric
+    """
+
+
+@register("pipeline_embedding_curation", _emb_curation_oracle())
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-stack AUDIT, sibling of pipeline_dedup_funnel /
+    pipeline_quality_funnel: one long (stage, metric, value) table over
+    the four curation stages — seeding coverage radius (k-center),
+    trained inertia (k-means), mutual-kNN edge count (graph substrate),
+    and label-propagation volume + transductive agreement — the summary
+    a 100 TB embedding-curation run logs per snapshot to decide k,
+    trust propagated labels, and catch geometry drift between corpus
+    versions.
+
+    Composition, not reimplementation: every branch calls the SAME
+    registered operator and the oracle embeds the SAME registered
+    oracle SQL, so the audit can never drift from the stages it
+    summarizes. Every value is an exact integer (micro-units or
+    counts); each branch collapses to ONE row map-side — the pipeline
+    adds no join or shuffle beyond its branches (the kNN stage is the
+    shared persisted substrate, computed once via the stage memo).
+    """
+    s = F.lit
+
+    def row(stage, metric, agg):
+        return (
+            s(stage).alias("stage"),
+            s(metric).alias("metric"),
+            agg.cast("bigint").alias("value"),
+        )
+
+    kc = emb_kcenter_init(spark, sf_dir).agg(
+        *row("kcenter", "coverage_radius_micro", F.max("dist_micro"))
+    )
+    km = (
+        emb_kmeans_train(spark, sf_dir)
+        .filter(F.col("round") == KMEANS_TRAIN_ROUNDS)
+        .agg(*row("kmeans", "final_inertia_micro", F.sum("inertia_micros")))
+    )
+    kg = emb_knn_graph(spark, sf_dir).agg(
+        *row("knn_graph", "n_mutual_edges", F.count_if(F.col("mutual")))
+    )
+    lp_df = emb_label_propagation(spark, sf_dir)
+    lp1 = lp_df.agg(*row("label_prop", "n_agree", F.count_if(F.col("agrees"))))
+    lp2 = lp_df.agg(*row("label_prop", "n_scored", F.count(F.lit(1))))
+    return (
+        kc.unionByName(km)
+        .unionByName(kg)
+        .unionByName(lp1)
+        .unionByName(lp2)
+        .orderBy("stage", "metric")
+    )

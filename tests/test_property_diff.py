@@ -630,3 +630,149 @@ def test_customer_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
     for name in _CUST_OPS:
         r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
         assert r["ok"] and r["status"] == "match", (name, r, rows)
+
+
+# -- joint orders + lineitem (join edges) -------------------------------------
+
+# The single-table suites exercise FK MISSES; this one generates BOTH
+# sides with consistent keys: orders with zero/one/many lineitems,
+# every line of an order late vs none, equal commit dates. Join-heavy
+# TPC-H shapes must stay oracle-exact on any such structure.
+_JOIN_OPS = (
+    "q3_top_orders",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_ship_priority",
+    "q18_large_orders",
+    "lateral_top_orders",
+)
+
+
+@st.composite
+def _joint_tables(draw):
+    n_orders = draw(st.integers(1, 12))
+    orders, lines = [], []
+    for ok in range(1, n_orders + 1):
+        orders.append(
+            (
+                ok,
+                draw(st.integers(1, 6)),                  # custkey
+                draw(st.sampled_from(["F", "O", "P"])),
+                draw(st.integers(100, 60_000_00)),        # cents
+                draw(st.integers(0, 2000)),               # days
+                draw(
+                    st.sampled_from(
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                         "4-NOT SPECIFIED", "5-LOW"]
+                    )
+                ),
+            )
+        )
+        for ln in range(draw(st.integers(0, 4))):         # 0 lines allowed
+            lines.append(
+                (
+                    ok,
+                    draw(st.integers(1, 20)),             # partkey
+                    draw(st.integers(1, 5)),              # suppkey
+                    ln + 1,
+                    draw(st.integers(1, 60)),             # qty
+                    draw(st.integers(100, 9_000_00)),     # price cents
+                    draw(st.integers(0, 10)),             # disc pct
+                    draw(st.integers(0, 8)),              # tax pct
+                    draw(st.sampled_from(["R", "A", "N"])),
+                    draw(st.sampled_from(["F", "O"])),
+                    draw(st.integers(-300, 300)),         # shipdate vs cutoff
+                )
+            )
+    return orders, lines
+
+
+def _write_joint(base: str, orders: list, lines: list) -> str:
+    root = os.path.join(base, f"ex{next(_EXAMPLE_SEQ)}")
+    os.makedirs(root)
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": [r[0] for r in orders],
+                "o_custkey": [r[1] for r in orders],
+                "o_orderstatus": [r[2] for r in orders],
+                "o_totalprice": [r[3] / 100.0 for r in orders],
+                "o_orderdate": pa.array(
+                    [_ORD_EPOCH_US + r[4] * _DAY_US for r in orders],
+                    type=pa.timestamp("us"),
+                ),
+                "o_orderpriority": [r[5] for r in orders],
+            },
+            schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_orderstatus", pa.string()),
+                    ("o_totalprice", pa.float64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(root, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": [r[0] for r in lines],
+                "l_partkey": [r[1] for r in lines],
+                "l_suppkey": [r[2] for r in lines],
+                "l_linenumber": [r[3] for r in lines],
+                "l_quantity": [float(r[4]) for r in lines],
+                "l_extendedprice": [r[5] / 100.0 for r in lines],
+                "l_discount": [r[6] / 100.0 for r in lines],
+                "l_tax": [r[7] / 100.0 for r in lines],
+                "l_returnflag": [r[8] for r in lines],
+                "l_linestatus": [r[9] for r in lines],
+                "l_shipdate": pa.array(
+                    [_CUTOFF_US + r[10] * _DAY_US for r in lines],
+                    type=pa.timestamp("us"),
+                ),
+            },
+            schema=pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("l_partkey", pa.int64()),
+                    ("l_suppkey", pa.int64()),
+                    ("l_linenumber", pa.int32()),
+                    ("l_quantity", pa.float64()),
+                    ("l_extendedprice", pa.float64()),
+                    ("l_discount", pa.float64()),
+                    ("l_tax", pa.float64()),
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("l_shipdate", pa.timestamp("us")),
+                ]
+            ),
+        ),
+        os.path.join(root, "lineitem.parquet"),
+    )
+    return root
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tables=_joint_tables())
+def test_join_ops_parity_on_joint_tables(spark, prop_dir, tables):
+    orders, lines = tables
+    ex_dir = _write_joint(prop_dir, orders, lines)
+    for name in _JOIN_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r)

@@ -118,6 +118,14 @@ def read_any(
     return (
         reader.option("header", "true")
         .option("mode", "PERMISSIVE")
+        # Embedded newlines inside quoted fields: without multiLine the
+        # reader splits records at raw line breaks and PERMISSIVE
+        # silently null-fills the fragments (caught by the property-diff
+        # roundtrip on newline-bearing strings). multiLine makes each
+        # FILE single-split on read — the documented CSV trade-off at
+        # scale: newline-bearing text wants many smaller files, or a
+        # real columnar format.
+        .option("multiLine", "true")
         # ISO-8601 with optional sub-second — matches the writer below.
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(path)

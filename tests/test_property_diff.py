@@ -230,13 +230,22 @@ _EVT_OPS = (
     "events_pareto_concentration",
     "events_cohort_retention",
     "timeseries_locf",
+    # format roundtrips: staged-to-CSV/JSONL/ORC and read back, oracle
+    # on the ORIGINAL — adversarial event_type strings (commas, quotes,
+    # newlines, unicode) exercise quoting/escaping fidelity
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
 )
 
 _EPOCH_NS = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z
 
 _event = st.tuples(
     st.integers(0, 3),                                   # user_id
-    st.sampled_from(["signup", "purchase", "click", "error", "view"]),
+    st.sampled_from(
+        ["signup", "purchase", "click", "error", "view",
+         "a,b", 'say "hi"', "line\nbreak", "tab\tsep", "ünïcode 中"]
+    ),
     st.integers(0, 5_000),                               # offset seconds
     st.integers(-400, 400).map(lambda i: i / 4.0),       # value (k/4)
     st.one_of(st.integers(-99, 99), st.none()),          # props k (None=absent)

@@ -236,6 +236,12 @@ _EVT_OPS = (
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "source_orc_roundtrip",
+    # structured-streaming representatives: availableNow over the staged
+    # log replays everything in bounded batches; results must match the
+    # batch oracle on ANY log (ties, hostile strings, single-user logs)
+    "stream_hourly_rollup",
+    "stream_dedup",
+    "stream_sessionize",
 )
 
 _EPOCH_NS = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z

@@ -1812,9 +1812,18 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cells| * 64 * 64 fixed-width rows on src; mutuality joins
     |n * k| narrow edges. All stages measured flat-to-sublinear for the
     shared assignment in scripts/scale_probe_r2.py.
-    """
-    from .dedup import _cluster_assigned
 
+    The finished edge table is memoized + PERSISTED per
+    (session, sf_dir) like the other shared stages: label propagation
+    and the curation audit both consume it, and without the memo each
+    consumer re-ran the pair join + rank window (measured 2x inside
+    pipeline_embedding_curation).
+    """
+    from .dedup import _STAGE_MEMO, _cluster_assigned, _memo_key
+
+    memo = _memo_key(spark, sf_dir, "knn_edges")
+    if memo in _STAGE_MEMO:
+        return _STAGE_MEMO[memo]
     assigned, dims = _cluster_assigned(spark, sf_dir)
     dot_sql = " + ".join(f"a.e{i} * b.e{i}" for i in range(dims))
     # try_divide: zero-norm vectors yield NULL cosine, not an ANSI
@@ -1846,7 +1855,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = edges.select(
         F.col("src").alias("m_dst"), F.col("dst").alias("m_src")
     )
-    return (
+    out = (
         edges.join(
             rev,
             (F.col("src") == F.col("m_src")) & (F.col("dst") == F.col("m_dst")),
@@ -1860,7 +1869,10 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.col("m_src").isNotNull().alias("mutual"),
         )
+        .persist()
     )
+    _STAGE_MEMO[memo] = out
+    return out
 
 
 # -- label propagation over the kNN graph -----------------------------------

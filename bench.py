@@ -105,6 +105,7 @@ HEADLINE = [
     # containment scoring, cluster-blocked kNN graph
     "bpe_train_merges",
     "dedup_block_removal",
+    "dedup_incremental_near",
     "sim_range_search",
     "dedup_containment",
     "emb_knn_graph",

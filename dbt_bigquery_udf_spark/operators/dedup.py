@@ -235,7 +235,11 @@ def _minhash_lsh_candidates(
     return out
 
 
-def _duck_minhash_pairs() -> str:
+def _duck_minhash_prefix() -> str:
+    """Shared oracle CTE chain through the banded ``long`` form (base,
+    hx, sigs, banded, long) — the LSH index both the all-pairs oracle
+    and the incremental new-vs-index oracle build on, defined once so
+    they can never drift."""
     hashes = ", ".join(
         f"list_min([(x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P} for x in xs]) AS h{i}"
         for i in range(N_HASHES)
@@ -264,7 +268,11 @@ def _duck_minhash_pairs() -> str:
       SELECT *, {bands} FROM sigs
     ), long AS (
       {band_rows}
-    ), cand AS (
+    )"""
+
+
+def _duck_minhash_pairs() -> str:
+    return _duck_minhash_prefix() + f""", cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM long a JOIN long b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ), verified AS (
@@ -1002,4 +1010,101 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(no_hist & (F.col("n_inc") > 0), F.col("n_inc") - 1).otherwise(0)
         ).alias("n_dup_within_batch"),
+    )
+
+
+# -- incremental NEAR-dup: new batch vs existing index -----------------------
+
+INCR_NEAR_MOD = 7  # doc_id % 7 == 0 -> the "new batch"; rest = the index
+
+
+@register(
+    "dedup_incremental_near",
+    _duck_minhash_prefix()
+    + f""", cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM long n JOIN long i ON n.band = i.band AND n.key = i.key
+      WHERE n.doc_id % {INCR_NEAR_MOD} = 0 AND i.doc_id % {INCR_NEAR_MOD} <> 0
+    ), verified AS (
+      SELECT c.new_id, c.idx_id,
+             round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))),
+                   4) AS jaccard
+      FROM cand c JOIN hx x ON x.doc_id = c.new_id
+                  JOIN hx y ON y.doc_id = c.idx_id
+    ), best AS (
+      SELECT new_id, idx_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, idx_id) AS rk
+      FROM verified
+    )
+    SELECT d.doc_id AS new_id, b.idx_id AS matched_doc, b.jaccard,
+           coalesce(b.jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = d.doc_id
+    WHERE d.doc_id % {INCR_NEAR_MOD} = 0
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-duplicate check: every document of the "new
+    batch" (doc_id % {INCR_NEAR_MOD} == 0 — the arriving crawl
+    snapshot) scored against the EXISTING corpus via the shared LSH
+    index: best-matching index doc, its verified Jaccard, and the
+    is_near_dup admission verdict — the production shape of continuous
+    corpus ingestion (dedup_incremental_batch is the exact-hash
+    sibling; this is the fuzzy one, Lee et al.'s "don't re-admit a
+    near-copy of what you already have").
+
+    Shape: reuses the ONE persisted signature/band stage
+    (_lsh_candidate_sets' memoized `sigs`) — candidates are the
+    cross-split subset of the band-equi-join, normalized to
+    (new_id, idx_id); jaccard is verified on the compact hashed-shingle
+    int arrays; the per-new-doc argmax is a window over (jaccard DESC,
+    idx_id) on ROUNDED values, engine-exact. New docs with no candidate
+    are emitted is_near_dup=false with NULL match — the gate contract
+    (cf. quality_gopher_rules' empty-doc lesson).
+
+    Scale: at 100 TB the index side's band table is precomputed and
+    bucket-partitioned by (band, key); a new batch probes only its own
+    band keys — candidate volume scales with the batch's true dup
+    density, never |index|. The verify join pulls shingle arrays for
+    candidate ids only.
+    """
+    cand = _lsh_candidate_sets(spark, sf_dir)
+    is_new_a = F.col("doc_a") % INCR_NEAR_MOD == 0
+    is_new_b = F.col("doc_b") % INCR_NEAR_MOD == 0
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    scored = (
+        cand.filter(is_new_a != is_new_b)
+        .select(
+            F.when(is_new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+            F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("idx_id"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), "idx_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    new_docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_NEAR_MOD == 0)
+        .select(F.col("doc_id").alias("new_id"))
+    )
+    return new_docs.join(best, "new_id", "left").select(
+        "new_id",
+        F.col("idx_id").alias("matched_doc"),
+        "jaccard",
+        F.coalesce(
+            F.col("jaccard") >= JACCARD_THRESHOLD, F.lit(False)
+        ).alias("is_near_dup"),
     )

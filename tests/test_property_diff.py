@@ -40,6 +40,7 @@ _OPS = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_incremental_near",
     "text_novelty_ratio",
     "quality_c4_rules",
     "text_chunk_windows",

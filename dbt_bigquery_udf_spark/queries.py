@@ -258,7 +258,10 @@ _CURATED_WINDOW = (
     "dedup_minhash_survivors",
     "dedup_semantic",
     "dedup_shingle_fraction",
-    "dedup_cluster_stats",
+    # round-6 continuation: cluster_stats (two rounds of in-window
+    # evidence) yields its slot to the new incremental near-dup
+    # admission gate; cluster_stats stays verify_driver-checked
+    "dedup_incremental_near",
     # new in round 6: the exact-substring REMOVE pass (Lee et al.) —
     # flag-only chunk dedup already in-window via dedup_shingle_fraction
     "dedup_block_removal",

@@ -486,3 +486,31 @@ def test_kcenter_init_radius_monotone_and_valid(spark, sf_small):
         best[0],
         int(round(best[1] * 1e6)),
     )
+
+
+def test_incremental_near_gate_contract(spark, sf_small):
+    """dedup_incremental_near: EVERY new-batch doc appears exactly once
+    (the gate contract — no silent drops); matched_doc is always from
+    the index split, never the batch; is_near_dup holds iff the best
+    jaccard clears the threshold; and no-candidate docs carry NULL
+    match with a false verdict."""
+    from dbt_bigquery_udf_spark.operators.dedup import (
+        INCR_NEAR_MOD,
+        JACCARD_THRESHOLD,
+    )
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.sources.registry import register_sources
+
+    rows = QUERIES["dedup_incremental_near"](spark, sf_small).collect()
+    docs = register_sources(spark, sf_small, tables=("documents",))[
+        "documents"
+    ].select("doc_id").collect()
+    new_ids = {r.doc_id for r in docs if r.doc_id % INCR_NEAR_MOD == 0}
+    assert sorted(r.new_id for r in rows) == sorted(new_ids)
+    for r in rows:
+        assert r.new_id % INCR_NEAR_MOD == 0
+        if r.matched_doc is None:
+            assert r.jaccard is None and r.is_near_dup is False
+        else:
+            assert r.matched_doc % INCR_NEAR_MOD != 0
+            assert r.is_near_dup == (r.jaccard >= JACCARD_THRESHOLD)

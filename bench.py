@@ -145,12 +145,13 @@ def main() -> None:
         spark.catalog.clearCache()  # keep per-query persists from compounding
 
     total = round(sum(timings.values()), 3)
-    # Raw per-run arrays go to a sidecar file (and a separate stdout line
-    # BEFORE the graded one) so the final line stays compact: round 3's
-    # runs-inline emission overflowed the driver's captured stdout tail and
-    # the graded artifact failed to parse ("parsed": null). The LAST stdout
-    # line is the one the driver grades — minima-only, always short.
-    sidecar = {"runs": runs, "n_runs": n_runs, "sf": sf}
+    # Raw per-run arrays AND the per-query minima map go to the sidecar
+    # file; stdout carries (a) one per-query-minima line for humans and
+    # (b) a compact totals-only FINAL line. Round 6's final line inlined
+    # the 73-entry queries map and overflowed the driver's stdout tail
+    # capture ("parsed": null in BENCH_r06) — the LAST stdout line is the
+    # one the driver grades, so it must stay short (<~500 bytes).
+    sidecar = {"runs": runs, "queries": timings, "n_runs": n_runs, "sf": sf}
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
@@ -159,7 +160,7 @@ def main() -> None:
             json.dump(sidecar, fh)
     except OSError:
         pass
-    print(json.dumps(sidecar))
+    print(json.dumps({"queries": timings}))
     sys.stdout.flush()
     print(
         json.dumps(
@@ -167,12 +168,12 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "n_queries": len(timings),
                 "n_runs": n_runs,
                 "sf": sf,
                 "startup_sec": round(startup, 3),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "auto"),
+                "per_query": "BENCH_RUNS.json",
             }
         )
     )

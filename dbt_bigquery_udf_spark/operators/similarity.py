@@ -941,8 +941,12 @@ RERANK_SHORTLIST = 50
     _DUCK_IVF_PROBES + f""",
     shortlist AS (
       SELECT e.vec_id, e.emb,
-             list_cosine_similarity(e.emb[1:{RERANK_DIMS}],
-                                    q.qv[1:{RERANK_DIMS}]) AS approx
+             (list_dot_product(e.emb[1:{RERANK_DIMS}], q.qv[1:{RERANK_DIMS}])
+              / nullif(sqrt(list_dot_product(e.emb[1:{RERANK_DIMS}],
+                                             e.emb[1:{RERANK_DIMS}]))
+                       * sqrt(list_dot_product(q.qv[1:{RERANK_DIMS}],
+                                               q.qv[1:{RERANK_DIMS}])), 0))
+               AS approx
       FROM e, q
       WHERE e.label IN (SELECT label FROM best)
         AND e.vec_id <> {QUERY_VEC_ID}

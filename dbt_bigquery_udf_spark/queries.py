@@ -222,102 +222,88 @@ _CURATED_WINDOW = (
     "ref_parse_datetime",
     "ref_tvf_param",
     "ref_incremental_mart",
-    # TPC-H repertoire (joins, correlated subqueries, multi-way aggs;
-    # round-6 rotation: q18/q21 — near-duplicates of the q1/q2/q9 join
-    # + agg shapes — yield their slots so the ANN serving stack is
-    # fully in-window; both stay verify_driver-checked past the window)
+    # TPC-H repertoire (round-7 rotation: q2 — correlated-subquery shape,
+    # three rounds green — yields its slot so every r6-new operator earns
+    # a driver row; q1/q9 keep the join+agg shapes in-window, q2 stays
+    # verify_driver-checked)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q9_product_profit",
-    # join / window / grouping shapes
-    "semi_anti_join",
+    # join / window / grouping shapes (r7: semi_anti_join + cube_orders
+    # rotate out after 4+ green rounds; asof keeps the range-join family,
+    # window_funcs_suite keeps windows, profile_columns keeps Expand)
     "asof_click_attribution",
     "window_funcs_suite",
-    "cube_orders",
-    # events / time series
+    # events / time series (r7: events_skew_salted rotates out; salting
+    # evidence remains in pytest plan tests + verify_driver)
     "events_sessionize",
-    "events_skew_salted",
     "timeseries_gapfill",
-    # stats / decimal / sampling
+    # stats / decimal / sampling (r7: decimal_money_sum +
+    # sample_stratified rotate out, both 4+ rounds green; stats_summary
+    # keeps exact stats, stats_approx_sketches keeps sketch evidence)
     "stats_summary",
     "stats_approx_sketches",
-    "decimal_money_sum",
-    "sample_stratified",
-    # BigQuery-dialect transpiler (string_agg yielded in r5; hll_rollup
-    # yields in r6 to the substring-removal pass — sketch evidence stays
-    # in-window via stats_approx_sketches, and both rotated-out dialect
-    # queries remain verify_driver-checked)
+    # BigQuery-dialect transpiler
     "bq_dialect_qualify",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
-    # dedup family (round-5 rotation: components / fuzzy_name_pairs
-    # yield their slots to the new shingle-fraction near-dup signal and
-    # the cluster-size diagnostic; everything rotated out stays
-    # verify_driver-checked past the window)
+    # dedup family — round 7 promotes containment scoring and the
+    # persisted-index incremental admission gate
     "dedup_exact",
     "dedup_minhash_survivors",
     "dedup_semantic",
     "dedup_shingle_fraction",
-    # round-6 continuation: cluster_stats (two rounds of in-window
-    # evidence) yields its slot to the new incremental near-dup
-    # admission gate; cluster_stats stays verify_driver-checked
     "dedup_incremental_near",
-    # new in round 6: the exact-substring REMOVE pass (Lee et al.) —
-    # flag-only chunk dedup already in-window via dedup_shingle_fraction
     "dedup_block_removal",
-    # similarity search / embedding analytics (round 5: sim_pq_codes
-    # yields its slot to MMR diversification so every round-3 operator
-    # finally has in-window evidence; IVF-PQ stays covered past-window)
+    "dedup_containment",
+    # similarity search / embedding analytics — round 7 promotes the
+    # 1-bit Hamming ANN, radius search, and the cluster-blocked kNN
+    # graph (emb_mmr_diversify + emb_hard_negatives rotate out after
+    # two green rounds each; both stay verify_driver-checked)
     "sim_topk_brute",
     "sim_ivf_rerank",
     "sim_ivfpq_adc",
-    # round-6 continuation: the iterated trainer displaces the single
-    # step (identical per-round plan PLUS the loop — the same stronger-
-    # evidence swap as pagerank_converged over pagerank_step; the step
-    # stays verify_driver-checked past the window)
+    "sim_hamming_topk",
+    "sim_range_search",
     "emb_kmeans_train",
-    "emb_hard_negatives",
-    "emb_mmr_diversify",
-    # text analysis (round 5: token_stats yields its slot to the
-    # Gopher-rule quality gates; BPE pair counts joins so tokenizer
-    # training has in-window evidence)
-    "text_lang_id",
+    "emb_knn_graph",
+    "emb_label_propagation",
+    # text analysis / quality / data selection — round 7 promotes the C4
+    # line-level rules, the fastText-style classifier score, and DSIR
+    # top-k selection (text_lang_id rotates out; the text family keeps
+    # five in-window reps)
     "text_bigram_lm_nll",
     "text_bm25_topk",
     "dsir_importance_weights",
+    "dsir_select_topk",
     "quality_gopher_rules",
+    "quality_c4_rules",
+    "quality_classifier_score",
+    # tokenizer training: counts -> merges -> corpus encode, all three
+    # stages now in-window
     "bpe_pair_counts",
-    # new in round 6: the full iterative BPE trainer built on the pair
-    # counts (graph_pagerank_step yields its slot — pagerank_converged
-    # runs the identical per-round plan PLUS the convergence loop, so
-    # the family keeps stronger in-window evidence; step stays
-    # verify_driver-checked)
     "bpe_train_merges",
-    # multimodal
-    "mm_payload_dedup",
+    "bpe_encode_corpus",
+    # multimodal (r7: mm_payload_dedup rotates out after three green
+    # rounds; decode keeps the Arrow mapInPandas path in-window)
     "mm_decode_features",
-    # profiling / graph / streaming (round 4: converged PageRank joins
-    # the single step; checkpoint kill-and-resume equivalence joins the
-    # windowed rollup + dedup)
+    # profiling / graph / streaming (r7: stream_dedup rotates out;
+    # rollup + recovery keep streaming repped)
     "profile_columns",
     "graph_pagerank_converged",
     "stream_hourly_rollup",
-    "stream_dedup",
     "stream_recovery_resume",
-    # Python UDTF, source formats, VARIANT, product analytics
+    # Python UDTF, source formats, VARIANT
     "udtf_grouped_topk",
     "source_csv_roundtrip",
     "events_variant_extract",
-    # round-6 continuation: funnel_signup_purchase (5th events-family
-    # rep, now also property-diff-tested) yields its slot to the new
-    # label-propagation round over the kNN graph
-    "emb_label_propagation",
+    # pipeline audits (oracles embed the registered gate/dedup oracles)
+    "pipeline_quality_funnel",
+    "pipeline_dedup_funnel",
 )
-# Round-7 rotation candidates (verify_driver-green but not yet
-# in-window): quality_c4_rules, sim_hamming_topk, sim_range_search,
-# pipeline_quality_funnel / pipeline_dedup_funnel (oracles embed the
-# registered gate/dedup oracles), dsir_select_topk, dedup_containment,
-# emb_knn_graph, quality_classifier_score, bpe_encode_corpus.
+# Rotated out in round 7 (all remain registered + verify_driver-checked):
+# q2_min_cost_supplier, semi_anti_join, cube_orders, events_skew_salted,
+# decimal_money_sum, sample_stratified, emb_mmr_diversify,
+# emb_hard_negatives, mm_payload_dedup, stream_dedup, text_lang_id.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

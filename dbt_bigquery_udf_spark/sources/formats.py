@@ -82,12 +82,20 @@ def read_any(
     path: str,
     fmt: str,
     schema: T.StructType | str | None = None,
+    multi_line: bool = True,
 ) -> DataFrame:
     """Read ``path`` in ``fmt`` with engine-standard options.
 
     Parquet/ORC carry their own schema; CSV/JSON require one (explicit
     schema is mandatory here — inference is a second full scan at
     scale).
+
+    ``multi_line`` (CSV only): True is the correctness default — quoted
+    fields with embedded newlines parse correctly, but every file
+    becomes single-split on read. A caller that KNOWS its corpus has no
+    embedded newlines (machine-generated exports, one-record-per-line
+    contracts) passes False to recover intra-file split parallelism —
+    the 100 TB dial the round-6 blanket default removed.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported source format {fmt!r}; one of {FORMATS}")
@@ -122,10 +130,9 @@ def read_any(
         # reader splits records at raw line breaks and PERMISSIVE
         # silently null-fills the fragments (caught by the property-diff
         # roundtrip on newline-bearing strings). multiLine makes each
-        # FILE single-split on read — the documented CSV trade-off at
-        # scale: newline-bearing text wants many smaller files, or a
-        # real columnar format.
-        .option("multiLine", "true")
+        # FILE single-split on read — see the multi_line docstring note
+        # for when to turn it off.
+        .option("multiLine", "true" if multi_line else "false")
         # ISO-8601 with optional sub-second — matches the writer below.
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(path)

@@ -59,6 +59,33 @@ def test_events_timestamp_roundtrip(spark, sf_small, tmp_path, fmt):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_csv_multiline_dial(spark, sf_small, tmp_path):
+    """multi_line=False (the newline-free-corpus fast path) round-trips
+    plain CSV identically AND keeps files splittable; multi_line=True
+    (default) is required once quoted fields embed newlines."""
+    orig = read_source(spark, sf_small, "orders")
+    schema = csv_safe_schema(orig.schema)
+    cols = [f.name for f in schema.fields]
+    path = str(tmp_path / "orders_csv_nl")
+    write_any(orig.select(*cols), path, "csv")
+    fast = read_any(spark, path, "csv", schema=schema, multi_line=False)
+    assert _sorted_rows(fast, cols) == _sorted_rows(orig, cols)
+
+    # A corpus WITH embedded newlines: the default (multi_line=True)
+    # parses it; the fast path mangles it (documented trade-off).
+    nl = spark.createDataFrame(
+        [(1, "line one\nline two"), (2, "plain")], "id INT, body STRING"
+    )
+    nl_path = str(tmp_path / "nl_csv")
+    write_any(nl, nl_path, "csv")
+    good = read_any(spark, nl_path, "csv", schema=nl.schema)
+    assert _sorted_rows(good, ["id", "body"]) == _sorted_rows(nl, ["id", "body"])
+    bad = read_any(spark, nl_path, "csv", schema=nl.schema, multi_line=False)
+    assert {tuple(r) for r in bad.collect()} != {tuple(r) for r in nl.collect()}
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(nl_path, ignore_errors=True)
+
+
 def test_read_any_rejects_inference(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_any(spark, str(tmp_path), "csv")

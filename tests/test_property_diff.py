@@ -163,10 +163,17 @@ _vec = st.lists(
     max_size=64,
 )
 _vectors = st.lists(_vec, min_size=5, max_size=10).flatmap(
-    lambda vs: st.tuples(st.booleans(), st.booleans()).map(
-        lambda fl: vs
-        + ([vs[0]] if fl[0] else [])        # exact duplicate vector
-        + ([[0.0] * 64] if fl[1] else [])   # zero vector (0/0 cosine)
+    lambda vs: st.tuples(st.booleans(), st.booleans(), st.booleans()).map(
+        lambda fl: (
+            # constant corpus: every vector identical and flat -> the
+            # int8 quantizer's max==min path (scale = 0) is genuinely
+            # generated, not just claimed (round-7 ADVICE fix)
+            [[0.5] * 64] * max(3, len(vs))
+            if fl[2]
+            else vs
+            + ([vs[0]] if fl[0] else [])        # exact duplicate vector
+            + ([[0.0] * 64] if fl[1] else [])   # zero vector (0/0 cosine)
+        )
     )
 )
 

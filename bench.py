@@ -115,6 +115,8 @@ HEADLINE = [
     "quality_classifier_score",
     "bpe_encode_corpus",
     "stream_quality_gate",
+    # round 7: two-build admission against the persisted LSH index
+    "dedup_incr_near_indexed",
 ]
 
 

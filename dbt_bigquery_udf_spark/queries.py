@@ -253,6 +253,7 @@ _CURATED_WINDOW = (
     "dedup_semantic",
     "dedup_shingle_fraction",
     "dedup_incremental_near",
+    "dedup_incr_near_indexed",
     "dedup_block_removal",
     "dedup_containment",
     # similarity search / embedding analytics — round 7 promotes the

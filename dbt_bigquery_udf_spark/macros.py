@@ -858,6 +858,22 @@ def _apply_filters(value, filter_text: str, origin: str):
     return value
 
 
+_ARITH_OPS = {
+    _ast.Add: lambda a, b: a + b,
+    _ast.Sub: lambda a, b: a - b,
+    _ast.Mult: lambda a, b: a * b,
+    _ast.Div: lambda a, b: a / b,
+    _ast.FloorDiv: lambda a, b: a // b,
+    _ast.Mod: lambda a, b: a % b,
+}
+
+
+class _Namespace(dict):
+    """Marker type for Jinja ``namespace()`` objects: a dict (so every
+    existing attribute-read path applies) whose type additionally
+    licenses ``{% set ns.attr = ... %}`` assignment."""
+
+
 class _Unresolved(Exception):
     pass
 
@@ -943,6 +959,19 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
                 f"(supported: {', '.join(sorted(_FILTERS))})"
             )
         return fn(value, *fargs)
+    if isinstance(node, _ast.BinOp) and type(node.op) in _ARITH_OPS:
+        # Jinja arithmetic (+ - * / // %): counters and accumulators —
+        # the namespace() idiom's bread and butter ({% set ns.n = ns.n
+        # + 1 %}); Python `+` also concatenates strings/lists, matching
+        # Jinja's.
+        left = _cf_node(node.left, env, var_fn, origin)
+        right = _cf_node(node.right, env, var_fn, origin)
+        try:
+            return _ARITH_OPS[type(node.op)](left, right)
+        except (TypeError, ZeroDivisionError) as exc:
+            raise EngineError(
+                f"{origin}: Jinja arithmetic failed: {exc}"
+            ) from exc
     if isinstance(node, (_ast.List, _ast.Tuple)):
         return [_cf_node(e, env, var_fn, origin) for e in node.elts]
     if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.Not):
@@ -1010,6 +1039,31 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
             f"{origin}: unsupported method call in Jinja expression "
             "(only <dict>.get / <dict>.require)"
         )
+    if (
+        isinstance(node, _ast.Call)
+        and isinstance(node.func, _ast.Name)
+        and node.func.id == "namespace"
+    ):
+        # Jinja's namespace(): the sanctioned mutable loop-carried state
+        # ({% set ns = namespace(found=false) %} ... {% set ns.found =
+        # true %} inside a loop). Backed by a dict subclass so existing
+        # attribute READ paths (ns.found in expressions and {{ ns.found
+        # }} emission) work unchanged; attribute ASSIGNMENT is gated on
+        # the marker type in the {% set %} handler, matching Jinja,
+        # which rejects dotted set on anything but a namespace.
+        if node.args:
+            raise EngineError(
+                f"{origin}: namespace() takes keyword arguments only"
+            )
+        ns = _Namespace()
+        for kw in node.keywords:
+            if kw.arg is None:
+                raise EngineError(
+                    f"{origin}: **kwargs unpacking is out of the "
+                    "supported Jinja subset"
+                )
+            ns[kw.arg] = _cf_node(kw.value, env, var_fn, origin)
+        return ns
     if (
         isinstance(node, _ast.Call)
         and isinstance(node.func, _ast.Name)
@@ -1297,11 +1351,29 @@ def _cf_render(tokens: list, i: int, env: dict, var_fn, origin: str,
                 i = end_i + 1
                 continue
             if active:
+                nm = re.match(r"^(\w+)\.(\w+)\s*=\s*(.+)$", expr, re.S)
+                if nm is not None:
+                    # Dotted assignment: Jinja licenses it only on
+                    # namespace() objects (loop-carried mutable state).
+                    target = env.get(nm.group(1))
+                    if not isinstance(target, _Namespace):
+                        raise EngineError(
+                            f"{origin}: {{% set {nm.group(1)}."
+                            f"{nm.group(2)} %}} requires a namespace() "
+                            "object (create one with {% set "
+                            f"{nm.group(1)} = namespace(...) %}})"
+                        )
+                    target[nm.group(2)] = _cf_eval(
+                        nm.group(3), env, var_fn, origin
+                    )
+                    i += 1
+                    continue
                 sm = re.match(r"^(\w+)\s*=\s*(.+)$", expr, re.S)
                 if sm is None:
                     raise EngineError(
                         f"{origin}: unsupported {{% set %}} form {expr!r} "
-                        "(only name = <expression> or block "
+                        "(only name = <expression>, namespace attribute "
+                        "assignment, or block "
                         "{% set name %}...{% endset %})"
                     )
                 env[sm.group(1)] = _cf_eval(sm.group(2), env, var_fn, origin)

@@ -1221,6 +1221,57 @@ def _score_batch_vs_index(
     )
 
 
+def _adopt_index_locations(spark: SparkSession, db: str, have: set) -> bool:
+    """Cross-SESSION index reuse: a fresh session's catalog starts empty,
+    but the index parquet written by a previous session still sits at the
+    database's warehouse location. If both table directories exist,
+    register them as-is (``CREATE TABLE ... USING parquet LOCATION`` —
+    schema inferred from the files) instead of rebuilding — the 100 TB
+    pipeline's behavior, where the index is an owned artifact no new
+    job ever recomputes. Returns True if the persisted index was
+    adopted (or was already fully registered)."""
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    )
+    path = loc.removeprefix("file:")
+    adopted = 0
+    for t in ("bands", "sigs"):
+        if t in have:
+            adopted += 1
+            continue
+        tdir = os.path.join(path, t)
+        if os.path.isdir(tdir) and any(
+            f.endswith(".parquet") for f in os.listdir(tdir)
+        ):
+            spark.sql(
+                f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
+            )
+            adopted += 1
+    return adopted == 2
+
+
+def _clear_partial_index(spark: SparkSession, db: str) -> None:
+    """A half-written index (one table dir present, its sibling missing —
+    a crash between the two writes) is garbage: drop any registered
+    half and its leftover location so the rebuild starts clean."""
+    import os
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    )
+    path = loc.removeprefix("file:")
+    for t in ("bands", "sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+
+
 def build_near_dup_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the base near-dup index (owned corpus: doc_id %
     {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}) as real tables; returns
@@ -1235,6 +1286,9 @@ def build_near_dup_index(spark: SparkSession, sf_dir: str) -> str:
         have = {t.name for t in spark.catalog.listTables(db)}
         if {"bands", "sigs"} <= have:
             return "reused"
+        if _adopt_index_locations(spark, db, have):
+            return "reused"
+        _clear_partial_index(spark, db)
         base = _docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD
         )

@@ -2016,6 +2016,7 @@ def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- BPE merge training (round 6) --------------------------------------------
 
 BPE_MERGE_STEPS = 4  # training steps; each yields one merge rule
+BPE_CHECKPOINT_EVERY = 2  # truncate vocab lineage every N merges (see _learn_merges)
 
 
 def _bpe_vocab_ctes(k: int = BPE_MERGE_STEPS) -> str:
@@ -2159,15 +2160,32 @@ def _trained_bpe(spark: SparkSession, sf_dir: str):
     return out
 
 
-def _learn_merges(base: DataFrame):
-    """Run the BPE_MERGE_STEPS training loop over a (word, freq, state)
-    vocabulary frame (persisted by the caller). Returns (merge rows,
-    final vocabulary frame with post-merge states) — shared by the
+def _learn_merges(
+    base: DataFrame,
+    steps: int = BPE_MERGE_STEPS,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+):
+    """Run the ``steps``-merge BPE training loop over a (word, freq,
+    state) vocabulary frame (persisted by the caller). Returns (merge
+    rows, final vocabulary frame with post-merge states) — shared by the
     trainer (which emits the rows) and the encoder (which consumes the
-    final states)."""
+    final states).
+
+    Lineage control: each merge stacks one ``F.replace`` on the vocab
+    plan, so an unbounded loop re-analyzes an ever-deeper tree every
+    step — fine at 4 merges, pathological at a real 32k-merge
+    vocabulary (measured: scripts/probe_bpe_checkpoint.py, table in
+    SCALE.md). Every ``checkpoint_every`` merges the vocabulary is
+    materialized via ``localCheckpoint(eager=True)``, truncating the
+    plan to a scan of the checkpointed blocks; superseded checkpoint
+    RDDs are reclaimed by Spark's ContextCleaner once dereferenced. On
+    a real cluster a reliable artifact (table write / checkpoint dir)
+    replaces localCheckpoint for fault tolerance — same shape, the
+    trainer just swaps the materialization call. ``checkpoint_every=0``
+    disables truncation (the probe's control arm)."""
     vocab = base
     rows: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, BPE_MERGE_STEPS + 1):
+    for step in range(1, steps + 1):
         toks = vocab.select(
             "freq",
             F.expr(
@@ -2206,6 +2224,8 @@ def _learn_merges(base: DataFrame):
                 F.lit(f"|{a}{b}|"),
             ),
         )
+        if checkpoint_every and step % checkpoint_every == 0 and step < steps:
+            vocab = vocab.localCheckpoint(eager=True)
     return rows, vocab
 
 

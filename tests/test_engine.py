@@ -1158,3 +1158,22 @@ def test_near_dup_index_persistence(spark, sf_small):
     assert v1 == v2 and len(v1) > 0
     # bands table rows = N_BANDS per indexed doc (band layout invariant)
     assert spark.table(f"{db}.bands").count() == n_after_1 * D.N_BANDS
+
+    # cross-SESSION reuse: wipe the catalog entries but keep the parquet
+    # (what a fresh session sees) — the builder must ADOPT the persisted
+    # artifact, not rebuild it
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    shutil.copytree(loc, loc + ".bak")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.move(loc + ".bak", loc)
+    assert D.build_near_dup_index(spark, sf_small) == "reused"
+    assert spark.table(f"{db}.sigs").count() == n_after_1
+    v3 = sorted(map(tuple, QUERIES["dedup_incr_near_indexed"](spark, sf_small).collect()))
+    assert v3 == v1
+    spark.sql(f"DROP DATABASE {db} CASCADE")  # leave no artifact behind

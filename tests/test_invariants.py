@@ -514,3 +514,20 @@ def test_incremental_near_gate_contract(spark, sf_small):
         else:
             assert r.matched_doc % INCR_NEAR_MOD != 0
             assert r.is_near_dup == (r.jaccard >= JACCARD_THRESHOLD)
+
+
+def test_bpe_checkpoint_parity(spark, sf_small):
+    """Lineage checkpointing is a pure materialization choice: the merge
+    table learned with checkpoint truncation (the default cadence, and a
+    per-step cadence) is identical to the unbounded-lineage control."""
+    from dbt_bigquery_udf_spark.operators import text as T
+
+    base = T._bpe_base_vocab(spark, sf_small).persist()
+    try:
+        control, _ = T._learn_merges(base, checkpoint_every=0)
+        default, _ = T._learn_merges(base)
+        everystep, _ = T._learn_merges(base, checkpoint_every=1)
+        assert control == default == everystep
+        assert len(control) > 0
+    finally:
+        base.unpersist()

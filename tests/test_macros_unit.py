@@ -504,3 +504,72 @@ class TestReviewRegressionsRound6:
             ctx["m"]("c1", colmn="x")
         with pytest.raises(EngineError, match="at most"):
             expand_macros("{{ m('a', 'b') }}", md)
+
+
+class TestNamespace:
+    """Round-7: Jinja namespace() — the sanctioned mutable loop-carried
+    state (real dbt trees use it for found-flags and accumulators)."""
+
+    def _render(self, s, env=None):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        return render_control_flow(s, env or {}, lambda n, d=None: d, "t")
+
+    def test_flag_and_counter_across_loop(self):
+        out = self._render(
+            "{% set ns = namespace(found=false, n=0) %}"
+            "{% for x in [1, 2, 3] %}"
+            "{% if x == 2 %}{% set ns.found = true %}{% endif %}"
+            "{% set ns.n = ns.n + 1 %}"
+            "{% endfor %}"
+            "found={{ ns.found }} n={{ ns.n }}"
+        )
+        assert out == "found=true n=3"
+
+    def test_list_accumulator_with_whitespace_control(self):
+        out = self._render(
+            "{%- set ns = namespace(cols=[]) -%}\n"
+            "{%- for c in ['a', 'b'] -%}\n"
+            "{%- set ns.cols = ns.cols + [c] -%}\n"
+            "{%- endfor -%}\n"
+            "SELECT {{ ns.cols | join(', ') }}"
+        )
+        assert out == "SELECT a, b"
+
+    def test_whitespace_controlled_macro_roundtrip(self):
+        # {%- -%} trim markers through macro parse + expansion — the
+        # first construct a production macro tree trips on.
+        from dbt_bigquery_udf_spark.macros import expand_macros, parse_macros
+
+        md = parse_macros(
+            "{%- macro cents(col, precision=2) -%}\n"
+            "  round({{ col }} / 100, {{ precision }})\n"
+            "{%- endmacro -%}\n"
+        )
+        out = expand_macros("SELECT {{ cents('amt') }} AS d", md)
+        assert out == "SELECT round(amt / 100, 2) AS d"
+
+    def test_dotted_set_requires_namespace(self):
+        with pytest.raises(EngineError, match="requires a namespace"):
+            self._render("{% set d = 5 %}{% set d.x = 1 %}")
+
+    def test_namespace_rejects_positional_args(self):
+        with pytest.raises(EngineError, match="keyword arguments only"):
+            self._render("{% set ns = namespace(5) %}")
+
+    def test_set_in_false_branch_does_not_leak(self):
+        out = self._render(
+            "{% set ns = namespace(v=1) %}"
+            "{% if false %}{% set ns.v = 9 %}{% endif %}{{ ns.v }}"
+        )
+        assert out == "1"
+
+    def test_arithmetic_ops(self):
+        out = self._render(
+            "{% set ns = namespace(v=7) %}"
+            "{% set ns.v = ns.v * 3 - 1 %}"
+            "{% set ns.v = ns.v % 4 %}{{ ns.v }}"
+        )
+        assert out == "0"
+        with pytest.raises(EngineError, match="arithmetic failed"):
+            self._render("{% set ns = namespace(v=1) %}{% set ns.v = ns.v / 0 %}")

@@ -250,6 +250,18 @@ _EVT_OPS = (
     "stream_hourly_rollup",
     "stream_dedup",
     "stream_sessionize",
+    # round 7: graph + profiling families under hypothesis inputs —
+    # iterative pagerank (tiny/degenerate graphs: self-loops, isolated
+    # nodes, single-edge), BFS reachability, chi2 contingency margins
+    # (single-cell tables, all-one-type logs), PSI drift (constant
+    # values -> one bin; odd/even splits with empty sides), z-score
+    # anomaly days (single-day logs, zero-variance days)
+    "graph_pagerank_step",
+    "graph_pagerank_converged",
+    "graph_reachable_types",
+    "chi2_event_dow",
+    "drift_psi_value",
+    "anomaly_zscore_daily",
 )
 
 _EPOCH_NS = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z

@@ -792,18 +792,52 @@ def _flt_default(v, d, boolean=False):
     return v
 
 
-# The minimal Jinja filter set (dbt's default generate_schema_name
-# pipes through `| trim`; dbt_utils-era maintenance macros lean on
-# default/join/replace/length); anything else fails loudly.
+def _flt_pick(v, idx, name):
+    seq = list(v)
+    if not seq:
+        raise EngineError(f"Jinja filter |{name} applied to an empty sequence")
+    return seq[idx]
+
+
+def _flt_to_num(cast, v, default):
+    try:
+        return cast(v)
+    except (TypeError, ValueError):
+        try:
+            return cast(float(v))  # Jinja: int('3.7') -> 3
+        except (TypeError, ValueError):
+            return default
+
+
+# The Jinja filter set real dbt trees lean on (dbt's default
+# generate_schema_name pipes through `| trim`; dbt_utils-era macros use
+# default/join/replace/length; column-list manipulation uses
+# list/unique/sort/first/last; config plumbing uses int/float/tojson);
+# anything else fails loudly.
 _FILTERS = {
     "trim": lambda v: str(v).strip(),
     "lower": lambda v: str(v).lower(),
     "upper": lambda v: str(v).upper(),
+    "capitalize": lambda v: str(v).capitalize(),
+    "title": lambda v: str(v).title(),
     "string": str,
     "default": _flt_default,
     "join": lambda v, sep="": str(sep).join(str(x) for x in v),
     "replace": lambda v, old, new: str(v).replace(str(old), str(new)),
     "length": len,
+    "list": list,
+    "first": lambda v: _flt_pick(v, 0, "first"),
+    "last": lambda v: _flt_pick(v, -1, "last"),
+    "unique": lambda v: list(dict.fromkeys(v)),  # stable, Jinja-like
+    "sort": lambda v, reverse=False: sorted(v, reverse=bool(reverse)),
+    "reverse": lambda v: v[::-1] if isinstance(v, str) else list(reversed(v)),
+    "min": min,
+    "max": max,
+    "abs": abs,
+    "round": lambda v, precision=0: round(float(v), int(precision)),
+    "int": lambda v, default=0: _flt_to_num(int, v, default),
+    "float": lambda v, default=0.0: _flt_to_num(float, v, default),
+    "tojson": lambda v: __import__("json").dumps(v),
 }
 
 _FILTER_CALL_RE = re.compile(r"\|\s*(\w+)(\((?:[^()']|'[^']*')*\))?")

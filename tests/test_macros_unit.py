@@ -513,7 +513,9 @@ class TestNamespace:
     def _render(self, s, env=None):
         from dbt_bigquery_udf_spark.macros import render_control_flow
 
-        return render_control_flow(s, env or {}, lambda n, d=None: d, "t")
+        return render_control_flow(
+            s, lambda n, d=None: d, "t", extra_env=env or {}
+        )
 
     def test_flag_and_counter_across_loop(self):
         out = self._render(
@@ -573,3 +575,55 @@ class TestNamespace:
         assert out == "0"
         with pytest.raises(EngineError, match="arithmetic failed"):
             self._render("{% set ns = namespace(v=1) %}{% set ns.v = ns.v / 0 %}")
+
+
+class TestWidenedFilters:
+    """Round-7: the Jinja filters production macro trees use beyond the
+    r6 subset — column-list manipulation, numeric coercion, JSON."""
+
+    def _render(self, s, env=None):
+        # force the control-flow path (pure-span text returns unchanged)
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        return render_control_flow(
+            "{% set __out__ = " + s[3:-3].strip() + " %}{{ __out__ }}"
+            if s.startswith("{{")
+            else s,
+            lambda n, d=None: d,
+            "t",
+            extra_env=env or {},
+        )
+
+    def test_list_manipulation(self):
+        env = {"cols": ["b", "a", "b", "c"]}
+        assert self._render("{{ cols | unique | join(',') }}", env) == "b,a,c"
+        assert self._render("{{ cols | sort | first }}", env) == "a"
+        assert self._render("{{ cols | sort(true) | first }}", env) == "c"
+        assert self._render("{{ cols | last }}", env) == "c"
+        assert self._render("{{ cols | reverse | first }}", env) == "c"
+        assert self._render("{{ cols | min }}", env) == "a"
+        assert self._render("{{ cols | max }}", env) == "c"
+
+    def test_numeric_coercion(self):
+        assert self._render("{{ v | int }}", {"v": "3.7"}) == "3"
+        assert self._render("{{ v | int }}", {"v": "junk"}) == "0"
+        assert self._render("{{ v | int(9) }}", {"v": "junk"}) == "9"
+        assert self._render("{{ v | float }}", {"v": "2.5"}) == "2.5"
+        assert self._render("{{ v | abs }}", {"v": -4}) == "4"
+        assert self._render("{{ v | round(1) }}", {"v": 2.46}) == "2.5"
+
+    def test_strings_and_json(self):
+        assert self._render("{{ v | capitalize }}", {"v": "abc"}) == "Abc"
+        assert self._render("{{ v | title }}", {"v": "a b"}) == "A B"
+        assert (
+            self._render("{{ v | tojson }}", {"v": {"k": [1, "x"]}})
+            == '{"k": [1, "x"]}'
+        )
+
+    def test_empty_sequence_fails_loudly(self):
+        with pytest.raises(EngineError, match="empty sequence"):
+            self._render("{{ v | first }}", {"v": []})
+
+    def test_unknown_filter_still_loud(self):
+        with pytest.raises(EngineError, match="unsupported Jinja filter"):
+            self._render("{{ v | wordwrap }}", {"v": "x"})

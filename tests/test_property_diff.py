@@ -41,6 +41,11 @@ _OPS = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental_near",
+    # round 7: the persisted-index two-build admission gate — each
+    # example's index lands in its own per-ex-dir database (dropped by
+    # the loop below), so hostile corpora (all-dup, empty-doc,
+    # single-doc) exercise build + admit + adopt on every example
+    "dedup_incr_near_indexed",
     "text_novelty_ratio",
     "quality_c4_rules",
     "text_chunk_windows",
@@ -134,9 +139,16 @@ def prop_dir(tmp_path_factory):
 @given(texts=_corpus, langs=_langs)
 def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
     ex_dir = _write_corpus(prop_dir, texts, langs)
-    for name in _OPS:
-        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
-        assert r["ok"] and r["status"] == "match", (name, r, texts)
+    try:
+        for name in _OPS:
+            r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+            assert r["ok"] and r["status"] == "match", (name, r, texts)
+    finally:
+        # drop the per-example persisted near-dup index database so
+        # hypothesis examples never leak warehouse state into each other
+        from dbt_bigquery_udf_spark.operators.dedup import _near_index_db
+
+        spark.sql(f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)} CASCADE")
 
 
 # -- embeddings side --------------------------------------------------------

@@ -115,8 +115,10 @@ HEADLINE = [
     "quality_classifier_score",
     "bpe_encode_corpus",
     "stream_quality_gate",
-    # round 7: two-build admission against the persisted LSH index
+    # round 7: two-build admission against the persisted LSH index,
+    # and its streaming composition (foreachBatch micro-batch admission)
     "dedup_incr_near_indexed",
+    "stream_near_dup_admission",
 ]
 
 

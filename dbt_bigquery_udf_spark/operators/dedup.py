@@ -1272,23 +1272,33 @@ def _clear_partial_index(spark: SparkSession, db: str) -> None:
         shutil.rmtree(os.path.join(path, t), ignore_errors=True)
 
 
-def build_near_dup_index(spark: SparkSession, sf_dir: str) -> str:
+def build_near_dup_index(
+    spark: SparkSession, sf_dir: str, db: str | None = None, fresh: bool = False
+) -> str:
     """Materialize the base near-dup index (owned corpus: doc_id %
     {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}) as real tables; returns
     'built' or 'reused'. Reuse is catalog-driven: a second build in the
     same warehouse reads the existing tables untouched — the cross-build
-    contract a continuous-ingestion pipeline relies on."""
+    contract a continuous-ingestion pipeline relies on. ``db`` overrides
+    the database name (the streaming gate keeps a separate index so the
+    two-build batch query and the stream never share state)."""
     from ..catalog import catalog_lock
 
-    db = _near_index_db(sf_dir)
+    db = db or _near_index_db(sf_dir)
     with catalog_lock:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        have = {t.name for t in spark.catalog.listTables(db)}
-        if {"bands", "sigs"} <= have:
-            return "reused"
-        if _adopt_index_locations(spark, db, have):
-            return "reused"
-        _clear_partial_index(spark, db)
+        if fresh:
+            # deterministic rebuild: clear catalog entries AND leftover
+            # location files (a prior PROCESS's index survives a
+            # catalog-only drop and would otherwise be adopted)
+            _clear_partial_index(spark, db)
+        else:
+            have = {t.name for t in spark.catalog.listTables(db)}
+            if {"bands", "sigs"} <= have:
+                return "reused"
+            if _adopt_index_locations(spark, db, have):
+                return "reused"
+            _clear_partial_index(spark, db)
         base = _docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD
         )
@@ -1322,23 +1332,50 @@ def admit_batch_to_index(spark: SparkSession, sf_dir: str, batch_mod: int) -> st
         batch = _docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_NEAR_MOD == batch_mod
         )
-        sigs = _doc_signatures(batch)
-        sigs.persist()
-        try:
-            verdicts = _score_batch_vs_index(spark, db, sigs)
-            admitted = verdicts.filter(~F.col("is_near_dup")).select(
-                F.col("new_id").alias("doc_id")
-            )
-            adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
-            adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{db}.sigs")
-            _band_long(adm_sigs).write.format("parquet").mode("append").saveAsTable(
-                f"{db}.bands"
-            )
-        finally:
-            sigs.unpersist()
+        _admit_batch_df(spark, db, batch)
         return "admitted"
+
+
+def _admit_batch_df(spark: SparkSession, db: str, batch_docs: DataFrame) -> DataFrame:
+    """Admission core shared by the batch wrapper and the streaming
+    gate: signature-ize ``batch_docs``, score against the persisted
+    index, APPEND the admitted (non-near-dup) docs' signatures and
+    bands, and return the verdict frame (persisted — the caller
+    unpersists or lets the LRU reclaim it)."""
+    sigs = _doc_signatures(batch_docs)
+    sigs.persist()
+    try:
+        # localCheckpoint, not persist: the appends below write the very
+        # tables the verdict plan READS, and Spark invalidates cached
+        # plans that reference a written table — a persisted frame would
+        # silently RECOMPUTE against the post-append index on its next
+        # action (docs then match THEMSELVES at jaccard 1.0; caught by
+        # the streaming gate's oracle). Checkpointing truncates the
+        # lineage to the materialized blocks, so the verdicts are
+        # immutable from here on.
+        verdicts = _score_batch_vs_index(spark, db, sigs).localCheckpoint(
+            eager=True
+        )
+        admitted = verdicts.filter(~F.col("is_near_dup")).select(
+            F.col("new_id").alias("doc_id")
+        )
+        adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
+        adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
+            "append"
+        ).saveAsTable(f"{db}.sigs")
+        _band_long(adm_sigs).write.format("parquet").mode("append").saveAsTable(
+            f"{db}.bands"
+        )
+        # Invalidate cached file listings so the NEXT batch's
+        # spark.table() sees these appends — inside a foreachBatch loop
+        # the micro-batch session clone otherwise reads a stale file
+        # index and misses matches against just-admitted docs (caught by
+        # the streaming gate's oracle at sf0.01).
+        spark.catalog.refreshTable(f"{db}.sigs")
+        spark.catalog.refreshTable(f"{db}.bands")
+        return verdicts
+    finally:
+        sigs.unpersist()
 
 
 def _duck_incr_indexed() -> str:
@@ -1413,3 +1450,170 @@ def dedup_incr_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH2
     )
     return _score_batch_vs_index(spark, db, _doc_signatures(batch2))
+
+
+# -- STREAMING near-dup admission over the persisted index -------------------
+
+
+def _stage_near_dup_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the arriving corpus as TWO parquet files in a stream-source
+    directory — batch 1 (doc_id % {INCR_NEAR_MOD} == {INCR_IDX_BATCH1})
+    with an older mtime than batch 2 ({INCR_IDX_BATCH2}), so the file
+    source (which orders by modification time) delivers them as two
+    micro-batches in a pinned order. In production this is the landing
+    prefix batches arrive at; this function disappears."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    stage = os.path.join(root, f"docs_arrivals_{tag}")
+    if all(
+        os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
+    ):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    d = _docs(spark, sf_dir)
+    now = time.time()
+    for i, mod in enumerate((INCR_IDX_BATCH1, INCR_IDX_BATCH2)):
+        tmp = os.path.join(stage, f".tmp{i}")
+        d.filter(F.col("doc_id") % INCR_NEAR_MOD == mod).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+    return stage
+
+
+def _duck_stream_admission() -> str:
+    """Oracle replay of the streamed two-batch admission: identical
+    update sequence to _duck_incr_indexed, but emitting BOTH batches'
+    verdicts tagged with their micro-batch id."""
+    j = (
+        "round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /"
+        " (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)"
+    )
+    return _duck_minhash_prefix() + f""", cand1 AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM long n JOIN long i ON n.band = i.band AND n.key = i.key
+      WHERE n.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+        AND i.doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+    ), ver1 AS (
+      SELECT c.new_id, c.idx_id, {j} AS jaccard
+      FROM cand1 c JOIN hx x ON x.doc_id = c.new_id
+                   JOIN hx y ON y.doc_id = c.idx_id
+    ), best1 AS (
+      SELECT new_id, idx_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, idx_id) AS rk
+      FROM ver1
+    ), v1 AS (
+      SELECT 0 AS batch_id, d.doc_id AS new_id, b.idx_id AS matched_doc,
+             b.jaccard,
+             coalesce(b.jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best1 WHERE rk = 1) b ON b.new_id = d.doc_id
+      WHERE d.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+    ), idx2 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+      UNION ALL
+      SELECT new_id FROM v1 WHERE NOT is_near_dup
+    ), cand2 AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM long n JOIN long i ON n.band = i.band AND n.key = i.key
+      JOIN idx2 ON idx2.doc_id = i.doc_id
+      WHERE n.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH2}
+    ), ver2 AS (
+      SELECT c.new_id, c.idx_id, {j} AS jaccard
+      FROM cand2 c JOIN hx x ON x.doc_id = c.new_id
+                   JOIN hx y ON y.doc_id = c.idx_id
+    ), best2 AS (
+      SELECT new_id, idx_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, idx_id) AS rk
+      FROM ver2
+    ), v2 AS (
+      SELECT 1 AS batch_id, d.doc_id AS new_id, b.idx_id AS matched_doc,
+             b.jaccard,
+             coalesce(b.jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best2 WHERE rk = 1) b ON b.new_id = d.doc_id
+      WHERE d.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH2}
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """
+
+
+@register("stream_near_dup_admission", _duck_stream_admission())
+def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS corpus ingestion with near-dup admission — the
+    streaming composition of the round-7 persisted index: a document
+    file stream (two staged arrival files = two micro-batches in pinned
+    mtime order) runs through ``foreachBatch``; each micro-batch is
+    signature-ized, scored against the CURRENT persisted LSH index
+    (storage-backed spark.table reads), its verdicts land in a parquet
+    sink, and its admitted docs are APPENDED to the index before the
+    next batch fires — so a batch-2 doc can match a doc admitted from
+    batch 1 seconds earlier. Emits every streamed doc's verdict
+    (batch_id, new_id, matched_doc, jaccard, is_near_dup), no drops.
+
+    The stream keeps its OWN index database (suffix ``_stream``),
+    rebuilt fresh per invocation, so it never shares state with the
+    two-build batch query (dedup_incr_near_indexed) and repeat runs are
+    deterministic. ``availableNow`` + ``maxFilesPerTrigger=1`` is the
+    production backfill trigger with per-file batching.
+
+    Scale: everything executor-side — per-batch work is O(|batch|
+    signatures + band probe + dup-density-bounded verify); verdicts are
+    WRITTEN (parquet sink), never collected; index appends are the
+    admitted subset only. At 100 TB the landing prefix replaces the
+    staged dir and the sink becomes the curated-corpus table; nothing
+    else changes.
+    """
+    import os
+    import uuid
+
+    from ..catalog import catalog_lock
+
+    db = _near_index_db(sf_dir) + "_stream"
+    stage = _stage_near_dup_arrivals(spark, sf_dir)
+    build_near_dup_index(spark, sf_dir, db=db, fresh=True)
+
+    out_dir = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", ".stream-staging",
+            "near_dup_verdicts_" + uuid.uuid4().hex[:8],
+        )
+    )
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = _admit_batch_df(spark, db, batch_df)
+        verdicts.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("int")
+        ).select(
+            "batch_id", "new_id", "matched_doc", "jaccard", "is_near_dup"
+        ).write.mode("append").parquet(out_dir)
+
+    schema = spark.read.parquet(stage).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        docs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)

@@ -288,11 +288,14 @@ _CURATED_WINDOW = (
     # rounds; decode keeps the Arrow mapInPandas path in-window)
     "mm_decode_features",
     # profiling / graph / streaming (r7: stream_dedup rotates out;
-    # rollup + recovery keep streaming repped)
+    # r7 continuation: stream_recovery_resume — three rounds green —
+    # yields its slot to the NEW streaming near-dup admission gate,
+    # this round's flagship composition: foreachBatch micro-batches
+    # scored against + appended to the persisted LSH index)
     "profile_columns",
     "graph_pagerank_converged",
     "stream_hourly_rollup",
-    "stream_recovery_resume",
+    "stream_near_dup_admission",
     # Python UDTF, source formats, VARIANT
     "udtf_grouped_topk",
     "source_csv_roundtrip",
@@ -304,7 +307,8 @@ _CURATED_WINDOW = (
 # Rotated out in round 7 (all remain registered + verify_driver-checked):
 # q2_min_cost_supplier, semi_anti_join, cube_orders, events_skew_salted,
 # decimal_money_sum, sample_stratified, emb_mmr_diversify,
-# emb_hard_negatives, mm_payload_dedup, stream_dedup, text_lang_id.
+# emb_hard_negatives, mm_payload_dedup, stream_dedup, text_lang_id,
+# stream_recovery_resume.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

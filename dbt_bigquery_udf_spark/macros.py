@@ -912,9 +912,23 @@ class _Unresolved(Exception):
     pass
 
 
+def _rewrite_tilde_concat(expr: str) -> str:
+    """Jinja's `~` (string concat) is not valid binary Python, so
+    ast.parse rejects `schema ~ '.' ~ name` — the single most common
+    expression shape in real dbt macros. Rewrite `~` OUTSIDE quoted
+    spans to `@` (MatMult — a binary operator no Jinja expression
+    otherwise produces) and evaluate MatMult as Jinja concat in
+    _cf_node. Unary `~x` (bitwise not) is not Jinja either, so every
+    bare tilde is safe to treat as concat."""
+    if "~" not in expr:
+        return expr
+    parts = _QUOTED_SPAN_SPLIT_RE.split(expr)
+    return "".join(p if i % 2 else p.replace("~", "@") for i, p in enumerate(parts))
+
+
 def _cf_eval(expr: str, env: dict, var_fn, origin: str):
     try:
-        tree = _ast.parse(expr.strip(), mode="eval")
+        tree = _ast.parse(_rewrite_tilde_concat(expr.strip()), mode="eval")
     except SyntaxError as exc:
         raise EngineError(f"{origin}: unparseable Jinja expression {expr!r}") from exc
     return _cf_node(tree.body, env, var_fn, origin)
@@ -993,6 +1007,23 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
                 f"(supported: {', '.join(sorted(_FILTERS))})"
             )
         return fn(value, *fargs)
+    if isinstance(node, _ast.BinOp) and isinstance(node.op, _ast.MatMult):
+        # `a ~ b` rewritten by _rewrite_tilde_concat: Jinja concat —
+        # both sides coerced to text (Jinja stringifies numbers and
+        # booleans; our _to_text convention spells booleans true/false).
+        def _cat_text(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                raise EngineError(
+                    f"{origin}: cannot concatenate None with ~ "
+                    "(use | default(...) first)"
+                )
+            return str(v)
+
+        return _cat_text(_cf_node(node.left, env, var_fn, origin)) + _cat_text(
+            _cf_node(node.right, env, var_fn, origin)
+        )
     if isinstance(node, _ast.BinOp) and type(node.op) in _ARITH_OPS:
         # Jinja arithmetic (+ - * / // %): counters and accumulators —
         # the namespace() idiom's bread and butter ({% set ns.n = ns.n

@@ -627,3 +627,44 @@ class TestWidenedFilters:
     def test_unknown_filter_still_loud(self):
         with pytest.raises(EngineError, match="unsupported Jinja filter"):
             self._render("{{ v | wordwrap }}", {"v": "x"})
+
+
+class TestTildeConcat:
+    """Round-7: Jinja's `~` string-concat operator — the most common
+    expression shape in real dbt macros ({% set t = schema ~ '.' ~
+    name %})."""
+
+    def _render(self, s, env=None):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        return render_control_flow(
+            s, lambda n, d=None: d, "t", extra_env=env or {}
+        )
+
+    def test_basic_concat(self):
+        out = self._render(
+            "{% set t = schema ~ '.' ~ name %}{{ t }}",
+            {"schema": "analytics", "name": "orders"},
+        )
+        assert out == "analytics.orders"
+
+    def test_coerces_numbers_and_bools(self):
+        assert self._render("{% set s = 'v' ~ 2 %}{{ s }}") == "v2"
+        assert self._render("{% set s = 'f=' ~ true %}{{ s }}") == "f=true"
+
+    def test_tilde_inside_strings_untouched(self):
+        out = self._render("{% set s = 'a~b' ~ '~' %}{{ s }}")
+        assert out == "a~b~"
+
+    def test_with_filters_and_loops(self):
+        out = self._render(
+            "{% set ns = namespace(sql='') %}"
+            "{% for c in ['a', 'b'] %}"
+            "{% set ns.sql = ns.sql ~ c ~ ',' %}"
+            "{% endfor %}{{ ns.sql | trim | replace(',', ';') }}"
+        )
+        assert out == "a;b;"
+
+    def test_none_concat_fails_loudly(self):
+        with pytest.raises(EngineError, match="concatenate None"):
+            self._render("{% set s = none ~ 'x' %}")

@@ -754,3 +754,27 @@ def test_bpe_trainer_vocab_sized_steps(spark, sf_small):
         assert r.merged == r.a + r.b
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True), cnts
+
+
+def test_persisted_index_probe_is_equi_join(spark, sf_small):
+    """The admission gate's scoring plan: the batch probes the persisted
+    bands table via a (band, key) EQUI-join (never a nested-loop /
+    cartesian shape), and the verify stage joins signature arrays by id
+    only — at 100 TB the probe must shuffle/broadcast the small batch
+    side, not the index."""
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.plans.inspect import plan_facts
+    from pyspark.sql import functions as F
+
+    db = D._near_index_db(sf_small)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    D.build_near_dup_index(spark, sf_small)
+    batch = D._docs(spark, sf_small).filter(
+        F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_BATCH1
+    )
+    scored = D._score_batch_vs_index(spark, db, D._doc_signatures(batch))
+    f = plan_facts(scored)
+    assert f.nested_loop_joins == 0, f.text
+    # index tables are real storage-backed scans, not memoized lineage
+    assert any("bands" in s.lower() for s in f.text.splitlines() if "Scan" in s), f.text
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -119,6 +119,7 @@ HEADLINE = [
     # and its streaming composition (foreachBatch micro-batch admission)
     "dedup_incr_near_indexed",
     "stream_near_dup_admission",
+    "dedup_incr_exact_indexed",
 ]
 
 

@@ -1128,7 +1128,12 @@ def test_near_dup_index_persistence(spark, sf_small):
     from dbt_bigquery_udf_spark.operators import dedup as D
 
     db = D._near_index_db(sf_small)
+    # catalog-only drop is not enough across processes (files would be
+    # adopted, by design): clear the location too
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    D._clear_partial_index(spark, db)
+    spark.sql(f"DROP DATABASE {db} CASCADE")
     assert D.build_near_dup_index(spark, sf_small) == "built"
     assert D.build_near_dup_index(spark, sf_small) == "reused"
     base_n = spark.table(f"{db}.sigs").count()
@@ -1177,3 +1182,54 @@ def test_near_dup_index_persistence(spark, sf_small):
     v3 = sorted(map(tuple, QUERIES["dedup_incr_near_indexed"](spark, sf_small).collect()))
     assert v3 == v1
     spark.sql(f"DROP DATABASE {db} CASCADE")  # leave no artifact behind
+
+
+def test_exact_dup_index_ledger(spark, sf_small):
+    """The exact-dedup admission log is an owned artifact: verdicts
+    append exactly once per batch, re-runs replay the log (never
+    re-score a batch against state containing its own hashes), and the
+    hash table holds base + admitted hashes only."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = D._exact_index_db(sf_small)
+    # start truly clean: a prior PROCESS's index files survive a
+    # catalog-only drop and would be adopted (by design) — clear both
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    assert D.build_exact_dup_index(spark, sf_small) == "built"
+    assert D.build_exact_dup_index(spark, sf_small) == "reused"
+
+    v1 = sorted(map(tuple, QUERIES["dedup_incr_exact_indexed"](spark, sf_small).collect()))
+    n_hashes = spark.table(f"{db}.hashes").count()
+    n_log = spark.table(f"{db}.verdicts").count()
+    v2 = sorted(map(tuple, QUERIES["dedup_incr_exact_indexed"](spark, sf_small).collect()))
+    assert v1 == v2 and len(v1) > 0
+    # replay appended nothing: both state tables unchanged
+    assert spark.table(f"{db}.hashes").count() == n_hashes
+    assert spark.table(f"{db}.verdicts").count() == n_log
+    # every admitted (non-dup) doc's hash is in the state table
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    admitted = (
+        spark.table(f"{db}.verdicts")
+        .filter(~F.col("is_dup"))
+        .join(docs, "doc_id")
+        .select("h")
+        .distinct()
+    )
+    missing = admitted.join(spark.table(f"{db}.hashes"), "h", "left_anti")
+    assert missing.count() == 0
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -46,6 +46,7 @@ _OPS = (
     # the loop below), so hostile corpora (all-dup, empty-doc,
     # single-doc) exercise build + admit + adopt on every example
     "dedup_incr_near_indexed",
+    "dedup_incr_exact_indexed",
     "text_novelty_ratio",
     "quality_c4_rules",
     "text_chunk_windows",
@@ -144,11 +145,15 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
             r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
             assert r["ok"] and r["status"] == "match", (name, r, texts)
     finally:
-        # drop the per-example persisted near-dup index database so
-        # hypothesis examples never leak warehouse state into each other
-        from dbt_bigquery_udf_spark.operators.dedup import _near_index_db
+        # drop the per-example persisted index databases so hypothesis
+        # examples never leak warehouse state into each other
+        from dbt_bigquery_udf_spark.operators.dedup import (
+            _exact_index_db,
+            _near_index_db,
+        )
 
         spark.sql(f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
 
 
 # -- embeddings side --------------------------------------------------------

@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_incr_near_indexed",
     "stream_near_dup_admission",
     "dedup_incr_exact_indexed",
+    "sim_ivf_trained_indexed",
 ]
 
 

@@ -2160,3 +2160,213 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lp2)
         .orderBy("stage", "metric")
     )
+
+
+# -- PERSISTED trained-IVF index: FAISS-style index lifecycle ----------------
+#
+# The serving queries above rebuild their coarse structure per session
+# (memoized label-centroids). This section is the production index
+# LIFECYCLE: train k-means once, persist the (centroids, assignment)
+# relation as real warehouse tables — the artifact an ANN service owns
+# and ships — and serve queries that only READ it (probe nprobe nearest
+# centroids from the centroids table, scan assigned vectors via the
+# assignment table, exact-rerank). Mirrors the dedup module's persisted
+# LSH/hash indexes: build once / adopt across sessions / probe forever.
+
+
+def _ivf_index_db(sf_dir: str) -> str:
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"sim_ivf_idx_{tag}"
+
+
+def _train_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Final round-{KMEANS_TRAIN_ROUNDS} Lloyd centroids (k={KMEANS_K},
+    deterministic lowest-vec_id init) — the emb_kmeans_train loop minus
+    the trajectory bookkeeping; per round one scan + k x 64 collect."""
+    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
+    try:
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["emb"]])
+            for r in e.filter(F.col("vec_id") < KMEANS_K)
+            .select("vec_id", "emb")
+            .collect()
+        ]
+        for _ in range(KMEANS_TRAIN_ROUNDS):
+            assigned = _assign_enc(spark, e, cents).select(
+                "emb", (F.col("enc") % 100000).cast("int").alias("cid")
+            )
+            rows = (
+                assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, list[float]] = {}
+            for row in rows:
+                by_cid.setdefault(int(row["cid"]), [0.0] * 64)[
+                    int(row["pos"])
+                ] = float(row["m"])
+            cents = sorted(by_cid.items())
+        return cents
+    finally:
+        e.unpersist()
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the trained-IVF index: ``<db>.centroids`` (cid, cv —
+    the k final Lloyd centroids) and ``<db>.assign`` (vec_id, cid — a
+    serving-assignment pass of every vector against those centroids via
+    the engine-exact integer-encoded argmin). Catalog-reused, location-
+    adopted across sessions; returns 'built' or 'reused'. At 100 TB the
+    assign relation is the partition key of the vector store (each
+    inverted list is a partition); here it's the semi-join surface."""
+    import os
+
+    from ..catalog import catalog_lock
+
+    db = _ivf_index_db(sf_dir)
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        have = {t.name for t in spark.catalog.listTables(db)}
+        if {"centroids", "assign"} <= have:
+            return "reused"
+        loc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .filter(F.col("info_name") == "Location")
+            .first()["info_value"]
+        )
+        path = loc.removeprefix("file:")
+        adopted = 0
+        for t in ("centroids", "assign"):
+            if t in have:
+                adopted += 1
+                continue
+            tdir = os.path.join(path, t)
+            if os.path.isdir(tdir) and any(
+                f.endswith(".parquet") for f in os.listdir(tdir)
+            ):
+                spark.sql(
+                    f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
+                )
+                adopted += 1
+        if adopted == 2:
+            return "reused"
+        import shutil
+
+        for t in ("centroids", "assign"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+        cents = _train_centroids(spark, sf_dir)
+        spark.createDataFrame(
+            [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+        ).write.format("parquet").mode("overwrite").saveAsTable(f"{db}.centroids")
+        e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb"))
+        _assign_enc(spark, e, cents).select(
+            "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
+        ).write.format("parquet").mode("overwrite").saveAsTable(f"{db}.assign")
+        return "built"
+
+
+def _duck_ivf_trained() -> str:
+    """Oracle: replay the Lloyd training (same unrolled CTE chain as
+    emb_kmeans_train's oracle, minus the trajectory), the serving
+    assignment, the nprobe probe selection, and the exact rerank."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {KMEANS_K})",
+    ]
+    for r in range(1, KMEANS_TRAIN_ROUNDS + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{r - 1} c GROUP BY e.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    R = KMEANS_TRAIN_ROUNDS
+    ctes += [
+        f"""ps AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        "aserve AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM ps)",
+        f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""probes AS (
+      SELECT c.cid FROM c{R} c, q
+      ORDER BY (list_dot_product(c.cv, q.qv) /
+                nullif(sqrt(list_dot_product(c.cv, c.cv))
+                       * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.vec_id,
+           round((list_dot_product(e.emb, q.qv) /
+                  nullif(sqrt(list_dot_product(e.emb, e.emb))
+                         * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine
+    FROM e JOIN aserve USING (vec_id), q
+    WHERE aserve.cid IN (SELECT cid FROM probes)
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+
+
+@register("sim_ivf_trained_indexed", _duck_ivf_trained())
+def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against the PERSISTED trained-IVF index — the FAISS
+    index-lifecycle shape: build once (k-means-trained centroids + a
+    serving assignment of every vector, both real warehouse tables,
+    adopted across sessions), then each query only READS the index:
+    rank the k centroids from the centroids table by cosine to the
+    query (k-bounded), broadcast-semi-join the {IVF_NPROBE} probed
+    lists onto the assignment table, and exact-rerank the candidate
+    vectors. Completes the module's IVF story: sim_ivf_* demonstrate
+    the probe math on session-built label lists; this owns the trained
+    artifact the way a production vector store does.
+
+    Scale: the query-side plan touches only (a) a k-row centroids scan,
+    (b) an nprobe-key semi-join that prunes the assignment relation —
+    at 100 TB the inverted-list partition key — and (c) the candidate
+    vectors. Training cost is paid once at build; repeat sessions adopt
+    the tables by location without recomputing.
+    """
+    build_ivf_index(spark, sf_dir)
+    db = _ivf_index_db(sf_dir)
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = (
+        spark.table(f"{db}.centroids")
+        .withColumn("qv", q_lit)
+        .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = spark.table(f"{db}.assign").join(F.broadcast(probes), "cid", "left_semi")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cand, "vec_id", "left_semi")
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -309,6 +309,9 @@ _CURATED_WINDOW = (
 # decimal_money_sum, sample_stratified, emb_mmr_diversify,
 # emb_hard_negatives, mm_payload_dedup, stream_dedup, text_lang_id,
 # stream_recovery_resume.
+# Round-8 rotation candidates (verify_driver-green, benched, not yet
+# in-window): dedup_incr_exact_indexed (persisted hash set + admission
+# ledger), sim_ivf_trained_indexed (persisted trained-IVF index).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

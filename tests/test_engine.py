@@ -1233,3 +1233,40 @@ def test_exact_dup_index_ledger(spark, sf_small):
     missing = admitted.join(spark.table(f"{db}.hashes"), "h", "left_anti")
     assert missing.count() == 0
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_ivf_index_lifecycle(spark, sf_small):
+    """The trained-IVF index is an owned artifact: built once, reused on
+    repeat builds, every vector assigned to exactly one of the k
+    centroids, and the serving query reads only the tables."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import similarity as S
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = S._ivf_index_db(sf_small)
+    # clear catalog AND location (location adoption survives catalog drops)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+    assert S.build_ivf_index(spark, sf_small) == "built"
+    assert S.build_ivf_index(spark, sf_small) == "reused"
+    n_vecs = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    assert spark.table(f"{db}.assign").count() == n_vecs
+    assert spark.table(f"{db}.centroids").count() == S.KMEANS_K
+    cids = {r[0] for r in spark.table(f"{db}.assign").select("cid").distinct().collect()}
+    assert cids <= set(range(S.KMEANS_K))
+
+    v1 = sorted(map(tuple, QUERIES["sim_ivf_trained_indexed"](spark, sf_small).collect()))
+    v2 = sorted(map(tuple, QUERIES["sim_ivf_trained_indexed"](spark, sf_small).collect()))
+    assert v1 == v2 and len(v1) == 10
+    spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -121,6 +121,7 @@ HEADLINE = [
     "stream_near_dup_admission",
     "dedup_incr_exact_indexed",
     "sim_ivf_trained_indexed",
+    "sim_ivf_upsert",
 ]
 
 

@@ -2370,3 +2370,243 @@ def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# -- IVF index UPSERT: new vectors join the index without retraining ---------
+
+IVF_UPSERT_MOD = 5  # vec_id % 5 == 0 -> the arriving vectors; rest = owned
+
+
+def _ivf_base(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") % IVF_UPSERT_MOD != 0)
+
+
+def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Trained-IVF index over the OWNED split only (vec_id %
+    {IVF_UPSERT_MOD} != 0) under ``<db>_up`` — the base a vector store
+    owns before new embeddings arrive. Init: the K lowest vec_ids OF
+    THE SPLIT (cid = vec_id). Same build-once/adopt contract as
+    build_ivf_index."""
+    import os
+
+    from ..catalog import catalog_lock
+
+    db = _ivf_index_db(sf_dir) + "_up"
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        have = {t.name for t in spark.catalog.listTables(db)}
+        if {"centroids", "assign"} <= have:
+            return "reused"
+        loc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .filter(F.col("info_name") == "Location")
+            .first()["info_value"]
+        )
+        path = loc.removeprefix("file:")
+        adopted = 0
+        for t in ("centroids", "assign"):
+            if t in have:
+                adopted += 1
+                continue
+            tdir = os.path.join(path, t)
+            if os.path.isdir(tdir) and any(
+                f.endswith(".parquet") for f in os.listdir(tdir)
+            ):
+                spark.sql(
+                    f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
+                )
+                adopted += 1
+        if adopted == 2:
+            return "reused"
+        import shutil
+
+        for t in ("centroids", "assign"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+        base = _kmeans_wide(
+            _ivf_base(_emb(spark, sf_dir)).select("vec_id", "emb")
+        ).persist()
+        try:
+            cents = [
+                (int(r["vec_id"]), [float(x) for x in r["emb"]])
+                for r in base.orderBy("vec_id")
+                .limit(KMEANS_K)
+                .select("vec_id", "emb")
+                .collect()
+            ]
+            for _ in range(KMEANS_TRAIN_ROUNDS):
+                assigned = _assign_enc(spark, base, cents).select(
+                    "emb", (F.col("enc") % 100000).cast("int").alias("cid")
+                )
+                rows = (
+                    assigned.select(
+                        "cid", F.posexplode("emb").alias("pos", "v")
+                    )
+                    .groupBy("cid", "pos")
+                    .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+                    .collect()
+                )
+                by_cid: dict[int, list[float]] = {}
+                for row in rows:
+                    by_cid.setdefault(int(row["cid"]), [0.0] * 64)[
+                        int(row["pos"])
+                    ] = float(row["m"])
+                cents = sorted(by_cid.items())
+            spark.createDataFrame(
+                [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+            ).write.format("parquet").mode("overwrite").saveAsTable(
+                f"{db}.centroids"
+            )
+            _assign_enc(spark, base, cents).select(
+                "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
+            ).write.format("parquet").mode("overwrite").saveAsTable(
+                f"{db}.assign"
+            )
+        finally:
+            base.unpersist()
+        return "built"
+
+
+def upsert_ivf_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """UPSERT the arriving vectors (vec_id % {IVF_UPSERT_MOD} == 0) into
+    the persisted IVF index WITHOUT retraining: assign each against the
+    stored centroids (the engine-exact integer-encoded argmin) and
+    append to the assignment relation. Idempotent: if the index already
+    holds any arriving vector, the upsert already ran. This is how
+    production vector stores absorb writes between periodic retrains —
+    centroids stay frozen, lists grow."""
+    from ..catalog import catalog_lock
+
+    db = _ivf_index_db(sf_dir) + "_up"
+    with catalog_lock:
+        done = (
+            spark.table(f"{db}.assign")
+            .filter(F.col("vec_id") % IVF_UPSERT_MOD == 0)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if done:
+            return "reused"
+        cents = [
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in spark.table(f"{db}.centroids").collect()
+        ]
+        arriving = _kmeans_wide(
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") % IVF_UPSERT_MOD == 0)
+            .select("vec_id", "emb")
+        )
+        _assign_enc(spark, arriving, cents).select(
+            "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
+        ).write.format("parquet").mode("append").saveAsTable(f"{db}.assign")
+        spark.catalog.refreshTable(f"{db}.assign")
+        return "upserted"
+
+
+def _duck_ivf_upsert() -> str:
+    """Oracle: train on the owned split, serve-assign it, assign the
+    arriving split against the SAME frozen centroids, union, probe,
+    exact-rerank."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"eb AS (SELECT * FROM e WHERE vec_id % {IVF_UPSERT_MOD} <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid, emb AS cv FROM eb ORDER BY vec_id LIMIT {KMEANS_K}
+    )""",
+    ]
+    for r in range(1, KMEANS_TRAIN_ROUNDS + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT eb.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(eb.emb, c.cv), 6), c.cid)) AS p
+      FROM eb, c{r - 1} c GROUP BY eb.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(eb.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN eb USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    R = KMEANS_TRAIN_ROUNDS
+    ctes += [
+        f"""pall AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        # base vectors serve-assigned at build; arriving vectors at
+        # upsert — both against the same frozen c{R}, so ONE assignment
+        # CTE over all vectors replays the union exactly
+        "au AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pall)",
+        f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""probes AS (
+      SELECT c.cid FROM c{R} c, q
+      ORDER BY (list_dot_product(c.cv, q.qv) /
+                nullif(sqrt(list_dot_product(c.cv, c.cv))
+                       * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.vec_id,
+           round((list_dot_product(e.emb, q.qv) /
+                  nullif(sqrt(list_dot_product(e.emb, e.emb))
+                         * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine,
+           (e.vec_id % {IVF_UPSERT_MOD} = 0) AS was_upserted
+    FROM e JOIN au USING (vec_id), q
+    WHERE au.cid IN (SELECT cid FROM probes)
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+
+
+@register("sim_ivf_upsert", _duck_ivf_upsert())
+def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index UPSERT + serve — the missing half of the index
+    lifecycle: the base index is trained/persisted over the owned split
+    only, the arriving vectors (vec_id % {IVF_UPSERT_MOD} == 0) join it
+    through assignment against the FROZEN centroids (no retrain), and
+    the query's top-k is served from the unioned assignment relation —
+    proving upserted vectors are immediately findable (the
+    was_upserted flag marks them in the result). Centroid drift is the
+    operational cost of frozen-centroid upserts; a periodic retrain
+    (build_ivf_base_index with fresh data) is the production
+    counterpart, same code path.
+    """
+    build_ivf_base_index(spark, sf_dir)
+    upsert_ivf_vectors(spark, sf_dir)
+    db = _ivf_index_db(sf_dir) + "_up"
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = (
+        spark.table(f"{db}.centroids")
+        .withColumn("qv", q_lit)
+        .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = spark.table(f"{db}.assign").join(
+        F.broadcast(probes), "cid", "left_semi"
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cand, "vec_id", "left_semi")
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+            (F.col("vec_id") % IVF_UPSERT_MOD == 0).alias("was_upserted"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -1270,3 +1270,45 @@ def test_ivf_index_lifecycle(spark, sf_small):
     v2 = sorted(map(tuple, QUERIES["sim_ivf_trained_indexed"](spark, sf_small).collect()))
     assert v1 == v2 and len(v1) == 10
     spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_ivf_upsert_lifecycle(spark, sf_small):
+    """Frozen-centroid upsert: base index trains on the owned split
+    only; arriving vectors join via assignment against the STORED
+    centroids (no retrain), idempotently; the served top-k includes
+    upserted vectors."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import similarity as S
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = S._ivf_index_db(sf_small) + "_up"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    import shutil
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+    assert S.build_ivf_base_index(spark, sf_small) == "built"
+    n_base = spark.table(f"{db}.assign").count()
+    cent_before = sorted(map(tuple, spark.table(f"{db}.centroids").collect()))
+    assert S.upsert_ivf_vectors(spark, sf_small) == "upserted"
+    n_all = spark.table(f"{db}.assign").count()
+    assert n_all > n_base
+    assert S.upsert_ivf_vectors(spark, sf_small) == "reused"
+    assert spark.table(f"{db}.assign").count() == n_all
+    # centroids FROZEN through the upsert
+    assert sorted(map(tuple, spark.table(f"{db}.centroids").collect())) == cent_before
+    # every vector is indexed exactly once
+    n_vecs = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    assert n_all == n_vecs
+    v1 = sorted(map(tuple, QUERIES["sim_ivf_upsert"](spark, sf_small).collect()))
+    v2 = sorted(map(tuple, QUERIES["sim_ivf_upsert"](spark, sf_small).collect()))
+    assert v1 == v2 and len(v1) == 10
+    spark.sql(f"DROP DATABASE {db} CASCADE")

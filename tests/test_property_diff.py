@@ -172,6 +172,12 @@ _EMB_OPS = (
     "dedup_embedding_cosine",
     "emb_knn_graph",
     "sim_range_search",
+    # round 7: the persisted trained-IVF index + frozen-centroid upsert
+    # under hostile corpora — constant corpora (all distances 0, every
+    # vector in one cluster -> empty-cluster rounds), duplicate and
+    # zero vectors (zero QUERY vector -> all-NULL cosine ordering)
+    "sim_ivf_trained_indexed",
+    "sim_ivf_upsert",
 )
 
 _vec = st.lists(
@@ -233,9 +239,18 @@ def _write_embeddings(base: str, vectors: list[list[float]]) -> str:
 @given(vectors=_vectors)
 def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
     ex_dir = _write_embeddings(prop_dir, vectors)
-    for name in _EMB_OPS:
-        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
-        assert r["ok"] and r["status"] == "match", (name, r)
+    try:
+        for name in _EMB_OPS:
+            r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+            assert r["ok"] and r["status"] == "match", (name, r)
+    finally:
+        # per-example persisted IVF index databases must not leak
+        from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
+
+        spark.sql(f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)} CASCADE")
+        spark.sql(
+            f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}_up CASCADE"
+        )
 
 
 # -- events side ------------------------------------------------------------

@@ -1832,3 +1832,38 @@ def dedup_incr_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{db}.hashes")
             spark.catalog.refreshTable(f"{db}.verdicts")
     return spark.table(f"{db}.verdicts").filter(F.col("batch_id").isin(0, 1))
+
+
+def compact_near_dup_index(
+    spark: SparkSession, base_db: str, delta_db: str
+) -> dict:
+    """Compact a layered near-dup index: fold the delta overlay's
+    admitted rows into the base tables and truncate the delta — the
+    periodic maintenance step that keeps the overlay small (at 100 TB
+    this is the nightly job that turns the day's admissions into base
+    partitions; queries keep reading base UNION delta throughout, so
+    compaction is invisible to them). Returns the moved row counts.
+
+    Ordering note: sigs fold first, bands second, truncation last —
+    a reader between steps sees at worst DUPLICATE index rows (base +
+    not-yet-truncated delta), which candidate-dedup (`distinct`)
+    absorbs; it can never see a missing row.
+    """
+    from ..catalog import catalog_lock
+
+    with catalog_lock:
+        n_sigs = spark.table(f"{delta_db}.sigs").count()
+        n_bands = spark.table(f"{delta_db}.bands").count()
+        if n_sigs:
+            spark.table(f"{delta_db}.sigs").write.format("parquet").mode(
+                "append"
+            ).saveAsTable(f"{base_db}.sigs")
+            spark.table(f"{delta_db}.bands").write.format("parquet").mode(
+                "append"
+            ).saveAsTable(f"{base_db}.bands")
+            spark.sql(f"TRUNCATE TABLE {delta_db}.sigs")
+            spark.sql(f"TRUNCATE TABLE {delta_db}.bands")
+            for db in (base_db, delta_db):
+                spark.catalog.refreshTable(f"{db}.sigs")
+                spark.catalog.refreshTable(f"{db}.bands")
+        return {"sigs_moved": n_sigs, "bands_moved": n_bands}

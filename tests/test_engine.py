@@ -1312,3 +1312,54 @@ def test_ivf_upsert_lifecycle(spark, sf_small):
     v2 = sorted(map(tuple, QUERIES["sim_ivf_upsert"](spark, sf_small).collect()))
     assert v1 == v2 and len(v1) == 10
     spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_near_dup_index_compaction(spark, sf_small):
+    """Compaction folds the delta overlay into the base and empties it;
+    scoring against (base, delta) before == scoring against base alone
+    after — compaction is invisible to queries."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    # run the streaming gate once to populate base + delta
+    QUERIES["stream_near_dup_admission"](spark, sf_small).count()
+    base = D._near_index_db(sf_small) + "_sbase"
+    delta = D._near_index_db(sf_small) + "_sdelta"
+    n_delta = spark.table(f"{delta}.sigs").count()
+    assert n_delta > 0
+    n_base = spark.table(f"{base}.sigs").count()
+
+    # a fresh batch scored against the layered index, pre-compaction
+    batch = D._docs(spark, sf_small).filter(
+        F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_BATCH2
+    )
+    before = sorted(
+        map(
+            tuple,
+            D._score_batch_vs_index(
+                spark, (base, delta), D._doc_signatures(batch)
+            ).collect(),
+        )
+    )
+    moved = D.compact_near_dup_index(spark, base, delta)
+    assert moved["sigs_moved"] == n_delta
+    assert spark.table(f"{delta}.sigs").count() == 0
+    assert spark.table(f"{base}.sigs").count() == n_base + n_delta
+    after = sorted(
+        map(
+            tuple,
+            D._score_batch_vs_index(
+                spark, base, D._doc_signatures(batch)
+            ).collect(),
+        )
+    )
+    assert before == after
+    # idempotent: compacting an empty delta moves nothing
+    assert D.compact_near_dup_index(spark, base, delta)["sigs_moved"] == 0
+    # leave the stream's state consistent for other tests: the gate
+    # rebuilds its delta per invocation anyway, but drop the mutated
+    # base so the next invocation rebuilds it cleanly
+    spark.sql(f"DROP DATABASE {base} CASCADE")
+    spark.sql(f"DROP DATABASE {delta} CASCADE")

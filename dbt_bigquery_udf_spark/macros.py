@@ -840,6 +840,23 @@ _FILTERS = {
     "tojson": lambda v: __import__("json").dumps(v),
 }
 
+
+def _flt_map(v, fname, *args):
+    """Jinja's `| map('filter')`: apply a NAMED filter element-wise —
+    `cols | map('upper') | join(', ')`. Attribute mode
+    (`map(attribute=...)`) is out of the subset (loud via unknown
+    filter name below if attempted as a positional)."""
+    fn = _FILTERS.get(str(fname))
+    if fn is None:
+        raise EngineError(
+            f"Jinja |map: unsupported inner filter {fname!r} "
+            f"(supported: {', '.join(sorted(_FILTERS))})"
+        )
+    return [fn(x, *args) for x in v]
+
+
+_FILTERS["map"] = _flt_map
+
 _FILTER_CALL_RE = re.compile(r"\|\s*(\w+)(\((?:[^()']|'[^']*')*\))?")
 _QUOTED_SPAN_SPLIT_RE = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
 _JINJA_LITERAL_WORDS = {"true": "True", "false": "False", "none": "None"}

@@ -668,3 +668,29 @@ class TestTildeConcat:
     def test_none_concat_fails_loudly(self):
         with pytest.raises(EngineError, match="concatenate None"):
             self._render("{% set s = none ~ 'x' %}")
+
+
+class TestMapFilter:
+    def _render(self, s, env=None):
+        from dbt_bigquery_udf_spark.macros import render_control_flow
+
+        return render_control_flow(
+            "{% set __out__ = " + s[3:-3].strip() + " %}{{ __out__ }}"
+            if s.startswith("{{")
+            else s,
+            lambda n, d=None: d,
+            "t",
+            extra_env=env or {},
+        )
+
+    def test_map_named_filter(self):
+        env = {"cols": ["a", "b"]}
+        assert self._render("{{ cols | map('upper') | join(', ') }}", env) == "A, B"
+        assert (
+            self._render("{{ vals | map('round', 1) | join(';') }}", {"vals": [1.26, 2.04]})
+            == "1.3;2.0"
+        )
+
+    def test_map_unknown_inner_filter_loud(self):
+        with pytest.raises(EngineError, match="unsupported inner filter"):
+            self._render("{{ cols | map('wordwrap') }}", {"cols": ["a"]})

@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_incr_exact_indexed",
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
+    "pipeline_incremental_admission",
 ]
 
 

@@ -1867,3 +1867,49 @@ def compact_near_dup_index(
                 spark.catalog.refreshTable(f"{db}.sigs")
                 spark.catalog.refreshTable(f"{db}.bands")
         return {"sigs_moved": n_sigs, "bands_moved": n_bands}
+
+
+@register(
+    "pipeline_incremental_admission",
+    f"""
+    SELECT ex.doc_id,
+           ex.is_dup AS exact_dup,
+           nr.is_near_dup AS near_dup,
+           nr.matched_doc,
+           (NOT ex.is_dup AND NOT nr.is_near_dup) AS admitted
+    FROM ({_duck_incr_exact_indexed()}) ex
+    JOIN ({_duck_incr_indexed()}) nr ON nr.new_id = ex.doc_id
+    WHERE ex.batch_id = 1
+    """,
+)
+def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 theme composed end-to-end: batch-2 documents pass
+    BOTH persisted admission gates — the exact-hash ledger (cheap, runs
+    first in production) and the near-dup LSH index — and a doc is
+    admitted to the corpus only if neither flags it. One row per batch-2
+    doc: (doc_id, exact_dup, near_dup, matched_doc, admitted) — the
+    audit record a continuous-ingestion pipeline emits per batch.
+
+    Oracles compose by construction: this oracle embeds the two
+    registered gate oracles as subqueries, so the audit can never
+    drift from the gates (the funnel pattern). Scale: cost = the two
+    gates (both index-probe-shaped, state persisted) + one batch-sized
+    join on doc_id.
+    """
+    ex = (
+        dedup_incr_exact_indexed(spark, sf_dir)
+        .filter(F.col("batch_id") == 1)
+        .select("doc_id", F.col("is_dup").alias("exact_dup"))
+    )
+    nr = dedup_incr_near_indexed(spark, sf_dir).select(
+        F.col("new_id").alias("doc_id"),
+        F.col("is_near_dup").alias("near_dup"),
+        "matched_doc",
+    )
+    return ex.join(nr, "doc_id").select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        "matched_doc",
+        (~F.col("exact_dup") & ~F.col("near_dup")).alias("admitted"),
+    )

@@ -312,7 +312,8 @@ _CURATED_WINDOW = (
 # Round-8 rotation candidates (verify_driver-green, benched, not yet
 # in-window): dedup_incr_exact_indexed (persisted hash set + admission
 # ledger), sim_ivf_trained_indexed (persisted trained-IVF index),
-# sim_ivf_upsert (frozen-centroid index upsert + serve).
+# sim_ivf_upsert (frozen-centroid index upsert + serve),
+# pipeline_incremental_admission (both persisted gates composed).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

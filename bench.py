@@ -123,6 +123,7 @@ HEADLINE = [
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
     "pipeline_incremental_admission",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -2556,3 +2556,92 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+# -- CCNet-style perplexity bucketing (round 7) -------------------------------
+
+_PPL_PROXY_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ), tok_ne AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), uni AS (
+      SELECT token, count(*) AS n FROM tok_ne GROUP BY token
+    ), tot AS (
+      SELECT sum(n) AS big_n FROM uni
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(-ln(uni.n / (tot.big_n * 1e0)) * 1000000)
+               AS BIGINT) AS nll_micro
+      FROM tok_ne t JOIN uni ON t.token = uni.token, tot
+    ), ppl AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(sum(nll_micro) AS BIGINT)
+                   / (count(*) * 1e6), 4) AS avg_nll
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    _PPL_PROXY_SQL
+    + """
+    , b AS (
+      SELECT doc_id, n_tokens, avg_nll,
+             ntile(3) OVER (ORDER BY avg_nll, doc_id) AS nt
+      FROM ppl
+    )
+    SELECT d.doc_id,
+           coalesce(b.n_tokens, 0) AS n_tokens,
+           b.avg_nll,
+           CASE b.nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     WHEN 3 THEN 'tail' ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN b USING (doc_id)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): order the
+    corpus by language-model score and split into head / middle / tail
+    thirds — the published recipe keeps head+middle for pretraining and
+    drops (or down-weights) the tail. The score here is the unigram
+    cross-entropy proxy (text_perplexity_proxy; swap in KenLM and the
+    plan shape is unchanged — the scoring join's right side changes).
+    No-drop contract: token-less docs can't be scored, so they emit
+    bucket='tail' with NULL score (the gate-contract lesson from
+    quality_gopher_rules).
+
+    Shape note: ntile over a global ORDER BY (rounded score, doc_id) is
+    a single-partition window — fine at audit scale and it keeps the
+    oracle exact; at 100 TB the production form samples the score
+    distribution (percentile_approx) for the two cutoffs and assigns
+    buckets as a scan-side comparison against those two literals, no
+    global sort. Ties at the 4-decimal score break on doc_id, so both
+    engines produce the identical tiling.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _STAGE_MEMO, _memo_key
+
+    key = _memo_key(spark, sf_dir, "ppl_proxy")
+    if key in _STAGE_MEMO:
+        ppl = _STAGE_MEMO[key]
+    else:
+        from ..queries import QUERIES
+
+        ppl = QUERIES["text_perplexity_proxy"](spark, sf_dir)
+        _STAGE_MEMO[key] = ppl
+    b = ppl.withColumn(
+        "nt", F.ntile(3).over(W.orderBy("avg_nll", "doc_id"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    return d.join(b, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        "avg_nll",
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

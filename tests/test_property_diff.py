@@ -48,6 +48,7 @@ _OPS = (
     "dedup_incr_near_indexed",
     "dedup_incr_exact_indexed",
     "text_novelty_ratio",
+    "ccnet_perplexity_buckets",
     "quality_c4_rules",
     "text_chunk_windows",
     "bpe_pair_counts",

@@ -626,12 +626,15 @@ def split_group_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per
     )
     SELECT source, n_docs, tokens,
-           round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
-             AS natural_share,
+           CASE WHEN total_tokens > 0
+                THEN round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+           END AS natural_share,
            round(CAST(1 AS DOUBLE) / n_domains, 6) AS target_share,
-           round(least((CAST(1 AS DOUBLE) / n_domains)
-                       / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
-                       CAST(3 AS DOUBLE)), 4) AS sample_rate
+           CASE WHEN tokens > 0 AND total_tokens > 0
+                THEN round(least((CAST(1 AS DOUBLE) / n_domains)
+                                 / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+                                 CAST(3 AS DOUBLE)), 4)
+           END AS sample_rate
     FROM per, tot
     ORDER BY source
     """,
@@ -669,12 +672,20 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "tokens",
-            "round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
-            " AS natural_share",
+            # CASE-guarded, not try_divide: a token-less CORPUS (every
+            # doc empty — a real partition shape at 100 TB) made the
+            # unguarded division ANSI-crash the job, and a token-less
+            # DOMAIN made sample_rate inf-vs-error diverge across
+            # engines (found by the property suite). NULL = "share
+            # undefined", emitted identically by both engines.
+            "CASE WHEN total_tokens > 0 THEN"
+            " round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)"
+            " END AS natural_share",
             "round(CAST(1 AS DOUBLE) / n_domains, 6) AS target_share",
-            "round(least((CAST(1 AS DOUBLE) / n_domains)"
+            "CASE WHEN tokens > 0 AND total_tokens > 0 THEN"
+            " round(least((CAST(1 AS DOUBLE) / n_domains)"
             " / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),"
-            " CAST(3 AS DOUBLE)), 4) AS sample_rate",
+            " CAST(3 AS DOUBLE)), 4) END AS sample_rate",
         )
         .orderBy("source")
     )
@@ -2064,10 +2075,17 @@ def _bpe_vocab_ctes(k: int = BPE_MERGE_STEPS) -> str:
     ), best{i} AS (
       SELECT a, b, cnt FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1
     ), vocab{i + 1} AS (
+      -- LEFT JOIN, not a cross join: when best{i} is EMPTY (the corpus
+      -- ran out of mergeable pairs before step K) the vocabulary must
+      -- carry forward unmerged — the trainer BREAKS its loop there; a
+      -- cross join against the empty best row deleted the whole
+      -- vocabulary and the encode pass lost every word (found by the
+      -- property suite on a single-word corpus with one merge).
       SELECT word, freq,
-             replace(state, '|' || a || '||' || b || '|',
-                     '|' || a || b || '|') AS state
-      FROM vocab{i}, best{i}
+             CASE WHEN a IS NULL THEN state
+                  ELSE replace(state, '|' || a || '||' || b || '|',
+                               '|' || a || b || '|') END AS state
+      FROM vocab{i} LEFT JOIN best{i} ON true
     )""")
     return "".join(parts)
 

@@ -157,6 +157,50 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
         spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
 
 
+# Round 7 (cont.): second text-side group — tokenizer training/encode
+# under hostile text (the '|' state-delimiter char is IN the alphabet),
+# LSH pair/survivor variants, selection scores, retrieval ranking,
+# packing/splitting, mixture sampling. Heavier per-example cost than
+# _OPS (several build persisted stages per fresh dir), so it runs with
+# fewer examples in its own test.
+_SELECTION_OPS = (
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "dedup_minhash_pairs",
+    "dedup_minhash_survivors",
+    "dedup_shingle_fraction",
+    "dedup_containment",
+    "dedup_block_removal",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "text_perplexity_proxy",
+    "text_quality_score",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "quality_classifier_score",
+    "mix_domain_weights",
+    "split_group_leakage_free",
+    "pack_context_windows",
+    "train_split_shards",
+    "sample_temperature_mix",
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_corpus, langs=_langs)
+def test_selection_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
+    ex_dir = _write_corpus(prop_dir, texts, langs)
+    for name in _SELECTION_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, texts)
+
+
 # -- embeddings side --------------------------------------------------------
 
 # Operators that read only the embeddings table. Vector values are

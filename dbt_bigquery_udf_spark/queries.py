@@ -313,7 +313,8 @@ _CURATED_WINDOW = (
 # in-window): dedup_incr_exact_indexed (persisted hash set + admission
 # ledger), sim_ivf_trained_indexed (persisted trained-IVF index),
 # sim_ivf_upsert (frozen-centroid index upsert + serve),
-# pipeline_incremental_admission (both persisted gates composed).
+# pipeline_incremental_admission (both persisted gates composed),
+# ccnet_perplexity_buckets (head/middle/tail selection).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1147,10 +1147,12 @@ INCR_IDX_BATCH2 = 1    # doc_id % 7 == 1 -> second arriving batch
 
 
 def _near_index_db(sf_dir: str) -> str:
-    import re
+    # Fingerprinted name (ADVICE r7): a leaf-name-only tag let two
+    # corpora at /a/sf0.1 and /b/sf0.1 — or one regenerated in place —
+    # silently adopt each other's index and emit wrong verdicts.
+    from .index_store import index_db_name
 
-    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    return f"dedup_near_idx_{tag}"
+    return index_db_name("dedup_near_idx", sf_dir, ("documents.parquet",))
 
 
 def _near_index_has_batch(spark: SparkSession, db: str, mod: int) -> bool:
@@ -1179,13 +1181,23 @@ def _index_relations(spark: SparkSession, dbs) -> tuple[DataFrame, DataFrame]:
 
 
 def _score_batch_vs_index(
-    spark: SparkSession, db, batch_sigs: DataFrame
+    spark: SparkSession,
+    db,
+    batch_sigs: DataFrame,
+    anchor_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Admission scoring of a signature-ized batch against the persisted
     index (``db``: one database name or a layered base+delta tuple):
     (new_id, matched_doc, jaccard, is_near_dup), one row per
     batch doc (no drops), matched_doc = Jaccard-argmax index doc
     (ties -> smaller doc_id), all reads storage-backed via spark.table.
+
+    ``anchor_docs`` (the raw batch docs frame) anchors the final "no
+    drops" left join when given: a batch doc with NULL/empty text yields
+    no signature row, so anchoring on batch_sigs alone would silently
+    drop it from the verdict frame (ADVICE r7) — unsignaturable docs
+    must still emit (new_id, NULL, NULL, false), matching the DuckDB
+    oracle's LEFT JOIN from documents.
     """
     from pyspark.sql import Window as W
 
@@ -1224,7 +1236,10 @@ def _score_batch_vs_index(
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
-    return batch_sigs.select(F.col("doc_id").alias("new_id")).join(
+    anchor = (
+        anchor_docs if anchor_docs is not None else batch_sigs
+    ).select(F.col("doc_id").alias("new_id"))
+    return anchor.join(
         best, "new_id", "left"
     ).select(
         "new_id",
@@ -1236,55 +1251,17 @@ def _score_batch_vs_index(
     )
 
 
-def _adopt_index_locations(spark: SparkSession, db: str, have: set) -> bool:
-    """Cross-SESSION index reuse: a fresh session's catalog starts empty,
-    but the index parquet written by a previous session still sits at the
-    database's warehouse location. If both table directories exist,
-    register them as-is (``CREATE TABLE ... USING parquet LOCATION`` —
-    schema inferred from the files) instead of rebuilding — the 100 TB
-    pipeline's behavior, where the index is an owned artifact no new
-    job ever recomputes. Returns True if the persisted index was
-    adopted (or was already fully registered)."""
-    import os
-
-    loc = (
-        spark.sql(f"DESCRIBE DATABASE {db}")
-        .filter(F.col("info_name") == "Location")
-        .first()["info_value"]
-    )
-    path = loc.removeprefix("file:")
-    adopted = 0
-    for t in ("bands", "sigs"):
-        if t in have:
-            adopted += 1
-            continue
-        tdir = os.path.join(path, t)
-        if os.path.isdir(tdir) and any(
-            f.endswith(".parquet") for f in os.listdir(tdir)
-        ):
-            spark.sql(
-                f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
-            )
-            adopted += 1
-    return adopted == 2
+_NEAR_IDX_TABLES = ("bands", "sigs")
+_NEAR_IDX_SCHEMA = {"bands": ("doc_id", "band", "key"), "sigs": ("doc_id", "hs")}
 
 
 def _clear_partial_index(spark: SparkSession, db: str) -> None:
     """A half-written index (one table dir present, its sibling missing —
     a crash between the two writes) is garbage: drop any registered
     half and its leftover location so the rebuild starts clean."""
-    import os
-    import shutil
+    from .index_store import clear_tables
 
-    loc = (
-        spark.sql(f"DESCRIBE DATABASE {db}")
-        .filter(F.col("info_name") == "Location")
-        .first()["info_value"]
-    )
-    path = loc.removeprefix("file:")
-    for t in ("bands", "sigs"):
-        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
-        shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+    clear_tables(spark, db, _NEAR_IDX_TABLES)
 
 
 def build_near_dup_index(
@@ -1296,39 +1273,45 @@ def build_near_dup_index(
     same warehouse reads the existing tables untouched — the cross-build
     contract a continuous-ingestion pipeline relies on. ``db`` overrides
     the database name (the streaming gate keeps a separate index so the
-    two-build batch query and the stream never share state)."""
+    two-build batch query and the stream never share state).
+
+    Bootstrap lifecycle (catalog-first reuse, cross-session location
+    adoption, clear-and-rebuild on half-written groups) is the shared
+    ``index_store.ensure_tables`` contract — see that module."""
     from ..catalog import catalog_lock
+    from .index_store import clear_tables, ensure_tables
 
     db = db or _near_index_db(sf_dir)
-    with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        if fresh:
-            # deterministic rebuild: clear catalog entries AND leftover
-            # location files (a prior PROCESS's index survives a
-            # catalog-only drop and would otherwise be adopted)
-            _clear_partial_index(spark, db)
-        else:
-            have = {t.name for t in spark.catalog.listTables(db)}
-            if {"bands", "sigs"} <= have:
-                return "reused"
-            if _adopt_index_locations(spark, db, have):
-                return "reused"
-            _clear_partial_index(spark, db)
+
+    def _build() -> None:
         base = _docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD
         )
-        sigs = _doc_signatures(base).select("doc_id", "hs", *[f"h{i}" for i in range(N_HASHES)])
+        sigs = _doc_signatures(base).select(
+            "doc_id", "hs", *[f"h{i}" for i in range(N_HASHES)]
+        )
         sigs.persist()
         try:
             sigs.select("doc_id", "hs").write.format("parquet").mode(
                 "overwrite"
             ).saveAsTable(f"{db}.sigs")
-            _band_long(sigs).write.format("parquet").mode("overwrite").saveAsTable(
-                f"{db}.bands"
-            )
+            _band_long(sigs).write.format("parquet").mode(
+                "overwrite"
+            ).saveAsTable(f"{db}.bands")
         finally:
             sigs.unpersist()
-        return "built"
+
+    with catalog_lock:
+        if fresh:
+            # deterministic rebuild: clear catalog entries AND leftover
+            # location files (a prior PROCESS's index survives a
+            # catalog-only drop and would otherwise be adopted)
+            clear_tables(spark, db, _NEAR_IDX_TABLES)
+            _build()
+            return "built"
+        return ensure_tables(
+            spark, db, _NEAR_IDX_TABLES, _build, expect=_NEAR_IDX_SCHEMA
+        )
 
 
 def admit_batch_to_index(spark: SparkSession, sf_dir: str, batch_mod: int) -> str:
@@ -1376,19 +1359,28 @@ def _admit_batch_df(
         # the streaming gate's oracle). Checkpointing truncates the
         # lineage to the materialized blocks, so the verdicts are
         # immutable from here on.
-        verdicts = _score_batch_vs_index(spark, db, sigs).localCheckpoint(
-            eager=True
-        )
+        verdicts = _score_batch_vs_index(
+            spark, db, sigs, anchor_docs=batch_docs
+        ).localCheckpoint(eager=True)
         admitted = verdicts.filter(~F.col("is_near_dup")).select(
             F.col("new_id").alias("doc_id")
         )
         adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
-        adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
-            "append"
-        ).saveAsTable(f"{write_db}.sigs")
+        # Append ORDER is the crash-safety contract (ADVICE r7): the
+        # per-batch idempotency marker is the batch's presence in SIGS
+        # (_near_index_has_batch), so bands must land first. A crash
+        # between the two appends then replays the whole admission —
+        # the duplicate bands rows are harmless (candidate generation
+        # is DISTINCT on (new_id, idx_id), and scoring requires a sigs
+        # row, so half-admitted ids can't self-match) — whereas the old
+        # sigs-first order left band rows permanently missing and those
+        # docs undiscoverable by every future batch.
         _band_long(adm_sigs).write.format("parquet").mode("append").saveAsTable(
             f"{write_db}.bands"
         )
+        adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
+            "append"
+        ).saveAsTable(f"{write_db}.sigs")
         # Invalidate cached file listings so the NEXT batch's
         # spark.table() sees these appends — inside a foreachBatch loop
         # the micro-batch session clone otherwise reads a stale file
@@ -1472,7 +1464,9 @@ def dedup_incr_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = _docs(spark, sf_dir).filter(
         F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH2
     )
-    return _score_batch_vs_index(spark, db, _doc_signatures(batch2))
+    return _score_batch_vs_index(
+        spark, db, _doc_signatures(batch2), anchor_docs=batch2
+    )
 
 
 # -- STREAMING near-dup admission over the persisted index -------------------
@@ -1620,9 +1614,20 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_near_dup_arrivals(spark, sf_dir)
     build_near_dup_index(spark, sf_dir, db=base_db)
     with catalog_lock:
+        from .index_store import clear_tables
+
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
-        have = {t.name for t in spark.catalog.listTables(delta_db)}
-        if {"bands", "sigs"} <= have:
+        have = {
+            t.name
+            for t in spark.catalog.listTables(delta_db)
+            if not t.isTemporary
+        }
+        if {"bands", "sigs"} <= have and not any(
+            # an ADOPTED (external) leftover can't be truncated; only
+            # this session's managed scratch tables take the fast path
+            spark.catalog.getTable(f"{delta_db}.{t}").tableType == "EXTERNAL"
+            for t in _NEAR_IDX_TABLES
+        ):
             # per-run reset is a TRUNCATE (metadata + file delete), not a
             # drop/recreate — ~10x cheaper per invocation
             spark.sql(f"TRUNCATE TABLE {delta_db}.sigs")
@@ -1630,7 +1635,10 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{delta_db}.sigs")
             spark.catalog.refreshTable(f"{delta_db}.bands")
         else:
-            _clear_partial_index(spark, delta_db)  # stale cross-process files
+            # the delta is per-run SCRATCH (unlike every other persisted
+            # artifact): cross-process leftovers are cleared, never
+            # adopted — there is nothing worth reusing in them
+            clear_tables(spark, delta_db, _NEAR_IDX_TABLES)
             spark.createDataFrame(
                 [], "doc_id bigint, hs array<bigint>"
             ).write.format("parquet").saveAsTable(f"{delta_db}.sigs")
@@ -1687,38 +1695,22 @@ def build_exact_dup_index(
     table ``<db>.hashes`` (h: 16-byte md5 hex) over the owned corpus
     (doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}). O(distinct docs)
     state, payload never stored. Returns 'built' or 'reused'
-    (catalog-first, then location adoption — same cross-session
-    contract as the near-dup index)."""
-    import os
-
-    from ..catalog import catalog_lock
-
+    (catalog-first, then location adoption — the shared
+    ``index_store.ensure_tables`` contract)."""
     db = db or _exact_index_db(sf_dir)
-    with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        have = {t.name for t in spark.catalog.listTables(db)}
-        if "hashes" in have:
-            return "reused"
-        loc = (
-            spark.sql(f"DESCRIBE DATABASE {db}")
-            .filter(F.col("info_name") == "Location")
-            .first()["info_value"]
-        )
-        tdir = os.path.join(loc.removeprefix("file:"), "hashes")
-        if os.path.isdir(tdir) and any(
-            f.endswith(".parquet") for f in os.listdir(tdir)
-        ):
-            spark.sql(
-                f"CREATE TABLE {db}.hashes USING parquet LOCATION '{loc}/hashes'"
-            )
-            return "reused"
+    from .index_store import ensure_tables
+
+    def _build() -> None:
         base = _docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD
         )
         base.select(F.md5("text").alias("h")).distinct().write.format(
             "parquet"
         ).mode("overwrite").saveAsTable(f"{db}.hashes")
-        return "built"
+
+    return ensure_tables(
+        spark, db, ("hashes",), _build, expect={"hashes": ("h",)}
+    )
 
 
 def _duck_incr_exact_indexed() -> str:
@@ -1769,6 +1761,14 @@ def dedup_incr_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scoring a batch against state that now includes its own hashes —
     the idempotence contract an at-least-once orchestrator needs.
 
+    Crash safety (ADVICE r7): the ledger is the WRITE-AHEAD record —
+    it stores each verdict's hash ``h`` alongside the decision, and the
+    hash-state append is an idempotent PROJECTION of the ledger
+    (ledger rows -> new non-dup hashes, left_anti against the state
+    table) that re-runs on EVERY invocation. A crash between the ledger
+    commit and the hashes append therefore self-heals on replay instead
+    of leaving the state table permanently missing the batch's hashes.
+
     Scale: admission is one left-anti-shaped hash probe per batch —
     (16-byte hash, id) rows only, payload pruned at the scan; the state
     table grows O(distinct corpus) and at cluster scale is bucketed on
@@ -1779,13 +1779,30 @@ def dedup_incr_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import catalog_lock
 
+    from .index_store import ensure_tables
+
     db = _exact_index_db(sf_dir)
     build_exact_dup_index(spark, sf_dir)
+
+    def _build_empty_ledger() -> None:
+        spark.createDataFrame(
+            [], "batch_id int, doc_id bigint, is_dup boolean, h string"
+        ).write.format("parquet").saveAsTable(f"{db}.verdicts")
+
     with catalog_lock:
-        if "verdicts" not in {t.name for t in spark.catalog.listTables(db)}:
-            spark.createDataFrame(
-                [], "batch_id int, doc_id bigint, is_dup boolean"
-            ).write.format("parquet").saveAsTable(f"{db}.verdicts")
+        # Round-7 driver-bench crash fix: the old bootstrap checked only
+        # the catalog then ran a bare saveAsTable, so a fresh session
+        # over a warm warehouse died with LOCATION_ALREADY_EXISTS. The
+        # shared helper adopts the persisted ledger instead; the column
+        # contract also migrates pre-round-8 ledgers (no ``h`` column —
+        # unrepairable, so cleared and re-admitted from scratch).
+        ensure_tables(
+            spark,
+            db,
+            ("verdicts",),
+            _build_empty_ledger,
+            expect={"verdicts": ("batch_id", "doc_id", "is_dup", "h")},
+        )
     for bid, mod in ((0, INCR_IDX_BATCH1), (1, INCR_IDX_BATCH2)):
         with catalog_lock:
             done = (
@@ -1795,43 +1812,67 @@ def dedup_incr_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count()
                 > 0
             )
-            if done:  # ledger says this batch was admitted: replay only
-                continue
-            batch = (
-                _docs(spark, sf_dir)
-                .filter(F.col("doc_id") % INCR_NEAR_MOD == mod)
-                .select("doc_id", F.md5("text").alias("h"))
-            )
-            idx = spark.table(f"{db}.hashes").select(F.col("h").alias("ih"))
-            verdicts = (
-                batch.join(idx, batch.h == F.col("ih"), "left")
-                .withColumn(
-                    "rk",
-                    F.row_number().over(W.partitionBy("h").orderBy("doc_id")),
+            if not done:
+                batch = (
+                    _docs(spark, sf_dir)
+                    .filter(F.col("doc_id") % INCR_NEAR_MOD == mod)
+                    .select("doc_id", F.md5("text").alias("h"))
                 )
-                .select(
-                    F.lit(bid).cast("int").alias("batch_id"),
-                    "doc_id",
-                    (F.col("ih").isNotNull() | (F.col("rk") > 1)).alias(
-                        "is_dup"
-                    ),
-                    "h",
+                idx = spark.table(f"{db}.hashes").select(
+                    F.col("h").alias("ih")
                 )
-                # truncate lineage BEFORE the appends below invalidate
-                # the plan's table reads (same hazard as _admit_batch_df)
-                .localCheckpoint(eager=True)
-            )
-            verdicts.drop("h").write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{db}.verdicts")
-            verdicts.filter(~F.col("is_dup")).select("h").distinct().join(
-                spark.table(f"{db}.hashes"), "h", "left_anti"
-            ).write.format("parquet").mode("append").saveAsTable(
-                f"{db}.hashes"
+                verdicts = (
+                    batch.join(idx, batch.h == F.col("ih"), "left")
+                    .withColumn(
+                        "rk",
+                        F.row_number().over(
+                            W.partitionBy("h").orderBy("doc_id")
+                        ),
+                    )
+                    .select(
+                        F.lit(bid).cast("int").alias("batch_id"),
+                        "doc_id",
+                        (F.col("ih").isNotNull() | (F.col("rk") > 1)).alias(
+                            "is_dup"
+                        ),
+                        "h",
+                    )
+                    # truncate lineage BEFORE the appends below
+                    # invalidate the plan's table reads (same hazard as
+                    # _admit_batch_df)
+                    .localCheckpoint(eager=True)
+                )
+                verdicts.write.format("parquet").mode("append").saveAsTable(
+                    f"{db}.verdicts"
+                )
+                spark.catalog.refreshTable(f"{db}.verdicts")
+            # Idempotent ledger->hashes projection, run on EVERY
+            # invocation (done or not): appends the batch's admitted
+            # hashes that the state table doesn't hold yet — a no-op
+            # via left_anti once complete, a repair after a crash
+            # between the ledger commit and this append (ADVICE r7).
+            # NULL h (unhashable NULL-text doc) is excluded: it can
+            # never match a probe, and left_anti can't dedup it.
+            (
+                spark.table(f"{db}.verdicts")
+                .filter(
+                    (F.col("batch_id") == bid)
+                    & ~F.col("is_dup")
+                    & F.col("h").isNotNull()
+                )
+                .select("h")
+                .distinct()
+                .join(spark.table(f"{db}.hashes"), "h", "left_anti")
+                .write.format("parquet")
+                .mode("append")
+                .saveAsTable(f"{db}.hashes")
             )
             spark.catalog.refreshTable(f"{db}.hashes")
-            spark.catalog.refreshTable(f"{db}.verdicts")
-    return spark.table(f"{db}.verdicts").filter(F.col("batch_id").isin(0, 1))
+    return (
+        spark.table(f"{db}.verdicts")
+        .filter(F.col("batch_id").isin(0, 1))
+        .select("batch_id", "doc_id", "is_dup")
+    )
 
 
 def compact_near_dup_index(

@@ -1,0 +1,179 @@
+"""Shared warehouse bootstrap for PERSISTED index artifacts.
+
+Six operators own on-disk index state (the near-dup LSH index, its
+streaming base/delta layers, the exact-hash ledger, and the two trained
+IVF indexes). They all need the same lifecycle, and round 7 proved that
+hand-rolling it per table regresses: the ``verdicts`` ledger bootstrap
+checked only the catalog and then ran a bare ``saveAsTable``, so a
+FRESH session over a WARM warehouse (empty catalog, leftover parquet at
+the database location) died with LOCATION_ALREADY_EXISTS and killed the
+driver's round-7 bench (VERDICT r7 §What's wrong). This module is the
+single implementation of the contract so the next index table can't
+reintroduce the bug.
+
+The contract (``ensure_tables``):
+
+1. **catalog-first reuse** — registered tables ARE the artifact; a
+   repeat build touches nothing.
+2. **cross-session location adoption** — a fresh session's catalog is
+   empty but the previous process's parquet still sits under the
+   database location; register it (``CREATE TABLE ... USING parquet
+   LOCATION``) instead of recomputing. This is the 100 TB shape: the
+   index is an owned artifact no new job ever rebuilds.
+3. **schema validation on reuse/adopt** — an adopted table whose
+   columns don't match the operator's current contract (e.g. a ledger
+   persisted by an older code version) is cleared and rebuilt, never
+   silently served.
+4. **all-or-nothing groups** — a half-written group (crash between two
+   table writes) is garbage: clear every member (catalog entry AND
+   location files) and rebuild.
+
+Corpus identity (``index_db_name``): the database name embeds a
+fingerprint of the corpus — absolute path plus (size, mtime_ns) of
+every data file — so two corpora that merely share a leaf directory
+name (``/a/sf0.1`` vs ``/b/sf0.1``), or a corpus regenerated in place,
+can never adopt each other's index and emit wrong verdicts
+(ADVICE r7). A changed corpus simply resolves to a new database and
+builds fresh; stale databases are swept by ``bench.py
+--fresh-indexes``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+from typing import Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import catalog_lock
+
+__all__ = [
+    "corpus_fingerprint",
+    "index_db_name",
+    "db_location",
+    "ensure_tables",
+    "clear_tables",
+]
+
+
+def corpus_fingerprint(sf_dir: str, files: Sequence[str]) -> str:
+    """Hex fingerprint of a corpus' identity: its absolute path plus
+    (relative name, size, mtime_ns) of every parquet data file of the
+    named tables. Two directories with the same leaf name but different
+    paths — or the same path regenerated with new data — fingerprint
+    differently, so an index can only ever be adopted by the corpus it
+    was built from. O(#files) stat calls, no data reads."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for name in files:
+        p = os.path.join(sf_dir, name)
+        data: list[str] = []
+        if os.path.isdir(p):
+            for root, _, fs in os.walk(p):
+                data += [
+                    os.path.join(root, f)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+        elif os.path.exists(p):
+            data = [p]
+        for q in sorted(data):
+            st = os.stat(q)
+            h.update(
+                f"{os.path.relpath(q, sf_dir)}:{st.st_size}:"
+                f"{st.st_mtime_ns}".encode()
+            )
+    return h.hexdigest()[:10]
+
+
+def index_db_name(prefix: str, sf_dir: str, files: Sequence[str]) -> str:
+    """Warehouse database name for a persisted index over ``sf_dir``:
+    ``<prefix>_<leaf tag>_<corpus fingerprint>``. The human-readable tag
+    aids debugging; the fingerprint carries the identity guarantee."""
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"{prefix}_{tag}_{corpus_fingerprint(sf_dir, files)}"
+
+
+def db_location(spark: SparkSession, db: str) -> str:
+    """The database's warehouse location URI (``file:/...``)."""
+    return (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    )
+
+
+def clear_tables(spark: SparkSession, db: str, tables: Iterable[str]) -> None:
+    """Drop the named tables AND their location directories (a prior
+    PROCESS's files survive a catalog-only drop and would otherwise be
+    adopted — by design). Safe on half-written groups."""
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        path = db_location(spark, db).removeprefix("file:")
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+
+
+def _columns_ok(
+    spark: SparkSession,
+    db: str,
+    tables: Sequence[str],
+    expect: Mapping[str, Iterable[str]] | None,
+) -> bool:
+    if expect is None:
+        return True
+    for t in tables:
+        want = expect.get(t)
+        if want is not None and set(spark.table(f"{db}.{t}").columns) != set(
+            want
+        ):
+            return False
+    return True
+
+
+def ensure_tables(
+    spark: SparkSession,
+    db: str,
+    tables: Sequence[str],
+    build: Callable[[], None],
+    expect: Mapping[str, Iterable[str]] | None = None,
+) -> str:
+    """Make the table group exist, preferring reuse over recompute:
+    catalog-first, then cross-session location adoption, else clear the
+    whole group and call ``build()`` (which must create every table in
+    ``tables``, e.g. via ``saveAsTable``). Returns ``'built'`` or
+    ``'reused'``. ``expect`` maps table -> required column names; a
+    reused/adopted table failing it is cleared and rebuilt (schema
+    migration across code versions). Caller-reentrant: takes the global
+    ``catalog_lock`` (an RLock) for the whole check-adopt-build cycle."""
+    tables = tuple(tables)
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        have = {t.name for t in spark.catalog.listTables(db)}
+        if set(tables) <= have and _columns_ok(spark, db, tables, expect):
+            return "reused"
+        loc = db_location(spark, db)
+        path = loc.removeprefix("file:")
+        registered = have & set(tables)
+        for t in tables:
+            if t in registered:
+                continue
+            tdir = os.path.join(path, t)
+            if os.path.isdir(tdir) and any(
+                f.endswith(".parquet") for f in os.listdir(tdir)
+            ):
+                spark.sql(
+                    f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
+                )
+                registered.add(t)
+        if registered == set(tables) and _columns_ok(
+            spark, db, tables, expect
+        ):
+            return "reused"
+        clear_tables(spark, db, tables)
+        build()
+        return "built"

@@ -2174,11 +2174,16 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH/hash indexes: build once / adopt across sessions / probe forever.
 
 
-def _ivf_index_db(sf_dir: str) -> str:
-    import re
+_IVF_IDX_TABLES = ("centroids", "assign")
+_IVF_IDX_SCHEMA = {"centroids": ("cid", "cv"), "assign": ("vec_id", "cid")}
 
-    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    return f"sim_ivf_idx_{tag}"
+
+def _ivf_index_db(sf_dir: str) -> str:
+    # Fingerprinted name (ADVICE r7): see index_store.index_db_name —
+    # an index can only be adopted by the exact corpus it was built on.
+    from .index_store import index_db_name
+
+    return index_db_name("sim_ivf_idx", sf_dir, ("embeddings.parquet",))
 
 
 def _train_centroids(spark: SparkSession, sf_dir: str) -> list:
@@ -2221,52 +2226,30 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     the engine-exact integer-encoded argmin). Catalog-reused, location-
     adopted across sessions; returns 'built' or 'reused'. At 100 TB the
     assign relation is the partition key of the vector store (each
-    inverted list is a partition); here it's the semi-join surface."""
-    import os
+    inverted list is a partition); here it's the semi-join surface.
 
-    from ..catalog import catalog_lock
+    Bootstrap lifecycle (catalog-first reuse, cross-session location
+    adoption, clear-and-rebuild on half-written groups) is the shared
+    ``index_store.ensure_tables`` contract."""
+    from .index_store import ensure_tables
 
     db = _ivf_index_db(sf_dir)
-    with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        have = {t.name for t in spark.catalog.listTables(db)}
-        if {"centroids", "assign"} <= have:
-            return "reused"
-        loc = (
-            spark.sql(f"DESCRIBE DATABASE {db}")
-            .filter(F.col("info_name") == "Location")
-            .first()["info_value"]
-        )
-        path = loc.removeprefix("file:")
-        adopted = 0
-        for t in ("centroids", "assign"):
-            if t in have:
-                adopted += 1
-                continue
-            tdir = os.path.join(path, t)
-            if os.path.isdir(tdir) and any(
-                f.endswith(".parquet") for f in os.listdir(tdir)
-            ):
-                spark.sql(
-                    f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
-                )
-                adopted += 1
-        if adopted == 2:
-            return "reused"
-        import shutil
 
-        for t in ("centroids", "assign"):
-            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
-            shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+    def _build() -> None:
         cents = _train_centroids(spark, sf_dir)
         spark.createDataFrame(
             [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
-        ).write.format("parquet").mode("overwrite").saveAsTable(f"{db}.centroids")
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            f"{db}.centroids"
+        )
         e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb"))
         _assign_enc(spark, e, cents).select(
             "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
         ).write.format("parquet").mode("overwrite").saveAsTable(f"{db}.assign")
-        return "built"
+
+    return ensure_tables(
+        spark, db, _IVF_IDX_TABLES, _build, expect=_IVF_IDX_SCHEMA
+    )
 
 
 def _duck_ivf_trained() -> str:
@@ -2386,43 +2369,12 @@ def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
     {IVF_UPSERT_MOD} != 0) under ``<db>_up`` — the base a vector store
     owns before new embeddings arrive. Init: the K lowest vec_ids OF
     THE SPLIT (cid = vec_id). Same build-once/adopt contract as
-    build_ivf_index."""
-    import os
-
-    from ..catalog import catalog_lock
+    build_ivf_index (shared ``index_store.ensure_tables``)."""
+    from .index_store import ensure_tables
 
     db = _ivf_index_db(sf_dir) + "_up"
-    with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        have = {t.name for t in spark.catalog.listTables(db)}
-        if {"centroids", "assign"} <= have:
-            return "reused"
-        loc = (
-            spark.sql(f"DESCRIBE DATABASE {db}")
-            .filter(F.col("info_name") == "Location")
-            .first()["info_value"]
-        )
-        path = loc.removeprefix("file:")
-        adopted = 0
-        for t in ("centroids", "assign"):
-            if t in have:
-                adopted += 1
-                continue
-            tdir = os.path.join(path, t)
-            if os.path.isdir(tdir) and any(
-                f.endswith(".parquet") for f in os.listdir(tdir)
-            ):
-                spark.sql(
-                    f"CREATE TABLE {db}.{t} USING parquet LOCATION '{loc}/{t}'"
-                )
-                adopted += 1
-        if adopted == 2:
-            return "reused"
-        import shutil
 
-        for t in ("centroids", "assign"):
-            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
-            shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+    def _build() -> None:
         base = _kmeans_wide(
             _ivf_base(_emb(spark, sf_dir)).select("vec_id", "emb")
         ).persist()
@@ -2464,7 +2416,10 @@ def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
             )
         finally:
             base.unpersist()
-        return "built"
+
+    return ensure_tables(
+        spark, db, _IVF_IDX_TABLES, _build, expect=_IVF_IDX_SCHEMA
+    )
 
 
 def upsert_ivf_vectors(spark: SparkSession, sf_dir: str) -> str:

@@ -246,39 +246,43 @@ _CURATED_WINDOW = (
     "bq_dialect_qualify",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
-    # dedup family — round 7 promotes containment scoring and the
-    # persisted-index incremental admission gate
+    # dedup family — round 8 promotes the persisted exact-hash ledger
+    # (the round-7 driver-bench crash, now fixed via the shared
+    # index_store bootstrap — VERDICT r8 #1/#3); dedup_semantic and
+    # dedup_shingle_fraction rotate out after 3+ green rounds (both
+    # stay verify_driver-checked; the family keeps 7 in-window reps)
     "dedup_exact",
     "dedup_minhash_survivors",
-    "dedup_semantic",
-    "dedup_shingle_fraction",
     "dedup_incremental_near",
     "dedup_incr_near_indexed",
+    "dedup_incr_exact_indexed",
     "dedup_block_removal",
     "dedup_containment",
-    # similarity search / embedding analytics — round 7 promotes the
-    # 1-bit Hamming ANN, radius search, and the cluster-blocked kNN
-    # graph (emb_mmr_diversify + emb_hard_negatives rotate out after
-    # two green rounds each; both stay verify_driver-checked)
+    # similarity search / embedding analytics — round 8 promotes the
+    # persisted trained-IVF index and the frozen-centroid upsert
+    # (sim_ivf_rerank and emb_kmeans_train rotate out after 3+ green
+    # rounds each; the trained-IVF entry exercises the same Lloyd
+    # trainer end-to-end, and both rotated rows stay verify_driver-
+    # checked)
     "sim_topk_brute",
-    "sim_ivf_rerank",
     "sim_ivfpq_adc",
     "sim_hamming_topk",
     "sim_range_search",
-    "emb_kmeans_train",
+    "sim_ivf_trained_indexed",
+    "sim_ivf_upsert",
     "emb_knn_graph",
     "emb_label_propagation",
-    # text analysis / quality / data selection — round 7 promotes the C4
-    # line-level rules, the fastText-style classifier score, and DSIR
-    # top-k selection (text_lang_id rotates out; the text family keeps
-    # five in-window reps)
+    # text analysis / quality / data selection — round 8 promotes the
+    # CCNet-style perplexity head/middle/tail buckets
+    # (quality_gopher_rules rotates out after 3 green rounds; the
+    # quality family keeps c4_rules + classifier_score + ccnet buckets)
     "text_bigram_lm_nll",
     "text_bm25_topk",
     "dsir_importance_weights",
     "dsir_select_topk",
-    "quality_gopher_rules",
     "quality_c4_rules",
     "quality_classifier_score",
+    "ccnet_perplexity_buckets",
     # tokenizer training: counts -> merges -> corpus encode, all three
     # stages now in-window
     "bpe_pair_counts",
@@ -301,20 +305,27 @@ _CURATED_WINDOW = (
     "source_csv_roundtrip",
     "events_variant_extract",
     # pipeline audits (oracles embed the registered gate/dedup oracles)
+    # — round 8 promotes the incremental-admission audit composing both
+    # persisted gates
     "pipeline_quality_funnel",
     "pipeline_dedup_funnel",
+    "pipeline_incremental_admission",
 )
 # Rotated out in round 7 (all remain registered + verify_driver-checked):
 # q2_min_cost_supplier, semi_anti_join, cube_orders, events_skew_salted,
 # decimal_money_sum, sample_stratified, emb_mmr_diversify,
 # emb_hard_negatives, mm_payload_dedup, stream_dedup, text_lang_id,
 # stream_recovery_resume.
-# Round-8 rotation candidates (verify_driver-green, benched, not yet
-# in-window): dedup_incr_exact_indexed (persisted hash set + admission
-# ledger), sim_ivf_trained_indexed (persisted trained-IVF index),
-# sim_ivf_upsert (frozen-centroid index upsert + serve),
-# pipeline_incremental_admission (both persisted gates composed),
-# ccnet_perplexity_buckets (head/middle/tail selection).
+# Rotated out in round 8 (all remain registered + verify_driver-checked,
+# each 3+ driver-green rounds, every family keeps >=1 in-window rep):
+# dedup_semantic, dedup_shingle_fraction, sim_ivf_rerank,
+# emb_kmeans_train, quality_gopher_rules.
+# Rotated IN for round 8 (the five round-7 queue candidates):
+# dedup_incr_exact_indexed (persisted hash set + admission ledger — the
+# round-7 bench-crash fix), sim_ivf_trained_indexed (persisted
+# trained-IVF index), sim_ivf_upsert (frozen-centroid index upsert +
+# serve), pipeline_incremental_admission (both persisted gates
+# composed), ccnet_perplexity_buckets (head/middle/tail selection).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1219,14 +1219,20 @@ def test_exact_dup_index_ledger(spark, sf_small):
     # replay appended nothing: both state tables unchanged
     assert spark.table(f"{db}.hashes").count() == n_hashes
     assert spark.table(f"{db}.verdicts").count() == n_log
-    # every admitted (non-dup) doc's hash is in the state table
+    # the ledger's write-ahead h column matches md5(text) per doc
     docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
-        "doc_id", F.md5("text").alias("h")
+        "doc_id", F.md5("text").alias("dh")
     )
+    mismatched = (
+        spark.table(f"{db}.verdicts")
+        .join(docs, "doc_id")
+        .filter(~F.col("h").eqNullSafe(F.col("dh")))
+    )
+    assert mismatched.count() == 0
+    # every admitted (non-dup) doc's hash is in the state table
     admitted = (
         spark.table(f"{db}.verdicts")
-        .filter(~F.col("is_dup"))
-        .join(docs, "doc_id")
+        .filter(~F.col("is_dup") & F.col("h").isNotNull())
         .select("h")
         .distinct()
     )
@@ -1363,3 +1369,187 @@ def test_near_dup_index_compaction(spark, sf_small):
     # base so the next invocation rebuilds it cleanly
     spark.sql(f"DROP DATABASE {base} CASCADE")
     spark.sql(f"DROP DATABASE {delta} CASCADE")
+
+
+def _wipe_catalog_keep_files(spark, db):
+    """Simulate a FRESH SESSION over a WARM WAREHOUSE: remove every
+    catalog entry for ``db`` but leave its parquet on disk — exactly
+    what a new process sees over a previous process's index artifact."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    shutil.copytree(loc, loc + ".bak")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.move(loc + ".bak", loc)
+
+
+def _drop_index_db(spark, db):
+    """Full reset: catalog AND location (files survive a catalog-only
+    drop and would be adopted, by design)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "which", ["near", "stream_layers", "exact", "ivf", "ivf_up"]
+)
+def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
+    """Fresh-catalog/warm-warehouse cycle for EVERY persisted artifact
+    (VERDICT r7 #2): populate via the public operator, wipe the catalog
+    entries while keeping the parquet (what a brand-new session sees),
+    and verify the bootstrap ADOPTS the files — instead of crashing
+    with LOCATION_ALREADY_EXISTS (the round-7 driver-bench killer) or
+    silently rebuilding — and that the served results are unchanged."""
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.operators import similarity as S
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    if which == "near":
+        dbs = [D._near_index_db(sf_small)]
+        query, reuse = "dedup_incr_near_indexed", (
+            lambda: D.build_near_dup_index(spark, sf_small)
+        )
+    elif which == "stream_layers":
+        dbs = [
+            D._near_index_db(sf_small) + "_sbase",
+            D._near_index_db(sf_small) + "_sdelta",
+        ]
+        query, reuse = "stream_near_dup_admission", (
+            lambda: D.build_near_dup_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "exact":
+        dbs = [D._exact_index_db(sf_small)]
+        query, reuse = "dedup_incr_exact_indexed", (
+            lambda: D.build_exact_dup_index(spark, sf_small)
+        )
+    elif which == "ivf":
+        dbs = [S._ivf_index_db(sf_small)]
+        query, reuse = "sim_ivf_trained_indexed", (
+            lambda: S.build_ivf_index(spark, sf_small)
+        )
+    else:
+        dbs = [S._ivf_index_db(sf_small) + "_up"]
+        query, reuse = "sim_ivf_upsert", (
+            lambda: S.build_ivf_base_index(spark, sf_small)
+        )
+
+    for db in dbs:
+        _drop_index_db(spark, db)
+    v_clean = sorted(map(tuple, QUERIES[query](spark, sf_small).collect()))
+    assert len(v_clean) > 0
+    counts = {
+        f"{db}.{t.name}": spark.table(f"{db}.{t.name}").count()
+        for db in dbs
+        for t in spark.catalog.listTables(db)
+        if not t.isTemporary  # listTables also returns session temp views
+        and (t.name != "sigs" or "sdelta" not in db)  # delta resets per run
+    }
+    for db in dbs:
+        _wipe_catalog_keep_files(spark, db)
+    # the bootstrap must ADOPT (round 7's bare saveAsTable died with
+    # LOCATION_ALREADY_EXISTS right here)
+    assert reuse() == "reused"
+    v_warm = sorted(map(tuple, QUERIES[query](spark, sf_small).collect()))
+    if which == "stream_layers":
+        # stream verdict batch numbering restarts per run; compare the
+        # per-doc verdicts, not the monotonically growing batch ids
+        key = lambda rows: sorted(r[1:] for r in rows)  # noqa: E731
+        assert key(v_warm) == key(v_clean)
+    else:
+        assert v_warm == v_clean
+    # replay appended nothing: every persisted table is unchanged
+    for name, n in counts.items():
+        assert spark.table(name).count() == n, name
+    for db in dbs:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_exact_ledger_crash_repair(spark, sf_small):
+    """ADVICE r7 (crash-safety): the verdicts ledger is the write-ahead
+    record — if a crash loses the hashes append (simulated here by
+    resetting the state table to base-only AFTER a full run), the next
+    invocation repairs the state table from the ledger instead of
+    leaving it permanently missing the admitted batches' hashes."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = D._exact_index_db(sf_small)
+    _drop_index_db(spark, db)
+    v_clean = sorted(
+        map(tuple, QUERIES["dedup_incr_exact_indexed"](spark, sf_small).collect())
+    )
+    n_full = spark.table(f"{db}.hashes").count()
+    # simulate the lost appends: state table back to the base build only
+    base = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD >= D.INCR_IDX_BASE_MOD)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    n_base = base.count()
+    assert n_base < n_full  # the admissions really appended something
+    base.write.format("parquet").mode("overwrite").saveAsTable(f"{db}.hashes")
+    spark.catalog.refreshTable(f"{db}.hashes")
+    # replay: done-markers say both batches admitted -> ledger->hashes
+    # projection must repair the state table, verdicts unchanged
+    v_replay = sorted(
+        map(tuple, QUERIES["dedup_incr_exact_indexed"](spark, sf_small).collect())
+    )
+    assert v_replay == v_clean
+    assert spark.table(f"{db}.hashes").count() == n_full
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_near_admission_crash_replay(spark, sf_small):
+    """ADVICE r7 (append order): bands land BEFORE sigs, and the
+    idempotency marker is the batch's presence in SIGS — so a crash
+    between the two appends (simulated by removing the batch's sigs
+    rows) replays the whole admission to a consistent index instead of
+    permanently losing the batch's band rows."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = D._near_index_db(sf_small)
+    _drop_index_db(spark, db)
+    v_clean = sorted(
+        map(tuple, QUERIES["dedup_incr_near_indexed"](spark, sf_small).collect())
+    )
+    # simulate the crash window: batch-1 bands are in, sigs are not
+    kept = (
+        spark.table(f"{db}.sigs")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD != D.INCR_IDX_BATCH1)
+        .localCheckpoint(eager=True)
+    )
+    kept.write.format("parquet").mode("overwrite").saveAsTable(f"{db}.sigs")
+    spark.catalog.refreshTable(f"{db}.sigs")
+    assert not D._near_index_has_batch(spark, db, D.INCR_IDX_BATCH1)
+    # replay: marker says not-admitted -> the admission re-runs fully
+    assert (
+        D.admit_batch_to_index(spark, sf_small, D.INCR_IDX_BATCH1)
+        == "admitted"
+    )
+    v_replay = sorted(
+        map(tuple, QUERIES["dedup_incr_near_indexed"](spark, sf_small).collect())
+    )
+    assert v_replay == v_clean
+    spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -936,11 +936,53 @@ def _rewrite_tilde_concat(expr: str) -> str:
     spans to `@` (MatMult — a binary operator no Jinja expression
     otherwise produces) and evaluate MatMult as Jinja concat in
     _cf_node. Unary `~x` (bitwise not) is not Jinja either, so every
-    bare tilde is safe to treat as concat."""
+    bare tilde is safe to treat as concat.
+
+    Precedence guard (ADVICE r7): Jinja's `~` binds LOOSER than
+    `* / // %` but Python's `@` binds AT that level, so an
+    unparenthesized mix like `x ~ y * 2` would silently evaluate as
+    Jinja's `(x ~ y) * 2` (string replication) instead of
+    `x ~ (y * 2)`. Rather than mis-evaluate, detect `* / // %`
+    following a `~` inside the same bracket group and raise a loud
+    EngineError directing the author to parenthesize. (`x * y ~ z`
+    needs no guard: left-associativity makes `@` group it the same way
+    Jinja does; `**` binds tighter than both in both grammars.)"""
     if "~" not in expr:
         return expr
     parts = _QUOTED_SPAN_SPLIT_RE.split(expr)
-    return "".join(p if i % 2 else p.replace("~", "@") for i, p in enumerate(parts))
+    s = "".join(p if i % 2 else p.replace("~", "@") for i, p in enumerate(parts))
+    depth, seen_concat = 0, {0: False}
+    i, n, in_q = 0, len(s), None
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "\\":
+                i += 1
+            elif ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        elif ch in "([{":
+            depth += 1
+            seen_concat[depth] = False
+        elif ch in ")]}":
+            depth = max(depth - 1, 0)
+        elif ch == ",":
+            # a new argument is a new expression — clear the group flag
+            seen_concat[depth] = False
+        elif ch == "@":
+            seen_concat[depth] = True
+        elif ch == "*" and i + 1 < n and s[i + 1] == "*":
+            i += 1  # '**' (pow) binds tighter than '~' in both grammars
+        elif ch in "*/%" and seen_concat.get(depth):
+            raise EngineError(
+                f"ambiguous Jinja expression {expr!r}: `~` (concat) binds"
+                f" looser than `{ch}` in Jinja but this engine evaluates"
+                " the mix with Python precedence — parenthesize the"
+                f" arithmetic operand, e.g. `x ~ (y {ch} 2)`"
+            )
+        i += 1
+    return s
 
 
 def _cf_eval(expr: str, env: dict, var_fn, origin: str):

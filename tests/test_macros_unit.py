@@ -669,6 +669,45 @@ class TestTildeConcat:
         with pytest.raises(EngineError, match="concatenate None"):
             self._render("{% set s = none ~ 'x' %}")
 
+    def test_tilde_then_arithmetic_is_loud(self):
+        # ADVICE r7: Jinja evaluates `x ~ y * 2` as x ~ (y * 2); the
+        # Python-precedence rewrite would compute (x ~ y) * 2 (string
+        # replication) — refuse loudly instead of mis-evaluating.
+        for op in ("*", "/", "//", "%"):
+            with pytest.raises(EngineError, match="parenthesize"):
+                self._render(
+                    "{%% set s = x ~ y %s 2 %%}{{ s }}" % op,
+                    {"x": "a", "y": 3},
+                )
+
+    def test_tilde_arithmetic_parenthesized_ok(self):
+        out = self._render(
+            "{% set s = x ~ (y * 2) %}{{ s }}", {"x": "a", "y": 3}
+        )
+        assert out == "a6"
+        # explicit parens around the concat keep Python semantics
+        out = self._render("{% set s = (x ~ 'b') * 2 %}{{ s }}", {"x": "a"})
+        assert out == "abab"
+
+    def test_arithmetic_before_tilde_ok(self):
+        # left-associativity groups `x * y ~ z` identically in both
+        # grammars — no guard needed
+        out = self._render(
+            "{% set s = y * 2 ~ 'u' %}{{ s }}", {"y": 3}
+        )
+        assert out == "6u"
+
+    def test_tilde_guard_scoped_to_bracket_group(self):
+        # `~` inside parens can't interact with arithmetic outside them
+        out = self._render(
+            "{% set s = (x ~ y) ~ (n * 2) %}{{ s }}",
+            {"x": "a", "y": "b", "n": 2},
+        )
+        assert out == "ab4"
+        # ...and a `%` inside a string literal is not an operator
+        out = self._render("{% set s = x ~ '%s' %}{{ s }}", {"x": "a"})
+        assert out == "a%s"
+
 
 class TestMapFilter:
     def _render(self, s, env=None):

@@ -63,3 +63,28 @@ def test_hamming_shortlist_recall_beats_random(spark, sf_small):
     ham = _ids(spark, "sim_hamming_topk", sf_small)
     assert len(ham) == 10
     assert len(brute & ham) / len(brute) >= 0.5
+
+
+def test_absolute_recall_floors_sf001(spark, sf_medium):
+    """Absolute recall@10 floors at sf0.01 (VERDICT r7 #6): the
+    monotonicity tests above can't catch a silent recall COLLAPSE
+    (e.g. a banding-parameter change that tanks every variant equally),
+    so pin floors under the measured values. Measured at sf0.01 (round
+    8): LSH multiprobe 0.6, IVF nprobe=3 0.4, Hamming shortlist 0.7 —
+    consistent with SCALE.md's sf0.1 table (0.60 / 0.40 / 0.50). The
+    queries are fully deterministic (md5-derived hashes, fixed probe
+    budgets), so the margin below the measured value only absorbs
+    corpus regeneration, not run-to-run noise."""
+    brute = _ids(spark, "sim_topk_brute", sf_medium)
+    assert len(brute) == 10
+    floors = {
+        "sim_lsh_multiprobe": 0.4,
+        "sim_ivf_multiprobe": 0.25,
+        "sim_hamming_topk": 0.5,
+    }
+    measured = {
+        name: len(brute & _ids(spark, name, sf_medium)) / len(brute)
+        for name in floors
+    }
+    for name, floor in floors.items():
+        assert measured[name] >= floor, (name, measured[name], floor)

@@ -985,9 +985,31 @@ def _rewrite_tilde_concat(expr: str) -> str:
     return s
 
 
+# dbt_utils spells two keyword arguments with Python reserved words
+# (star(from=..., except=...)), which ast.parse cannot carry; rewrite
+# them OUTSIDE quoted spans to the trailing-underscore parameter names
+# the engine-bound helpers declare. A bare `from`/`except` NAME can't
+# occur in any previously-working expression (ast would already have
+# rejected it), so the rewrite cannot change working code.
+_KW_KWARG_RE = re.compile(r"(?<![\w.])(from|except)\s*=(?!=)")
+
+
+def _rewrite_keyword_kwargs(expr: str) -> str:
+    if "from" not in expr and "except" not in expr:
+        return expr
+    parts = _QUOTED_SPAN_SPLIT_RE.split(expr)
+    return "".join(
+        p if i % 2 else _KW_KWARG_RE.sub(lambda m: m.group(1) + "_=", p)
+        for i, p in enumerate(parts)
+    )
+
+
 def _cf_eval(expr: str, env: dict, var_fn, origin: str):
     try:
-        tree = _ast.parse(_rewrite_tilde_concat(expr.strip()), mode="eval")
+        tree = _ast.parse(
+            _rewrite_keyword_kwargs(_rewrite_tilde_concat(expr.strip())),
+            mode="eval",
+        )
     except SyntaxError as exc:
         raise EngineError(f"{origin}: unparseable Jinja expression {expr!r}") from exc
     return _cf_node(tree.body, env, var_fn, origin)
@@ -1098,6 +1120,18 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
             ) from exc
     if isinstance(node, (_ast.List, _ast.Tuple)):
         return [_cf_node(e, env, var_fn, origin) for e in node.elts]
+    if isinstance(node, _ast.Dict):
+        # dict literals: dbt_utils.union_relations(column_override=
+        # {'amount': 'double'}) and config-shaped mappings
+        if any(k is None for k in node.keys):
+            raise EngineError(
+                f"{origin}: **mapping unpacking is out of the supported "
+                "Jinja subset"
+            )
+        return {
+            _cf_node(k, env, var_fn, origin): _cf_node(v, env, var_fn, origin)
+            for k, v in zip(node.keys, node.values)
+        }
     if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.Not):
         return not _cf_node(node.operand, env, var_fn, origin)
     if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
@@ -1159,9 +1193,25 @@ def _cf_node(node: _ast.AST, env: dict, var_fn, origin: str):
                         "key not set"
                     )
                 return obj[args[0]]
+            if callable(obj.get(node.func.attr)):
+                # Engine-bound namespace callables: the build-time
+                # introspection surface (adapter.get_columns_in_relation,
+                # dbt_utils.star / get_column_values / union_relations)
+                # is a dict of Python callables — dispatch like the
+                # env-bound Name-call branch below.
+                kwargs = {}
+                for kw in node.keywords:
+                    if kw.arg is None:
+                        raise EngineError(
+                            f"{origin}: **kwargs unpacking is out of the "
+                            "supported Jinja subset"
+                        )
+                    kwargs[kw.arg] = _cf_node(kw.value, env, var_fn, origin)
+                return obj[node.func.attr](*args, **kwargs)
         raise EngineError(
             f"{origin}: unsupported method call in Jinja expression "
-            "(only <dict>.get / <dict>.require)"
+            "(only <dict>.get / <dict>.require, or a callable member "
+            "of an engine-bound namespace dict)"
         )
     if (
         isinstance(node, _ast.Call)

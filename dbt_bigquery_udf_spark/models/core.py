@@ -67,6 +67,15 @@ _VAR_RE = re.compile(
 # dbt's target context: {{ target.name }} / {{ target.schema }} / ... —
 # the standard env-routing idiom (see catalog.target_context).
 _TARGET_ATTR_RE = re.compile(r"\{\{\s*target\.(\w+)\s*\}\}")
+_JINJA_SPAN_RE = re.compile(r"\{\{.*?\}\}", re.S)
+_REF_TOKEN_RE = re.compile(r"\bref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+# Opt-in marker for the build-time dbt_utils introspection env (see
+# _render_sql): binding it unconditionally would make every model pay
+# catalog lookups it never uses.
+_UTILS_JINJA_RE = re.compile(
+    r"\b(?:star|get_column_values|union_relations|pivot|run_query)\s*\("
+    r"|\badapter\.|\bdbt_utils\."
+)
 # dbt invocation context: the audit-column idiom
 # (`'{{ invocation_id }}' AS batch_id, '{{ run_started_at }}' AS loaded_at`).
 _INVOCATION_RE = re.compile(r"\{\{\s*(invocation_id|run_started_at)\s*\}\}")
@@ -298,7 +307,23 @@ class ModelSpec:
 
     @property
     def refs(self) -> tuple[str, ...]:
-        return tuple(dict.fromkeys((*_REF_RE.findall(self.sql), *self.python_refs)))
+        # Standalone {{ ref('x') }} spans PLUS ref('x') tokens nested
+        # inside any other Jinja span — dbt records an edge for every
+        # ref() call, including arguments to introspective macros
+        # ({{ dbt_utils.union_relations(relations=[ref('a'), ref('b')])
+        # }} must build a/b first or the build-time column introspection
+        # finds nothing). Scoped to {{ }} spans so a ref(...) mention in
+        # SQL comments or string literals cannot invent an edge.
+        nested = (
+            m
+            for span in _JINJA_SPAN_RE.findall(self.sql)
+            for m in _REF_TOKEN_RE.findall(span)
+        )
+        return tuple(
+            dict.fromkeys(
+                (*_REF_RE.findall(self.sql), *nested, *self.python_refs)
+            )
+        )
 
     @property
     def sources(self) -> tuple[tuple[str, str], ...]:
@@ -561,6 +586,36 @@ class Engine:
         # `{{- ref('x') -}}` must trim AND still match the placeholder
         # regexes below even when the body carries no {% %} tags.
         sql = apply_whitespace_control(sql)
+        from ..macros import _Unresolved, render_control_flow
+
+        def _cf_var(name: str, default, _spec=spec):
+            if name in self.vars:
+                return self.vars[name]
+            if default is not _Unresolved:
+                return default
+            raise EngineError(
+                f"model {_spec.name}: var('{name}') has no value and "
+                "no default (dbt: Required var not found)"
+            )
+
+        cf_extra: dict = {"target": target_context(self.env)}
+        if _UTILS_JINJA_RE.search(sql):
+            # dbt_utils' INTROSPECTIVE macros (star / union_relations /
+            # get_column_values / pivot, plus adapter.* and run_query)
+            # need the live catalog, so they bind here — at BUILD time,
+            # exactly when dbt resolves them. ref()/source() become
+            # callables resolving through the SAME resolvers as the
+            # post-render regex passes, so early resolution inside these
+            # models is output-equivalent.
+            from ..utils_compat import build_utils_env
+
+            cf_extra.update(
+                build_utils_env(
+                    self.spark,
+                    lambda n: self._resolve_ref(n, for_call=True),
+                    self._resolve_source,
+                )
+            )
         if "{%" in sql:
             # Jinja control flow ({% if %}/{% for %}/{% set %}, macros.py
             # subset): is_incremental() is just a boolean in the same
@@ -568,24 +623,22 @@ class Engine:
             # `{% if is_incremental() %}...{% else %}...{% endif %}`
             # pick the right branch. Runs before var()/ref() substitution
             # so emitted text keeps its placeholders for the passes below.
-            from ..macros import _Unresolved, render_control_flow
-
-            def _cf_var(name: str, default, _spec=spec):
-                if name in self.vars:
-                    return self.vars[name]
-                if default is not _Unresolved:
-                    return default
-                raise EngineError(
-                    f"model {_spec.name}: var('{name}') has no value and "
-                    "no default (dbt: Required var not found)"
-                )
-
             sql = render_control_flow(
                 sql,
                 _cf_var,
                 origin=f"model {spec.name}",
                 is_incremental=is_incremental,
-                extra_env={"target": target_context(self.env)},
+                extra_env=cf_extra,
+            )
+        elif len(cf_extra) > 1:
+            # tag-free body that still calls a build-time helper in a
+            # {{ }} span: evaluate env-bound spans only — spans leading
+            # with unbound names (ref/var/this/source) pass through to
+            # the regex passes below, as always
+            from ..macros import _cf_subst_loop_vars
+
+            sql = _cf_subst_loop_vars(
+                sql, cf_extra, f"model {spec.name}", _cf_var
             )
         sql = _TARGET_ATTR_RE.sub(
             lambda m: self._resolve_target_attr(spec, m.group(1)), sql

@@ -733,3 +733,137 @@ class TestMapFilter:
     def test_map_unknown_inner_filter_loud(self):
         with pytest.raises(EngineError, match="unsupported inner filter"):
             self._render("{{ cols | map('wordwrap') }}", {"cols": ["a"]})
+
+
+class TestDbtUtilsIntrospective:
+    """Round-8 dbt_utils widening: star / get_column_values /
+    union_relations / pivot as build-time engine helpers
+    (utils_compat.build_utils_env) — unit round-trips over a fake
+    SparkSession, including dbt's reserved-word kwargs (from= /
+    except=), which _rewrite_keyword_kwargs maps to the helpers'
+    trailing-underscore parameters."""
+
+    class _FakeDF:
+        def __init__(self, dtypes, rows=()):
+            self.dtypes = dtypes
+            self.columns = [n for n, _ in dtypes]
+            self._rows = list(rows)
+
+        def collect(self):
+            return self._rows
+
+    class _FakeSpark:
+        def __init__(self, tables, queries=None):
+            self._tables = tables
+            self._queries = queries or {}
+            self.last_sql = None
+
+        def table(self, name):
+            if name not in self._tables:
+                raise RuntimeError(f"no table {name}")
+            return self._tables[name]
+
+        def sql(self, text):
+            self.last_sql = text
+            return self._queries[min(self._queries)]
+
+    def _env(self, tables, queries=None):
+        from dbt_bigquery_udf_spark.utils_compat import build_utils_env
+
+        return build_utils_env(
+            self._FakeSpark(tables, queries), lambda n: n, lambda a, b: b
+        )
+
+    def _render(self, s, env):
+        # mirror Engine._render_sql: CF path for tagged bodies, the
+        # span-only substitution pass for tag-free ones
+        from dbt_bigquery_udf_spark.macros import (
+            _cf_subst_loop_vars,
+            render_control_flow,
+        )
+
+        if "{%" in s:
+            return render_control_flow(
+                s, lambda n, d=None: d, "t", extra_env=env
+            )
+        return _cf_subst_loop_vars(s, env, "t", lambda n, d=None: d)
+
+    def test_star_round_trip(self):
+        env = self._env({"db.t": self._FakeDF([("id", "int"), ("a", "string"), ("b", "double")])})
+        out = self._render("{{ star(from='db.t', except=['id']) }}", env)
+        assert out == "a, b"
+        out = self._render(
+            "{{ dbt_utils.star(from='db.t', except=['ID'], prefix='x_', "
+            "relation_alias='t') }}",
+            env,
+        )
+        assert out == "t.a AS x_a, t.b AS x_b"
+
+    def test_star_all_excluded_is_loud(self):
+        import pytest as _pytest
+
+        env = self._env({"db.t": self._FakeDF([("id", "int")])})
+        with _pytest.raises(EngineError, match="every column excluded"):
+            self._render("{{ star(from='db.t', except=['id']) }}", env)
+
+    def test_pivot_round_trip(self):
+        env = self._env({})
+        out = self._render(
+            "{{ pivot('method', ['card', 'cash'], agg='count') }}", env
+        )
+        assert out == (
+            "count(case when method = 'card' then 1 else 0 end) AS card, "
+            "count(case when method = 'cash' then 1 else 0 end) AS cash"
+        )
+        # quoting of the literal: embedded quote doubled
+        out = self._render("{{ pivot('m', [\"o'k\"], alias=false) }}", env)
+        assert "= 'o''k'" in out and " AS " not in out
+
+    def test_union_relations_round_trip(self):
+        env = self._env(
+            {
+                "db.a": self._FakeDF([("id", "int"), ("x", "string")]),
+                "db.b": self._FakeDF([("id", "int"), ("y", "double")]),
+            }
+        )
+        out = self._render(
+            "{{ union_relations(relations=['db.a', 'db.b']) }}", env
+        )
+        assert "UNION ALL" in out
+        assert "cast(NULL AS double) AS y" in out  # filled for db.a
+        assert "cast(NULL AS string) AS x" in out  # filled for db.b
+        assert "_dbt_source_relation" in out
+        # column_override forces the cast type everywhere
+        out = self._render(
+            "{{ union_relations(relations=['db.a', 'db.b'], "
+            "column_override={'id': 'bigint'}) }}",
+            env,
+        )
+        assert out.count("cast(id AS bigint) AS id") == 2
+
+    def test_get_column_values_shapes_sql(self):
+        df = self._FakeDF([("v", "string")], rows=[("card",), ("cash",)])
+        fake = self._FakeSpark({"db.t": df}, {"q": df})
+        from dbt_bigquery_udf_spark.utils_compat import build_utils_env
+
+        env = build_utils_env(fake, lambda n: n, lambda a, b: b)
+        vals = env["get_column_values"](
+            table="db.t", column="m", max_records=5, where="m is not null"
+        )
+        assert vals == ["card", "cash"]
+        assert "GROUP BY m" in fake.last_sql
+        assert "WHERE m is not null" in fake.last_sql
+        assert fake.last_sql.endswith("LIMIT 5")
+
+    def test_keyword_kwargs_rewrite_scoped_to_code(self):
+        from dbt_bigquery_udf_spark.macros import _rewrite_keyword_kwargs
+
+        assert (
+            _rewrite_keyword_kwargs("star(from=ref('x'), except=['a'])")
+            == "star(from_=ref('x'), except_=['a'])"
+        )
+        # quoted spans untouched; == comparisons untouched
+        assert (
+            _rewrite_keyword_kwargs("f('from=', x) if y == 2 else g()")
+            == "f('from=', x) if y == 2 else g()"
+        )

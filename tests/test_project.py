@@ -1992,3 +1992,50 @@ def test_git_package_dash_to_underscore_and_project_name(tmp_path):
            "packages:\n  - git: https://example.com/org/audit-kit.git\n")
     proj2 = load_project(root2)
     assert any("a_mark" in m for m in proj2.macros)
+
+
+def test_dbt_utils_introspective_macros_e2e(spark, sf_small, tmp_path):
+    """Round-8 dbt_utils widening (VERDICT r7 #7): star /
+    get_column_values / pivot / union_relations — the four
+    highest-frequency dbt_utils calls in public dbt trees — work end to
+    end in a project, with dbt's exact keyword spellings (from= /
+    except=). They are build-time engine helpers (upstream implements
+    them on adapter introspection + run_query, which only exist when
+    the model renders); see dbt_bigquery_udf_spark/utils_compat.py."""
+    root = str(tmp_path / "utilsproj")
+    _write(root, "dbt_project.yml", "name: utilsproj\n")
+    _write(root, "seeds/payments.csv",
+           "id,method,amount\n1,card,5.0\n2,cash,3.0\n3,card,9.0\n")
+    _write(root, "seeds/refunds.csv", "id,method\n9,wire\n")
+    _write(root, "models/starred.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT {{ dbt_utils.star(from=ref('payments'), except=['id'], prefix='p_') }}\n"
+           "FROM {{ ref('payments') }}\n")
+    _write(root, "models/pivoted.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT {{ dbt_utils.pivot('method',\n"
+           "          dbt_utils.get_column_values(table=ref('payments'),\n"
+           "                                      column='method', order_by='v')) }}\n"
+           "FROM {{ ref('payments') }}\n")
+    _write(root, "models/unioned.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT * FROM {{ dbt_utils.union_relations(\n"
+           "    relations=[ref('payments'), ref('refunds')]) }}\n")
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(
+        select=["payments", "refunds", "starred", "pivoted", "unioned"],
+        fail_fast=True,
+    )
+    starred = spark.table("datamart.starred")
+    assert starred.columns == ["p_method", "p_amount"]
+    piv = spark.table("datamart.pivoted")
+    assert sorted(piv.columns) == ["card", "cash"]
+    assert piv.first().card == 2 and piv.first().cash == 1
+    uni = spark.table("datamart.unioned")
+    assert sorted(uni.columns) == ["_dbt_source_relation", "amount", "id", "method"]
+    assert uni.count() == 4
+    # NULL-filled column for the relation lacking it, tagged by source
+    wire = uni.filter("method = 'wire'").first()
+    assert wire.amount is None and "refunds" in wire._dbt_source_relation

@@ -569,11 +569,17 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _src(spark, sf_dir)["documents"]
     toks = F.filter(F.split(F.lower(F.col("text")), _TOK_RE), lambda t: t != "")
     # 0-based Spark array indexing: pairs (ts[i-1], ts[i]) for i in 1..n-1.
+    # CASE-guarded: sequence(1, n) with n < 1 yields a DESCENDING range
+    # ([1,0]), so a 0/1-token doc would index past the array and crash
+    # under ANSI (round-8 hypothesis-sweep find); short docs contribute
+    # no bigrams (slice(ts, 1, 0) is the type-correct empty array).
     grams = d.select(toks.alias("ts")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
-                " i -> concat(ts[i - 1], ' ', ts[i]))"
+                "CASE WHEN size(ts) >= 2 THEN "
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> concat(ts[i - 1], ' ', ts[i])) "
+                "ELSE slice(ts, 1, 0) END"
             )
         ).alias("bigram")
     )
@@ -1246,8 +1252,14 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, greatest(size(ts) - 4, 0)),"
-                    " i -> md5(array_join(slice(ts, i, 5), ' ')))"
+                    # CASE-guarded like text_bigrams_topk: docs shorter
+                    # than one 5-token window contribute no shingles —
+                    # the old greatest() guard produced sequence(1,0) =
+                    # [1,0] and slice(ts, 0, 5) errors on start 0
+                    "CASE WHEN size(ts) >= 5 THEN "
+                    "transform(sequence(1, size(ts) - 4),"
+                    " i -> md5(array_join(slice(ts, i, 5), ' '))) "
+                    "ELSE slice(ts, 1, 0) END"
                 )
             )
         ).alias("sh"),

@@ -1136,8 +1136,12 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("score") * F.col("x")).alias("av")
     )
     nrm = acc.agg(F.sqrt(F.sum(F.col("av") * F.col("av"))).alias("n"))
+    # nullif: an all-zero corpus has accumulator norm 0 — NULL direction
+    # (DuckDB's double 0/0 is NULL too), not an ANSI DIVIDE_BY_ZERO
+    # crash (found by the round-8 hypothesis sweep).
     return acc.crossJoin(F.broadcast(nrm)).select(
-        "dim", F.round(F.col("av") / F.col("n"), 6).alias("v1")
+        "dim",
+        F.round(F.col("av") / F.nullif(F.col("n"), F.lit(0.0)), 6).alias("v1"),
     )
 
 
@@ -1691,14 +1695,35 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen: list[tuple[int, int, int]] = []  # (rk, vec_id, score)
     picked: set[int] = set()
     for rk in range(1, MMR_K + 1):
-        best = None
+        # Degenerate-corpus semantics pinned to the oracle (found by the
+        # round-8 hypothesis sweep): a shortlist smaller than MMR_K
+        # yields fewer ranks (each empty pick stage adds no row), and a
+        # NULL relevance (zero query vector -> 0/0 cosine) sorts NULLS
+        # LAST like the oracle's ORDER BY score DESC — it can still be
+        # picked (lowest vec_id, NULL score) once only NULLs remain.
+        best: tuple[int, int | None] | None = None
         for vid in sorted(simq):
             if vid in picked:
                 continue
-            red = max((pair[(vid, p)] for p in picked), default=0)
-            score = MMR_REL_W * simq[vid] - MMR_DIV_W * red
-            if best is None or score > best[1]:
+            red = max(
+                (
+                    s
+                    for p in picked
+                    if (s := pair[(vid, p)]) is not None
+                ),
+                default=0,
+            )
+            score = (
+                None
+                if simq[vid] is None
+                else MMR_REL_W * simq[vid] - MMR_DIV_W * red
+            )
+            if best is None:
                 best = (vid, score)
+            elif score is not None and (best[1] is None or score > best[1]):
+                best = (vid, score)
+        if best is None:  # every shortlist candidate already picked
+            break
         picked.add(best[0])
         chosen.append((rk, best[0], best[1]))
     return spark.createDataFrame(

@@ -23,7 +23,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from dbt_bigquery_udf_spark.queries import ORACLES, QUERIES
@@ -58,6 +58,34 @@ _OPS = (
     "mm_media_stats",
     "mm_payload_dedup",
     "mm_decode_features",
+)
+
+# Round 8 (VERDICT r7 #5): the doc-side families the 99-operator suite
+# left out — multimodal plumbing under degenerate payloads (empty text
+# -> 0x0 BMP, 1-2 char docs -> 1x1), the dedup family completion
+# (window tie-breaks on duplicate texts, singleton/all-dup cluster
+# shapes, session-state incremental batch, cross-corpus set ops),
+# text/PII ops, and the pipeline audits (compositions whose oracles
+# embed the registered oracles — the heaviest comparisons here, hence
+# fewer examples than _OPS).
+_DOC_EXT_OPS = (
+    "mm_frame_sample",
+    "mm_resize_thumbs",
+    "mm_props_extract",
+    "dedup_keep_best",
+    "dedup_latest_version",
+    "dedup_cluster_stats",
+    "dedup_components",
+    "dedup_incremental_batch",
+    "corpus_version_diff",
+    "decontaminate_overlap",
+    "pii_scan",
+    "text_bigrams_topk",
+    "text_chunk_dedup",
+    "text_bigram_lm_nll",
+    "pipeline_quality_funnel",
+    "pipeline_dedup_funnel",
+    "pipeline_incremental_admission",
 )
 
 # ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP
@@ -157,6 +185,37 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
         spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
 
 
+@settings(
+    max_examples=2,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_corpus, langs=_langs)
+# pinned forever: the corpus that crashed text_bigrams_topk and
+# decontaminate_overlap (sequence(1, greatest(n-k, 0)) yields the
+# DESCENDING [1,0] for short docs, indexing past the token array under
+# ANSI) — found by this sweep in round 8
+@example(
+    texts=["", "x", "hello world foo bar", "hello world foo bar"],
+    langs=["en", "de", "fr", "xx"] * 3,
+)
+def test_doc_extension_ops_parity(spark, prop_dir, texts, langs):
+    ex_dir = _write_corpus(prop_dir, texts, langs)
+    try:
+        for name in _DOC_EXT_OPS:
+            r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+            assert r["ok"] and r["status"] == "match", (name, r, texts)
+    finally:
+        from dbt_bigquery_udf_spark.operators.dedup import (
+            _exact_index_db,
+            _near_index_db,
+        )
+
+        spark.sql(f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
+
+
 # Round 7 (cont.): second text-side group — tokenizer training/encode
 # under hostile text (the '|' state-delimiter char is IN the alphabet),
 # LSH pair/survivor variants, selection scores, retrieval ranking,
@@ -223,6 +282,41 @@ _EMB_OPS = (
     # zero vectors (zero QUERY vector -> all-NULL cosine ordering)
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
+)
+
+# Round 8 (VERDICT r7 #5): the full ANN serving ladder — session
+# IVF/LSH variants, PQ code assignment + ADC, sign-bit Hamming, batch
+# top-k — plus the serving-layer analytics. Hostile shapes these must
+# survive: < k vectors (fewer centroids/lists than the dials assume),
+# all-identical vectors (every distance ties), zero vectors (NULL
+# cosine ordering — already caught a real emb_mmr_diversify crash on
+# shortlists smaller than MMR_K). Fewer examples than _EMB_OPS: 13 ops
+# per example, each with a multi-stage oracle.
+_EMB_SERVE_OPS = (
+    "sim_ivf_topk",
+    "sim_ivf_multiprobe",
+    "sim_ivf_rerank",
+    "sim_ivfpq_adc",
+    "sim_hamming_topk",
+    "sim_lsh_topk",
+    "sim_lsh_multiprobe",
+    "sim_lsh_buckets",
+    "sim_pq_codes",
+    "sim_topk_batch",
+    "emb_mmr_diversify",
+    "emb_hard_negatives",
+    "emb_outlier_worklist",
+)
+
+# Iterative/trainer embedding ops: each example pays multi-round Lloyd /
+# power-iteration / propagation work, so they run with fewer examples
+# than the serving ladder above.
+_EMB_ITER_OPS = (
+    "emb_kmeans_train",
+    "emb_kcenter_init",
+    "emb_label_propagation",
+    "emb_pca_power_step",
+    "emb_linear_probe_score",
 )
 
 _vec = st.lists(
@@ -296,6 +390,34 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         spark.sql(
             f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}_up CASCADE"
         )
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vectors=_vectors)
+def test_embedding_serving_ops_parity(spark, prop_dir, vectors):
+    ex_dir = _write_embeddings(prop_dir, vectors)
+    for name in _EMB_SERVE_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vectors=_vectors)
+def test_embedding_trainer_ops_parity(spark, prop_dir, vectors):
+    ex_dir = _write_embeddings(prop_dir, vectors)
+    for name in _EMB_ITER_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r)
 
 
 # -- events side ------------------------------------------------------------

@@ -217,6 +217,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     f"""
     WITH frames AS (
+      -- n_chars, NOT strlen: meta.n_bytes aliases the n_chars column
+      -- (see _media), so both engines count codepoints here
       SELECT doc_id AS media_id, unnest(generate_series(0, n_chars - 1, {FRAME_STRIDE})) AS frame_no
       FROM documents WHERE doc_id % 2 = 1
     )
@@ -229,7 +231,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame index, generated with ``sequence`` + ``explode``
     BEFORE any decode so downstream per-frame work parallelizes across
     tasks instead of serializing inside one row."""
-    m = _media(spark, sf_dir).filter(F.col("meta.kind") == "audio")
+    # n_bytes >= 1: Spark's sequence(0, -1, stride) is an error, not an
+    # empty range (round-8 hypothesis find: empty-text docs synthesize
+    # 0-byte payloads); DuckDB's generate_series is empty there, so a
+    # 0-byte medium contributing no frames — and no group row — is the
+    # agreed semantics.
+    m = (
+        _media(spark, sf_dir)
+        .filter(F.col("meta.kind") == "audio")
+        .filter(F.col("meta.n_bytes") >= 1)
+    )
     frames = m.select(
         "media_id",
         F.explode(

@@ -1834,17 +1834,20 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_exact
 
     def one(gate: str, df: DataFrame, pass_col) -> DataFrame:
+        # coalesce + try_divide: a gate whose input contract admits ZERO
+        # documents (e.g. no doc long enough for a 5-gram) must report
+        # n_pass = 0 and pass_frac = NULL like the oracle's
+        # count(*) FILTER / x-over-0 — Spark's bare sum() over empty is
+        # NULL and an ANSI 0/0 would crash (round-8 hypothesis find)
+        n_pass = F.coalesce(
+            F.sum(F.when(pass_col, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
         return df.agg(
             F.lit(gate).alias("gate"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.when(pass_col, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pass"),
+            n_pass.alias("n_pass"),
             F.round(
-                F.sum(F.when(pass_col, 1).otherwise(0))
-                * F.lit(1e0)
-                / F.count(F.lit(1)),
-                6,
+                F.try_divide(n_pass * F.lit(1e0), F.count(F.lit(1))), 6
             ).alias("pass_frac"),
         )
 
@@ -2306,7 +2309,11 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ratio(removed, total):
-        return F.round(removed * F.lit(1e0) / total, 6)
+        # try_divide: a corpus with zero units in a branch (e.g. one
+        # empty doc -> no blocks) reports a NULL fraction like the
+        # oracle's x/0, not an ANSI DIVIDE_BY_ZERO (round-8 hypothesis
+        # find, same class as pipeline_quality_funnel's empty gate)
+        return F.round(F.try_divide(removed * F.lit(1e0), total), 6)
 
     block = dedup_block_removal(spark, sf_dir).agg(
         F.lit("block").alias("method"),

@@ -200,6 +200,9 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
     texts=["", "x", "hello world foo bar", "hello world foo bar"],
     langs=["en", "de", "fr", "xx"] * 3,
 )
+# ...and the single-empty-doc corpus that crashed both pipeline
+# funnels' ANSI divisions (0 qualifying docs / 0 blocks)
+@example(texts=[""], langs=["en"] * 12)
 def test_doc_extension_ops_parity(spark, prop_dir, texts, langs):
     ex_dir = _write_corpus(prop_dir, texts, langs)
     try:

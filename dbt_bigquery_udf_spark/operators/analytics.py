@@ -636,12 +636,22 @@ def stats_summary(
             F.round(sx.cast("double") / (n * F.lit(100.0)), 2).alias(
                 "avg_price"
             ),
+            # try_divide: a single-row group (n*(n-1) = 0) or a
+            # zero-variance column (sqrt(mx)*sqrt(my) = 0) is NULL
+            # stddev/corr like the oracle's sample formulas, not an
+            # ANSI DIVIDE_BY_ZERO (round-8 hypothesis find)
             F.round(
-                F.sqrt(mx / (n * (n - F.lit(1)))) / F.lit(100.0), 2
+                F.sqrt(
+                    F.try_divide(mx, (n * (n - F.lit(1))).cast("double"))
+                )
+                / F.lit(100.0),
+                2,
             ).alias("sd_price"),
             F.round(
-                (n * sxy - sx * sy).cast("double")
-                / (F.sqrt(mx) * F.sqrt(my)),
+                F.try_divide(
+                    (n * sxy - sx * sy).cast("double"),
+                    F.sqrt(mx) * F.sqrt(my),
+                ),
                 4,
             ).alias("price_discount_corr"),
             F.expr(pct).alias("_pcts"),

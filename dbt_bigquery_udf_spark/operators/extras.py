@@ -1805,9 +1805,20 @@ def pandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom = ((x - xm) ** 2).sum()
         # Zero time-variance (all events share a timestamp): regr_slope
         # is NULL, never NaN/inf — match the oracle exactly.
-        slope = None if denom == 0 else round(
-            float(((x - xm) * (y - ym)).sum() / denom), 6
-        )
+        # Rounding mode matters on exact half-boundaries (round-8
+        # hypothesis find: slope 0.0008125 -> Python's half-EVEN round()
+        # gives ...812, DuckDB's round() is half-AWAY -> ...813):
+        # quantize the shortest decimal repr half-away like the engine
+        # side's F.round/DuckDB do.
+        if denom == 0:
+            slope = None
+        else:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            slope = float(
+                Decimal(repr(float(((x - xm) * (y - ym)).sum() / denom)))
+                .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],

@@ -246,6 +246,12 @@ _SELECTION_OPS = (
     "pack_context_windows",
     "train_split_shards",
     "sample_temperature_mix",
+    # round 8 (VERDICT r7 #5): the Python-UDTF surface and the
+    # remaining doc-scanned sampling/identity ops
+    "udtf_sentence_stats",
+    "udtf_grouped_topk",
+    "sample_stratified",
+    "global_row_ids",
 )
 
 
@@ -536,6 +542,44 @@ def test_event_ops_parity_on_arbitrary_logs(spark, prop_dir, events):
         assert r["ok"] and r["status"] == "match", (name, r, events)
 
 
+# Round 8 (VERDICT r7 #5): the event-scanned analytics tail — as-of
+# attribution, salting, interval joins, full-outer activity, bitmap
+# distinct, bot regularity, the applyInPandas trend (whose half-boundary
+# rounding bug this sweep caught), range-frame windows, grouped arrays,
+# the window-function suite, multi-table distinct counts, gap filling,
+# weighted sampling, VARIANT extraction.
+_EVT_EXT_OPS = (
+    "asof_click_attribution",
+    "events_skew_salted",
+    "interval_join_errors",
+    "full_outer_daily_activity",
+    "distinct_bitmap_users",
+    "bot_regularity_flags",
+    "pandas_user_trend",
+    "window_range_7d",
+    "array_agg_rollup",
+    "window_funcs_suite",
+    "distinct_counts",
+    "timeseries_gapfill",
+    "sample_weighted_mix",
+    "events_variant_extract",
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_events)
+def test_event_extension_ops_parity(spark, prop_dir, events):
+    ex_dir = _write_events(prop_dir, events)
+    for name in _EVT_EXT_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, events)
+
+
 # -- lineitem side -----------------------------------------------------------
 
 # TPC-H-domain values (2-decimal money, percent-grid discount/tax) with
@@ -550,6 +594,19 @@ _LI_OPS = (
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "decimal_money_sum",
+    # round 8 (VERDICT r7 #5): exact stats, co-occurrence mining, skew
+    # diagnostics, hash sampling — all lineitem-scanned, all with
+    # single-row / constant-column / duplicate-heavy edges here.
+    # stats_approx_sketches is deliberately ABSENT: its within-2pct
+    # booleans compare Spark's HLL/KLL sketches to exact values, and on
+    # 1-2 row tables the two engines' sketch internals legitimately land
+    # on different sides of the band (it stays driver-windowed and
+    # benched at real sf, where both are deep inside tolerance).
+    "stats_summary",
+    "market_basket_pairs",
+    "join_skew_profile",
+    "supplier_concentration_hhi",
+    "sample_hash_pct",
 )
 
 _DAY_US = 86_400 * 10**6
@@ -650,6 +707,14 @@ _ORD_OPS = (
     "unpivot_order_measures",
     "global_sort_page",
     "customer_rfm_segments",
+    # round 8 (VERDICT r7 #5): time-series smoothing/regression,
+    # winsorized stats, extended aggregates, date functions — the
+    # orders-scanned analytics tail
+    "timeseries_ewma",
+    "stats_regression_trend",
+    "stats_winsorize",
+    "agg_extended",
+    "date_funcs_orders",
 )
 
 _ORD_EPOCH_US = int(

@@ -135,6 +135,12 @@ HEADLINE = [
     "sim_ivf_upsert",
     "pipeline_incremental_admission",
     "ccnet_perplexity_buckets",
+    # round 8: the exact gate's streaming composition (foreachBatch
+    # micro-batch hashing against the layered base+delta hash state)
+    # and targeted erasure from the persisted LSH index (tombstone
+    # overlay, fold-on-compaction)
+    "stream_exact_admission",
+    "dedup_index_forget",
 ]
 
 
@@ -156,7 +162,10 @@ def _fresh_indexes(spark) -> None:
         near,
         near + "_sbase",
         near + "_sdelta",
+        near + "_fg",
         D._exact_index_db(SF_DIR),
+        D._exact_index_db(SF_DIR) + "_sbase",
+        D._exact_index_db(SF_DIR) + "_sdelta",
         ivf,
         ivf + "_up",
     ]

@@ -1169,7 +1169,16 @@ def _index_relations(spark: SparkSession, dbs) -> tuple[DataFrame, DataFrame]:
     """(bands, sigs) of an index that may be LAYERED across databases —
     an immutable base plus per-run delta overlays (the production
     shape: the 100 TB base index is never rewritten; admissions land in
-    a delta the scorer unions in). All reads storage-backed."""
+    a delta the scorer unions in). All reads storage-backed.
+
+    Erasure overlay: a layer carrying a ``tombstones`` table (written
+    by :func:`forget_near_dup_docs`) subtracts those doc_ids from EVERY
+    layer's rows at read time — the Iceberg-delete-file shape: forgets
+    are O(|forgotten|) appends, the base is never rewritten on the
+    erasure path, and :func:`compact_near_dup_index` folds tombstones
+    into the base during the normal maintenance window. Indexes that
+    never forget carry no tombstones table and skip the anti-join
+    entirely."""
     if isinstance(dbs, str):
         dbs = (dbs,)
     bands = spark.table(f"{dbs[0]}.bands")
@@ -1177,6 +1186,14 @@ def _index_relations(spark: SparkSession, dbs) -> tuple[DataFrame, DataFrame]:
     for db in dbs[1:]:
         bands = bands.unionByName(spark.table(f"{db}.bands"))
         sigs = sigs.unionByName(spark.table(f"{db}.sigs"))
+    tombs = None
+    for db in dbs:
+        if spark.catalog.tableExists(f"{db}.tombstones"):
+            t = spark.table(f"{db}.tombstones").select("doc_id")
+            tombs = t if tombs is None else tombs.unionByName(t)
+    if tombs is not None:
+        bands = bands.join(F.broadcast(tombs.distinct()), "doc_id", "left_anti")
+        sigs = sigs.join(F.broadcast(tombs.distinct()), "doc_id", "left_anti")
     return bands, sigs
 
 
@@ -1889,6 +1906,17 @@ def compact_near_dup_index(
     a reader between steps sees at worst DUPLICATE index rows (base +
     not-yet-truncated delta), which candidate-dedup (`distinct`)
     absorbs; it can never see a missing row.
+
+    Tombstone fold: if the base carries a ``tombstones`` table (docs
+    erased via :func:`forget_near_dup_docs`), compaction rewrites the
+    base tables MINUS the tombstoned ids and truncates the tombstone
+    set. Crash-safe in the same read-through sense: readers anti-join
+    tombstones on every probe, so rewriting before truncating never
+    changes the logical index — a crash between the two steps leaves
+    tombstones for already-removed rows, and anti-joining absent ids is
+    a no-op. (At 100 TB the rewrite is partition-scoped — only
+    partitions holding tombstoned ids rewrite, the erasure pattern
+    Engine.delete_rows implements for marts.)
     """
     from ..catalog import catalog_lock
 
@@ -1907,7 +1935,158 @@ def compact_near_dup_index(
             for db in (base_db, delta_db):
                 spark.catalog.refreshTable(f"{db}.sigs")
                 spark.catalog.refreshTable(f"{db}.bands")
-        return {"sigs_moved": n_sigs, "bands_moved": n_bands}
+        n_tombs = 0
+        if spark.catalog.tableExists(f"{base_db}.tombstones"):
+            tombs = spark.table(f"{base_db}.tombstones").select("doc_id").distinct()
+            n_tombs = tombs.count()
+            if n_tombs:
+                for t in _NEAR_IDX_TABLES:
+                    kept = (
+                        spark.table(f"{base_db}.{t}")
+                        .join(F.broadcast(tombs), "doc_id", "left_anti")
+                        # materialize before overwriting the table the
+                        # plan reads (same hazard as _admit_batch_df)
+                        .localCheckpoint(eager=True)
+                    )
+                    kept.write.format("parquet").mode("overwrite").saveAsTable(
+                        f"{base_db}.{t}"
+                    )
+                    spark.catalog.refreshTable(f"{base_db}.{t}")
+                spark.sql(f"TRUNCATE TABLE {base_db}.tombstones")
+                spark.catalog.refreshTable(f"{base_db}.tombstones")
+        return {
+            "sigs_moved": n_sigs,
+            "bands_moved": n_bands,
+            "tombstones_folded": n_tombs,
+        }
+
+
+def forget_near_dup_docs(spark: SparkSession, db: str, doc_ids) -> int:
+    """Targeted erasure from the persisted near-dup index (the GDPR /
+    right-to-be-forgotten path for curated-corpus state): append the
+    doc_ids to ``<db>.tombstones``; every scorer read anti-joins them
+    out immediately (see :func:`_index_relations`), and the next
+    :func:`compact_near_dup_index` folds them into the base rewrite.
+
+    O(|forgotten|) work at forget time — the 100 TB base index is NOT
+    rewritten here; erasure latency is one small append, physical
+    removal rides the existing maintenance window (the Iceberg
+    delete-file pattern). Idempotent: already-tombstoned ids are
+    skipped (left_anti against the current set), so replaying an
+    erasure request never grows the table. Between compactions the
+    tombstone set stays erasure-sized (broadcastable by design);
+    returns the number of NEW tombstones written.
+
+    ``doc_ids``: an iterable of ints or a single-column DataFrame of
+    doc ids.
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import ensure_tables
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    ids = doc_ids.selectExpr("CAST(doc_id AS BIGINT) AS doc_id").distinct()
+
+    def _build_empty() -> None:
+        spark.createDataFrame([], "doc_id bigint").write.format(
+            "parquet"
+        ).saveAsTable(f"{db}.tombstones")
+
+    with catalog_lock:
+        ensure_tables(
+            spark,
+            db,
+            ("tombstones",),
+            _build_empty,
+            expect={"tombstones": ("doc_id",)},
+        )
+        fresh = (
+            ids.join(spark.table(f"{db}.tombstones"), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.format("parquet").mode("append").saveAsTable(
+                f"{db}.tombstones"
+            )
+            spark.catalog.refreshTable(f"{db}.tombstones")
+        return n
+
+
+INCR_IDX_FORGET = 3  # doc_id % 7 == 3 -> the owned slice the forget query erases
+
+
+def _duck_index_forget() -> str:
+    """Oracle for the forget query: batch 1 scored against the owned
+    corpus MINUS the erased slice — tombstoned docs must be invisible
+    to candidate generation AND to best-match scoring."""
+    j = (
+        "round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /"
+        " (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)"
+    )
+    return _duck_minhash_prefix() + f""", candf AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM long n JOIN long i ON n.band = i.band AND n.key = i.key
+      WHERE n.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+        AND i.doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+        AND i.doc_id % {INCR_NEAR_MOD} <> {INCR_IDX_FORGET}
+    ), verf AS (
+      SELECT c.new_id, c.idx_id, {j} AS jaccard
+      FROM candf c JOIN hx x ON x.doc_id = c.new_id
+                   JOIN hx y ON y.doc_id = c.idx_id
+    ), bestf AS (
+      SELECT new_id, idx_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, idx_id) AS rk
+      FROM verf
+    )
+    SELECT d.doc_id AS new_id, b.idx_id AS matched_doc, b.jaccard,
+           coalesce(b.jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM bestf WHERE rk = 1) b ON b.new_id = d.doc_id
+    WHERE d.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+    """
+
+
+@register("dedup_index_forget", _duck_index_forget())
+def dedup_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted erasure E2E over the persisted near-dup index: build (or
+    adopt) a dedicated index over the owned corpus, FORGET the
+    ``doc_id % {INCR_NEAR_MOD} == {INCR_IDX_FORGET}`` slice
+    (tombstone append — the base is not rewritten), then score batch 1
+    against the index. Erased docs must be invisible: a batch doc whose
+    only near-match was forgotten now reports its next-best match (or
+    no match) — exactly what the oracle states by excluding the slice
+    from the index side.
+
+    The index lives in its own ``_fg``-suffixed database so the
+    erasure state never contaminates dedup_incr_near_indexed's shared
+    artifact; repeat invocations re-apply the same forget set
+    idempotently (left_anti append of zero new rows) and hit the
+    bootstrap's 'reused' path.
+
+    Scale: forget cost is O(|forgotten|) appends + a broadcast
+    anti-join on every subsequent probe until compaction folds the
+    tombstones into the base rewrite (compact_near_dup_index) — the
+    Iceberg delete-file lifecycle for curated-corpus state.
+    """
+    db = _near_index_db(sf_dir) + "_fg"
+    build_near_dup_index(spark, sf_dir, db=db)
+    erase = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_FORGET)
+        .select("doc_id")
+    )
+    forget_near_dup_docs(spark, db, erase)
+    batch1 = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1
+    )
+    return _score_batch_vs_index(
+        spark, db, _doc_signatures(batch1), anchor_docs=batch1
+    )
 
 
 @register(
@@ -1954,3 +2133,154 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
         "matched_doc",
         (~F.col("exact_dup") & ~F.col("near_dup")).alias("admitted"),
     )
+
+
+# -- streaming EXACT-hash admission (the ledger's foreachBatch sibling) ------
+
+
+def _admit_exact_batch_df(
+    spark: SparkSession,
+    dbs: tuple[str, str],
+    batch_docs: DataFrame,
+    write_db: str,
+) -> DataFrame:
+    """Exact-admission core for one micro-batch: hash ``batch_docs``,
+    probe the layered hash state (base UNION delta), mark history hits
+    and within-batch later copies as dups, APPEND the batch's new
+    hashes to ``write_db``, and return the verdict frame
+    (doc_id, is_dup, h) — one row per batch doc, no drops.
+
+    Same cache-invalidation hazard as _admit_batch_df: the verdicts
+    plan READS the hash tables the append below WRITES, so the frame is
+    localCheckpoint-ed (lineage truncated to materialized blocks)
+    BEFORE the append — otherwise a later action would silently
+    re-probe the post-append state and every admitted doc would match
+    its own hash."""
+    from pyspark.sql import Window as W
+
+    batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
+    state = None
+    for db in dbs:
+        t = spark.table(f"{db}.hashes").select(F.col("h").alias("ih"))
+        state = t if state is None else state.unionByName(t)
+    verdicts = (
+        batch.join(state, batch.h == F.col("ih"), "left")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .select(
+            "doc_id",
+            (F.col("ih").isNotNull() | (F.col("rk") > 1)).alias("is_dup"),
+            "h",
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        verdicts.filter(~F.col("is_dup") & F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+        .write.format("parquet")
+        .mode("append")
+        .saveAsTable(f"{write_db}.hashes")
+    )
+    spark.catalog.refreshTable(f"{write_db}.hashes")
+    return verdicts
+
+
+@register(
+    "stream_exact_admission",
+    # the streamed two-batch replay admits exactly like the batch
+    # ledger gate: micro-batch 0 = the b0 arrival file, 1 = b1 — the
+    # registered batch oracle states the identical update sequence
+    _duck_incr_exact_indexed(),
+)
+def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ingestion through the EXACT-dedup gate — the
+    foreachBatch sibling of stream_near_dup_admission, completing the
+    streaming story for both persisted admission gates: a document file
+    stream (two staged arrival files = two micro-batches in pinned
+    mtime order) is hashed per batch, probed against the CURRENT
+    layered hash state (immutable base + per-run delta), verdicts land
+    in a parquet sink, and the batch's new hashes are APPENDED to the
+    delta before the next batch fires — so a batch-2 copy of a batch-1
+    doc is a cross-batch dup, exactly as the batch ledger gate scores
+    it. Emits (batch_id, doc_id, is_dup), one row per streamed doc.
+
+    Layering mirrors the near-dup stream: the BASE hash set is
+    built/adopted once via the shared index_store bootstrap and never
+    written by the stream; admissions land in a per-run DELTA scratch
+    overlay (truncated or recreated each invocation), so repeat runs
+    are deterministic and never contaminate the batch gate's ledger
+    state.
+
+    Scale: per-batch work is one (16-byte hash, id) left-join probe
+    against bucketed state plus a batch-sized append — the cheapest
+    admission gate a 100 TB pipeline runs, which is why it fronts the
+    near-dup gate in pipeline_incremental_admission's production
+    ordering. Verdicts are WRITTEN (parquet sink), never collected.
+    """
+    import os
+    import uuid
+
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables
+
+    base_db = _exact_index_db(sf_dir) + "_sbase"
+    delta_db = _exact_index_db(sf_dir) + "_sdelta"
+    stage = _stage_near_dup_arrivals(spark, sf_dir)
+    build_exact_dup_index(spark, sf_dir, db=base_db)
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
+        have = {
+            t.name
+            for t in spark.catalog.listTables(delta_db)
+            if not t.isTemporary
+        }
+        if "hashes" in have and (
+            spark.catalog.getTable(f"{delta_db}.hashes").tableType
+            != "EXTERNAL"
+        ):
+            # per-run reset: TRUNCATE the managed scratch table
+            spark.sql(f"TRUNCATE TABLE {delta_db}.hashes")
+            spark.catalog.refreshTable(f"{delta_db}.hashes")
+        else:
+            # cross-process leftovers are scratch — cleared, never
+            # adopted (unlike every durable artifact)
+            clear_tables(spark, delta_db, ("hashes",))
+            spark.createDataFrame([], "h string").write.format(
+                "parquet"
+            ).saveAsTable(f"{delta_db}.hashes")
+
+    out_dir = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", ".stream-staging",
+            "exact_verdicts_" + uuid.uuid4().hex[:8],
+        )
+    )
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = _admit_exact_batch_df(
+            spark, (base_db, delta_db), batch_df, write_db=delta_db
+        )
+        verdicts.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("int")
+        ).select("batch_id", "doc_id", "is_dup").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    schema = spark.read.parquet(stage).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        docs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)

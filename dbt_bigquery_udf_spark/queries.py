@@ -149,6 +149,13 @@ def ref_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle states, so the watermark handoff between the two builds
     is value-checked, not just row-counted.
 
+    The watermark subquery COALESCEs the empty-table case to a floor
+    timestamp — the standard dbt idiom. Without it, an initial build
+    that inserts zero rows (every order past the first cutoff) leaves
+    ``max(o_orderdate)`` NULL, the predicate evaluates to NULL for
+    every row, and the mart stays empty forever. Found by the round-8
+    hypothesis sweep (single order dated after the first cutoff).
+
     Scale: this IS the 100 TB ingestion pattern — each run scans only
     the arriving slice (the watermark predicate pushes down to the
     source scan) and appends; nothing ever rewrites history.
@@ -170,7 +177,9 @@ def ref_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE o_orderdate <= TIMESTAMP {{ var('inc_cutoff') }}
                 {% if is_incremental() %}
                   AND o_orderdate >
-                      (SELECT max(o_orderdate) FROM {{ this }})
+                      (SELECT coalesce(max(o_orderdate),
+                                       TIMESTAMP '0001-01-01 00:00:00')
+                       FROM {{ this }})
                 {% endif %}
             """,
         ),
@@ -326,6 +335,12 @@ _CURATED_WINDOW = (
 # trained-IVF index), sim_ivf_upsert (frozen-centroid index upsert +
 # serve), pipeline_incremental_admission (both persisted gates
 # composed), ccnet_perplexity_buckets (head/middle/tail selection).
+# Queued round-9 window candidates (registered, verify_driver-checked,
+# benched, property-covered — awaiting a driver slot):
+# stream_exact_admission (round-8-new: the exact gate's foreachBatch
+# streaming composition over layered base+delta hash state);
+# dedup_index_forget (round-8-new: targeted erasure — tombstone
+# overlay + fold-on-compaction over the persisted LSH index).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

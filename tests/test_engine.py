@@ -1407,7 +1407,8 @@ def _drop_index_db(spark, db):
 
 
 @pytest.mark.parametrize(
-    "which", ["near", "stream_layers", "exact", "ivf", "ivf_up"]
+    "which",
+    ["near", "stream_layers", "exact", "exact_stream", "ivf", "ivf_up", "forget"],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
     """Fresh-catalog/warm-warehouse cycle for EVERY persisted artifact
@@ -1438,6 +1439,22 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         query, reuse = "dedup_incr_exact_indexed", (
             lambda: D.build_exact_dup_index(spark, sf_small)
         )
+    elif which == "exact_stream":
+        dbs = [
+            D._exact_index_db(sf_small) + "_sbase",
+            D._exact_index_db(sf_small) + "_sdelta",
+        ]
+        query, reuse = "stream_exact_admission", (
+            lambda: D.build_exact_dup_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "forget":
+        # the erasure index: bands/sigs adopt like the shared near-dup
+        # artifact, and the TOMBSTONES table adopts through the same
+        # shared bootstrap inside forget_near_dup_docs
+        dbs = [D._near_index_db(sf_small) + "_fg"]
+        query, reuse = "dedup_index_forget", (
+            lambda: D.build_near_dup_index(spark, sf_small, db=dbs[0])
+        )
     elif which == "ivf":
         dbs = [S._ivf_index_db(sf_small)]
         query, reuse = "sim_ivf_trained_indexed", (
@@ -1466,7 +1483,7 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
     # LOCATION_ALREADY_EXISTS right here)
     assert reuse() == "reused"
     v_warm = sorted(map(tuple, QUERIES[query](spark, sf_small).collect()))
-    if which == "stream_layers":
+    if which in ("stream_layers", "exact_stream"):
         # stream verdict batch numbering restarts per run; compare the
         # per-doc verdicts, not the monotonically growing batch ids
         key = lambda rows: sorted(r[1:] for r in rows)  # noqa: E731
@@ -1516,6 +1533,79 @@ def test_exact_ledger_crash_repair(spark, sf_small):
     assert v_replay == v_clean
     assert spark.table(f"{db}.hashes").count() == n_full
     spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_near_dup_index_forget_lifecycle(spark, sf_small):
+    """Targeted erasure (round 8): tombstoned docs disappear from
+    scoring immediately, re-forgetting is idempotent (zero new rows),
+    and compaction folds tombstones into a base rewrite without
+    changing any verdict (readers anti-join tombstones throughout, so
+    the fold is invisible — the Iceberg delete-file lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = D._near_index_db(sf_small) + "_fg"
+    _drop_index_db(spark, db)
+    verdicts = sorted(
+        map(tuple, QUERIES["dedup_index_forget"](spark, sf_small).collect())
+    )
+    # the erased slice is really gone from the index relations
+    erased = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_FORGET)
+        .count()
+    )
+    assert erased > 0
+    bands, sigs = D._index_relations(spark, db)
+    assert (
+        sigs.filter(F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_FORGET)
+        .count()
+        == 0
+    )
+    # no verdict may name an erased doc as its match
+    assert not any(
+        m is not None and m % D.INCR_NEAR_MOD == D.INCR_IDX_FORGET
+        for _, m, _, _ in verdicts
+    )
+    # idempotent: replaying the same forget set appends nothing
+    ids = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_FORGET)
+        .select("doc_id")
+    )
+    assert D.forget_near_dup_docs(spark, db, ids) == 0
+    n_sigs_before = spark.table(f"{db}.sigs").count()
+    # raw-table rows for the erased slice (unsignaturable docs never had
+    # a sigs row, so the physical shrink is bounded by this, not erased)
+    n_erased_sig_rows = (
+        spark.table(f"{db}.sigs")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_FORGET)
+        .count()
+    )
+    # compaction folds the tombstones: physical rows drop, verdicts don't
+    delta = db + "_cd"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta}")
+    spark.createDataFrame([], "doc_id bigint, hs array<bigint>").write.format(
+        "parquet"
+    ).saveAsTable(f"{delta}.sigs")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, key string"
+    ).write.format("parquet").saveAsTable(f"{delta}.bands")
+    stats = D.compact_near_dup_index(spark, db, delta)
+    assert stats["tombstones_folded"] == erased
+    assert spark.table(f"{db}.tombstones").count() == 0
+    assert (
+        spark.table(f"{db}.sigs").count()
+        == n_sigs_before - n_erased_sig_rows
+    )
+    v_after = sorted(
+        map(tuple, QUERIES["dedup_index_forget"](spark, sf_small).collect())
+    )
+    assert v_after == verdicts
+    spark.sql(f"DROP DATABASE IF EXISTS {delta} CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 def test_near_admission_crash_replay(spark, sf_small):

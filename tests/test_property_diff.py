@@ -14,6 +14,14 @@ Runtime discipline: ONE corpus example exercises every operator under
 test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
+
+Coverage (round 8): 197 of the 198 registered queries ride this suite —
+every operator family including the reference-parity engine DAG
+(rebuilt per fresh example), incremental materialization, streaming
+pipelines, persisted-index admission gates, and the pipeline audits.
+The single deliberate absence is stats_approx_sketches (its
+within-tolerance sketch booleans legitimately diverge on 1-2 row
+tables; see the note at _LI_OPS).
 """
 
 from __future__ import annotations
@@ -47,6 +55,10 @@ _OPS = (
     # single-doc) exercise build + admit + adopt on every example
     "dedup_incr_near_indexed",
     "dedup_incr_exact_indexed",
+    # round 8 (cont.): targeted erasure — tombstoned docs must be
+    # invisible to candidate generation and scoring on ANY corpus
+    # (all-dup corpora where the only match is erased, empty slices)
+    "dedup_index_forget",
     "text_novelty_ratio",
     "ccnet_perplexity_buckets",
     "quality_c4_rules",
@@ -86,6 +98,10 @@ _DOC_EXT_OPS = (
     "pipeline_quality_funnel",
     "pipeline_dedup_funnel",
     "pipeline_incremental_admission",
+    # round 8 (cont.): the remaining document-scanned audits — the
+    # curation pipeline and the observability metrics rollup
+    "pipeline_corpus_curation",
+    "pipeline_observe_metrics",
 )
 
 # ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP
@@ -182,6 +198,9 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
         )
 
         spark.sql(f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)} CASCADE")
+        spark.sql(
+            f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)}_fg CASCADE"
+        )
         spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
 
 
@@ -217,6 +236,48 @@ def test_doc_extension_ops_parity(spark, prop_dir, texts, langs):
 
         spark.sql(f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)} CASCADE")
         spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
+
+
+# Round 8 (cont.): document-scanned STREAMING gates under hypothesis
+# corpora — the quality gate (availableNow replay must equal the batch
+# oracle on hostile text) and the near-dup admission pipeline
+# (foreachBatch micro-batches scored against + appended to the
+# per-example persisted LSH index: all-dup corpora, empty docs, and
+# single-doc batches exercise build/admit/adopt under streaming
+# semantics). Heaviest doc group (streaming startup per op), so only 2
+# examples; the per-example index DBs are dropped like the batch gates'.
+_DOC_STREAM_OPS = (
+    "stream_quality_gate",
+    "stream_near_dup_admission",
+    "stream_exact_admission",
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_corpus, langs=_langs)
+def test_doc_streaming_ops_parity(spark, prop_dir, texts, langs):
+    ex_dir = _write_corpus(prop_dir, texts, langs)
+    try:
+        for name in _DOC_STREAM_OPS:
+            r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+            assert r["ok"] and r["status"] == "match", (name, r, texts)
+    finally:
+        from dbt_bigquery_udf_spark.operators.dedup import (
+            _exact_index_db,
+            _near_index_db,
+        )
+
+        # the streaming gates keep layered state (immutable base +
+        # per-run delta) beside the batch gates' databases — drop all
+        # six so per-example catalogs never accumulate
+        for db in (_near_index_db(ex_dir), _exact_index_db(ex_dir)):
+            for suffix in ("", "_sbase", "_sdelta"):
+                spark.sql(f"DROP DATABASE IF EXISTS {db}{suffix} CASCADE")
 
 
 # Round 7 (cont.): second text-side group — tokenizer training/encode
@@ -326,6 +387,13 @@ _EMB_ITER_OPS = (
     "emb_label_propagation",
     "emb_pca_power_step",
     "emb_linear_probe_score",
+    # round 8 (cont.): centroid-blocked SemDeDup, the four-stage
+    # curation audit, and hybrid BM25+ANN fusion (documents side is the
+    # static sf0.001 symlink here — the generated embeddings vary the
+    # ANN ranking under duplicate/zero/constant-vector edges)
+    "dedup_semantic",
+    "pipeline_embedding_curation",
+    "retrieval_rrf_fusion",
 )
 
 _vec = st.lists(
@@ -580,6 +648,75 @@ def test_event_extension_ops_parity(spark, prop_dir, events):
         assert r["ok"] and r["status"] == "match", (name, r, events)
 
 
+# Round 8 (cont.): the reference-parity DAG + BQ-dialect transpiler on
+# hypothesis logs. Each example is a FRESH sf_dir, so prepared_engine
+# rebuilds the whole source -> UDF -> TVF -> datamart chain from
+# scratch over the generated events (hostile event_type strings become
+# the `id` column the TVF filters on; the five date-format branches
+# cycle over generated timestamps). QUALIFY dedup/ranking and the
+# HLL INIT/MERGE rollup ride the same fixture.
+_EVT_ENGINE_OPS = (
+    "ref_datamart_e2e",
+    "ref_parse_datetime",
+    "ref_tvf_param",
+    "bq_dialect_qualify",
+    "bq_dialect_hll_rollup",
+    # nation is a static symlink in every fixture, so this row is a
+    # fixed-input differential rep (transpiler STRING_AGG -> listagg),
+    # not a varied property — included so the whole BQ-dialect family
+    # rides one suite
+    "bq_dialect_string_agg",
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_events)
+def test_engine_dag_parity_on_arbitrary_logs(spark, prop_dir, events):
+    ex_dir = _write_events(prop_dir, events)
+    for name in _EVT_ENGINE_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, events)
+
+
+# Round 8 (cont.): the structured-streaming tail — stateful
+# applyInPandasWithState / transformWithState per-user state, static
+# and stream-stream joins, windowed top-k, the foreachBatch sink, and
+# kill-and-resume checkpoint recovery. Every pipeline replays the
+# staged log with availableNow (or two pinned triggers for recovery)
+# and must equal the batch oracle on ANY log: single-event users,
+# equal timestamps, hostile event_type strings crossing join keys and
+# state boundaries. Heaviest group in the file (streaming startup per
+# op per example), so only 2 examples.
+_EVT_STREAM_OPS = (
+    "stream_user_state",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_trending",
+    "stream_transform_with_state",
+    "stream_foreachbatch_sink",
+    "stream_recovery_resume",
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=_events)
+def test_streaming_ops_parity_on_arbitrary_logs(spark, prop_dir, events):
+    ex_dir = _write_events(prop_dir, events)
+    for name in _EVT_STREAM_OPS:
+        r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+        assert r["ok"] and r["status"] == "match", (name, r, events)
+
+
 # -- lineitem side -----------------------------------------------------------
 
 # TPC-H-domain values (2-decimal money, percent-grid discount/tax) with
@@ -607,6 +744,15 @@ _LI_OPS = (
     "join_skew_profile",
     "supplier_concentration_hhi",
     "sample_hash_pct",
+    # round 8 (cont.): the supplier/part-joined TPC-H tail — these scan
+    # the generated lineitem against the STATIC sf0.001 dimension
+    # symlinks, so FK misses (l_suppkey/l_partkey outside the dims),
+    # empty join results, and min-cost ties are the edges under test
+    "q5_nation_volume",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    "q2_min_cost_supplier",
 )
 
 _DAY_US = 86_400 * 10**6
@@ -715,6 +861,14 @@ _ORD_OPS = (
     "stats_winsorize",
     "agg_extended",
     "date_funcs_orders",
+    # round 8 (cont.): the Expand-based column profiler and the
+    # incremental materialization E2E (initial build at a mid-range
+    # cutoff + watermark-restricted second build must equal one full
+    # scan on ANY orders table — single-row tables, all-one-day tables,
+    # and duplicate o_orderdate values stress the max(o_orderdate)
+    # handoff between the two builds)
+    "profile_columns",
+    "ref_incremental_mart",
 )
 
 _ORD_EPOCH_US = int(
@@ -779,6 +933,11 @@ def _write_orders(base: str, rows: list[tuple]) -> str:
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(rows=_ord_rows)
+# pinned forever: the single order dated AFTER ref_incremental_mart's
+# first cutoff — the initial build inserts zero rows, so an uncoalesced
+# max(o_orderdate) watermark is NULL and rejects every row forever
+# (found by this sweep in round 8)
+@example(rows=[(1, "F", 100, 192, "1-URGENT")])
 def test_orders_ops_parity_on_arbitrary_tables(spark, prop_dir, rows):
     ex_dir = _write_orders(prop_dir, rows)
     for name in _ORD_OPS:
@@ -871,6 +1030,9 @@ _CUST_OPS = (
     "q22_idle_customers",
     "semi_anti_join",
     "fuzzy_name_pairs",
+    # round 8 (cont.): UNION/INTERSECT/EXCEPT over the generated
+    # customer's nation set vs the static supplier symlink's
+    "set_ops_nations",
 )
 
 _cust_row = st.tuples(
@@ -947,6 +1109,15 @@ _JOIN_OPS = (
     "q12_ship_priority",
     "q18_large_orders",
     "lateral_top_orders",
+    # round 8 (cont.): the multi-dimension TPC-H tail (customer /
+    # supplier / part / nation / region ride in as static sf0.001
+    # symlinks — consistent orders<->lineitem structure is what these
+    # shapes are sensitive to) plus the correlated scalar subquery
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "correlated_scalar_subquery",
 )
 
 

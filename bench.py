@@ -141,6 +141,7 @@ HEADLINE = [
     # overlay, fold-on-compaction)
     "stream_exact_admission",
     "dedup_index_forget",
+    "sim_ivf_forget",
 ]
 
 
@@ -168,6 +169,7 @@ def _fresh_indexes(spark) -> None:
         D._exact_index_db(SF_DIR) + "_sdelta",
         ivf,
         ivf + "_up",
+        ivf + "_fg",
     ]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for db in dbs:

@@ -2244,7 +2244,9 @@ def _train_centroids(spark: SparkSession, sf_dir: str) -> list:
         e.unpersist()
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, db: str | None = None
+) -> str:
     """Materialize the trained-IVF index: ``<db>.centroids`` (cid, cv —
     the k final Lloyd centroids) and ``<db>.assign`` (vec_id, cid — a
     serving-assignment pass of every vector against those centroids via
@@ -2258,7 +2260,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     ``index_store.ensure_tables`` contract."""
     from .index_store import ensure_tables
 
-    db = _ivf_index_db(sf_dir)
+    if db is None:
+        db = _ivf_index_db(sf_dir)
 
     def _build() -> None:
         cents = _train_centroids(spark, sf_dir)
@@ -2277,10 +2280,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _duck_ivf_trained() -> str:
+def _duck_ivf_trained(exclude: str = "") -> str:
     """Oracle: replay the Lloyd training (same unrolled CTE chain as
     emb_kmeans_train's oracle, minus the trajectory), the serving
-    assignment, the nprobe probe selection, and the exact rerank."""
+    assignment, the nprobe probe selection, and the exact rerank.
+    ``exclude``: extra predicate ANDed into the final candidate filter
+    (the erasure oracle — centroids still train on the FULL corpus,
+    because forgetting never retrains)."""
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < {KMEANS_K})",
@@ -2328,6 +2334,7 @@ def _duck_ivf_trained() -> str:
     FROM e JOIN aserve USING (vec_id), q
     WHERE aserve.cid IN (SELECT cid FROM probes)
       AND e.vec_id <> {QUERY_VEC_ID}
+      {exclude}
     ORDER BY cosine DESC, e.vec_id
     LIMIT {TOP_K}
     """
@@ -2356,6 +2363,26 @@ def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(spark, sf_dir)
     db = _ivf_index_db(sf_dir)
     e = _emb(spark, sf_dir)
+    return _serve_ivf_index(spark, db, e)
+
+
+def _ivf_assign(spark: SparkSession, db: str) -> DataFrame:
+    """The index's serving-assignment relation, with erased vectors
+    subtracted: a ``tombstones`` table (written by
+    :func:`forget_ivf_vectors`) anti-joins out of every read — the same
+    Iceberg-delete-file overlay the near-dup index carries. Indexes
+    that never forget skip the anti-join entirely."""
+    assign = spark.table(f"{db}.assign")
+    if spark.catalog.tableExists(f"{db}.tombstones"):
+        tombs = spark.table(f"{db}.tombstones").select("vec_id").distinct()
+        assign = assign.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return assign
+
+
+def _serve_ivf_index(spark: SparkSession, db: str, e: DataFrame) -> DataFrame:
+    """Query-side IVF serving over a persisted index database: k-row
+    centroid ranking, nprobe broadcast-semi-join onto the (tombstone-
+    filtered) assignment relation, exact rerank of the candidates."""
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
     probes = (
@@ -2366,7 +2393,7 @@ def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVF_NPROBE)
         .select("cid")
     )
-    cand = spark.table(f"{db}.assign").join(F.broadcast(probes), "cid", "left_semi")
+    cand = _ivf_assign(spark, db).join(F.broadcast(probes), "cid", "left_semi")
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(cand, "vec_id", "left_semi")
@@ -2378,6 +2405,115 @@ def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
+    """Targeted erasure from the persisted IVF index (the embedding-side
+    right-to-be-forgotten): append vec_ids to ``<db>.tombstones``; every
+    serving read subtracts them immediately (:func:`_ivf_assign`), and
+    :func:`compact_ivf_index` folds them into an assignment rewrite.
+    Centroids are deliberately NOT retrained — erasure latency is one
+    O(|forgotten|) append; accumulated drift is the retrain trigger's
+    business, not the erasure path's. Idempotent (left_anti append).
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import ensure_tables
+
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id bigint"
+        )
+    ids = vec_ids.selectExpr("CAST(vec_id AS BIGINT) AS vec_id").distinct()
+
+    def _build_empty() -> None:
+        spark.createDataFrame([], "vec_id bigint").write.format(
+            "parquet"
+        ).saveAsTable(f"{db}.tombstones")
+
+    with catalog_lock:
+        ensure_tables(
+            spark,
+            db,
+            ("tombstones",),
+            _build_empty,
+            expect={"tombstones": ("vec_id",)},
+        )
+        fresh = (
+            ids.join(spark.table(f"{db}.tombstones"), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.format("parquet").mode("append").saveAsTable(
+                f"{db}.tombstones"
+            )
+            spark.catalog.refreshTable(f"{db}.tombstones")
+        return n
+
+
+def compact_ivf_index(spark: SparkSession, db: str) -> dict:
+    """Fold tombstones into the assignment relation: rewrite assign
+    MINUS the erased ids, then truncate the tombstone set. Read-through
+    crash-safe (serving anti-joins tombstones on every probe, so
+    rewrite-before-truncate never changes the logical index; a crash
+    between the steps leaves tombstones for already-removed rows — a
+    no-op). At 100 TB the rewrite is partition-scoped: assign is
+    partitioned by cid (the inverted list), and only lists holding
+    erased ids rewrite."""
+    from ..catalog import catalog_lock
+
+    with catalog_lock:
+        n_tombs = 0
+        if spark.catalog.tableExists(f"{db}.tombstones"):
+            tombs = (
+                spark.table(f"{db}.tombstones").select("vec_id").distinct()
+            )
+            n_tombs = tombs.count()
+            if n_tombs:
+                kept = (
+                    spark.table(f"{db}.assign")
+                    .join(F.broadcast(tombs), "vec_id", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                kept.write.format("parquet").mode("overwrite").saveAsTable(
+                    f"{db}.assign"
+                )
+                spark.catalog.refreshTable(f"{db}.assign")
+                spark.sql(f"TRUNCATE TABLE {db}.tombstones")
+                spark.catalog.refreshTable(f"{db}.tombstones")
+        return {"tombstones_folded": n_tombs}
+
+
+IVF_FORGET_MOD = 9  # vec_id % 9 == 4 -> the erased slice (never the query vec)
+
+
+@register(
+    "sim_ivf_forget",
+    _duck_ivf_trained(exclude=f"AND e.vec_id % {IVF_FORGET_MOD} <> 4"),
+)
+def sim_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted erasure E2E over the persisted IVF index: build (or
+    adopt) a dedicated index, FORGET the ``vec_id % {IVF_FORGET_MOD} ==
+    4`` slice (tombstone append — centroids frozen, assignment not
+    rewritten), then serve the standard top-{TOP_K} query. Erased
+    vectors must be invisible to serving — the oracle trains on the
+    FULL corpus (erasure never retrains) and excludes the slice only
+    from the candidate set, exactly the tombstone semantics.
+
+    The index lives in its own ``_fg``-suffixed database so erasure
+    state never contaminates sim_ivf_trained_indexed's shared artifact;
+    repeat invocations re-apply the forget set idempotently and hit the
+    bootstrap's 'reused' path. Scale: see forget_ivf_vectors /
+    compact_ivf_index — O(|forgotten|) request path, fold at
+    maintenance, broadcast-sized tombstones between compactions.
+    """
+    db = _ivf_index_db(sf_dir) + "_fg"
+    build_ivf_index(spark, sf_dir, db=db)
+    e = _emb(spark, sf_dir)
+    erase = e.filter(F.col("vec_id") % IVF_FORGET_MOD == 4).select("vec_id")
+    forget_ivf_vectors(spark, db, erase)
+    return _serve_ivf_index(spark, db, e)
 
 
 # -- IVF index UPSERT: new vectors join the index without retraining ---------

@@ -340,7 +340,9 @@ _CURATED_WINDOW = (
 # stream_exact_admission (round-8-new: the exact gate's foreachBatch
 # streaming composition over layered base+delta hash state);
 # dedup_index_forget (round-8-new: targeted erasure — tombstone
-# overlay + fold-on-compaction over the persisted LSH index).
+# overlay + fold-on-compaction over the persisted LSH index);
+# sim_ivf_forget (round-8-new: the embedding-side erasure lifecycle —
+# frozen centroids, tombstoned vec_ids, fold at compaction).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

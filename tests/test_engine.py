@@ -1408,7 +1408,16 @@ def _drop_index_db(spark, db):
 
 @pytest.mark.parametrize(
     "which",
-    ["near", "stream_layers", "exact", "exact_stream", "ivf", "ivf_up", "forget"],
+    [
+        "near",
+        "stream_layers",
+        "exact",
+        "exact_stream",
+        "ivf",
+        "ivf_up",
+        "forget",
+        "ivf_forget",
+    ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
     """Fresh-catalog/warm-warehouse cycle for EVERY persisted artifact
@@ -1454,6 +1463,11 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [D._near_index_db(sf_small) + "_fg"]
         query, reuse = "dedup_index_forget", (
             lambda: D.build_near_dup_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "ivf_forget":
+        dbs = [S._ivf_index_db(sf_small) + "_fg"]
+        query, reuse = "sim_ivf_forget", (
+            lambda: S.build_ivf_index(spark, sf_small, db=dbs[0])
         )
     elif which == "ivf":
         dbs = [S._ivf_index_db(sf_small)]
@@ -1605,6 +1619,61 @@ def test_near_dup_index_forget_lifecycle(spark, sf_small):
     )
     assert v_after == verdicts
     spark.sql(f"DROP DATABASE IF EXISTS {delta} CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_ivf_index_forget_lifecycle(spark, sf_small):
+    """IVF-side targeted erasure (round 8): tombstoned vectors vanish
+    from serving immediately (centroids frozen — erasure never
+    retrains), re-forgetting is idempotent, and compaction folds
+    tombstones into an assignment rewrite without changing any served
+    result."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import similarity as S
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = S._ivf_index_db(sf_small) + "_fg"
+    _drop_index_db(spark, db)
+    served = sorted(
+        map(tuple, QUERIES["sim_ivf_forget"](spark, sf_small).collect())
+    )
+    erased_ids = {
+        r[0]
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter(F.col("vec_id") % S.IVF_FORGET_MOD == 4)
+        .select("vec_id")
+        .collect()
+    }
+    assert erased_ids
+    # no served result may be an erased vector
+    assert not {v for v, _ in served} & erased_ids
+    # the serving relation really subtracts them
+    assert (
+        S._ivf_assign(spark, db)
+        .filter(F.col("vec_id") % S.IVF_FORGET_MOD == 4)
+        .count()
+        == 0
+    )
+    # idempotent replay
+    ids = spark.createDataFrame(
+        [(int(i),) for i in erased_ids], "vec_id bigint"
+    )
+    assert S.forget_ivf_vectors(spark, db, ids) == 0
+    n_assign = spark.table(f"{db}.assign").count()
+    n_erased_rows = (
+        spark.table(f"{db}.assign")
+        .filter(F.col("vec_id") % S.IVF_FORGET_MOD == 4)
+        .count()
+    )
+    stats = S.compact_ivf_index(spark, db)
+    assert stats["tombstones_folded"] == len(erased_ids)
+    assert spark.table(f"{db}.tombstones").count() == 0
+    assert spark.table(f"{db}.assign").count() == n_assign - n_erased_rows
+    v_after = sorted(
+        map(tuple, QUERIES["sim_ivf_forget"](spark, sf_small).collect())
+    )
+    assert v_after == served
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 

@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 197 of the 198 registered queries ride this suite —
+Coverage (round 8): 198 of the 199 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -352,6 +352,10 @@ _EMB_OPS = (
     # zero vectors (zero QUERY vector -> all-NULL cosine ordering)
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
+    # round 8 (cont.): targeted erasure — tombstoned vectors must be
+    # invisible to serving on ANY corpus (constant corpora where every
+    # candidate ties, corpora where the erased slice IS the top-k)
+    "sim_ivf_forget",
 )
 
 # Round 8 (VERDICT r7 #5): the full ANN serving ladder — session
@@ -463,10 +467,10 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         # per-example persisted IVF index databases must not leak
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
-        spark.sql(f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)} CASCADE")
-        spark.sql(
-            f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}_up CASCADE"
-        )
+        for suffix in ("", "_up", "_fg"):
+            spark.sql(
+                f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
+            )
 
 
 @settings(

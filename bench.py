@@ -142,6 +142,7 @@ HEADLINE = [
     "stream_exact_admission",
     "dedup_index_forget",
     "sim_ivf_forget",
+    "dedup_exact_forget",
 ]
 
 
@@ -167,6 +168,7 @@ def _fresh_indexes(spark) -> None:
         D._exact_index_db(SF_DIR),
         D._exact_index_db(SF_DIR) + "_sbase",
         D._exact_index_db(SF_DIR) + "_sdelta",
+        D._exact_index_db(SF_DIR) + "_fg",
         ivf,
         ivf + "_up",
         ivf + "_fg",

@@ -2284,3 +2284,133 @@ def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("streaming query did not terminate within 600s")
     return spark.read.parquet(out_dir)
+
+
+# -- targeted erasure for the EXACT gate (doc-level hash state) --------------
+
+# Generic alias: the tombstone writer is doc_id-keyed and index-agnostic
+# (it only touches <db>.tombstones); the near-dup and exact erasure
+# indexes share it.
+forget_docs = forget_near_dup_docs
+
+
+def _duck_exact_forget() -> str:
+    return f"""
+    WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+    live AS (
+      SELECT DISTINCT h FROM hx
+      WHERE doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+        AND doc_id % {INCR_NEAR_MOD} <> {INCR_IDX_FORGET}
+    ), b1 AS (
+      SELECT doc_id, h FROM hx WHERE doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+    )
+    SELECT b1.doc_id,
+           (live.h IS NOT NULL
+            OR row_number() OVER (PARTITION BY b1.h ORDER BY b1.doc_id) > 1)
+             AS is_dup
+    FROM b1 LEFT JOIN live ON live.h = b1.h
+    """
+
+
+@register("dedup_exact_forget", _duck_exact_forget())
+def dedup_exact_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted erasure for the EXACT-dedup gate — the boundary
+    dedup_incr_exact_indexed can't cross: its state is a bare
+    distinct-hash set, and a hash may be SHARED by other living docs,
+    so erasing by doc_id needs doc-level state. This gate keeps
+    ``<db>.doc_hashes`` (doc_id, h) — the implicit-refcount shape: a
+    hash leaves the probe set only when its LAST living holder is
+    forgotten — plus the same doc_id tombstone overlay as the near-dup
+    index (:func:`forget_docs`, fold at compaction).
+
+    The query erases the ``doc_id % {INCR_NEAR_MOD} ==
+    {INCR_IDX_FORGET}`` slice of the owned corpus, then scores batch 1:
+    a batch doc whose text survives ONLY in erased docs is now novel
+    (is_dup=false); one whose hash is also held by a living doc stays
+    a dup — exactly what the oracle states. One row per batch doc:
+    (doc_id, is_dup).
+
+    Scale: state is (16-byte hash, id) rows — doc-level rather than the
+    plain gate's distinct-hash set, the storage price of erasability;
+    probes add one broadcast anti-join (measured ~free,
+    scale_probe_r8); the probe-set distinct is computed per batch from
+    the bucketed doc_hashes relation, at 100 TB a partial-agg over the
+    probe's semi-joined partitions only.
+    """
+    from .index_store import ensure_tables
+
+    db = _exact_index_db(sf_dir) + "_fg"
+
+    def _build() -> None:
+        (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD)
+            .select("doc_id", F.md5("text").alias("h"))
+            .write.format("parquet")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.doc_hashes")
+        )
+
+    ensure_tables(
+        spark,
+        db,
+        ("doc_hashes",),
+        _build,
+        expect={"doc_hashes": ("doc_id", "h")},
+    )
+    erase = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_FORGET)
+        .select("doc_id")
+    )
+    forget_docs(spark, db, erase)
+    live = spark.table(f"{db}.doc_hashes")
+    if spark.catalog.tableExists(f"{db}.tombstones"):
+        tombs = spark.table(f"{db}.tombstones").select("doc_id").distinct()
+        live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
+    probe = live.select("h").distinct().withColumnRenamed("h", "ih")
+    from pyspark.sql import Window as W
+
+    batch = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1)
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    return (
+        batch.join(probe, batch.h == F.col("ih"), "left")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .select(
+            "doc_id",
+            (F.col("ih").isNotNull() | (F.col("rk") > 1)).alias("is_dup"),
+        )
+    )
+
+
+def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
+    """Fold tombstones into the doc_hashes rewrite (rewrite-before-
+    truncate, read-through crash-safe like the near-dup and IVF
+    folds)."""
+    from ..catalog import catalog_lock
+
+    with catalog_lock:
+        n_tombs = 0
+        if spark.catalog.tableExists(f"{db}.tombstones"):
+            tombs = (
+                spark.table(f"{db}.tombstones").select("doc_id").distinct()
+            )
+            n_tombs = tombs.count()
+            if n_tombs:
+                kept = (
+                    spark.table(f"{db}.doc_hashes")
+                    .join(F.broadcast(tombs), "doc_id", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                kept.write.format("parquet").mode("overwrite").saveAsTable(
+                    f"{db}.doc_hashes"
+                )
+                spark.catalog.refreshTable(f"{db}.doc_hashes")
+                spark.sql(f"TRUNCATE TABLE {db}.tombstones")
+                spark.catalog.refreshTable(f"{db}.tombstones")
+        return {"tombstones_folded": n_tombs}

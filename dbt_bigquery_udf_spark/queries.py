@@ -342,7 +342,9 @@ _CURATED_WINDOW = (
 # dedup_index_forget (round-8-new: targeted erasure — tombstone
 # overlay + fold-on-compaction over the persisted LSH index);
 # sim_ivf_forget (round-8-new: the embedding-side erasure lifecycle —
-# frozen centroids, tombstoned vec_ids, fold at compaction).
+# frozen centroids, tombstoned vec_ids, fold at compaction);
+# dedup_exact_forget (round-8-new: doc-level hash state crossing the
+# exact gate's erasure boundary — implicit refcount semantics).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1417,6 +1417,7 @@ def _drop_index_db(spark, db):
         "ivf_up",
         "forget",
         "ivf_forget",
+        "exact_forget",
     ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
@@ -1468,6 +1469,24 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [S._ivf_index_db(sf_small) + "_fg"]
         query, reuse = "sim_ivf_forget", (
             lambda: S.build_ivf_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "exact_forget":
+        # doc_hashes + tombstones both adopt through the shared
+        # bootstrap; 'reused' is asserted via a no-op ensure_tables of
+        # the doc_hashes group (the query's own bootstrap path)
+        from dbt_bigquery_udf_spark.operators.index_store import ensure_tables
+
+        dbs = [D._exact_index_db(sf_small) + "_fg"]
+        query, reuse = "dedup_exact_forget", (
+            lambda: ensure_tables(
+                spark,
+                dbs[0],
+                ("doc_hashes",),
+                lambda: (_ for _ in ()).throw(
+                    AssertionError("adopt path must not rebuild")
+                ),
+                expect={"doc_hashes": ("doc_id", "h")},
+            )
         )
     elif which == "ivf":
         dbs = [S._ivf_index_db(sf_small)]
@@ -1674,6 +1693,67 @@ def test_ivf_index_forget_lifecycle(spark, sf_small):
         map(tuple, QUERIES["sim_ivf_forget"](spark, sf_small).collect())
     )
     assert v_after == served
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_exact_forget_shared_hash_semantics(spark, tmp_path, sf_small):
+    """The exact-gate erasure's implicit-refcount contract on a crafted
+    corpus: batch doc A's text survives ONLY in an erased doc -> novel;
+    batch doc B's text is held by an erased doc AND a living doc ->
+    still a dup. Then fold + idempotence."""
+    import os
+    import shutil
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.testing import TABLES
+
+    root = str(tmp_path / "ef")
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    # mod-7 classes: 7/14 -> batch1; 3/10 -> erased slice; 2/4 -> living
+    rows = [
+        (7, "only-in-erased"),     # batch: matches doc 3 only -> novel
+        (14, "shared-with-live"),  # batch: matches 10 (erased) AND 4 -> dup
+        (3, "only-in-erased"),     # erased holder
+        (10, "shared-with-live"),  # erased holder
+        (4, "shared-with-live"),   # LIVING holder
+        (2, "unrelated"),          # living noise
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/_docs_tmp")
+    part = [
+        f for f in os.listdir(root + "/_docs_tmp") if f.endswith(".parquet")
+    ][0]
+    shutil.move(
+        os.path.join(root, "_docs_tmp", part),
+        os.path.join(root, "documents.parquet"),
+    )
+    shutil.rmtree(root + "/_docs_tmp")
+
+    verdicts = {
+        r["doc_id"]: r["is_dup"]
+        for r in QUERIES["dedup_exact_forget"](spark, root).collect()
+    }
+    assert verdicts == {7: False, 14: True}
+    db = D._exact_index_db(root) + "_fg"
+    # fold + invariance + idempotent re-forget
+    stats = D.compact_exact_forget_index(spark, db)
+    assert stats["tombstones_folded"] == 2
+    assert spark.table(f"{db}.doc_hashes").count() == 2  # docs 4 and 2
+    verdicts2 = {
+        r["doc_id"]: r["is_dup"]
+        for r in QUERIES["dedup_exact_forget"](spark, root).collect()
+    }
+    assert verdicts2 == verdicts
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 

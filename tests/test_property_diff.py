@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 198 of the 199 registered queries ride this suite —
+Coverage (round 8): 199 of the 200 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -57,8 +57,12 @@ _OPS = (
     "dedup_incr_exact_indexed",
     # round 8 (cont.): targeted erasure — tombstoned docs must be
     # invisible to candidate generation and scoring on ANY corpus
-    # (all-dup corpora where the only match is erased, empty slices)
+    # (all-dup corpora where the only match is erased, empty slices);
+    # the exact-gate variant keeps doc-level hash state, so a hash
+    # shared with a LIVING doc must stay a dup after erasure (the
+    # duplicate-injected corpora generate exactly that collision)
     "dedup_index_forget",
+    "dedup_exact_forget",
     "text_novelty_ratio",
     "ccnet_perplexity_buckets",
     "quality_c4_rules",
@@ -202,6 +206,9 @@ def test_text_ops_parity_on_arbitrary_corpora(spark, prop_dir, texts, langs):
             f"DROP DATABASE IF EXISTS {_near_index_db(ex_dir)}_fg CASCADE"
         )
         spark.sql(f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)} CASCADE")
+        spark.sql(
+            f"DROP DATABASE IF EXISTS {_exact_index_db(ex_dir)}_fg CASCADE"
+        )
 
 
 @settings(

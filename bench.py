@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_index_forget",
     "sim_ivf_forget",
     "dedup_exact_forget",
+    "sim_ivf_drift_stats",
 ]
 
 

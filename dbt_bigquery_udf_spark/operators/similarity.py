@@ -2711,7 +2711,7 @@ def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVF_NPROBE)
         .select("cid")
     )
-    cand = spark.table(f"{db}.assign").join(
+    cand = _ivf_assign(spark, db).join(
         F.broadcast(probes), "cid", "left_semi"
     )
     return (
@@ -2726,3 +2726,162 @@ def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# -- IVF retrain trigger: measured centroid drift ---------------------------
+
+DRIFT_RETRAIN_THRESHOLD = 0.10  # churn fraction that flags a list for retrain
+
+
+def _duck_ivf_drift() -> str:
+    """Oracle: replay the frozen-centroid index (owned-split training +
+    full-corpus assignment — the upsert oracle's chain), then ONE Lloyd
+    refresh step over the CURRENT corpus and the churn aggregation."""
+    R = KMEANS_TRAIN_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"eb AS (SELECT * FROM e WHERE vec_id % {IVF_UPSERT_MOD} <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid, emb AS cv FROM eb ORDER BY vec_id LIMIT {KMEANS_K}
+    )""",
+    ]
+    for r in range(1, R + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT eb.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(eb.emb, c.cv), 6), c.cid)) AS p
+      FROM eb, c{r - 1} c GROUP BY eb.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(eb.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN eb USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    ctes += [
+        # stored assignment: EVERY current vector against the frozen c{R}
+        f"""pall AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        "sa AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pall)",
+        # ONE refresh step: per-cluster means over the CURRENT corpus
+        f"""rdims AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM sa a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+        "cr AS (SELECT cid, list(m ORDER BY i) AS cv FROM rdims GROUP BY cid)",
+        """pr AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, cr c GROUP BY e.vec_id
+    )""",
+        "ra AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pr)",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT sa.cid,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN ra.cid <> sa.cid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           round(CAST(sum(CASE WHEN ra.cid <> sa.cid THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS churn_frac,
+           (CAST(sum(CASE WHEN ra.cid <> sa.cid THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*)) >= {DRIFT_RETRAIN_THRESHOLD}
+             AS retrain
+    FROM sa JOIN ra USING (vec_id)
+    GROUP BY sa.cid
+    """
+    )
+
+
+@register("sim_ivf_drift_stats", _duck_ivf_drift())
+def sim_ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN TRIGGER the frozen-centroid lifecycle keeps promising
+    (sim_ivf_upsert and sim_ivf_forget both defer drift "to the retrain
+    trigger" — this is it): measure, per inverted list, how much the
+    stored assignment would change if the centroids took ONE Lloyd
+    refresh step over the CURRENT corpus. Emits (cid, n_vecs,
+    n_churned, churn_frac, retrain) — the maintenance-window dashboard
+    row; a list whose churn fraction reaches
+    {DRIFT_RETRAIN_THRESHOLD:.0%} is flagged for retrain.
+
+    Uses the shared ``_up`` index artifact (owned-split training +
+    frozen-centroid upserts — build and upsert are both idempotent
+    'reused' hits when sim_ivf_upsert ran first). The drift math reuses
+    the trainer's engine-exact primitives (integer-encoded argmin,
+    4-decimal centroid means), so the oracle replays it bit-for-bit.
+
+    Scale: one serve-assignment scan (already the index's own shape) +
+    one k x 64 partial-agg refresh + one re-assignment scan + a k-row
+    churn aggregate — all map-side-combined; the driver handles only
+    k x 64 centroid cells. Run it in the compaction window; its output
+    IS the retrain schedule, closing the loop on frozen-centroid
+    operations.
+    """
+    build_ivf_base_index(spark, sf_dir)
+    upsert_ivf_vectors(spark, sf_dir)
+    db = _ivf_index_db(sf_dir) + "_up"
+    cents0 = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.table(f"{db}.centroids").collect()
+    ]
+    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
+    try:
+        # stored assignment of the CURRENT corpus against frozen
+        # centroids — identical math to the assign table's union (base
+        # serve-assign + upsert-assign), recomputed here so the drift
+        # report also covers vectors not yet upserted
+        a0 = _assign_enc(spark, e, cents0).select(
+            "vec_id",
+            (F.col("enc") % 100000).cast("int").alias("cid"),
+            "emb",
+        )
+        rows = (
+            a0.select("cid", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for row in rows:
+            by_cid.setdefault(int(row["cid"]), [0.0] * 64)[
+                int(row["pos"])
+            ] = float(row["m"])
+        cents1 = sorted(by_cid.items())
+        a1 = _assign_enc(spark, e, cents1).select(
+            "vec_id", (F.col("enc") % 100000).cast("int").alias("cid1")
+        )
+        churned = F.sum(
+            F.when(F.col("cid1") != F.col("cid"), 1).otherwise(0)
+        ).cast("bigint")
+        return (
+            a0.select("vec_id", "cid")
+            .join(a1, "vec_id")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                churned.alias("n_churned"),
+            )
+            .select(
+                "cid",
+                "n_vecs",
+                "n_churned",
+                F.round(
+                    F.col("n_churned").cast("double") / F.col("n_vecs"), 4
+                ).alias("churn_frac"),
+                (
+                    F.col("n_churned").cast("double") / F.col("n_vecs")
+                    >= DRIFT_RETRAIN_THRESHOLD
+                ).alias("retrain"),
+            )
+        )
+    finally:
+        e.unpersist()

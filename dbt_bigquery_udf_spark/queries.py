@@ -344,7 +344,9 @@ _CURATED_WINDOW = (
 # sim_ivf_forget (round-8-new: the embedding-side erasure lifecycle —
 # frozen centroids, tombstoned vec_ids, fold at compaction);
 # dedup_exact_forget (round-8-new: doc-level hash state crossing the
-# exact gate's erasure boundary — implicit refcount semantics).
+# exact gate's erasure boundary — implicit refcount semantics);
+# sim_ivf_drift_stats (round-8-new: the retrain trigger — per-list
+# assignment churn under one Lloyd refresh over the current corpus).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

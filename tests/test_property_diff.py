@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 199 of the 200 registered queries ride this suite —
+Coverage (round 8): 200 of the 201 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -361,8 +361,12 @@ _EMB_OPS = (
     "sim_ivf_upsert",
     # round 8 (cont.): targeted erasure — tombstoned vectors must be
     # invisible to serving on ANY corpus (constant corpora where every
-    # candidate ties, corpora where the erased slice IS the top-k)
+    # candidate ties, corpora where the erased slice IS the top-k) —
+    # and the retrain trigger (one-Lloyd-step churn per inverted list;
+    # constant corpora collapse every vector into one list, empty
+    # clusters drop out of the refreshed centroid set)
     "sim_ivf_forget",
+    "sim_ivf_drift_stats",
 )
 
 # Round 8 (VERDICT r7 #5): the full ANN serving ladder — session

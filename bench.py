@@ -144,6 +144,7 @@ HEADLINE = [
     "sim_ivf_forget",
     "dedup_exact_forget",
     "sim_ivf_drift_stats",
+    "dedup_lsh_bucket_stats",
 ]
 
 

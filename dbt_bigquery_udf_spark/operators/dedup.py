@@ -2414,3 +2414,67 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}
+
+
+# -- LSH operational diagnostics: bucket skew / candidate-pair budget --------
+
+HOT_BUCKET_THRESHOLD = 8  # bucket size that marks an LSH hot spot
+
+
+def _duck_lsh_bucket_stats() -> str:
+    return _duck_minhash_prefix() + f""", bk AS (
+      SELECT band, key, count(*) AS sz FROM long GROUP BY band, key
+    )
+    SELECT band,
+           count(*) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN sz >= {HOT_BUCKET_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pairs_bound,
+           round(CAST(sum(sz) AS DOUBLE) / count(*), 4) AS avg_bucket
+    FROM bk GROUP BY band
+    """
+
+
+@register("dedup_lsh_bucket_stats", _duck_lsh_bucket_stats())
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH capacity planning — the diagnostic that predicts the
+    candidate-join blowup BEFORE paying for it: per band, the bucket
+    count, row count, max/avg bucket size, hot-bucket count (size >=
+    {HOT_BUCKET_THRESHOLD}), and ``pairs_bound`` = sum over buckets of
+    C(size, 2) — the EXACT number of candidate pairs the band
+    contributes to the LSH self-join. Bucket skew is THE failure mode
+    of banded LSH at scale (boilerplate text collapses into mega-
+    buckets whose pair count is quadratic); this report is what an
+    operator reads before scheduling a dedup pass, and its hot-bucket
+    count is the trigger for the standard mitigations (bucket-size
+    caps, salting the shingle space, or dropping stop-shingles).
+
+    Scale: one signature pass + one (band, key) count — a partial-agg
+    shuffle of (band, key) rows; the report itself is
+    {N_BANDS}-row. No pair is ever materialized; pairs_bound is
+    computed from bucket sizes alone, which is the entire point.
+    """
+    sigs = _doc_signatures(_docs(spark, sf_dir))
+    buckets = (
+        _band_long(sigs)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("sz") >= HOT_BUCKET_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hot"),
+        F.sum(F.expr("CAST(sz * (sz - 1) / 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("pairs_bound"),
+        F.round(
+            F.sum("sz").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_bucket"),
+    )

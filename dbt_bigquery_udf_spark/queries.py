@@ -346,7 +346,10 @@ _CURATED_WINDOW = (
 # dedup_exact_forget (round-8-new: doc-level hash state crossing the
 # exact gate's erasure boundary — implicit refcount semantics);
 # sim_ivf_drift_stats (round-8-new: the retrain trigger — per-list
-# assignment churn under one Lloyd refresh over the current corpus).
+# assignment churn under one Lloyd refresh over the current corpus);
+# dedup_lsh_bucket_stats (round-8-new: LSH capacity planning — bucket
+# skew + exact candidate-pair budget per band, computed without ever
+# materializing a pair).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 200 of the 201 registered queries ride this suite —
+Coverage (round 8): 201 of the 202 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -63,6 +63,10 @@ _OPS = (
     # duplicate-injected corpora generate exactly that collision)
     "dedup_index_forget",
     "dedup_exact_forget",
+    # round 8 (cont.): LSH capacity planning — bucket sizes /
+    # pairs_bound must agree on degenerate corpora (all-identical docs
+    # collapse every band into one mega-bucket)
+    "dedup_lsh_bucket_stats",
     "text_novelty_ratio",
     "ccnet_perplexity_buckets",
     "quality_c4_rules",

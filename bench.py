@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_exact_forget",
     "sim_ivf_drift_stats",
     "dedup_lsh_bucket_stats",
+    "dedup_minhash_capped",
 ]
 
 

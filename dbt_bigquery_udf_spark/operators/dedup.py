@@ -2478,3 +2478,99 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_bucket"),
     )
+
+
+# -- capped LSH candidate generation (the hot-bucket mitigation) -------------
+
+BUCKET_CAP = 8  # buckets at/above this size are excluded from pairing
+
+
+def _duck_minhash_capped() -> str:
+    return _duck_minhash_prefix() + f""", okbk AS (
+      SELECT band, key FROM long GROUP BY band, key
+      HAVING count(*) < {BUCKET_CAP}
+    ), longc AS (
+      SELECT l.* FROM long l JOIN okbk USING (band, key)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM longc a JOIN longc b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)
+               AS jaccard
+      FROM cand c JOIN hx x ON x.doc_id = c.doc_a
+                  JOIN hx y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_capped", _duck_minhash_capped())
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped LSH near-dup pairs — the mitigation
+    dedup_lsh_bucket_stats' hot-bucket report triggers: buckets at or
+    above {BUCKET_CAP} rows are EXCLUDED from candidate generation
+    before the self-join, bounding every bucket's pair contribution at
+    C({BUCKET_CAP}-1, 2) and therefore the whole join at
+    O(#buckets x cap^2) regardless of skew. The standard trade every
+    production LSH dedup makes (a doc pair sharing ONLY mega-buckets is
+    missed; with {N_BANDS} independent bands a true near-dup pair
+    almost surely shares a small bucket too — the banding theorem does
+    the recall work).
+
+    Same verified-pair output contract as dedup_minhash_pairs, so the
+    two queries diff cleanly: rows present there but missing here are
+    exactly the pairs whose every shared bucket was hot.
+
+    Scale: the cap check is one (band, key) count — the same partial
+    agg dedup_lsh_bucket_stats runs — semi-joined back onto the long
+    form before pairing; no mega-bucket ever reaches the join, which is
+    the entire point (a single million-row boilerplate bucket would
+    otherwise contribute 5e11 candidate pairs).
+    """
+    sigs = _doc_signatures(_docs(spark, sf_dir))
+    sigs.persist()
+    try:
+        long = _band_long(sigs)
+        ok = (
+            long.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") < BUCKET_CAP)
+            .select("band", "key")
+        )
+        longc = long.join(ok, ["band", "key"], "left_semi")
+        cand = (
+            longc.alias("a")
+            .join(
+                longc.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+        hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+        inter = F.size(F.array_intersect("ha", "hb"))
+        union = F.size("ha") + F.size("hb") - inter
+        return (
+            cand.join(ha, "doc_a")
+            .join(hb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+    finally:
+        sigs.unpersist()

@@ -349,7 +349,10 @@ _CURATED_WINDOW = (
 # assignment churn under one Lloyd refresh over the current corpus);
 # dedup_lsh_bucket_stats (round-8-new: LSH capacity planning — bucket
 # skew + exact candidate-pair budget per band, computed without ever
-# materializing a pair).
+# materializing a pair);
+# dedup_minhash_capped (round-8-new: the hot-bucket mitigation —
+# candidate generation with mega-buckets excluded, bounding the
+# self-join at O(#buckets x cap^2) regardless of skew).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

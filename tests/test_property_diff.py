@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 201 of the 202 registered queries ride this suite —
+Coverage (round 8): 202 of the 203 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -67,6 +67,10 @@ _OPS = (
     # pairs_bound must agree on degenerate corpora (all-identical docs
     # collapse every band into one mega-bucket)
     "dedup_lsh_bucket_stats",
+    # ...and the mitigation it triggers: capped candidate generation
+    # (all-identical corpora put EVERY doc in hot buckets -> zero
+    # candidates, empty result on both engines)
+    "dedup_minhash_capped",
     "text_novelty_ratio",
     "ccnet_perplexity_buckets",
     "quality_c4_rules",

@@ -1792,3 +1792,59 @@ def test_near_admission_crash_replay(spark, sf_small):
     )
     assert v_replay == v_clean
     spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_capped_lsh_bounds_megabucket(spark, tmp_path, sf_small):
+    """The hot-bucket mitigation's contract on a crafted skewed corpus
+    (the ad-hoc blowup demo in SCALE.md, pinned): 80% of docs share one
+    boilerplate text, so the uncapped pairs query emits C(n_boiler, 2)
+    verified pairs while the capped query emits none of them — and the
+    stats report's pairs_bound predicts the uncapped count exactly."""
+    import os
+    import shutil
+
+    from dbt_bigquery_udf_spark.queries import QUERIES
+    from dbt_bigquery_udf_spark.testing import TABLES
+
+    root = str(tmp_path / "skew")
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    n = 200
+    boiler = "terms of service apply to all users of this site please read"
+    texts = [
+        boiler if i % 5 else f"unique document number {i} entirely {i * 7}"
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        [(i + 1, t, "en", "srcA", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/_tmp")
+    part = [f for f in os.listdir(root + "/_tmp") if f.endswith(".parquet")][0]
+    shutil.move(
+        os.path.join(root, "_tmp", part),
+        os.path.join(root, "documents.parquet"),
+    )
+    shutil.rmtree(root + "/_tmp")
+
+    n_boiler = sum(1 for t in texts if t == boiler)
+    uncapped = QUERIES["dedup_minhash_pairs"](spark, root).count()
+    capped = QUERIES["dedup_minhash_capped"](spark, root).count()
+    # every boilerplate copy pairs with every other at jaccard 1.0
+    assert uncapped >= n_boiler * (n_boiler - 1) // 2
+    # the capped query never materializes the mega-bucket's pairs
+    assert capped <= uncapped - n_boiler * (n_boiler - 1) // 2
+    # pairs_bound (summed over bands) counts the mega-bucket
+    # quadratically: each of the N_BANDS bands holds it whole
+    stats = {
+        r["band"]: r["pairs_bound"]
+        for r in QUERIES["dedup_lsh_bucket_stats"](spark, root).collect()
+    }
+    assert all(
+        pb >= n_boiler * (n_boiler - 1) // 2 for pb in stats.values()
+    ), stats

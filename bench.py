@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_ivf_drift_stats",
     "dedup_lsh_bucket_stats",
     "dedup_minhash_capped",
+    "stream_ivf_admission",
 ]
 
 
@@ -175,6 +176,8 @@ def _fresh_indexes(spark) -> None:
         ivf,
         ivf + "_up",
         ivf + "_fg",
+        ivf + "_svb",
+        ivf + "_svd",
     ]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for db in dbs:

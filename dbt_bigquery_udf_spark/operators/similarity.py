@@ -2525,15 +2525,19 @@ def _ivf_base(e: DataFrame) -> DataFrame:
     return e.filter(F.col("vec_id") % IVF_UPSERT_MOD != 0)
 
 
-def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
+def build_ivf_base_index(
+    spark: SparkSession, sf_dir: str, db: str | None = None
+) -> str:
     """Trained-IVF index over the OWNED split only (vec_id %
-    {IVF_UPSERT_MOD} != 0) under ``<db>_up`` — the base a vector store
-    owns before new embeddings arrive. Init: the K lowest vec_ids OF
-    THE SPLIT (cid = vec_id). Same build-once/adopt contract as
-    build_ivf_index (shared ``index_store.ensure_tables``)."""
+    {IVF_UPSERT_MOD} != 0) under ``<db>_up`` (or an explicit ``db`` for
+    dedicated-index callers like the streaming admission gate) — the
+    base a vector store owns before new embeddings arrive. Init: the K
+    lowest vec_ids OF THE SPLIT (cid = vec_id). Same build-once/adopt
+    contract as build_ivf_index (shared ``index_store.ensure_tables``)."""
     from .index_store import ensure_tables
 
-    db = _ivf_index_db(sf_dir) + "_up"
+    if db is None:
+        db = _ivf_index_db(sf_dir) + "_up"
 
     def _build() -> None:
         base = _kmeans_wide(
@@ -2885,3 +2889,246 @@ def sim_ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         e.unpersist()
+
+
+# -- STREAMING IVF admission: micro-batch upserts, served between batches ----
+
+IVF_STREAM_MOD = 10  # arrivals (vec_id % 5 == 0) split into two batches:
+IVF_STREAM_B1 = 0    # vec_id % 10 == 0 -> first arrival file
+IVF_STREAM_B2 = 5    # vec_id % 10 == 5 -> second arrival file
+
+
+def _stage_ivf_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the arriving vectors as TWO parquet files in mtime order
+    (the embedding-side mirror of the document staging helper): batch 1
+    = vec_id % {IVF_STREAM_MOD} == {IVF_STREAM_B1}, batch 2 ==
+    {IVF_STREAM_B2}. In production this is the landing prefix."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    stage = os.path.join(root, f"emb_arrivals_{tag}")
+    if all(
+        os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
+    ):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    now = time.time()
+    for i, mod in enumerate((IVF_STREAM_B1, IVF_STREAM_B2)):
+        tmp = os.path.join(stage, f".tmp{i}")
+        e.filter(F.col("vec_id") % IVF_STREAM_MOD == mod).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+    return stage
+
+
+def _duck_stream_ivf() -> str:
+    """Oracle: the frozen-centroid chain (train on the owned split,
+    assign everything), then TWO serving replays — after batch 1 the
+    candidate universe is owned + first-file arrivals; after batch 2 it
+    is owned + all arrivals — tagged with the micro-batch id."""
+    R = KMEANS_TRAIN_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"eb AS (SELECT * FROM e WHERE vec_id % {IVF_UPSERT_MOD} <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid, emb AS cv FROM eb ORDER BY vec_id LIMIT {KMEANS_K}
+    )""",
+    ]
+    for r in range(1, R + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT eb.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(eb.emb, c.cv), 6), c.cid)) AS p
+      FROM eb, c{r - 1} c GROUP BY eb.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(eb.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN eb USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    ctes += [
+        f"""pall AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        "au AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pall)",
+        f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""probes AS (
+      SELECT c.cid FROM c{R} c, q
+      ORDER BY (list_dot_product(c.cv, q.qv) /
+                nullif(sqrt(list_dot_product(c.cv, c.cv))
+                       * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )""",
+    ]
+    serve = """(
+      SELECT {bid} AS batch_id, e.vec_id,
+             round((list_dot_product(e.emb, q.qv) /
+                    nullif(sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4)
+               AS cosine
+      FROM e JOIN au USING (vec_id), q
+      WHERE au.cid IN (SELECT cid FROM probes)
+        AND e.vec_id <> {qid}
+        AND ({universe})
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT {k}
+    )"""
+    u1 = (
+        f"e.vec_id % {IVF_UPSERT_MOD} <> 0 OR "
+        f"e.vec_id % {IVF_STREAM_MOD} = {IVF_STREAM_B1}"
+    )
+    u2 = "TRUE"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + serve.format(bid=0, qid=QUERY_VEC_ID, universe=u1, k=TOP_K)
+        + " UNION ALL "
+        + serve.format(bid=1, qid=QUERY_VEC_ID, universe=u2, k=TOP_K)
+    )
+
+
+@register("stream_ivf_admission", _duck_stream_ivf())
+def stream_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS vector ingestion through the IVF index — the
+    embedding-side sibling of the two document streaming gates,
+    completing the {exact, near-dup, IVF} x {batch, streaming, erasure}
+    matrix: arriving vectors stream in as two micro-batch files; each
+    batch is assigned against the FROZEN trained centroids
+    (engine-exact argmin), appended to a per-run delta assignment
+    overlay, and the standard top-{TOP_K} query is served IMMEDIATELY
+    after the append over base+delta — proving each batch's vectors
+    are findable before the next batch lands. Emits both batches'
+    serve results tagged (batch_id, vec_id, cosine); a batch-1 arrival
+    can appear in batch-0's serve only if... it can't — that ordering
+    IS the oracle's statement (batch 0's candidate universe excludes
+    the second file).
+
+    Layering mirrors the document gates: the trained base (owned
+    split) is built/adopted once under ``_svb`` via the shared
+    bootstrap; per-run admissions land in a ``_svd`` delta scratch
+    (truncated or recreated each invocation), so repeat runs are
+    deterministic and the batch upsert query's ``_up`` artifact is
+    never touched.
+
+    Scale: per batch, one k-row centroid broadcast + a batch-sized
+    assignment + a batch-sized append; serving is the standard
+    nprobe-bounded probe over the layered assignment relation.
+    Verdicts are sink-written, never collected.
+    """
+    import os
+    import uuid
+
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables
+
+    base_db = _ivf_index_db(sf_dir) + "_svb"
+    delta_db = _ivf_index_db(sf_dir) + "_svd"
+    stage = _stage_ivf_arrivals(spark, sf_dir)
+    build_ivf_base_index(spark, sf_dir, db=base_db)
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
+        have = {
+            t.name
+            for t in spark.catalog.listTables(delta_db)
+            if not t.isTemporary
+        }
+        if "assign" in have and (
+            spark.catalog.getTable(f"{delta_db}.assign").tableType
+            != "EXTERNAL"
+        ):
+            spark.sql(f"TRUNCATE TABLE {delta_db}.assign")
+            spark.catalog.refreshTable(f"{delta_db}.assign")
+        else:
+            clear_tables(spark, delta_db, ("assign",))
+            spark.createDataFrame([], "vec_id bigint, cid int").write.format(
+                "parquet"
+            ).saveAsTable(f"{delta_db}.assign")
+
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.table(f"{base_db}.centroids").collect()
+    ]
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    out_dir = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", ".stream-staging",
+            "ivf_serve_" + uuid.uuid4().hex[:8],
+        )
+    )
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wide = _kmeans_wide(batch_df.select("vec_id", "emb"))
+        (
+            _assign_enc(spark, wide, cents)
+            .select(
+                "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
+            )
+            .write.format("parquet")
+            .mode("append")
+            .saveAsTable(f"{delta_db}.assign")
+        )
+        spark.catalog.refreshTable(f"{delta_db}.assign")
+        probes = (
+            spark.table(f"{base_db}.centroids")
+            .withColumn("qv", q_lit)
+            .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+            .orderBy(F.col("csim").desc(), "cid")
+            .limit(IVF_NPROBE)
+            .select("cid")
+        )
+        assign_all = spark.table(f"{base_db}.assign").unionByName(
+            spark.table(f"{delta_db}.assign")
+        )
+        cand = assign_all.join(F.broadcast(probes), "cid", "left_semi")
+        (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .join(cand, "vec_id", "left_semi")
+            .withColumn("qv", q_lit)
+            .select(
+                "vec_id",
+                F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(TOP_K)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+            .select("batch_id", "vec_id", "cosine")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    schema = spark.read.parquet(stage).schema
+    vecs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        vecs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)

@@ -352,7 +352,11 @@ _CURATED_WINDOW = (
 # materializing a pair);
 # dedup_minhash_capped (round-8-new: the hot-bucket mitigation —
 # candidate generation with mega-buckets excluded, bounding the
-# self-join at O(#buckets x cap^2) regardless of skew).
+# self-join at O(#buckets x cap^2) regardless of skew);
+# stream_ivf_admission (round-8-new: the embedding-side streaming
+# gate — micro-batch frozen-centroid upserts served between batches,
+# completing the {exact, near-dup, IVF} x {batch, streaming, erasure}
+# matrix).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

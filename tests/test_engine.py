@@ -1418,6 +1418,7 @@ def _drop_index_db(spark, db):
         "forget",
         "ivf_forget",
         "exact_forget",
+        "ivf_stream",
     ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
@@ -1469,6 +1470,14 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [S._ivf_index_db(sf_small) + "_fg"]
         query, reuse = "sim_ivf_forget", (
             lambda: S.build_ivf_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "ivf_stream":
+        dbs = [
+            S._ivf_index_db(sf_small) + "_svb",
+            S._ivf_index_db(sf_small) + "_svd",
+        ]
+        query, reuse = "stream_ivf_admission", (
+            lambda: S.build_ivf_base_index(spark, sf_small, db=dbs[0])
         )
     elif which == "exact_forget":
         # doc_hashes + tombstones both adopt through the shared

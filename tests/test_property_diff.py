@@ -15,7 +15,7 @@ test, `max_examples` is small, and `derandomize=True` keeps CI
 deterministic (no flaky exploration; hypothesis still varies corpora
 across examples).
 
-Coverage (round 8): 202 of the 203 registered queries ride this suite —
+Coverage (round 8): 203 of the 204 registered queries ride this suite —
 every operator family including the reference-parity engine DAG
 (rebuilt per fresh example), incremental materialization, streaming
 pipelines, persisted-index admission gates, and the pipeline audits.
@@ -487,6 +487,36 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
         for suffix in ("", "_up", "_fg"):
+            spark.sql(
+                f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
+            )
+
+
+# Round 8 (cont.): the embedding-side STREAMING gate — micro-batch
+# vector admission against the frozen trained centroids with a serve
+# after every append; replay must equal the two-universe batch oracle
+# on ANY corpus (constant corpora, duplicate vectors, zero vectors).
+# Own group (streaming startup per example) with layered-db cleanup.
+_EMB_STREAM_OPS = ("stream_ivf_admission",)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vectors=_vectors)
+def test_embedding_streaming_ops_parity(spark, prop_dir, vectors):
+    ex_dir = _write_embeddings(prop_dir, vectors)
+    try:
+        for name in _EMB_STREAM_OPS:
+            r = compare_query(spark, QUERIES[name], ORACLES[name], ex_dir, name)
+            assert r["ok"] and r["status"] == "match", (name, r)
+    finally:
+        from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
+
+        for suffix in ("_svb", "_svd"):
             spark.sql(
                 f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
             )

@@ -1192,8 +1192,12 @@ def _index_relations(spark: SparkSession, dbs) -> tuple[DataFrame, DataFrame]:
             t = spark.table(f"{db}.tombstones").select("doc_id")
             tombs = t if tombs is None else tombs.unionByName(t)
     if tombs is not None:
-        bands = bands.join(F.broadcast(tombs.distinct()), "doc_id", "left_anti")
-        sigs = sigs.join(F.broadcast(tombs.distinct()), "doc_id", "left_anti")
+        # distinct() once and share the single broadcast relation across
+        # both anti-joins — the erasure set is tiny by contract, but two
+        # separate broadcast builds per scorer read is still waste.
+        dead = F.broadcast(tombs.distinct())
+        bands = bands.join(dead, "doc_id", "left_anti")
+        sigs = sigs.join(dead, "doc_id", "left_anti")
     return bands, sigs
 
 
@@ -1501,11 +1505,11 @@ def _stage_near_dup_arrivals(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import time
 
-    root = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
-    )
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    stage = os.path.join(root, f"docs_arrivals_{tag}")
+    from .index_store import scratch_dir
+
+    # fingerprint-keyed (ADVICE r8): a corpus regenerated in place gets
+    # a fresh staging dir instead of replaying stale arrival files
+    stage = scratch_dir("docs_arrivals", sf_dir, ("documents.parquet",))
     if all(
         os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
     ):
@@ -1616,7 +1620,6 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     else changes.
     """
     import os
-    import uuid
 
     from ..catalog import catalog_lock
 
@@ -1663,11 +1666,13 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [], "doc_id bigint, band int, key string"
             ).write.format("parquet").saveAsTable(f"{delta_db}.bands")
 
-    out_dir = os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__), "..", "..", ".stream-staging",
-            "near_dup_verdicts_" + uuid.uuid4().hex[:8],
-        )
+    # deterministic fingerprint-keyed sink, cleared at run start: the
+    # prior run's directory is reused in place instead of leaking one
+    # uuid-named dir per invocation (ADVICE r8)
+    from .index_store import scratch_dir
+
+    out_dir = scratch_dir(
+        "near_dup_verdicts", sf_dir, ("documents.parquet",), fresh=True
     )
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1910,17 +1915,26 @@ def compact_near_dup_index(
     Tombstone fold: if the base carries a ``tombstones`` table (docs
     erased via :func:`forget_near_dup_docs`), compaction rewrites the
     base tables MINUS the tombstoned ids and truncates the tombstone
-    set. Crash-safe in the same read-through sense: readers anti-join
-    tombstones on every probe, so rewriting before truncating never
-    changes the logical index — a crash between the two steps leaves
-    tombstones for already-removed rows, and anti-joining absent ids is
-    a no-op. (At 100 TB the rewrite is partition-scoped — only
-    partitions holding tombstoned ids rewrite, the erasure pattern
-    Engine.delete_rows implements for marts.)
+    set. Two independent safety properties: (1) read-through — readers
+    anti-join tombstones on every probe, so rewriting before truncating
+    never changes the logical index (a crash between the two steps
+    leaves tombstones for already-removed rows, and anti-joining absent
+    ids is a no-op); (2) crash-durable rewrite — each table rewrite goes
+    through :func:`index_store.staged_overwrite` (kept rows fully
+    staged, then swapped), so a crash mid-overwrite can never lose
+    non-tombstoned base rows; :func:`index_store.recover_staged` replays
+    any interrupted swap at the top of the next fold. The fold runs
+    under the maintenance lock (``catalog_lock``). (At 100 TB the
+    rewrite is partition-scoped — only partitions holding tombstoned ids
+    rewrite, the erasure pattern Engine.delete_rows implements for
+    marts.)
     """
     from ..catalog import catalog_lock
 
+    from .index_store import recover_staged, staged_overwrite
+
     with catalog_lock:
+        recover_staged(spark, base_db, _NEAR_IDX_TABLES)
         n_sigs = spark.table(f"{delta_db}.sigs").count()
         n_bands = spark.table(f"{delta_db}.bands").count()
         if n_sigs:
@@ -1941,17 +1955,13 @@ def compact_near_dup_index(
             n_tombs = tombs.count()
             if n_tombs:
                 for t in _NEAR_IDX_TABLES:
-                    kept = (
-                        spark.table(f"{base_db}.{t}")
-                        .join(F.broadcast(tombs), "doc_id", "left_anti")
-                        # materialize before overwriting the table the
-                        # plan reads (same hazard as _admit_batch_df)
-                        .localCheckpoint(eager=True)
+                    kept = spark.table(f"{base_db}.{t}").join(
+                        F.broadcast(tombs), "doc_id", "left_anti"
                     )
-                    kept.write.format("parquet").mode("overwrite").saveAsTable(
-                        f"{base_db}.{t}"
-                    )
-                    spark.catalog.refreshTable(f"{base_db}.{t}")
+                    # stage-then-swap: materializes `kept` into a staged
+                    # table (which also resolves the read-while-
+                    # overwriting hazard) before touching the live one
+                    staged_overwrite(spark, base_db, t, kept)
                 spark.sql(f"TRUNCATE TABLE {base_db}.tombstones")
                 spark.catalog.refreshTable(f"{base_db}.tombstones")
         return {
@@ -2220,7 +2230,6 @@ def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering. Verdicts are WRITTEN (parquet sink), never collected.
     """
     import os
-    import uuid
 
     from ..catalog import catalog_lock
 
@@ -2252,11 +2261,13 @@ def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "parquet"
             ).saveAsTable(f"{delta_db}.hashes")
 
-    out_dir = os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__), "..", "..", ".stream-staging",
-            "exact_verdicts_" + uuid.uuid4().hex[:8],
-        )
+    # deterministic fingerprint-keyed sink, cleared at run start: the
+    # prior run's directory is reused in place instead of leaking one
+    # uuid-named dir per invocation (ADVICE r8)
+    from .index_store import scratch_dir
+
+    out_dir = scratch_dir(
+        "exact_verdicts", sf_dir, ("documents.parquet",), fresh=True
     )
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2389,12 +2400,18 @@ def dedup_exact_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
-    """Fold tombstones into the doc_hashes rewrite (rewrite-before-
-    truncate, read-through crash-safe like the near-dup and IVF
-    folds)."""
+    """Fold tombstones into the doc_hashes rewrite. Rewrite-before-
+    truncate keeps the fold read-through (anti-joining already-removed
+    ids is a no-op), and the rewrite itself is crash-durable via
+    ``staged_overwrite`` — kept rows are fully staged before the live
+    table is touched, with ``recover_staged`` replaying any interrupted
+    swap — like the near-dup and IVF folds."""
     from ..catalog import catalog_lock
 
+    from .index_store import recover_staged, staged_overwrite
+
     with catalog_lock:
+        recover_staged(spark, db, ("doc_hashes",))
         n_tombs = 0
         if spark.catalog.tableExists(f"{db}.tombstones"):
             tombs = (
@@ -2402,15 +2419,10 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
             )
             n_tombs = tombs.count()
             if n_tombs:
-                kept = (
-                    spark.table(f"{db}.doc_hashes")
-                    .join(F.broadcast(tombs), "doc_id", "left_anti")
-                    .localCheckpoint(eager=True)
+                kept = spark.table(f"{db}.doc_hashes").join(
+                    F.broadcast(tombs), "doc_id", "left_anti"
                 )
-                kept.write.format("parquet").mode("overwrite").saveAsTable(
-                    f"{db}.doc_hashes"
-                )
-                spark.catalog.refreshTable(f"{db}.doc_hashes")
+                staged_overwrite(spark, db, "doc_hashes", kept)
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}
@@ -2471,7 +2483,11 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_hot"),
-        F.sum(F.expr("CAST(sz * (sz - 1) / 2 AS BIGINT)"))
+        # DIV keeps the arithmetic in exact bigint integer division —
+        # Spark's `/` is double division, which loses exactness above
+        # ~2^53/2 pairs: precisely the mega-bucket regime this report
+        # exists to flag (the DuckDB oracle uses integer `//`).
+        F.sum(F.expr("sz * (sz - 1) DIV 2"))
         .cast("bigint")
         .alias("pairs_bound"),
         F.round(

@@ -57,6 +57,9 @@ __all__ = [
     "db_location",
     "ensure_tables",
     "clear_tables",
+    "scratch_dir",
+    "staged_overwrite",
+    "recover_staged",
 ]
 
 
@@ -97,6 +100,30 @@ def index_db_name(prefix: str, sf_dir: str, files: Sequence[str]) -> str:
     return f"{prefix}_{tag}_{corpus_fingerprint(sf_dir, files)}"
 
 
+def scratch_dir(
+    kind: str, sf_dir: str, files: Sequence[str], fresh: bool = False
+) -> str:
+    """Deterministic ``.stream-staging`` subdirectory for the streaming
+    gates, keyed on the CORPUS FINGERPRINT — the same identity rule as
+    ``index_db_name``: a corpus regenerated in place (same path, new
+    data) resolves to a NEW directory, so staged arrival files from the
+    old corpus can never be replayed against the new one (the
+    wrong-verdict hazard fingerprinting exists to prevent). Directory
+    names are stable across runs, so per-run artifacts don't accumulate:
+    pass ``fresh=True`` for sink dirs that must start each run empty
+    (the old run's directory is REUSED — removed and rewritten in
+    place — instead of leaking one uuid-named dir per invocation)."""
+    d = os.path.join(
+        os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
+        ),
+        f"{kind}_{corpus_fingerprint(sf_dir, files)}",
+    )
+    if fresh:
+        shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def db_location(spark: SparkSession, db: str) -> str:
     """The database's warehouse location URI (``file:/...``)."""
     return (
@@ -116,6 +143,75 @@ def clear_tables(spark: SparkSession, db: str, tables: Iterable[str]) -> None:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
             shutil.rmtree(os.path.join(path, t), ignore_errors=True)
+
+
+def staged_overwrite(spark: SparkSession, db: str, table: str, df) -> None:
+    """Crash-DURABLE rewrite of ``db.table`` with ``df``'s rows, for the
+    tombstone folds: a bare ``mode('overwrite').saveAsTable`` first
+    drops the old files and only then commits the new ones, so a crash
+    in between loses every non-tombstoned base row (ADVICE r8). Here the
+    kept rows are fully materialized into ``<table>__staged`` FIRST;
+    only then is the live table overwritten from the staged copy and the
+    stage dropped. Every crash window now has a recovery source:
+
+    * before the stage commits — live table untouched, stale stage
+      cleared on the next fold;
+    * mid-overwrite — the staged table holds the complete kept set;
+      :func:`recover_staged` (run at the top of every fold) replays the
+      overwrite from it, same-session or from a fresh session over the
+      warm warehouse (it adopts an on-disk stage the empty catalog
+      doesn't know about);
+    * after the overwrite, before the stage drop — replaying the
+      overwrite is idempotent.
+
+    The fold runs under ``catalog_lock`` (the maintenance window), so
+    in-process readers never observe the intermediate state; the
+    invariant a reader can rely on is "no logical row is ever lost",
+    with tombstone truncation deferred until every table folded."""
+    staged = f"{table}__staged"
+    with catalog_lock:
+        clear_tables(spark, db, (staged,))
+        df.write.format("parquet").saveAsTable(f"{db}.{staged}")
+        spark.table(f"{db}.{staged}").write.format("parquet").mode(
+            "overwrite"
+        ).saveAsTable(f"{db}.{table}")
+        spark.catalog.refreshTable(f"{db}.{table}")
+        clear_tables(spark, db, (staged,))
+
+
+def recover_staged(
+    spark: SparkSession, db: str, tables: Sequence[str]
+) -> list[str]:
+    """Replay any interrupted :func:`staged_overwrite`: for each table
+    whose ``__staged`` copy survives (in the catalog, or as orphaned
+    parquet under the database location after a process crash), redo the
+    overwrite from it and drop the stage. Returns the recovered table
+    names. Called at the top of every compaction fold."""
+    recovered: list[str] = []
+    with catalog_lock:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        loc = db_location(spark, db)
+        path = loc.removeprefix("file:")
+        for t in tables:
+            staged = f"{t}__staged"
+            if not spark.catalog.tableExists(f"{db}.{staged}"):
+                sdir = os.path.join(path, staged)
+                if os.path.isdir(sdir) and any(
+                    f.endswith(".parquet") for f in os.listdir(sdir)
+                ):
+                    spark.sql(
+                        f"CREATE TABLE {db}.{staged} USING parquet "
+                        f"LOCATION '{loc}/{staged}'"
+                    )
+                else:
+                    continue
+            spark.table(f"{db}.{staged}").write.format("parquet").mode(
+                "overwrite"
+            ).saveAsTable(f"{db}.{t}")
+            spark.catalog.refreshTable(f"{db}.{t}")
+            clear_tables(spark, db, (staged,))
+            recovered.append(t)
+    return recovered
 
 
 def _columns_ok(

@@ -2455,15 +2455,20 @@ def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
 def compact_ivf_index(spark: SparkSession, db: str) -> dict:
     """Fold tombstones into the assignment relation: rewrite assign
     MINUS the erased ids, then truncate the tombstone set. Read-through
-    crash-safe (serving anti-joins tombstones on every probe, so
-    rewrite-before-truncate never changes the logical index; a crash
-    between the steps leaves tombstones for already-removed rows — a
-    no-op). At 100 TB the rewrite is partition-scoped: assign is
-    partitioned by cid (the inverted list), and only lists holding
-    erased ids rewrite."""
+    (serving anti-joins tombstones on every probe, so rewrite-before-
+    truncate never changes the logical index; a crash between the steps
+    leaves tombstones for already-removed rows — a no-op), and the
+    rewrite is crash-durable via ``staged_overwrite`` (kept rows fully
+    staged before the live table is touched; ``recover_staged`` replays
+    an interrupted swap). At 100 TB the rewrite is partition-scoped:
+    assign is partitioned by cid (the inverted list), and only lists
+    holding erased ids rewrite."""
     from ..catalog import catalog_lock
 
+    from .index_store import recover_staged, staged_overwrite
+
     with catalog_lock:
+        recover_staged(spark, db, ("assign",))
         n_tombs = 0
         if spark.catalog.tableExists(f"{db}.tombstones"):
             tombs = (
@@ -2471,15 +2476,10 @@ def compact_ivf_index(spark: SparkSession, db: str) -> dict:
             )
             n_tombs = tombs.count()
             if n_tombs:
-                kept = (
-                    spark.table(f"{db}.assign")
-                    .join(F.broadcast(tombs), "vec_id", "left_anti")
-                    .localCheckpoint(eager=True)
+                kept = spark.table(f"{db}.assign").join(
+                    F.broadcast(tombs), "vec_id", "left_anti"
                 )
-                kept.write.format("parquet").mode("overwrite").saveAsTable(
-                    f"{db}.assign"
-                )
-                spark.catalog.refreshTable(f"{db}.assign")
+                staged_overwrite(spark, db, "assign", kept)
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}
@@ -2908,11 +2908,11 @@ def _stage_ivf_arrivals(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import time
 
-    root = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
-    )
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    stage = os.path.join(root, f"emb_arrivals_{tag}")
+    from .index_store import scratch_dir
+
+    # fingerprint-keyed (ADVICE r8): a corpus regenerated in place gets
+    # a fresh staging dir instead of replaying stale arrival files
+    stage = scratch_dir("emb_arrivals", sf_dir, ("embeddings.parquet",))
     if all(
         os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
     ):
@@ -3034,7 +3034,6 @@ def stream_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verdicts are sink-written, never collected.
     """
     import os
-    import uuid
 
     from ..catalog import catalog_lock
 
@@ -3070,11 +3069,13 @@ def stream_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    out_dir = os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__), "..", "..", ".stream-staging",
-            "ivf_serve_" + uuid.uuid4().hex[:8],
-        )
+    # deterministic fingerprint-keyed sink, cleared at run start: the
+    # prior run's directory is reused in place instead of leaking one
+    # uuid-named dir per invocation (ADVICE r8)
+    from .index_store import scratch_dir
+
+    out_dir = scratch_dir(
+        "ivf_serve", sf_dir, ("embeddings.parquet",), fresh=True
     )
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -231,61 +231,58 @@ _CURATED_WINDOW = (
     "ref_parse_datetime",
     "ref_tvf_param",
     "ref_incremental_mart",
-    # TPC-H repertoire (round-7 rotation: q2 — correlated-subquery shape,
-    # three rounds green — yields its slot so every r6-new operator earns
-    # a driver row; q1/q9 keep the join+agg shapes in-window, q2 stays
-    # verify_driver-checked)
+    # TPC-H repertoire (r9: q9 rotates out after 7 green rounds; q1
+    # keeps the scan+agg family, the join-tree shapes stay in
+    # asof/window/pipeline rows and verify_driver)
     "q1_pricing_summary",
-    "q9_product_profit",
     # join / window / grouping shapes (r7: semi_anti_join + cube_orders
     # rotate out after 4+ green rounds; asof keeps the range-join family,
     # window_funcs_suite keeps windows, profile_columns keeps Expand)
     "asof_click_attribution",
     "window_funcs_suite",
-    # events / time series (r7: events_skew_salted rotates out; salting
-    # evidence remains in pytest plan tests + verify_driver)
+    # events / time series (r9: timeseries_gapfill rotates out after 8
+    # green rounds; temporal coverage stays with events_sessionize +
+    # stream_hourly_rollup)
     "events_sessionize",
-    "timeseries_gapfill",
-    # stats / decimal / sampling (r7: decimal_money_sum +
-    # sample_stratified rotate out, both 4+ rounds green; stats_summary
-    # keeps exact stats, stats_approx_sketches keeps sketch evidence)
-    "stats_summary",
+    # stats (r9: stats_summary rotates out after 8 green rounds;
+    # stats_approx_sketches keeps the family's sketch evidence)
     "stats_approx_sketches",
     # BigQuery-dialect transpiler
     "bq_dialect_qualify",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
-    # dedup family — round 8 promotes the persisted exact-hash ledger
-    # (the round-7 driver-bench crash, now fixed via the shared
-    # index_store bootstrap — VERDICT r8 #1/#3); dedup_semantic and
-    # dedup_shingle_fraction rotate out after 3+ green rounds (both
-    # stay verify_driver-checked; the family keeps 7 in-window reps)
-    "dedup_exact",
-    "dedup_minhash_survivors",
-    "dedup_incremental_near",
+    # dedup family — round 9 promotes the full round-8 surface: the
+    # erasure matrix (tombstone overlay + fold for the LSH index and
+    # the exact ledger), LSH capacity planning, and the hot-bucket-
+    # capped pairing. dedup_exact (8 greens), dedup_minhash_survivors
+    # (8) and dedup_incremental_near (3) rotate out (all stay
+    # verify_driver-checked; exact stays repped by incr_exact_indexed +
+    # the two new exact rows, LSH by incr_near_indexed + the three new
+    # LSH rows)
     "dedup_incr_near_indexed",
     "dedup_incr_exact_indexed",
     "dedup_block_removal",
     "dedup_containment",
-    # similarity search / embedding analytics — round 8 promotes the
-    # persisted trained-IVF index and the frozen-centroid upsert
-    # (sim_ivf_rerank and emb_kmeans_train rotate out after 3+ green
-    # rounds each; the trained-IVF entry exercises the same Lloyd
-    # trainer end-to-end, and both rotated rows stay verify_driver-
-    # checked)
-    "sim_topk_brute",
+    "dedup_index_forget",
+    "dedup_exact_forget",
+    "dedup_lsh_bucket_stats",
+    "dedup_minhash_capped",
+    # similarity search / embedding analytics — round 9 promotes the
+    # embedding-side erasure lifecycle and the IVF retrain trigger
+    # (sim_topk_brute rotates out after 7 green rounds; serving stays
+    # repped by ivfpq/hamming/range + the persisted-IVF rows)
     "sim_ivfpq_adc",
     "sim_hamming_topk",
     "sim_range_search",
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
+    "sim_ivf_forget",
+    "sim_ivf_drift_stats",
     "emb_knn_graph",
     "emb_label_propagation",
-    # text analysis / quality / data selection — round 8 promotes the
-    # CCNet-style perplexity head/middle/tail buckets
-    # (quality_gopher_rules rotates out after 3 green rounds; the
-    # quality family keeps c4_rules + classifier_score + ccnet buckets)
-    "text_bigram_lm_nll",
+    # text analysis / quality / data selection (r9: text_bigram_lm_nll
+    # rotates out after 5 green rounds — the bigram LM stays exercised
+    # in-window through ccnet_perplexity_buckets, which scores with it)
     "text_bm25_topk",
     "dsir_importance_weights",
     "dsir_select_topk",
@@ -309,6 +306,12 @@ _CURATED_WINDOW = (
     "graph_pagerank_converged",
     "stream_hourly_rollup",
     "stream_near_dup_admission",
+    # round-9 promotions: the exact gate's streaming composition and
+    # the embedding-side streaming gate — with these the whole
+    # {exact, near-dup, IVF} x {batch, streaming, erasure} matrix has
+    # driver rows
+    "stream_exact_admission",
+    "stream_ivf_admission",
     # Python UDTF, source formats, VARIANT
     "udtf_grouped_topk",
     "source_csv_roundtrip",
@@ -335,28 +338,19 @@ _CURATED_WINDOW = (
 # trained-IVF index), sim_ivf_upsert (frozen-centroid index upsert +
 # serve), pipeline_incremental_admission (both persisted gates
 # composed), ccnet_perplexity_buckets (head/middle/tail selection).
-# Queued round-9 window candidates (registered, verify_driver-checked,
-# benched, property-covered — awaiting a driver slot):
-# stream_exact_admission (round-8-new: the exact gate's foreachBatch
-# streaming composition over layered base+delta hash state);
-# dedup_index_forget (round-8-new: targeted erasure — tombstone
-# overlay + fold-on-compaction over the persisted LSH index);
-# sim_ivf_forget (round-8-new: the embedding-side erasure lifecycle —
-# frozen centroids, tombstoned vec_ids, fold at compaction);
-# dedup_exact_forget (round-8-new: doc-level hash state crossing the
-# exact gate's erasure boundary — implicit refcount semantics);
-# sim_ivf_drift_stats (round-8-new: the retrain trigger — per-list
-# assignment churn under one Lloyd refresh over the current corpus);
-# dedup_lsh_bucket_stats (round-8-new: LSH capacity planning — bucket
-# skew + exact candidate-pair budget per band, computed without ever
-# materializing a pair);
-# dedup_minhash_capped (round-8-new: the hot-bucket mitigation —
-# candidate generation with mega-buckets excluded, bounding the
-# self-join at O(#buckets x cap^2) regardless of skew);
-# stream_ivf_admission (round-8-new: the embedding-side streaming
-# gate — micro-batch frozen-centroid upserts served between batches,
-# completing the {exact, near-dup, IVF} x {batch, streaming, erasure}
-# matrix).
+# Rotated in round 9 (VERDICT r8 #1): all eight round-8-new operators
+# promoted — stream_exact_admission, dedup_index_forget, sim_ivf_forget,
+# dedup_exact_forget, sim_ivf_drift_stats, dedup_lsh_bucket_stats,
+# dedup_minhash_capped, stream_ivf_admission. Displaced (each 3+ driver-
+# green rounds, every family keeps >=1 in-window rep, all stay
+# registered + verify_driver-checked): q9_product_profit (7 greens),
+# timeseries_gapfill (8), stats_summary (8), dedup_exact (8),
+# dedup_minhash_survivors (8), dedup_incremental_near (3),
+# sim_topk_brute (7), text_bigram_lm_nll (5).
+# Queued round-10 window candidate: sim_ivf_retrain (round-9-new: the
+# retrain EXECUTION the drift trigger calls for — rebuild centroids from
+# the current corpus, reassign, versioned swap, old version readable
+# until swap).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2891,6 +2891,279 @@ def sim_ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unpersist()
 
 
+# -- IVF retrain execution: versioned rebuild-and-swap -----------------------
+
+_RT_V1_TABLES = ("centroids_v1", "assign_v1", "live_version")
+_RT_V2_TABLES = ("centroids_v2", "assign_v2")
+_RT_SCHEMA = {
+    "centroids_v1": ("cid", "cv"),
+    "assign_v1": ("vec_id", "cid"),
+    "centroids_v2": ("cid", "cv"),
+    "assign_v2": ("vec_id", "cid"),
+    "live_version": ("version",),
+}
+
+
+def _rt_db(sf_dir: str) -> str:
+    return _ivf_index_db(sf_dir) + "_rt"
+
+
+def _rt_live_version(spark: SparkSession, db: str) -> int:
+    """Resolve the serving version through the pointer table. Versions
+    are IMMUTABLE and the pointer is monotone, so recovery from a lost
+    pointer (crash mid-swap overwrites the 1-row table) is simply 'the
+    highest COMPLETE version': if v2's tables both exist they were
+    fully built before any swap was attempted."""
+    rows = []
+    if spark.catalog.tableExists(f"{db}.live_version"):
+        rows = spark.table(f"{db}.live_version").collect()
+    if rows:
+        return max(int(r["version"]) for r in rows)
+    return (
+        2
+        if all(
+            spark.catalog.tableExists(f"{db}.{t}") for t in _RT_V2_TABLES
+        )
+        else 1
+    )
+
+
+def retrain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+    """EXECUTE the retrain :func:`sim_ivf_drift_stats` triggers — the
+    FAISS rebuild-and-swap shape the drift report's docstring promises:
+
+    1. **v1** = the current frozen-centroid artifact (owned-split Lloyd
+       training + full-corpus assignment, i.e. the shared ``_up`` index
+       incl. its upserts), versioned into a dedicated ``_rt`` database
+       as ``centroids_v1``/``assign_v1`` with a 1-row ``live_version``
+       pointer. At 100 TB this copy is a metadata operation (snapshot /
+       CTAS of the index partitions); here it's a small table copy.
+    2. **v2** = the retrain: ONE Lloyd refresh over the CURRENT corpus
+       grouped by the v1 assignment (exactly the step the drift trigger
+       measures — trigger and execution share the math), then a full
+       reassignment of every current vector against the refreshed
+       centroids. Written as NEW tables ``centroids_v2``/``assign_v2``
+       while v1 keeps serving — the old version stays readable until
+       the swap.
+    3. **swap** = bump the ``live_version`` pointer to 2. Versions are
+       immutable and the pointer monotone, so every crash window
+       recovers: pointer lost mid-overwrite -> readers fall back to the
+       highest complete version (v2, already fully committed); crash
+       before the pointer write -> pointer still says v1, v2 is garbage
+       that the next retrain's ``ensure_tables`` adopts or rebuilds.
+
+    Idempotent end-to-end: both version groups ride the shared
+    ``index_store.ensure_tables`` bootstrap (catalog-first reuse,
+    cross-session location adoption, clear-and-rebuild on half-written
+    groups), and the pointer bump replays harmlessly. Returns
+    ``{"v1": ..., "v2": ..., "live": 2}``.
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import ensure_tables
+
+    db = _rt_db(sf_dir)
+    up = _ivf_index_db(sf_dir) + "_up"
+
+    def _build_v1() -> None:
+        build_ivf_base_index(spark, sf_dir)
+        upsert_ivf_vectors(spark, sf_dir)
+        spark.table(f"{up}.centroids").write.format("parquet").saveAsTable(
+            f"{db}.centroids_v1"
+        )
+        spark.table(f"{up}.assign").write.format("parquet").saveAsTable(
+            f"{db}.assign_v1"
+        )
+        spark.createDataFrame([(1,)], "version int").write.format(
+            "parquet"
+        ).saveAsTable(f"{db}.live_version")
+
+    r1 = ensure_tables(
+        spark, db, _RT_V1_TABLES, _build_v1, expect=_RT_SCHEMA
+    )
+
+    def _build_v2() -> None:
+        e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
+        try:
+            sa = spark.table(f"{db}.assign_v1")
+            # ONE Lloyd refresh over the current corpus, grouped by the
+            # stored v1 assignment — k x 64 rounded means, the
+            # engine-exact primitive the drift trigger and the trainer
+            # share (map-side-combined; driver sees k x 64 cells)
+            rows = (
+                e.join(sa, "vec_id")
+                .select("cid", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, list[float]] = {}
+            for row in rows:
+                by_cid.setdefault(int(row["cid"]), [0.0] * 64)[
+                    int(row["pos"])
+                ] = float(row["m"])
+            cents1 = sorted(by_cid.items())
+            spark.createDataFrame(
+                [(cid, cv) for cid, cv in cents1],
+                "cid int, cv array<double>",
+            ).write.format("parquet").saveAsTable(f"{db}.centroids_v2")
+            _assign_enc(spark, e, cents1).select(
+                "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
+            ).write.format("parquet").saveAsTable(f"{db}.assign_v2")
+        finally:
+            e.unpersist()
+
+    r2 = ensure_tables(
+        spark, db, _RT_V2_TABLES, _build_v2, expect=_RT_SCHEMA
+    )
+    with catalog_lock:
+        if _rt_live_version(spark, db) < 2 or not spark.table(
+            f"{db}.live_version"
+        ).count():
+            spark.createDataFrame([(2,)], "version int").write.format(
+                "parquet"
+            ).mode("overwrite").saveAsTable(f"{db}.live_version")
+            spark.catalog.refreshTable(f"{db}.live_version")
+    return {"v1": r1, "v2": r2, "live": _rt_live_version(spark, db)}
+
+
+def _duck_ivf_retrain() -> str:
+    """Oracle: the drift oracle's chain (owned-split training, frozen
+    full-corpus assignment sa, ONE refresh -> cr, reassignment -> ra),
+    then the standard nprobe serve against the RETRAINED index, with
+    ``moved`` = the served vector changed inverted lists in the swap."""
+    R = KMEANS_TRAIN_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"eb AS (SELECT * FROM e WHERE vec_id % {IVF_UPSERT_MOD} <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid, emb AS cv FROM eb ORDER BY vec_id LIMIT {KMEANS_K}
+    )""",
+    ]
+    for r in range(1, R + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT eb.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(eb.emb, c.cv), 6), c.cid)) AS p
+      FROM eb, c{r - 1} c GROUP BY eb.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(eb.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN eb USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    ctes += [
+        f"""pall AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        "sa AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pall)",
+        """rdims AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM sa a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+        "cr AS (SELECT cid, list(m ORDER BY i) AS cv FROM rdims GROUP BY cid)",
+        """pr AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, cr c GROUP BY e.vec_id
+    )""",
+        "ra AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pr)",
+        f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""probes AS (
+      SELECT c.cid FROM cr c, q
+      ORDER BY (list_dot_product(c.cv, q.qv) /
+                nullif(sqrt(list_dot_product(c.cv, c.cv))
+                       * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.vec_id,
+           round((list_dot_product(e.emb, q.qv) /
+                  nullif(sqrt(list_dot_product(e.emb, e.emb))
+                         * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine,
+           (ra.cid <> sa.cid) AS moved
+    FROM e JOIN ra USING (vec_id) JOIN sa USING (vec_id), q
+    WHERE ra.cid IN (SELECT cid FROM probes)
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+
+
+@register("sim_ivf_retrain", _duck_ivf_retrain())
+def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain EXECUTION — the capstone of the index lifecycle
+    (build -> upsert -> drift trigger -> THIS -> serve): run
+    :func:`retrain_ivf_index` (one Lloyd refresh over the current
+    corpus, full reassignment, versioned rebuild-and-swap with the old
+    version readable until the pointer bump), then serve the standard
+    top-{TOP_K} query from the LIVE (retrained) version. Each served
+    row carries ``moved`` — whether the swap changed that vector's
+    inverted list — tying the serve output to BOTH versions, so the
+    hash check proves the query really reads v2 while v1 is still on
+    disk.
+
+    Scale: the retrain is one assignment-join scan + a k x 64
+    partial-agg refresh + one reassignment scan — the same costs the
+    drift trigger already pays, plus two table writes; serving stays
+    nprobe-bounded. The swap is a 1-row pointer flip, so concurrent
+    readers never block on the rebuild (FAISS/production vector-store
+    shape).
+    """
+    retrain_ivf_index(spark, sf_dir)
+    db = _rt_db(sf_dir)
+    v = _rt_live_version(spark, db)
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = (
+        spark.table(f"{db}.centroids_v{v}")
+        .withColumn("qv", q_lit)
+        .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = spark.table(f"{db}.assign_v{v}").join(
+        F.broadcast(probes), "cid", "left_semi"
+    )
+    served = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cand, "vec_id", "left_semi")
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+    old = spark.table(f"{db}.assign_v1").withColumnRenamed("cid", "cid_v1")
+    new = spark.table(f"{db}.assign_v{v}").withColumnRenamed("cid", "cid_new")
+    return (
+        served.join(old, "vec_id")
+        .join(new, "vec_id")
+        .select(
+            "vec_id",
+            "cosine",
+            (F.col("cid_new") != F.col("cid_v1")).alias("moved"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
+
+
 # -- STREAMING IVF admission: micro-batch upserts, served between batches ----
 
 IVF_STREAM_MOD = 10  # arrivals (vec_id % 5 == 0) split into two batches:

@@ -1320,6 +1320,71 @@ def test_ivf_upsert_lifecycle(spark, sf_small):
     spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
+def test_ivf_retrain_lifecycle(spark, sf_small):
+    """Versioned rebuild-and-swap (the retrain the drift trigger calls
+    for): v1 snapshots the frozen ``_up`` artifact and stays readable
+    through and after the swap; the pointer flips only once v2 is
+    complete; a lost or stale pointer recovers; repeat retrains reuse
+    both versions."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import similarity as S
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    db = S._rt_db(sf_small)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+    res = S.retrain_ivf_index(spark, sf_small)
+    assert res["live"] == 2 and res["v2"] == "built"
+    up = S._ivf_index_db(sf_small) + "_up"
+    n_vecs = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    # old version intact and readable AFTER the swap, and identical to
+    # the frozen artifact it snapshotted
+    assert spark.table(f"{db}.assign_v1").count() == n_vecs
+    assert spark.table(f"{db}.assign_v2").count() == n_vecs
+    assert sorted(
+        map(tuple, spark.table(f"{db}.centroids_v1").collect())
+    ) == sorted(map(tuple, spark.table(f"{up}.centroids").collect()))
+    # repeat retrain: everything reused, pointer stays at 2
+    assert S.retrain_ivf_index(spark, sf_small) == {
+        "v1": "reused",
+        "v2": "reused",
+        "live": 2,
+    }
+    # served results are deterministic and read the retrained version
+    r1 = sorted(map(tuple, QUERIES["sim_ivf_retrain"](spark, sf_small).collect()))
+    r2 = sorted(map(tuple, QUERIES["sim_ivf_retrain"](spark, sf_small).collect()))
+    assert r1 == r2 and len(r1) == 10
+    # crash-window recovery 1: pointer LOST mid-swap (empty table) ->
+    # readers resolve to the highest complete version, retrain repairs
+    spark.sql(f"TRUNCATE TABLE {db}.live_version")
+    spark.catalog.refreshTable(f"{db}.live_version")
+    assert S._rt_live_version(spark, db) == 2
+    S.retrain_ivf_index(spark, sf_small)
+    assert [int(r["version"]) for r in spark.table(f"{db}.live_version").collect()] == [2]
+    # crash-window recovery 2: crash BEFORE the pointer bump (pointer
+    # still v1, v2 fully built) -> v1 serves until the next retrain
+    # call completes the swap idempotently
+    spark.createDataFrame([(1,)], "version int").write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(f"{db}.live_version")
+    spark.catalog.refreshTable(f"{db}.live_version")
+    assert S._rt_live_version(spark, db) == 1
+    S.retrain_ivf_index(spark, sf_small)
+    assert S._rt_live_version(spark, db) == 2
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_near_dup_index_compaction(spark, sf_small):
     """Compaction folds the delta overlay into the base and empties it;
     scoring against (base, delta) before == scoring against base alone
@@ -1419,6 +1484,7 @@ def _drop_index_db(spark, db):
         "ivf_forget",
         "exact_forget",
         "ivf_stream",
+        "ivf_rt",
     ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
@@ -1501,6 +1567,13 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [S._ivf_index_db(sf_small)]
         query, reuse = "sim_ivf_trained_indexed", (
             lambda: S.build_ivf_index(spark, sf_small)
+        )
+    elif which == "ivf_rt":
+        # the versioned retrain db: BOTH version groups and the pointer
+        # must adopt; "reused" is the v2 group's bootstrap result
+        dbs = [S._rt_db(sf_small)]
+        query, reuse = "sim_ivf_retrain", (
+            lambda: S.retrain_ivf_index(spark, sf_small)["v2"]
         )
     else:
         dbs = [S._ivf_index_db(sf_small) + "_up"]

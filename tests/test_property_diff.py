@@ -375,6 +375,10 @@ _EMB_OPS = (
     # clusters drop out of the refreshed centroid set)
     "sim_ivf_forget",
     "sim_ivf_drift_stats",
+    # round 9: the retrain EXECUTION (one refresh + full reassignment +
+    # versioned swap) — hostile corpora stress empty clusters dropping
+    # out of the refreshed centroid set and all-tie serves
+    "sim_ivf_retrain",
 )
 
 # Round 8 (VERDICT r7 #5): the full ANN serving ladder — session
@@ -486,7 +490,7 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         # per-example persisted IVF index databases must not leak
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
-        for suffix in ("", "_up", "_fg"):
+        for suffix in ("", "_up", "_fg", "_rt"):
             spark.sql(
                 f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
             )

@@ -1436,6 +1436,91 @@ def test_near_dup_index_compaction(spark, sf_small):
     spark.sql(f"DROP DATABASE {delta} CASCADE")
 
 
+def test_near_dup_auto_compaction_policy(spark, sf_small):
+    """The size-ratio trigger (compact when |delta| >= ratio * |base|)
+    fires MID-STREAM from inside the admission loop, and folding is
+    invisible to the verdicts: a two-batch run with auto-compaction
+    tripping between the batches produces the same admissions as an
+    uncompacted control."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+
+    def _mk_pair(tag):
+        base = D._near_index_db(sf_small) + tag
+        delta = base + "d"
+        for db in (base, delta):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        D.build_near_dup_index(spark, sf_small, db=base)
+        spark.sql(f"CREATE DATABASE {delta}")
+        spark.createDataFrame(
+            [], "doc_id bigint, hs array<bigint>"
+        ).write.format("parquet").saveAsTable(f"{delta}.sigs")
+        spark.createDataFrame(
+            [], "doc_id bigint, band int, key string"
+        ).write.format("parquet").saveAsTable(f"{delta}.bands")
+        return base, delta
+
+    def _batch(mod):
+        return D._docs(spark, sf_small).filter(
+            F.col("doc_id") % D.INCR_NEAR_MOD == mod
+        )
+
+    def _verdicts(df):
+        return sorted(map(tuple, df.collect()))
+
+    # control: no auto-compaction — the delta accumulates both batches
+    cb, cd = _mk_pair("_acc")
+    ctl0 = _verdicts(
+        D._admit_batch_df(spark, (cb, cd), _batch(D.INCR_IDX_BATCH1), write_db=cd)
+    )
+    ctl1 = _verdicts(
+        D._admit_batch_df(spark, (cb, cd), _batch(D.INCR_IDX_BATCH2), write_db=cd)
+    )
+    assert spark.table(f"{cd}.sigs").count() > 0
+
+    # auto: a low ratio trips the fold right after batch 1's append
+    ab, ad = _mk_pair("_aca")
+    n_base0 = spark.table(f"{ab}.sigs").count()
+    auto0 = _verdicts(
+        D._admit_batch_df(
+            spark,
+            (ab, ad),
+            _batch(D.INCR_IDX_BATCH1),
+            write_db=ad,
+            auto_compact_ratio=0.01,
+        )
+    )
+    # trigger fired mid-stream: delta folded into base, overlay empty
+    assert spark.table(f"{ad}.sigs").count() == 0
+    assert spark.table(f"{ab}.sigs").count() > n_base0
+    auto1 = _verdicts(
+        D._admit_batch_df(
+            spark,
+            (ab, ad),
+            _batch(D.INCR_IDX_BATCH2),
+            write_db=ad,
+            auto_compact_ratio=0.01,
+        )
+    )
+    assert auto0 == ctl0 and auto1 == ctl1
+
+    # a ratio the overlay never reaches must never fire
+    hb, hd = _mk_pair("_ach")
+    D._admit_batch_df(
+        spark,
+        (hb, hd),
+        _batch(D.INCR_IDX_BATCH1),
+        write_db=hd,
+        auto_compact_ratio=10.0,
+    )
+    assert spark.table(f"{hd}.sigs").count() > 0
+    assert D.maybe_auto_compact(spark, hb, hd, ratio=10.0) is None
+
+    for db in (cb, cd, ab, ad, hb, hd):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def _wipe_catalog_keep_files(spark, db):
     """Simulate a FRESH SESSION over a WARM WAREHOUSE: remove every
     catalog entry for ``db`` but leave its parquet on disk — exactly

@@ -81,3 +81,19 @@ WHERE {{ column_name }} < {{ min_value }} OR {{ column_name }} > {{ max_value }}
 SELECT count(DISTINCT {{ column_name }}) AS n FROM {{ model }}
 HAVING count(DISTINCT {{ column_name }}) = 1
 {% endtest %}
+
+{# dbt_utils.expression_is_true generic test: rows where the expression
+   does not hold (NULL counts as not-true, matching upstream) #}
+{% test expression_is_true(model, expression) %}
+SELECT * FROM {{ model }}
+WHERE NOT coalesce(({{ expression }}), false)
+{% endtest %}
+
+{# dbt_utils.unique_combination_of_columns generic test: combinations
+   appearing more than once #}
+{% test unique_combination_of_columns(model, combination_of_columns) %}
+SELECT {% for c in combination_of_columns %}{{ c }}, {% endfor %}count(*) AS n
+FROM {{ model }}
+GROUP BY {% for c in combination_of_columns %}{{ c }}{% if not loop.last %}, {% endif %}{% endfor %}
+HAVING count(*) > 1
+{% endtest %}

@@ -855,6 +855,38 @@ class TestDbtUtilsIntrospective:
         assert "WHERE m is not null" in fake.last_sql
         assert fake.last_sql.endswith("LIMIT 5")
 
+    def test_unpivot_round_trip(self):
+        df = self._FakeDF(
+            [("id", "bigint"), ("q1", "double"), ("q2", "double"),
+             ("junk", "string")]
+        )
+        env = self._env({"db.wide": df})
+        sql = env["unpivot"](
+            relation="db.wide",
+            cast_to="double",
+            exclude=["id"],
+            remove=["junk"],
+            field_name="quarter",
+            value_name="amt",
+        )
+        assert sql == (
+            "(SELECT id, cast('q1' AS string) AS quarter, "
+            "cast(q1 AS double) AS amt FROM db.wide"
+            "\nUNION ALL\n"
+            "SELECT id, cast('q2' AS string) AS quarter, "
+            "cast(q2 AS double) AS amt FROM db.wide)"
+        )
+        # upstream's (quirky) default cast is boolean
+        assert "AS boolean" in env["unpivot"](relation="db.wide")
+
+    def test_unpivot_everything_excluded_is_loud(self):
+        from dbt_bigquery_udf_spark.models.core import EngineError
+
+        df = self._FakeDF([("a", "int")])
+        env = self._env({"db.t": df})
+        with pytest.raises(EngineError, match="nothing to unpivot"):
+            env["unpivot"](relation="db.t", remove=["a"])
+
     def test_keyword_kwargs_rewrite_scoped_to_code(self):
         from dbt_bigquery_udf_spark.macros import _rewrite_keyword_kwargs
 

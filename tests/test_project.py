@@ -2039,3 +2039,93 @@ def test_dbt_utils_introspective_macros_e2e(spark, sf_small, tmp_path):
     # NULL-filled column for the relation lacking it, tagged by source
     wire = uni.filter("method = 'wire'").first()
     assert wire.amount is None and "refunds" in wire._dbt_source_relation
+
+
+def test_dbt_utils_tier2_package(spark, sf_small, tmp_path):
+    """Round-9 dbt_utils tier 2 (VERDICT r8 #8): the hub mirror's
+    date_spine drives an end-to-end model through group_by; unpivot
+    (build-time introspective, upstream arg surface incl. the quirky
+    cast_to default) melts the built mart; and the MIRROR's generic
+    tests — accepted_range, expression_is_true,
+    unique_combination_of_columns — run from schema.yml via the
+    packages.yml hub resolution, with pass and fail cases."""
+    from dbt_bigquery_udf_spark.models.core import ModelSpec
+
+    root = str(tmp_path / "t2proj")
+    _write(root, "dbt_project.yml", "name: t2proj\n")
+    _write(root, "packages.yml",
+           "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
+    _write(root, "models/tier2_wide.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT month(date_day) AS m, count(*) AS n_days,\n"
+           "       max(day(date_day)) AS max_day\n"
+           "FROM {{ dbt_utils.date_spine('day', \"'2024-02-27'\", \"'2024-03-03'\") }}\n"
+           "{{ dbt_utils.group_by(1) }}\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: tier2_wide
+               tests:
+                 - unique_combination_of_columns:
+                     combination_of_columns: [m, n_days]
+                 - expression_is_true:
+                     expression: "n_days >= 2"
+               columns:
+                 - name: n_days
+                   tests:
+                     - accepted_range:
+                         min_value: 0
+                         max_value: 10
+                 - name: max_day
+                   tests:
+                     - accepted_range:
+                         min_value: 0
+                         max_value: 10
+                         severity: warn
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["tier2_wide"], fail_fast=True)
+    # leap-year February + end-exclusive spine: feb 27/28/29, mar 1/2
+    rows = {
+        int(r.m): (int(r.n_days), int(r.max_day))
+        for r in spark.table("datamart.tier2_wide").collect()
+    }
+    assert rows == {2: (3, 29), 3: (2, 2)}
+    results = {r.test.name: r for r in run_tests(spark, engine, proj.tests)}
+    assert results["unique_combination_of_columns_tier2_wide"].passed
+    assert results["expression_is_true_tier2_wide"].passed
+    assert results["accepted_range_tier2_wide_n_days"].passed
+    bad = results["accepted_range_tier2_wide_max_day"]
+    assert not bad.passed and bad.n_failures == 1  # feb max_day=29 > 10
+    assert bad.test.severity == "warn"
+
+    # unpivot the built mart (introspective: the relation must already
+    # exist, upstream's documented contract)
+    engine.register(
+        ModelSpec(
+            name="tier2_long",
+            kind="table",
+            database="datamart",
+            dialect="spark",
+            sql=(
+                "SELECT * FROM {{ dbt_utils.unpivot('datamart.tier2_wide', "
+                "cast_to='bigint', exclude=['m'], field_name='metric', "
+                "value_name='v') }}"
+            ),
+        ),
+        replace=True,
+    )
+    engine.build(select=["tier2_long"], fail_fast=True)
+    long_rows = {
+        (int(r.m), r.metric): int(r.v)
+        for r in spark.table("datamart.tier2_long").collect()
+    }
+    assert long_rows == {
+        (2, "n_days"): 3,
+        (2, "max_day"): 29,
+        (3, "n_days"): 2,
+        (3, "max_day"): 2,
+    }

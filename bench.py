@@ -147,6 +147,8 @@ HEADLINE = [
     "dedup_lsh_bucket_stats",
     "dedup_minhash_capped",
     "stream_ivf_admission",
+    # round 9: the retrain execution (versioned rebuild-and-swap + serve)
+    "sim_ivf_retrain",
 ]
 
 

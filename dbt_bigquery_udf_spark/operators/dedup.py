@@ -2201,12 +2201,27 @@ def _admit_exact_batch_df(
     dbs: tuple[str, str],
     batch_docs: DataFrame,
     write_db: str,
+    auto_compact_ratio: float | None = None,
 ) -> DataFrame:
     """Exact-admission core for one micro-batch: hash ``batch_docs``,
     probe the layered hash state (base UNION delta), mark history hits
     and within-batch later copies as dups, APPEND the batch's new
     hashes to ``write_db``, and return the verdict frame
     (doc_id, is_dup, h) — one row per batch doc, no drops.
+
+    DUPLICATE-TOLERANT probe (round 9): the within-batch rank is
+    computed on the batch ALONE, and state membership is a left-SEMI
+    join — so a hash present in BOTH layers (the crash window of
+    :func:`compact_exact_index`, which appends to base before
+    truncating the delta) still yields exactly one verdict row per doc.
+    The old left-join form duplicated verdict rows and inflated the
+    rank whenever the state held a duplicate. Both joins stay
+    batch-sized on the output side.
+
+    ``auto_compact_ratio`` (opt-in): after the append, run the
+    :func:`maybe_auto_compact_exact` size-ratio fold — same LSM policy
+    as the near-dup gate; callers sharing an immutable base leave it
+    off.
 
     Same cache-invalidation hazard as _admit_batch_df: the verdicts
     plan READS the hash tables the append below WRITES, so the frame is
@@ -2219,16 +2234,23 @@ def _admit_exact_batch_df(
     batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
     state = None
     for db in dbs:
-        t = spark.table(f"{db}.hashes").select(F.col("h").alias("ih"))
+        t = spark.table(f"{db}.hashes").select("h")
         state = t if state is None else state.unionByName(t)
+    ranked = batch.withColumn(
+        "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    )
+    hit = (
+        batch.join(state, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("hit", F.lit(True))
+    )
     verdicts = (
-        batch.join(state, batch.h == F.col("ih"), "left")
-        .withColumn(
-            "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
-        )
+        ranked.join(hit, "doc_id", "left")
         .select(
             "doc_id",
-            (F.col("ih").isNotNull() | (F.col("rk") > 1)).alias("is_dup"),
+            (
+                F.coalesce(F.col("hit"), F.lit(False)) | (F.col("rk") > 1)
+            ).alias("is_dup"),
             "h",
         )
         .localCheckpoint(eager=True)
@@ -2242,7 +2264,62 @@ def _admit_exact_batch_df(
         .saveAsTable(f"{write_db}.hashes")
     )
     spark.catalog.refreshTable(f"{write_db}.hashes")
+    if (
+        auto_compact_ratio is not None
+        and len(dbs) == 2
+        and write_db == dbs[1]
+    ):
+        maybe_auto_compact_exact(spark, dbs[0], dbs[1], auto_compact_ratio)
     return verdicts
+
+
+def compact_exact_index(
+    spark: SparkSession, base_db: str, delta_db: str
+) -> dict:
+    """Fold the exact gate's delta hash overlay into the base —
+    base-minus-aware append (left_anti, so replaying an interrupted
+    fold never re-appends), then truncate the delta. A crash between
+    the two steps leaves a hash in BOTH layers; the probe is
+    duplicate-tolerant by design (see :func:`_admit_exact_batch_df`:
+    rank computed on the batch alone, membership a semi-join), so
+    mid-crash readers still get one verdict row per doc with the same
+    values, and the next fold's left_anti completes the truncation
+    without re-appending. Returns the moved row count."""
+    from ..catalog import catalog_lock
+
+    with catalog_lock:
+        fresh = (
+            spark.table(f"{delta_db}.hashes")
+            .join(spark.table(f"{base_db}.hashes"), "h", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.format("parquet").mode("append").saveAsTable(
+                f"{base_db}.hashes"
+            )
+            spark.catalog.refreshTable(f"{base_db}.hashes")
+        if spark.table(f"{delta_db}.hashes").limit(1).count():
+            spark.sql(f"TRUNCATE TABLE {delta_db}.hashes")
+            spark.catalog.refreshTable(f"{delta_db}.hashes")
+        return {"hashes_moved": n}
+
+
+def maybe_auto_compact_exact(
+    spark: SparkSession,
+    base_db: str,
+    delta_db: str,
+    ratio: float = AUTO_COMPACT_RATIO,
+) -> dict | None:
+    """Size-ratio auto-compaction for the exact gate's layered hash
+    state — the exact-family sibling of :func:`maybe_auto_compact`:
+    fold when |delta hashes| >= ratio * |base hashes|. Two metadata row
+    counts per check; only a firing trigger pays the fold."""
+    n_base = spark.table(f"{base_db}.hashes").count()
+    n_delta = spark.table(f"{delta_db}.hashes").count()
+    if n_delta and n_delta >= ratio * max(n_base, 1):
+        return compact_exact_index(spark, base_db, delta_db)
+    return None
 
 
 @register(

@@ -1521,6 +1521,109 @@ def test_near_dup_auto_compaction_policy(spark, sf_small):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_exact_auto_compaction_and_duplicate_tolerance(spark, sf_small):
+    """The exact gate's LSM sibling: the size-ratio trigger folds the
+    delta hash overlay into the base mid-stream with verdicts identical
+    to an uncompacted control; and the probe is DUPLICATE-TOLERANT —
+    a hash sitting in BOTH layers (compact_exact_index's crash window)
+    still yields one verdict row per doc with unchanged values, and the
+    replayed fold completes without re-appending."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+
+    def _mk_pair(tag):
+        base = D._exact_index_db(sf_small) + tag
+        delta = base + "d"
+        for db in (base, delta):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        D.build_exact_dup_index(spark, sf_small, db=base)
+        spark.sql(f"CREATE DATABASE {delta}")
+        spark.createDataFrame([], "h string").write.format(
+            "parquet"
+        ).saveAsTable(f"{delta}.hashes")
+        return base, delta
+
+    def _batch(mod):
+        return D._docs(spark, sf_small).filter(
+            F.col("doc_id") % D.INCR_NEAR_MOD == mod
+        )
+
+    def _verdicts(df):
+        return sorted(map(tuple, df.collect()))
+
+    # control: no folding
+    cb, cd = _mk_pair("_xacc")
+    ctl0 = _verdicts(
+        D._admit_exact_batch_df(spark, (cb, cd), _batch(D.INCR_IDX_BATCH1), cd)
+    )
+    ctl1 = _verdicts(
+        D._admit_exact_batch_df(spark, (cb, cd), _batch(D.INCR_IDX_BATCH2), cd)
+    )
+
+    # auto: trigger fires after batch 1's append, overlay folds to base
+    ab, ad = _mk_pair("_xaca")
+    n_base0 = spark.table(f"{ab}.hashes").count()
+    auto0 = _verdicts(
+        D._admit_exact_batch_df(
+            spark, (ab, ad), _batch(D.INCR_IDX_BATCH1), ad,
+            auto_compact_ratio=0.01,
+        )
+    )
+    assert spark.table(f"{ad}.hashes").count() == 0
+    assert spark.table(f"{ab}.hashes").count() > n_base0
+    auto1 = _verdicts(
+        D._admit_exact_batch_df(
+            spark, (ab, ad), _batch(D.INCR_IDX_BATCH2), ad,
+            auto_compact_ratio=0.01,
+        )
+    )
+    assert auto0 == ctl0 and auto1 == ctl1
+
+    # crash-window duplicate tolerance: replay batch 1's hashes into
+    # the delta WITHOUT truncating (a fold interrupted mid-way), then
+    # probe batch 2 — one row per doc, values equal the clean control
+    db_b, db_d = _mk_pair("_xdup")
+    D._admit_exact_batch_df(spark, (db_b, db_d), _batch(D.INCR_IDX_BATCH1), db_d)
+    D.compact_exact_index(spark, db_b, db_d)
+    # re-insert the folded overlay rows into the delta: every one of
+    # these hashes now exists in BOTH layers (the interrupted-fold state)
+    folded = (
+        D._docs(spark, sf_small)
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD == D.INCR_IDX_BATCH1)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .join(spark.table(f"{db_b}.hashes"), "h", "left_semi")
+    )
+    folded.write.format("parquet").mode("append").saveAsTable(
+        f"{db_d}.hashes"
+    )
+    spark.catalog.refreshTable(f"{db_d}.hashes")
+    dup_verdicts = D._admit_exact_batch_df(
+        spark, (db_b, db_d), _batch(D.INCR_IDX_BATCH2), db_d
+    )
+    got = _verdicts(dup_verdicts)
+    assert got == ctl1  # same one-row-per-doc verdicts despite dup state
+    # the replayed fold completes the truncation without re-appending
+    n_base_before = spark.table(f"{db_b}.hashes").count()
+    stats = D.compact_exact_index(spark, db_b, db_d)
+    # batch-2 admissions are genuinely new (moved); the re-inserted
+    # batch-1 duplicates must NOT move again
+    assert spark.table(f"{db_d}.hashes").count() == 0
+    n_new_b2 = sum(1 for (_, is_dup, h) in got if not is_dup and h is not None)
+    assert stats["hashes_moved"] <= n_new_b2
+    assert (
+        spark.table(f"{db_b}.hashes").count()
+        == n_base_before + stats["hashes_moved"]
+    )
+    # base stays duplicate-free after the fold
+    n_all = spark.table(f"{db_b}.hashes").count()
+    assert spark.table(f"{db_b}.hashes").distinct().count() == n_all
+
+    for db in (cb, cd, ab, ad, db_b, db_d):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def _wipe_catalog_keep_files(spark, db):
     """Simulate a FRESH SESSION over a WARM WAREHOUSE: remove every
     catalog entry for ``db`` but leave its parquet on disk — exactly

@@ -2909,26 +2909,34 @@ def _rt_db(sf_dir: str) -> str:
 
 
 def _rt_live_version(spark: SparkSession, db: str) -> int:
-    """Resolve the serving version through the pointer table. Versions
-    are IMMUTABLE and the pointer is monotone, so recovery from a lost
-    pointer (crash mid-swap overwrites the 1-row table) is simply 'the
-    highest COMPLETE version': if v2's tables both exist they were
-    fully built before any swap was attempted."""
+    """Resolve the serving version: the pointer value when that
+    version's tables are COMPLETE, else the highest complete version.
+    Versions are immutable within an epoch, so every crash window of
+    the swap (:func:`retrain_ivf_index`) and of the promotion
+    (:func:`gc_ivf_versions`) resolves to a fully-built version: a lost
+    pointer falls back to v2 if it exists (it was fully committed
+    before any swap was attempted), and a pointer still saying 2 after
+    GC dropped v2 falls back to the promoted v1."""
+    available = [
+        v
+        for v, tables in ((1, _RT_V1_TABLES[:2]), (2, _RT_V2_TABLES))
+        if all(spark.catalog.tableExists(f"{db}.{t}") for t in tables)
+    ]
+    if not available:
+        return 1
     rows = []
     if spark.catalog.tableExists(f"{db}.live_version"):
         rows = spark.table(f"{db}.live_version").collect()
     if rows:
-        return max(int(r["version"]) for r in rows)
-    return (
-        2
-        if all(
-            spark.catalog.tableExists(f"{db}.{t}") for t in _RT_V2_TABLES
-        )
-        else 1
-    )
+        ptr = max(int(r["version"]) for r in rows)
+        if ptr in available:
+            return ptr
+    return max(available)
 
 
-def retrain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+def retrain_ivf_index(
+    spark: SparkSession, sf_dir: str, db: str | None = None
+) -> dict:
     """EXECUTE the retrain :func:`sim_ivf_drift_stats` triggers — the
     FAISS rebuild-and-swap shape the drift report's docstring promises:
 
@@ -2962,7 +2970,7 @@ def retrain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
 
     from .index_store import ensure_tables
 
-    db = _rt_db(sf_dir)
+    db = db or _rt_db(sf_dir)
     up = _ivf_index_db(sf_dir) + "_up"
 
     def _build_v1() -> None:
@@ -3025,6 +3033,73 @@ def retrain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
             ).mode("overwrite").saveAsTable(f"{db}.live_version")
             spark.catalog.refreshTable(f"{db}.live_version")
     return {"v1": r1, "v2": r2, "live": _rt_live_version(spark, db)}
+
+
+def gc_ivf_versions(
+    spark: SparkSession, sf_dir: str, db: str | None = None
+) -> dict:
+    """Terminal step of the retrain cycle: once the swap is live (v2
+    serving), retire the superseded version by PROMOTING v2 into the v1
+    slot and resetting the pointer — the steady state the next retrain
+    epoch starts from (epoch N+1's refresh then trains off epoch N's
+    result, exactly the rolling-retrain shape). Ordering keeps a
+    complete, correctly-resolved version at every instant:
+
+    1. overwrite the v1 tables from v2 (crash here: pointer still 2,
+       v2 intact — serving unchanged; v1 already equals v2);
+    2. drop the v2 tables (crash here: pointer says 2 but v2 is gone —
+       ``_rt_live_version`` falls back to the promoted v1, same data);
+    3. reset the pointer to 1.
+
+    A stale v2 can never be adopted by the next epoch because step 2
+    precedes step 3: any state where the pointer reads 1 has no v2
+    tables left. Idempotent: called when v1 is already live it only
+    repairs a step-2/3 crash remnant. Returns {"gc": "promoted"},
+    {"gc": "repaired"} or {"gc": "noop"}.
+
+    EPOCH NOTE: GC advances the index epoch — after it, the next
+    :func:`retrain_ivf_index` refreshes off the PROMOTED centroids, not
+    the original ``_up`` snapshot. The registered ``sim_ivf_retrain``
+    query pins epoch 1 for oracle replay, so GC must run against a
+    dedicated ``db``, never the query's shared ``_rt`` database."""
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables, staged_overwrite
+
+    db = db or _rt_db(sf_dir)
+    with catalog_lock:
+        if not spark.catalog.databaseExists(db):
+            return {"gc": "noop"}
+        have_v2 = all(
+            spark.catalog.tableExists(f"{db}.{t}") for t in _RT_V2_TABLES
+        )
+        ptr_rows = []
+        if spark.catalog.tableExists(f"{db}.live_version"):
+            ptr_rows = spark.table(f"{db}.live_version").collect()
+        ptr = max((int(r["version"]) for r in ptr_rows), default=0)
+        if not have_v2:
+            if ptr != 1:
+                # step-3 crash remnant: finish the pointer reset
+                spark.createDataFrame([(1,)], "version int").write.format(
+                    "parquet"
+                ).mode("overwrite").saveAsTable(f"{db}.live_version")
+                spark.catalog.refreshTable(f"{db}.live_version")
+                return {"gc": "repaired"}
+            return {"gc": "noop"}
+        if _rt_live_version(spark, db) != 2:
+            return {"gc": "noop"}
+        staged_overwrite(
+            spark, db, "centroids_v1", spark.table(f"{db}.centroids_v2")
+        )
+        staged_overwrite(
+            spark, db, "assign_v1", spark.table(f"{db}.assign_v2")
+        )
+        clear_tables(spark, db, _RT_V2_TABLES)
+        spark.createDataFrame([(1,)], "version int").write.format(
+            "parquet"
+        ).mode("overwrite").saveAsTable(f"{db}.live_version")
+        spark.catalog.refreshTable(f"{db}.live_version")
+        return {"gc": "promoted"}
 
 
 def _duck_ivf_retrain() -> str:

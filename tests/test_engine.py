@@ -1385,6 +1385,63 @@ def test_ivf_retrain_lifecycle(spark, sf_small):
     spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
+def test_ivf_version_gc_epoch_cycle(spark, sf_small):
+    """gc_ivf_versions completes the retrain cycle: v2 is promoted into
+    the v1 slot, the pointer resets, and the NEXT retrain epoch
+    refreshes off the promoted centroids. Every crash remnant
+    (pointer=2 with v2 dropped) repairs; a dedicated db keeps the
+    registered query's epoch-1 determinism untouched."""
+    from dbt_bigquery_udf_spark.operators import similarity as S
+
+    db = S._rt_db(sf_small) + "_gc"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE {db}")
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter(F.col("info_name") == "Location")
+        .first()["info_value"]
+    ).removeprefix("file:")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+    # noop before any retrain
+    assert S.gc_ivf_versions(spark, sf_small, db=db)["gc"] == "noop"
+    res = S.retrain_ivf_index(spark, sf_small, db=db)
+    assert res["live"] == 2
+    v2_cents = sorted(
+        map(tuple, spark.table(f"{db}.centroids_v2").collect())
+    )
+    assert S.gc_ivf_versions(spark, sf_small, db=db) == {"gc": "promoted"}
+    # promoted: v1 now holds v2's data, v2 gone, pointer back to 1
+    assert sorted(
+        map(tuple, spark.table(f"{db}.centroids_v1").collect())
+    ) == v2_cents
+    assert not spark.catalog.tableExists(f"{db}.centroids_v2")
+    assert S._rt_live_version(spark, db) == 1
+    # idempotent
+    assert S.gc_ivf_versions(spark, sf_small, db=db)["gc"] == "noop"
+    # crash remnant: pointer says 2 but v2 is gone -> resolver falls
+    # back to the promoted v1; gc repairs the pointer
+    spark.createDataFrame([(2,)], "version int").write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(f"{db}.live_version")
+    spark.catalog.refreshTable(f"{db}.live_version")
+    assert S._rt_live_version(spark, db) == 1
+    assert S.gc_ivf_versions(spark, sf_small, db=db) == {"gc": "repaired"}
+    assert S._rt_live_version(spark, db) == 1
+    # epoch 2: the next retrain refreshes off the PROMOTED centroids —
+    # v2 reappears and differs from the (already-refreshed) v1 only if
+    # a second refresh moves any centroid; either way the swap lands
+    res2 = S.retrain_ivf_index(spark, sf_small, db=db)
+    assert res2["v2"] == "built" and res2["live"] == 2
+    assert spark.catalog.tableExists(f"{db}.centroids_v2")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_near_dup_index_compaction(spark, sf_small):
     """Compaction folds the delta overlay into the base and empties it;
     scoring against (base, delta) before == scoring against base alone

@@ -347,10 +347,18 @@ _CURATED_WINDOW = (
 # timeseries_gapfill (8), stats_summary (8), dedup_exact (8),
 # dedup_minhash_survivors (8), dedup_incremental_near (3),
 # sim_topk_brute (7), text_bigram_lm_nll (5).
-# Queued round-10 window candidate: sim_ivf_retrain (round-9-new: the
-# retrain EXECUTION the drift trigger calls for — rebuild centroids from
-# the current corpus, reassign, versioned swap, old version readable
-# until swap).
+# Queued round-10 window candidates (registered, verify_driver-checked,
+# benched, property-covered — awaiting a driver slot):
+# sim_ivf_retrain (round-9-new: the retrain EXECUTION the drift trigger
+# calls for — one Lloyd refresh over the current corpus, full
+# reassignment, versioned rebuild-and-swap, old version readable until
+# the pointer bump);
+# dedup_near_auto_compacted (round-9-new: two-batch admission with the
+# LSM size-ratio fold firing mid-run — compaction proven invisible to
+# every verdict under the oracle hash);
+# dedup_exact_auto_compacted (round-9-new: the exact gate's sibling,
+# riding the duplicate-tolerant probe so even the fold's crash window
+# is verdict-invariant).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1681,6 +1681,40 @@ def test_exact_auto_compaction_and_duplicate_tolerance(spark, sf_small):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_auto_compacted_queries_fold_mid_run(spark, sf_small):
+    """The registered auto-compacted gates don't just match their
+    oracles — the fold must actually FIRE: after a run, the delta
+    overlay is empty and the dedicated base holds the folded batch
+    rows (which the next run's pollution probe detects and resets)."""
+    from pyspark.sql import functions as F
+
+    from dbt_bigquery_udf_spark.operators import dedup as D
+    from dbt_bigquery_udf_spark.queries import QUERIES
+
+    QUERIES["dedup_near_auto_compacted"](spark, sf_small).count()
+    nb = D._near_index_db(sf_small) + "_ac"
+    assert spark.table(f"{nb}d.sigs").count() == 0
+    assert (
+        spark.table(f"{nb}.sigs")
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD < D.INCR_IDX_BASE_MOD)
+        .count()
+        > 0
+    )
+    QUERIES["dedup_exact_auto_compacted"](spark, sf_small).count()
+    xb = D._exact_index_db(sf_small) + "_ac"
+    assert spark.table(f"{xb}d.hashes").count() == 0
+    n_owned = (
+        D._docs(spark, sf_small)
+        .filter(F.col("doc_id") % D.INCR_NEAR_MOD >= D.INCR_IDX_BASE_MOD)
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert spark.table(f"{xb}.hashes").count() > n_owned
+    for db in (nb, nb + "d", xb, xb + "d"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def _wipe_catalog_keep_files(spark, db):
     """Simulate a FRESH SESSION over a WARM WAREHOUSE: remove every
     catalog entry for ``db`` but leave its parquet on disk — exactly

@@ -267,6 +267,11 @@ _DOC_STREAM_OPS = (
     "stream_quality_gate",
     "stream_near_dup_admission",
     "stream_exact_admission",
+    # round 9: the auto-compacted two-batch gates — the size-ratio fold
+    # fires mid-run and must be invisible to every verdict on ANY
+    # corpus (empty batches, all-duplicate corpora, NULL-text docs)
+    "dedup_near_auto_compacted",
+    "dedup_exact_auto_compacted",
 )
 
 
@@ -293,7 +298,7 @@ def test_doc_streaming_ops_parity(spark, prop_dir, texts, langs):
         # per-run delta) beside the batch gates' databases — drop all
         # six so per-example catalogs never accumulate
         for db in (_near_index_db(ex_dir), _exact_index_db(ex_dir)):
-            for suffix in ("", "_sbase", "_sdelta"):
+            for suffix in ("", "_sbase", "_sdelta", "_ac", "_acd"):
                 spark.sql(f"DROP DATABASE IF EXISTS {db}{suffix} CASCADE")
 
 

@@ -778,3 +778,24 @@ def test_persisted_index_probe_is_equi_join(spark, sf_small):
     # index tables are real storage-backed scans, not memoized lineage
     assert any("bands" in s.lower() for s in f.text.splitlines() if "Scan" in s), f.text
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_ivf_retrain_serve_is_broadcast_bounded(spark, sf_small):
+    """The retrained-index serve (sim_ivf_retrain) must keep the
+    trained-IVF serving shape: the nprobe probe list and the k-row
+    version-diff joins broadcast (no sort-merge join anywhere in the
+    serve), and no nested-loop join sneaks in through the moved-flag
+    double join."""
+    f = _facts(spark, sf_small, "sim_ivf_retrain")
+    assert f.broadcast_joins >= 1, f.text
+    assert f.sort_merge_joins == 0, f.text
+    assert f.nested_loop_joins == 0, f.text
+
+
+def test_exact_gate_probe_has_no_nested_loop(spark, sf_small):
+    """The duplicate-tolerant exact probe (rank on the batch alone +
+    left-semi membership) must stay an equi-join pipeline: no
+    nested-loop join, no cartesian product, regardless of the two
+    joins it now performs."""
+    f = _facts(spark, sf_small, "dedup_exact_auto_compacted")
+    assert f.nested_loop_joins == 0, f.text

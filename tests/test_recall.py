@@ -88,3 +88,17 @@ def test_absolute_recall_floors_sf001(spark, sf_medium):
     }
     for name, floor in floors.items():
         assert measured[name] >= floor, (name, measured[name], floor)
+
+
+def test_retrained_index_recall_floor(spark, sf_medium):
+    """The retrain must not tank serving quality: the refreshed-index
+    serve (sim_ivf_retrain, IVF_NPROBE probes over the one-refresh
+    centroids) keeps an absolute recall@10 floor vs brute force.
+    Measured 1.0 at sf0.001 / 0.8 at sf0.01; floor pinned well below so
+    the property — a retrain cannot collapse recall — is the assertion,
+    not the noise. Deterministic queries, margin absorbs only corpus
+    regeneration."""
+    brute = _ids(spark, "sim_topk_brute", sf_medium)
+    rt = _ids(spark, "sim_ivf_retrain", sf_medium)
+    assert len(brute) == 10
+    assert len(brute & rt) / len(brute) >= 0.5, (brute, rt)

@@ -148,7 +148,10 @@ HEADLINE = [
     "dedup_minhash_capped",
     "stream_ivf_admission",
     # round 9: the retrain execution (versioned rebuild-and-swap + serve)
+    # and the auto-compacted admission gates (LSM fold firing mid-run)
     "sim_ivf_retrain",
+    "dedup_near_auto_compacted",
+    "dedup_exact_auto_compacted",
 ]
 
 

@@ -2037,20 +2037,26 @@ def _reset_layered_pair(
     re-signaturing the corpus) or a clear-and-rebuild otherwise; the
     delta resets per run like the streaming gates' scratch overlays.
     Production never does this reset — it keeps folding forward; the
-    demo needs replay determinism for its oracle."""
+    demo needs replay determinism for its oracle.
+
+    ORDER MATTERS: the probe runs AFTER ``build_base()``, not before —
+    a fresh session's catalog is empty, but ``ensure_tables`` then
+    ADOPTS the previous process's (possibly polluted) parquet by
+    location, so probing first would miss cross-session pollution
+    entirely and batch-1 docs would match THEMSELVES at jaccard 1.0
+    (caught by the round-9 fresh-warehouse verify)."""
     from ..catalog import catalog_lock
 
     from .index_store import clear_tables
 
     with catalog_lock:
-        if spark.catalog.databaseExists(base_db) and pollution_probe(
-            base_db
-        ):
+        build_base()  # adopt-or-build; may adopt a polluted base
+        if pollution_probe(base_db):
             if depollute is not None:
                 depollute(base_db)
             else:
                 clear_tables(spark, base_db, tuple(delta_schemas))
-        build_base()
+                build_base()
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
         have = {
             t.name

@@ -172,9 +172,16 @@ def staged_overwrite(spark: SparkSession, db: str, table: str, df) -> None:
     with catalog_lock:
         clear_tables(spark, db, (staged,))
         df.write.format("parquet").saveAsTable(f"{db}.{staged}")
-        spark.table(f"{db}.{staged}").write.format("parquet").mode(
-            "overwrite"
-        ).saveAsTable(f"{db}.{table}")
+        # clear-then-write, NOT mode('overwrite'): the live table may be
+        # an ADOPTED (external) relation, whose drop keeps its files —
+        # a managed re-create then dies with LOCATION_ALREADY_EXISTS.
+        # The staged copy covers this window: a crash here leaves the
+        # live table missing/partial with the full kept set staged, and
+        # recover_staged replays the same clear-then-write.
+        clear_tables(spark, db, (table,))
+        spark.table(f"{db}.{staged}").write.format("parquet").saveAsTable(
+            f"{db}.{table}"
+        )
         spark.catalog.refreshTable(f"{db}.{table}")
         clear_tables(spark, db, (staged,))
 
@@ -205,9 +212,12 @@ def recover_staged(
                     )
                 else:
                     continue
-            spark.table(f"{db}.{staged}").write.format("parquet").mode(
-                "overwrite"
-            ).saveAsTable(f"{db}.{t}")
+            # same clear-then-write as staged_overwrite: the live table
+            # may be external/partial after the crash
+            clear_tables(spark, db, (t,))
+            spark.table(f"{db}.{staged}").write.format("parquet").saveAsTable(
+                f"{db}.{t}"
+            )
             spark.catalog.refreshTable(f"{db}.{t}")
             clear_tables(spark, db, (staged,))
             recovered.append(t)

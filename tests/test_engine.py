@@ -1711,6 +1711,27 @@ def test_auto_compacted_queries_fold_mid_run(spark, sf_small):
         .count()
     )
     assert spark.table(f"{xb}.hashes").count() > n_owned
+
+    # cross-session pollution (the round-9 fresh-warehouse bug): wipe
+    # the catalog entries but keep the polluted parquet — a fresh
+    # session ADOPTS those files, so the probe must fire after the
+    # adopt, depollute, and reproduce the exact same verdicts
+    first_near = sorted(
+        map(tuple, QUERIES["dedup_near_auto_compacted"](spark, sf_small).collect())
+    )
+    first_exact = sorted(
+        map(tuple, QUERIES["dedup_exact_auto_compacted"](spark, sf_small).collect())
+    )
+    for db in (nb, nb + "d", xb, xb + "d"):
+        _wipe_catalog_keep_files(spark, db)
+    again_near = sorted(
+        map(tuple, QUERIES["dedup_near_auto_compacted"](spark, sf_small).collect())
+    )
+    again_exact = sorted(
+        map(tuple, QUERIES["dedup_exact_auto_compacted"](spark, sf_small).collect())
+    )
+    assert again_near == first_near
+    assert again_exact == first_exact
     for db in (nb, nb + "d", xb, xb + "d"):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 

@@ -150,6 +150,7 @@ HEADLINE = [
     # round 9: the retrain execution (versioned rebuild-and-swap + serve)
     # and the auto-compacted admission gates (LSM fold firing mid-run)
     "sim_ivf_retrain",
+    "sim_ivf_retrain_epoch2",
     "dedup_near_auto_compacted",
     "dedup_exact_auto_compacted",
 ]

@@ -3239,6 +3239,172 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivf_epoch2() -> str:
+    """Oracle: the retrain oracle's chain continued one epoch — after
+    (sa -> cr -> ra), a SECOND refresh grouped by ra (the promoted
+    epoch-1 assignment) -> cr2 -> ra2, probes from cr2, serve via ra2,
+    ``moved`` = the vector changed lists in the epoch-2 swap."""
+    R = KMEANS_TRAIN_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"eb AS (SELECT * FROM e WHERE vec_id % {IVF_UPSERT_MOD} <> 0)",
+        f"""c0 AS (
+      SELECT vec_id AS cid, emb AS cv FROM eb ORDER BY vec_id LIMIT {KMEANS_K}
+    )""",
+    ]
+    for r in range(1, R + 1):
+        ctes += [
+            f"""p{r} AS (
+      SELECT eb.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(eb.emb, c.cv), 6), c.cid)) AS p
+      FROM eb, c{r - 1} c GROUP BY eb.vec_id
+    )""",
+            f"a{r} AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM p{r})",
+            f"""dims{r} AS (
+      SELECT a.cid, i, round(avg(eb.emb[i]), 4) + 0.0 AS m
+      FROM a{r} a JOIN eb USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+            f"c{r} AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims{r} GROUP BY cid)",
+        ]
+    ctes += [
+        f"""pall AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, c{R} c GROUP BY e.vec_id
+    )""",
+        "sa AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pall)",
+        """rdims AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM sa a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+        "cr AS (SELECT cid, list(m ORDER BY i) AS cv FROM rdims GROUP BY cid)",
+        """pr AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, cr c GROUP BY e.vec_id
+    )""",
+        "ra AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pr)",
+        # EPOCH 2: refresh grouped by ra, then reassign
+        """rdims2 AS (
+      SELECT a.cid, i, round(avg(e.emb[i]), 4) + 0.0 AS m
+      FROM ra a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+      GROUP BY a.cid, i
+    )""",
+        "cr2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM rdims2 GROUP BY cid)",
+        """pr2 AS (
+      SELECT e.vec_id,
+             min(printf('%015.6f|%05d',
+                        round(list_distance(e.emb, c.cv), 6), c.cid)) AS p
+      FROM e, cr2 c GROUP BY e.vec_id
+    )""",
+        "ra2 AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pr2)",
+        f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""probes AS (
+      SELECT c.cid FROM cr2 c, q
+      ORDER BY (list_dot_product(c.cv, q.qv) /
+                nullif(sqrt(list_dot_product(c.cv, c.cv))
+                       * sqrt(list_dot_product(q.qv, q.qv)), 0)) DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.vec_id,
+           round((list_dot_product(e.emb, q.qv) /
+                  nullif(sqrt(list_dot_product(e.emb, e.emb))
+                         * sqrt(list_dot_product(q.qv, q.qv)), 0)), 4) AS cosine,
+           (ra2.cid <> ra.cid) AS moved
+    FROM e JOIN ra2 USING (vec_id) JOIN ra USING (vec_id), q
+    WHERE ra2.cid IN (SELECT cid FROM probes)
+      AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+    )
+
+
+@register("sim_ivf_retrain_epoch2", _duck_ivf_epoch2())
+def sim_ivf_retrain_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full lifecycle turns of the versioned index — retrain, GC
+    (promote + epoch advance), retrain again — then serve from the
+    epoch-2 version. This is the row that makes :func:`gc_ivf_versions`
+    driver-checkable: the oracle unrolls BOTH refreshes (the second
+    grouped by the first's reassignment — exactly what the promotion
+    hands the next epoch), so a GC that promoted the wrong version,
+    leaked a stale v2, or mis-reset the pointer hash-mismatches here.
+
+    Dedicated ``_e2`` database, CLEARED at query start: each lifecycle
+    turn intentionally advances state, so replay determinism comes from
+    restarting the epoch clock — production never resets, it just keeps
+    turning. The shared ``_up`` artifact is reused across runs, so the
+    per-run cost is the two refresh+reassign passes plus the serves,
+    not the Lloyd training.
+
+    Scale: two of the drift trigger's one-refresh passes (each one
+    assignment-join scan + a k x 64 partial agg + a reassignment scan)
+    plus pointer flips; serving stays nprobe-bounded. The epoch cycle
+    is the rolling-retrain cadence a production vector store runs
+    nightly — trigger (drift stats), execute (retrain), promote (GC),
+    repeat.
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables
+
+    db = _rt_db(sf_dir) + "_e2"
+    with catalog_lock:
+        clear_tables(
+            spark, db, _RT_V1_TABLES + _RT_V2_TABLES
+        )
+    retrain_ivf_index(spark, sf_dir, db=db)
+    gc = gc_ivf_versions(spark, sf_dir, db=db)
+    assert gc["gc"] == "promoted", gc
+    retrain_ivf_index(spark, sf_dir, db=db)
+    v = _rt_live_version(spark, db)
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    probes = (
+        spark.table(f"{db}.centroids_v{v}")
+        .withColumn("qv", q_lit)
+        .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = spark.table(f"{db}.assign_v{v}").join(
+        F.broadcast(probes), "cid", "left_semi"
+    )
+    served = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cand, "vec_id", "left_semi")
+        .withColumn("qv", q_lit)
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+    old = spark.table(f"{db}.assign_v1").withColumnRenamed("cid", "cid_v1")
+    new = spark.table(f"{db}.assign_v{v}").withColumnRenamed("cid", "cid_new")
+    return (
+        served.join(old, "vec_id")
+        .join(new, "vec_id")
+        .select(
+            "vec_id",
+            "cosine",
+            (F.col("cid_new") != F.col("cid_v1")).alias("moved"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
+
+
 # -- STREAMING IVF admission: micro-batch upserts, served between batches ----
 
 IVF_STREAM_MOD = 10  # arrivals (vec_id % 5 == 0) split into two batches:

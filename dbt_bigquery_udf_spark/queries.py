@@ -358,7 +358,10 @@ _CURATED_WINDOW = (
 # every verdict under the oracle hash);
 # dedup_exact_auto_compacted (round-9-new: the exact gate's sibling,
 # riding the duplicate-tolerant probe so even the fold's crash window
-# is verdict-invariant).
+# is verdict-invariant);
+# sim_ivf_retrain_epoch2 (round-9-new: two full lifecycle turns —
+# retrain, GC promote, retrain — served from epoch 2; the row that
+# makes gc_ivf_versions driver-checkable).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -383,9 +383,12 @@ _EMB_OPS = (
     "sim_ivf_forget",
     "sim_ivf_drift_stats",
     # round 9: the retrain EXECUTION (one refresh + full reassignment +
-    # versioned swap) — hostile corpora stress empty clusters dropping
-    # out of the refreshed centroid set and all-tie serves
+    # versioned swap) and the full epoch cycle (retrain -> GC promote ->
+    # retrain, served from epoch 2) — hostile corpora stress empty
+    # clusters dropping out of BOTH refreshed centroid sets and all-tie
+    # serves
     "sim_ivf_retrain",
+    "sim_ivf_retrain_epoch2",
 )
 
 # Round 8 (VERDICT r7 #5): the full ANN serving ladder — session
@@ -497,7 +500,7 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         # per-example persisted IVF index databases must not leak
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
-        for suffix in ("", "_up", "_fg", "_rt"):
+        for suffix in ("", "_up", "_fg", "_rt", "_rt_e2"):
             spark.sql(
                 f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
             )

@@ -2342,6 +2342,177 @@ def dedup_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_FORGET_WAVE2 = 4  # doc_id % 7 == 4 -> the second streamed erasure wave
+
+
+def _stage_forget_requests(spark: SparkSession, sf_dir: str) -> str:
+    """Stage two FORGET-REQUEST files (doc_id only) in pinned mtime
+    order: wave 1 = the {INCR_IDX_FORGET} slice, wave 2 = the
+    {NEAR_FORGET_WAVE2} slice. In production this is the
+    right-to-be-forgotten request queue's landing prefix."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from .index_store import scratch_dir
+
+    stage = scratch_dir("forget_arrivals", sf_dir, ("documents.parquet",))
+    if all(
+        os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
+    ):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    d = _docs(spark, sf_dir)
+    now = time.time()
+    for i, mod in enumerate((INCR_IDX_FORGET, NEAR_FORGET_WAVE2)):
+        tmp = os.path.join(stage, f".tmp{i}")
+        d.filter(F.col("doc_id") % INCR_NEAR_MOD == mod).select(
+            "doc_id"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+    return stage
+
+
+def _duck_stream_forget() -> str:
+    """Oracle: the probe batch scored twice against the owned index
+    with PROGRESSIVELY larger erased sets — after wave 1 the
+    {INCR_IDX_FORGET} slice is invisible; after wave 2 the
+    {NEAR_FORGET_WAVE2} slice is too."""
+    j = (
+        "round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /"
+        " (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)"
+    )
+    waves = [
+        f"AND i.doc_id % {INCR_NEAR_MOD} <> {INCR_IDX_FORGET}",
+        f"AND i.doc_id % {INCR_NEAR_MOD} NOT IN "
+        f"({INCR_IDX_FORGET}, {NEAR_FORGET_WAVE2})",
+    ]
+    ctes, selects = [], []
+    for b, w in enumerate(waves):
+        ctes.append(f"""cand{b} AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM long n JOIN long i ON n.band = i.band AND n.key = i.key
+      WHERE n.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+        AND i.doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+        {w}
+    ), ver{b} AS (
+      SELECT c.new_id, c.idx_id, {j} AS jaccard
+      FROM cand{b} c JOIN hx x ON x.doc_id = c.new_id
+                     JOIN hx y ON y.doc_id = c.idx_id
+    ), best{b} AS (
+      SELECT new_id, idx_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, idx_id) AS rk
+      FROM ver{b}
+    )""")
+        selects.append(f"""(
+      SELECT {b} AS batch_id, d.doc_id AS new_id, bt.idx_id AS matched_doc,
+             bt.jaccard,
+             coalesce(bt.jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best{b} WHERE rk = 1) bt
+        ON bt.new_id = d.doc_id
+      WHERE d.doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+    )""")
+    return (
+        _duck_minhash_prefix()
+        + ", "
+        + ",\n    ".join(ctes)
+        + "\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register("stream_near_dup_forget", _duck_stream_forget())
+def stream_near_dup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ERASURE — right-to-be-forgotten requests arriving as
+    micro-batches against the persisted near-dup index, with serving
+    between the waves: each foreachBatch appends the wave's doc_ids to
+    the tombstone set (:func:`forget_near_dup_docs`, O(|wave|)), then
+    the fixed probe batch is scored IMMEDIATELY — proving each wave's
+    docs are invisible before the next wave lands, the erasure-latency
+    guarantee the batch forget query can't state. Emits both waves'
+    verdicts tagged (batch_id, new_id, matched_doc, jaccard,
+    is_near_dup); the oracle scores against progressively larger
+    erased sets.
+
+    Dedicated ``_fgs`` index (owned corpus, shared bootstrap); the
+    TOMBSTONE set is per-run stream state and resets at query start
+    (truncate, or clear-and-recreate for adopted leftovers) — the same
+    scratch discipline as the admission gates' delta overlays, and the
+    reason repeat runs replay deterministically. The base itself is
+    never rewritten here; folding erasures into the base is
+    compact_near_dup_index's maintenance job.
+
+    Scale: per wave, one tombstone append + one probe-batch scoring
+    pass through the broadcast anti-join — erasure latency is
+    O(|wave|) regardless of index size; verdicts are sink-written,
+    never collected.
+    """
+    import os
+
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables, scratch_dir
+
+    db = _near_index_db(sf_dir) + "_fgs"
+    build_near_dup_index(spark, sf_dir, db=db)
+    with catalog_lock:
+        if spark.catalog.tableExists(f"{db}.tombstones") and (
+            spark.catalog.getTable(f"{db}.tombstones").tableType
+            != "EXTERNAL"
+        ):
+            spark.sql(f"TRUNCATE TABLE {db}.tombstones")
+            spark.catalog.refreshTable(f"{db}.tombstones")
+        else:
+            clear_tables(spark, db, ("tombstones",))
+            spark.createDataFrame([], "doc_id bigint").write.format(
+                "parquet"
+            ).saveAsTable(f"{db}.tombstones")
+    stage = _stage_forget_requests(spark, sf_dir)
+    out_dir = scratch_dir(
+        "forget_verdicts", sf_dir, ("documents.parquet",), fresh=True
+    )
+    probe = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1
+    )
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        forget_near_dup_docs(spark, db, batch_df.select("doc_id"))
+        (
+            _score_batch_vs_index(
+                spark, db, _doc_signatures(probe), anchor_docs=probe
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+            .select(
+                "batch_id", "new_id", "matched_doc", "jaccard", "is_near_dup"
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    schema = spark.read.parquet(stage).schema
+    reqs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        reqs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "pipeline_incremental_admission",
     f"""

@@ -361,7 +361,11 @@ _CURATED_WINDOW = (
 # is verdict-invariant);
 # sim_ivf_retrain_epoch2 (round-9-new: two full lifecycle turns —
 # retrain, GC promote, retrain — served from epoch 2; the row that
-# makes gc_ivf_versions driver-checkable).
+# makes gc_ivf_versions driver-checkable);
+# stream_near_dup_forget (round-9-new: STREAMING ERASURE —
+# right-to-be-forgotten waves arriving as micro-batches, each wave's
+# docs invisible to the very next serve; the erasure-latency guarantee
+# the batch forget query can't state).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

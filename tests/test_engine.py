@@ -1785,6 +1785,7 @@ def _drop_index_db(spark, db):
         "exact_forget",
         "ivf_stream",
         "ivf_rt",
+        "forget_stream",
     ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
@@ -1867,6 +1868,14 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [S._ivf_index_db(sf_small)]
         query, reuse = "sim_ivf_trained_indexed", (
             lambda: S.build_ivf_index(spark, sf_small)
+        )
+    elif which == "forget_stream":
+        # streaming erasure: the _fgs base adopts via the shared
+        # bootstrap; the tombstone set is per-run stream state (reset
+        # then re-appended to the same content, so counts hold)
+        dbs = [D._near_index_db(sf_small) + "_fgs"]
+        query, reuse = "stream_near_dup_forget", (
+            lambda: D.build_near_dup_index(spark, sf_small, db=dbs[0])
         )
     elif which == "ivf_rt":
         # the versioned retrain db: BOTH version groups and the pointer

@@ -272,6 +272,10 @@ _DOC_STREAM_OPS = (
     # corpus (empty batches, all-duplicate corpora, NULL-text docs)
     "dedup_near_auto_compacted",
     "dedup_exact_auto_compacted",
+    # round 9 (cont.): streaming erasure — each forget wave must be
+    # invisible to the very next serve on ANY corpus (waves that erase
+    # every match, empty waves, all-dup corpora)
+    "stream_near_dup_forget",
 )
 
 
@@ -298,7 +302,7 @@ def test_doc_streaming_ops_parity(spark, prop_dir, texts, langs):
         # per-run delta) beside the batch gates' databases — drop all
         # six so per-example catalogs never accumulate
         for db in (_near_index_db(ex_dir), _exact_index_db(ex_dir)):
-            for suffix in ("", "_sbase", "_sdelta", "_ac", "_acd"):
+            for suffix in ("", "_sbase", "_sdelta", "_ac", "_acd", "_fgs"):
                 spark.sql(f"DROP DATABASE IF EXISTS {db}{suffix} CASCADE")
 
 

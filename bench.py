@@ -151,6 +151,7 @@ HEADLINE = [
     # and the auto-compacted admission gates (LSM fold firing mid-run)
     "sim_ivf_retrain",
     "sim_ivf_retrain_epoch2",
+    "sim_ann_eval_metrics",
     "stream_near_dup_forget",
     "dedup_near_auto_compacted",
     "dedup_exact_auto_compacted",

@@ -28,6 +28,8 @@ and the oracle comparison is exact.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3403,6 +3405,142 @@ def sim_ivf_retrain_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
     )
+
+
+# -- ANN serving-quality metrics: recall / MRR / nDCG vs brute force ---------
+
+_EVAL_VARIANTS = (
+    # (variant tag, registered query, rank key SQL/asc flag)
+    ("ivf", "sim_ivf_topk", False),
+    ("hamming", "sim_hamming_topk", False),
+    ("ivfpq", "sim_ivfpq_adc", True),
+)
+
+
+def _duck_ann_eval() -> str:
+    """Oracle composed from the REGISTERED variant oracles (the funnel
+    pattern — the metrics can never drift from the lists they grade):
+    brute top-{TOP_K} = the binary-relevance ground truth; per variant,
+    rank its output by its own serving key and compute recall / MRR /
+    nDCG with DCG terms quantized to integer micro-units so the sums
+    are order-free."""
+    from ..queries import ORACLES
+
+    brute = ORACLES["sim_topk_brute"]
+    parts = []
+    for tag, qname, adc_asc in _EVAL_VARIANTS:
+        key = (
+            "v.adc_d2_micro ASC, v.vec_id"
+            if adc_asc
+            else "v.cosine DESC, v.vec_id"
+        )
+        parts.append(f"""(
+      WITH vr AS (
+        SELECT v.vec_id,
+               row_number() OVER (ORDER BY {key}) AS rank,
+               (b.vec_id IS NOT NULL) AS rel
+        FROM ({ORACLES[qname]}) v
+        LEFT JOIN bt b ON b.vec_id = v.vec_id
+      )
+      SELECT '{tag}' AS variant,
+             (SELECT count(*) FROM bt) AS n_rel,
+             round(CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (SELECT count(*) FROM bt), 4) AS recall_at_k,
+             round(coalesce(1.0 / min(CASE WHEN rel THEN rank END), 0), 4)
+               AS mrr,
+             round(CAST(sum(CASE WHEN rel THEN
+                         CAST(round(1000000 / log2(rank + 1)) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+                   / (SELECT sum(CAST(round(1000000 / log2(rank + 1))
+                                      AS BIGINT))
+                      FROM (SELECT row_number() OVER (ORDER BY vec_id)
+                                     AS rank FROM bt)), 4) AS ndcg_at_k
+      FROM vr
+    )""")
+    return (
+        f"WITH bt AS (SELECT vec_id FROM ({brute}))\n"
+        + " UNION ALL ".join(parts)
+    )
+
+
+@register("sim_ann_eval_metrics", _duck_ann_eval())
+def sim_ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-QUALITY DASHBOARD: recall@{TOP_K}, MRR, and
+    nDCG@{TOP_K} of each ANN variant (IVF single-list probe, 1-bit
+    Hamming shortlist+rerank, IVF-PQ ADC) against the brute-force exact
+    top-{TOP_K} as binary relevance — the row an operator reads before
+    turning a serving dial (nprobe, shortlist width, PQ bits), and the
+    formalization of tests/test_recall.py's floors as a driver-checked
+    query. Each variant is ranked by its OWN serving key (cosine for
+    the cosine servers, the ADC distance for PQ); DCG terms are
+    quantized to integer micro-units so the sums are order-free and the
+    oracle is engine-exact; IDCG is the ground-truth list's own DCG.
+
+    Oracles compose by construction: the grading SQL embeds the four
+    registered variant oracles as subqueries, so the metrics can never
+    drift from the lists they grade (the funnel pattern).
+
+    Scale: the variant lists are k-row TakeOrdered results; grading is
+    a k-row join + 1-row aggregate per variant — the whole dashboard
+    costs one extra stage over the serves it measures.
+    """
+    from pyspark.sql import Window as W
+
+    brute = (
+        sim_topk_brute(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_rel = brute.count()
+    idcg_micro = sum(
+        int(round(1_000_000 / math.log2(i + 1)))
+        for i in range(1, n_rel + 1)
+    )
+    out = None
+    for tag, qname, adc_asc in _EVAL_VARIANTS:
+        from ..queries import QUERIES
+
+        lst = QUERIES[qname](spark, sf_dir)
+        key = (
+            [F.col("adc_d2_micro").asc(), F.col("vec_id")]
+            if adc_asc
+            else [F.col("cosine").desc(), F.col("vec_id")]
+        )
+        ranked = lst.withColumn(
+            "rank", F.row_number().over(W.orderBy(*key))
+        ).join(
+            F.broadcast(brute.withColumn("rel", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        dcg_term = F.when(
+            F.col("rel"),
+            F.round(F.lit(1_000_000) / F.log2(F.col("rank") + 1)).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0))
+        m = ranked.agg(
+            F.lit(tag).alias("variant"),
+            F.lit(n_rel).cast("bigint").alias("n_rel"),
+            F.round(
+                F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("double")
+                / F.lit(n_rel),
+                4,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("rel"), F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("mrr"),
+            F.round(
+                F.sum(dcg_term).cast("double") / F.lit(idcg_micro), 4
+            ).alias("ndcg_at_k"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
 
 
 # -- STREAMING IVF admission: micro-batch upserts, served between batches ----

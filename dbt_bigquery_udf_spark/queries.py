@@ -365,7 +365,10 @@ _CURATED_WINDOW = (
 # stream_near_dup_forget (round-9-new: STREAMING ERASURE —
 # right-to-be-forgotten waves arriving as micro-batches, each wave's
 # docs invisible to the very next serve; the erasure-latency guarantee
-# the batch forget query can't state).
+# the batch forget query can't state);
+# sim_ann_eval_metrics (round-9-new: the serving-quality dashboard —
+# recall/MRR/nDCG of every ANN variant vs brute ground truth, oracles
+# composed from the registered variant oracles).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -416,6 +416,10 @@ _EMB_SERVE_OPS = (
     "sim_topk_batch",
     "emb_mmr_diversify",
     "emb_hard_negatives",
+    # round 9: the serving-quality dashboard — recall/MRR/nDCG of each
+    # variant vs brute ground truth; hostile corpora stress < k lists,
+    # all-tie rankings, zero-vector NULL-cosine ordering
+    "sim_ann_eval_metrics",
     "emb_outlier_worklist",
 )
 

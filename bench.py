@@ -153,6 +153,8 @@ HEADLINE = [
     "sim_ivf_retrain_epoch2",
     "sim_ann_eval_metrics",
     "stream_near_dup_forget",
+    "stream_exact_forget",
+    "stream_ivf_forget",
     "dedup_near_auto_compacted",
     "dedup_exact_auto_compacted",
 ]

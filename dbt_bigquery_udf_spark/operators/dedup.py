@@ -2866,18 +2866,27 @@ def dedup_exact_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     forget_docs(spark, db, erase)
+    batch = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1
+    )
+    return _score_batch_vs_doc_hashes(spark, db, batch)
+
+
+def _score_batch_vs_doc_hashes(
+    spark: SparkSession, db: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Score a batch against the doc-level hash state minus its
+    tombstones: (doc_id, is_dup), one row per batch doc — history hits
+    against LIVING holders plus within-batch later copies. Shared by
+    the batch forget gate and its streaming sibling."""
+    from pyspark.sql import Window as W
+
     live = spark.table(f"{db}.doc_hashes")
     if spark.catalog.tableExists(f"{db}.tombstones"):
         tombs = spark.table(f"{db}.tombstones").select("doc_id").distinct()
         live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
     probe = live.select("h").distinct().withColumnRenamed("h", "ih")
-    from pyspark.sql import Window as W
-
-    batch = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1)
-        .select("doc_id", F.md5("text").alias("h"))
-    )
+    batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
     return (
         batch.join(probe, batch.h == F.col("ih"), "left")
         .withColumn(
@@ -2917,6 +2926,127 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}
+
+
+def _duck_stream_exact_forget() -> str:
+    """Oracle: the probe batch scored twice against the doc-level hash
+    state with progressively larger erased sets — the implicit-refcount
+    semantics (a hash leaves only when its last living holder is
+    erased) hold per wave."""
+    waves = [
+        f"AND doc_id % {INCR_NEAR_MOD} <> {INCR_IDX_FORGET}",
+        f"AND doc_id % {INCR_NEAR_MOD} NOT IN "
+        f"({INCR_IDX_FORGET}, {NEAR_FORGET_WAVE2})",
+    ]
+    selects = []
+    for b, w in enumerate(waves):
+        selects.append(f"""(
+      WITH live{b} AS (
+        SELECT DISTINCT h FROM hx
+        WHERE doc_id % {INCR_NEAR_MOD} >= {INCR_IDX_BASE_MOD}
+          {w}
+      )
+      SELECT {b} AS batch_id, b1.doc_id,
+             (live{b}.h IS NOT NULL
+              OR row_number() OVER (PARTITION BY b1.h ORDER BY b1.doc_id) > 1)
+               AS is_dup
+      FROM b1 LEFT JOIN live{b} ON live{b}.h = b1.h
+    )""")
+    return f"""
+    WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b1 AS (
+      SELECT doc_id, h FROM hx
+      WHERE doc_id % {INCR_NEAR_MOD} = {INCR_IDX_BATCH1}
+    )
+    """ + " UNION ALL ".join(selects)
+
+
+@register("stream_exact_forget", _duck_stream_exact_forget())
+def stream_exact_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ERASURE for the exact gate — the doc-level sibling of
+    stream_near_dup_forget, extending erasure-as-a-stream to the second
+    index family: forget waves arrive as micro-batches, each wave's
+    doc_ids join the tombstone overlay over the ``doc_hashes``
+    (implicit-refcount) state, and the fixed probe batch is re-scored
+    between waves — a probe doc whose text survives ONLY in erased docs
+    flips to novel the moment its last living holder's wave lands,
+    while a hash shared with any living doc stays a dup. Emits
+    (batch_id, doc_id, is_dup) per wave.
+
+    Dedicated ``_fgx`` doc-hash state (shared bootstrap); tombstones
+    are per-run stream state, reset at query start like the near-dup
+    sibling. Scale: per wave, one O(|wave|) tombstone append + a
+    batch-sized probe through a broadcast anti-join + a probe-set
+    distinct over the semi-joined partitions.
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables, ensure_tables, scratch_dir
+
+    db = _exact_index_db(sf_dir) + "_fgx"
+
+    def _build() -> None:
+        (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % INCR_NEAR_MOD >= INCR_IDX_BASE_MOD)
+            .select("doc_id", F.md5("text").alias("h"))
+            .write.format("parquet")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.doc_hashes")
+        )
+
+    ensure_tables(
+        spark,
+        db,
+        ("doc_hashes",),
+        _build,
+        expect={"doc_hashes": ("doc_id", "h")},
+    )
+    with catalog_lock:
+        if spark.catalog.tableExists(f"{db}.tombstones") and (
+            spark.catalog.getTable(f"{db}.tombstones").tableType
+            != "EXTERNAL"
+        ):
+            spark.sql(f"TRUNCATE TABLE {db}.tombstones")
+            spark.catalog.refreshTable(f"{db}.tombstones")
+        else:
+            clear_tables(spark, db, ("tombstones",))
+            spark.createDataFrame([], "doc_id bigint").write.format(
+                "parquet"
+            ).saveAsTable(f"{db}.tombstones")
+    stage = _stage_forget_requests(spark, sf_dir)
+    out_dir = scratch_dir(
+        "exact_forget_verdicts", sf_dir, ("documents.parquet",), fresh=True
+    )
+    probe = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_NEAR_MOD == INCR_IDX_BATCH1
+    )
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        forget_docs(spark, db, batch_df.select("doc_id"))
+        (
+            _score_batch_vs_doc_hashes(spark, db, probe)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+            .select("batch_id", "doc_id", "is_dup")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    schema = spark.read.parquet(stage).schema
+    reqs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        reqs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)
 
 
 # -- LSH operational diagnostics: bucket skew / candidate-pair budget --------

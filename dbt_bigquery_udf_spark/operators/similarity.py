@@ -2518,6 +2518,124 @@ def sim_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_ivf_index(spark, db, e)
 
 
+IVF_FORGET_WAVE2 = 7  # vec_id % 9 == 7 -> the second streamed erasure wave
+
+
+def _stage_ivf_forget_requests(spark: SparkSession, sf_dir: str) -> str:
+    """Stage two vector FORGET-REQUEST files (vec_id only) in pinned
+    mtime order: wave 1 = the %{IVF_FORGET_MOD}=={4} slice, wave 2 =
+    %{IVF_FORGET_MOD}=={IVF_FORGET_WAVE2} (neither ever the query
+    vector)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from .index_store import scratch_dir
+
+    stage = scratch_dir("ivf_forget_arrivals", sf_dir, ("embeddings.parquet",))
+    if all(
+        os.path.exists(os.path.join(stage, f"b{i}.parquet")) for i in (0, 1)
+    ):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    e = _emb(spark, sf_dir)
+    now = time.time()
+    for i, mod in enumerate((4, IVF_FORGET_WAVE2)):
+        tmp = os.path.join(stage, f".tmp{i}")
+        e.filter(F.col("vec_id") % IVF_FORGET_MOD == mod).select(
+            "vec_id"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+    return stage
+
+
+def _duck_stream_ivf_forget() -> str:
+    """Oracle: the standard serve replayed after each erasure wave —
+    training always on the FULL corpus (erasure never retrains), the
+    candidate set progressively excluding the erased slices."""
+    ex1 = f"AND e.vec_id % {IVF_FORGET_MOD} <> 4"
+    ex2 = (
+        f"AND e.vec_id % {IVF_FORGET_MOD} NOT IN (4, {IVF_FORGET_WAVE2})"
+    )
+    return (
+        f"SELECT 0 AS batch_id, * FROM ({_duck_ivf_trained(exclude=ex1)})"
+        " UNION ALL "
+        f"SELECT 1 AS batch_id, * FROM ({_duck_ivf_trained(exclude=ex2)})"
+    )
+
+
+@register("stream_ivf_forget", _duck_stream_ivf_forget())
+def stream_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ERASURE for the vector index — completing erasure-as-
+    a-stream across all three index families ({exact, near-dup, IVF} x
+    {batch gate, streaming gate, batch erasure, STREAMING erasure}):
+    vector forget waves arrive as micro-batches, each wave's vec_ids
+    join the tombstone overlay (:func:`forget_ivf_vectors`, centroids
+    frozen, assignment not rewritten), and the standard top-{TOP_K}
+    query is served between waves — each wave's vectors invisible to
+    the very next serve. Emits (batch_id, vec_id, cosine) per wave.
+
+    Dedicated ``_fgs`` index (full-corpus build via the shared
+    bootstrap); tombstones are per-run stream state, reset at query
+    start. Scale: per wave, one O(|wave|) append + one nprobe-bounded
+    serve through the broadcast anti-join.
+    """
+    from ..catalog import catalog_lock
+
+    from .index_store import clear_tables, scratch_dir
+
+    db = _ivf_index_db(sf_dir) + "_fgs"
+    build_ivf_index(spark, sf_dir, db=db)
+    with catalog_lock:
+        if spark.catalog.tableExists(f"{db}.tombstones") and (
+            spark.catalog.getTable(f"{db}.tombstones").tableType
+            != "EXTERNAL"
+        ):
+            spark.sql(f"TRUNCATE TABLE {db}.tombstones")
+            spark.catalog.refreshTable(f"{db}.tombstones")
+        else:
+            clear_tables(spark, db, ("tombstones",))
+            spark.createDataFrame([], "vec_id bigint").write.format(
+                "parquet"
+            ).saveAsTable(f"{db}.tombstones")
+    stage = _stage_ivf_forget_requests(spark, sf_dir)
+    out_dir = scratch_dir(
+        "ivf_forget_serves", sf_dir, ("embeddings.parquet",), fresh=True
+    )
+    e = _emb(spark, sf_dir)
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        forget_ivf_vectors(spark, db, batch_df.select("vec_id"))
+        (
+            _serve_ivf_index(spark, db, e)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+            .select("batch_id", "vec_id", "cosine")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    schema = spark.read.parquet(stage).schema
+    reqs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        reqs.writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query did not terminate within 600s")
+    return spark.read.parquet(out_dir)
+
+
 # -- IVF index UPSERT: new vectors join the index without retraining ---------
 
 IVF_UPSERT_MOD = 5  # vec_id % 5 == 0 -> the arriving vectors; rest = owned

@@ -368,7 +368,11 @@ _CURATED_WINDOW = (
 # the batch forget query can't state);
 # sim_ann_eval_metrics (round-9-new: the serving-quality dashboard —
 # recall/MRR/nDCG of every ANN variant vs brute ground truth, oracles
-# composed from the registered variant oracles).
+# composed from the registered variant oracles);
+# stream_exact_forget / stream_ivf_forget (round-9-new: the streaming-
+# erasure siblings completing erasure-as-a-stream across all three
+# index families — implicit-refcount semantics per wave on the exact
+# side, frozen-centroid serves between waves on the vector side).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -274,8 +274,10 @@ _DOC_STREAM_OPS = (
     "dedup_exact_auto_compacted",
     # round 9 (cont.): streaming erasure — each forget wave must be
     # invisible to the very next serve on ANY corpus (waves that erase
-    # every match, empty waves, all-dup corpora)
+    # every match, empty waves, all-dup corpora); the exact sibling
+    # additionally pins the implicit-refcount semantics per wave
     "stream_near_dup_forget",
+    "stream_exact_forget",
 )
 
 
@@ -302,7 +304,7 @@ def test_doc_streaming_ops_parity(spark, prop_dir, texts, langs):
         # per-run delta) beside the batch gates' databases — drop all
         # six so per-example catalogs never accumulate
         for db in (_near_index_db(ex_dir), _exact_index_db(ex_dir)):
-            for suffix in ("", "_sbase", "_sdelta", "_ac", "_acd", "_fgs"):
+            for suffix in ("", "_sbase", "_sdelta", "_ac", "_acd", "_fgs", "_fgx"):
                 spark.sql(f"DROP DATABASE IF EXISTS {db}{suffix} CASCADE")
 
 
@@ -519,7 +521,12 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
 # after every append; replay must equal the two-universe batch oracle
 # on ANY corpus (constant corpora, duplicate vectors, zero vectors).
 # Own group (streaming startup per example) with layered-db cleanup.
-_EMB_STREAM_OPS = ("stream_ivf_admission",)
+_EMB_STREAM_OPS = (
+    "stream_ivf_admission",
+    # round 9: streaming erasure on the vector index — wave-by-wave
+    # invisibility under frozen centroids on ANY corpus
+    "stream_ivf_forget",
+)
 
 
 @settings(
@@ -538,7 +545,7 @@ def test_embedding_streaming_ops_parity(spark, prop_dir, vectors):
     finally:
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
-        for suffix in ("_svb", "_svd"):
+        for suffix in ("_svb", "_svd", "_fgs"):
             spark.sql(
                 f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
             )

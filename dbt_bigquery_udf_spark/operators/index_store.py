@@ -193,7 +193,19 @@ def recover_staged(
     whose ``__staged`` copy survives (in the catalog, or as orphaned
     parquet under the database location after a process crash), redo the
     overwrite from it and drop the stage. Returns the recovered table
-    names. Called at the top of every compaction fold."""
+    names. Called at the top of every compaction fold.
+
+    COMPLETENESS GATE (ADVICE r9): an orphaned stage is only adopted
+    when its directory carries the ``_SUCCESS`` marker Spark's file
+    committer writes at job-commit end. A crash DURING the stage write
+    leaves part-files but no marker and the live table fully intact —
+    replaying such a partial stage over the live table would lose every
+    kept row the incomplete write missed, the exact loss
+    ``staged_overwrite`` exists to prevent. Incomplete stages are
+    cleared and the live table left untouched (the fold that crashed
+    simply re-runs from the live state). A CATALOGED stage needs no
+    marker check: ``saveAsTable`` registers the table only after its
+    write job commits, so catalog presence implies completeness."""
     recovered: list[str] = []
     with catalog_lock:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
@@ -203,14 +215,21 @@ def recover_staged(
             staged = f"{t}__staged"
             if not spark.catalog.tableExists(f"{db}.{staged}"):
                 sdir = os.path.join(path, staged)
-                if os.path.isdir(sdir) and any(
+                if not os.path.isdir(sdir):
+                    continue
+                has_parts = any(
                     f.endswith(".parquet") for f in os.listdir(sdir)
-                ):
+                )
+                complete = os.path.isfile(os.path.join(sdir, "_SUCCESS"))
+                if has_parts and complete:
                     spark.sql(
                         f"CREATE TABLE {db}.{staged} USING parquet "
                         f"LOCATION '{loc}/{staged}'"
                     )
                 else:
+                    # partial stage (no _SUCCESS): live table is still
+                    # the source of truth — drop the stale stage
+                    shutil.rmtree(sdir, ignore_errors=True)
                     continue
             # same clear-then-write as staged_overwrite: the live table
             # may be external/partial after the crash

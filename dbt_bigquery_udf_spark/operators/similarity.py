@@ -3054,6 +3054,26 @@ def _rt_live_version(spark: SparkSession, db: str) -> int:
     return max(available)
 
 
+def _rt_set_live_version(spark: SparkSession, db: str, version: int) -> None:
+    """Write the 1-row ``live_version`` pointer with the repo-standard
+    clear-then-write (NEVER ``mode('overwrite').saveAsTable``): when a
+    fresh session adopted the ``_rt`` database, ``ensure_tables``
+    registered the pointer as an EXTERNAL table — overwrite's drop
+    keeps its files and the managed re-create dies with
+    LOCATION_ALREADY_EXISTS, so cross-session crash recovery (pointer
+    still 1, v2 complete) would FAIL instead of completing the swap
+    (ADVICE r9). The pointer is 1 row and versions are immutable, so a
+    crash inside this window still resolves via
+    :func:`_rt_live_version`'s highest-complete-version fallback."""
+    from .index_store import clear_tables
+
+    clear_tables(spark, db, ("live_version",))
+    spark.createDataFrame([(version,)], "version int").write.format(
+        "parquet"
+    ).saveAsTable(f"{db}.live_version")
+    spark.catalog.refreshTable(f"{db}.live_version")
+
+
 def retrain_ivf_index(
     spark: SparkSession, sf_dir: str, db: str | None = None
 ) -> dict:
@@ -3148,10 +3168,7 @@ def retrain_ivf_index(
         if _rt_live_version(spark, db) < 2 or not spark.table(
             f"{db}.live_version"
         ).count():
-            spark.createDataFrame([(2,)], "version int").write.format(
-                "parquet"
-            ).mode("overwrite").saveAsTable(f"{db}.live_version")
-            spark.catalog.refreshTable(f"{db}.live_version")
+            _rt_set_live_version(spark, db, 2)
     return {"v1": r1, "v2": r2, "live": _rt_live_version(spark, db)}
 
 
@@ -3200,10 +3217,7 @@ def gc_ivf_versions(
         if not have_v2:
             if ptr != 1:
                 # step-3 crash remnant: finish the pointer reset
-                spark.createDataFrame([(1,)], "version int").write.format(
-                    "parquet"
-                ).mode("overwrite").saveAsTable(f"{db}.live_version")
-                spark.catalog.refreshTable(f"{db}.live_version")
+                _rt_set_live_version(spark, db, 1)
                 return {"gc": "repaired"}
             return {"gc": "noop"}
         if _rt_live_version(spark, db) != 2:
@@ -3215,10 +3229,7 @@ def gc_ivf_versions(
             spark, db, "assign_v1", spark.table(f"{db}.assign_v2")
         )
         clear_tables(spark, db, _RT_V2_TABLES)
-        spark.createDataFrame([(1,)], "version int").write.format(
-            "parquet"
-        ).mode("overwrite").saveAsTable(f"{db}.live_version")
-        spark.catalog.refreshTable(f"{db}.live_version")
+        _rt_set_live_version(spark, db, 1)
         return {"gc": "promoted"}
 
 

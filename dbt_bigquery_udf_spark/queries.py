@@ -261,37 +261,54 @@ _CURATED_WINDOW = (
     # LSH rows)
     "dedup_incr_near_indexed",
     "dedup_incr_exact_indexed",
-    "dedup_block_removal",
-    "dedup_containment",
     "dedup_index_forget",
     "dedup_exact_forget",
     "dedup_lsh_bucket_stats",
     "dedup_minhash_capped",
+    # round-10 promotions (VERDICT r9 #1): the LSM auto-compaction
+    # gates and streaming erasure earn driver rows; dedup_block_removal
+    # (4 greens) and dedup_containment (3) rotate out — LSH stays
+    # repped by six in-window rows
+    "dedup_near_auto_compacted",
+    "dedup_exact_auto_compacted",
+    "stream_near_dup_forget",
+    "stream_exact_forget",
     # similarity search / embedding analytics — round 9 promotes the
     # embedding-side erasure lifecycle and the IVF retrain trigger
     # (sim_topk_brute rotates out after 7 green rounds; serving stays
     # repped by ivfpq/hamming/range + the persisted-IVF rows)
-    "sim_ivfpq_adc",
-    "sim_hamming_topk",
+    # (r10: sim_ivfpq_adc — 4 greens — and sim_hamming_topk — 3 —
+    # rotate out; their serving quality stays in-window through
+    # sim_ann_eval_metrics, which scores BOTH against brute ground
+    # truth; range search keeps the metric-range family)
     "sim_range_search",
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
     "sim_ivf_forget",
     "sim_ivf_drift_stats",
+    # round-10 promotions: the retrain lifecycle (execution + the
+    # epoch-2 cycle that makes GC driver-checkable), streaming erasure
+    # on the vector side, and the ANN serving-quality dashboard
+    "sim_ivf_retrain",
+    "sim_ivf_retrain_epoch2",
+    "stream_ivf_forget",
+    "sim_ann_eval_metrics",
+    # (r10: emb_label_propagation — 4 greens — rotates out; the
+    # embedding-ML family stays repped by emb_knn_graph)
     "emb_knn_graph",
-    "emb_label_propagation",
     # text analysis / quality / data selection (r9: text_bigram_lm_nll
     # rotates out after 5 green rounds — the bigram LM stays exercised
     # in-window through ccnet_perplexity_buckets, which scores with it)
-    "text_bm25_topk",
-    "dsir_importance_weights",
+    # (r10: text_bm25_topk — 4 greens — rotates out, BM25 stays
+    # in-window composed inside retrieval_rrf_fusion;
+    # dsir_importance_weights — 6 greens — rotates out, the weights
+    # stay exercised through dsir_select_topk which selects on them)
     "dsir_select_topk",
     "quality_c4_rules",
     "quality_classifier_score",
     "ccnet_perplexity_buckets",
-    # tokenizer training: counts -> merges -> corpus encode, all three
-    # stages now in-window
-    "bpe_pair_counts",
+    # tokenizer training (r10: bpe_pair_counts — 5 greens — rotates
+    # out; counts stay exercised as stage 1 of bpe_train_merges)
     "bpe_train_merges",
     "bpe_encode_corpus",
     # multimodal (r7: mm_payload_dedup rotates out after three green
@@ -347,32 +364,16 @@ _CURATED_WINDOW = (
 # timeseries_gapfill (8), stats_summary (8), dedup_exact (8),
 # dedup_minhash_survivors (8), dedup_incremental_near (3),
 # sim_topk_brute (7), text_bigram_lm_nll (5).
-# Queued round-10 window candidates (registered, verify_driver-checked,
-# benched, property-covered — awaiting a driver slot):
-# sim_ivf_retrain (round-9-new: the retrain EXECUTION the drift trigger
-# calls for — one Lloyd refresh over the current corpus, full
-# reassignment, versioned rebuild-and-swap, old version readable until
-# the pointer bump);
-# dedup_near_auto_compacted (round-9-new: two-batch admission with the
-# LSM size-ratio fold firing mid-run — compaction proven invisible to
-# every verdict under the oracle hash);
-# dedup_exact_auto_compacted (round-9-new: the exact gate's sibling,
-# riding the duplicate-tolerant probe so even the fold's crash window
-# is verdict-invariant);
-# sim_ivf_retrain_epoch2 (round-9-new: two full lifecycle turns —
-# retrain, GC promote, retrain — served from epoch 2; the row that
-# makes gc_ivf_versions driver-checkable);
-# stream_near_dup_forget (round-9-new: STREAMING ERASURE —
-# right-to-be-forgotten waves arriving as micro-batches, each wave's
-# docs invisible to the very next serve; the erasure-latency guarantee
-# the batch forget query can't state);
-# sim_ann_eval_metrics (round-9-new: the serving-quality dashboard —
-# recall/MRR/nDCG of every ANN variant vs brute ground truth, oracles
-# composed from the registered variant oracles);
-# stream_exact_forget / stream_ivf_forget (round-9-new: the streaming-
-# erasure siblings completing erasure-as-a-stream across all three
-# index families — implicit-refcount semantics per wave on the exact
-# side, frozen-centroid serves between waves on the vector side).
+# Rotated in round 10 (VERDICT r9 #1): all eight round-9-new operators
+# promoted — sim_ivf_retrain, sim_ivf_retrain_epoch2,
+# dedup_near_auto_compacted, dedup_exact_auto_compacted,
+# stream_near_dup_forget, stream_exact_forget, stream_ivf_forget,
+# sim_ann_eval_metrics. Displaced (each 3+ driver-green rounds, every
+# family keeps >=1 in-window rep, all stay registered +
+# verify_driver-checked): dedup_block_removal (4 greens),
+# dedup_containment (3), sim_ivfpq_adc (4), sim_hamming_topk (3),
+# emb_label_propagation (4), text_bm25_topk (4), bpe_pair_counts (5),
+# dsir_importance_weights (6).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,10 +83,13 @@ HAVING count(DISTINCT {{ column_name }}) = 1
 {% endtest %}
 
 {# dbt_utils.expression_is_true generic test: rows where the expression
-   does not hold (NULL counts as not-true, matching upstream) #}
+   does not hold. Upstream uses `where not(expression)`, under which a
+   NULL-valued expression filters OUT (NULL passes the test) — matched
+   exactly here (ADVICE r9: the earlier coalesce(.., false) silently
+   failed NULL rows, a stricter deviation from dbt_utils) #}
 {% test expression_is_true(model, expression) %}
 SELECT * FROM {{ model }}
-WHERE NOT coalesce(({{ expression }}), false)
+WHERE NOT ({{ expression }})
 {% endtest %}
 
 {# dbt_utils.unique_combination_of_columns generic test: combinations

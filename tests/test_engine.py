@@ -1921,6 +1921,73 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_recover_staged_partial_stage_not_adopted(spark, tmp_path):
+    """ADVICE r9 #1: an orphaned ``__staged`` dir WITHOUT the _SUCCESS
+    marker is a crash-during-stage-write remnant — the live table is
+    still the complete source of truth, so recovery must CLEAR the
+    partial stage and leave the live table untouched (replaying it
+    would lose every kept row the incomplete write missed). A complete
+    orphan stage (_SUCCESS present) still replays."""
+    import os
+    import shutil
+
+    from dbt_bigquery_udf_spark.operators.index_store import (
+        db_location,
+        recover_staged,
+    )
+
+    db = "t_recstage_db"
+    _drop_index_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "id int"
+    ).write.format("parquet").saveAsTable(f"{db}.live")
+    path = db_location(spark, db).removeprefix("file:")
+    # crash DURING the stage write: part-file present, NO _SUCCESS
+    scratch = str(tmp_path / "partial_src")
+    spark.createDataFrame([(99,)], "id int").write.parquet(scratch)
+    sdir = os.path.join(path, "live__staged")
+    os.makedirs(sdir)
+    for f in os.listdir(scratch):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(scratch, f), os.path.join(sdir, f))
+    assert not os.path.isfile(os.path.join(sdir, "_SUCCESS"))
+    assert recover_staged(spark, db, ("live",)) == []
+    assert spark.table(f"{db}.live").count() == 10  # live untouched
+    assert not os.path.isdir(sdir)  # stale partial stage cleared
+    # a COMPLETE orphan stage (job-committed: _SUCCESS present) replays
+    spark.createDataFrame([(42,)], "id int").write.parquet(sdir)
+    assert os.path.isfile(os.path.join(sdir, "_SUCCESS"))
+    assert recover_staged(spark, db, ("live",)) == ["live"]
+    assert [r.id for r in spark.table(f"{db}.live").collect()] == [42]
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_rt_pointer_bump_on_adopted_external_table(spark, sf_small):
+    """ADVICE r9 #2: completing the retrain swap from a FRESH session —
+    the _rt database adopted through ``ensure_tables`` registers
+    ``live_version`` as EXTERNAL, where a bare
+    ``mode('overwrite').saveAsTable`` dies with
+    LOCATION_ALREADY_EXISTS (drop keeps the files, managed re-create
+    collides). The clear-then-write pointer helper must succeed and the
+    crash window (pointer says 1, v2 complete) must finish the swap."""
+    from dbt_bigquery_udf_spark.operators import similarity as S
+
+    db = S._rt_db(sf_small)
+    _drop_index_db(spark, db)
+    out = S.retrain_ivf_index(spark, sf_small)
+    assert out["live"] == 2
+    # rewind the pointer to 1 (the pre-swap crash state: v2 committed,
+    # bump never ran), then simulate the fresh session
+    S._rt_set_live_version(spark, db, 1)
+    _wipe_catalog_keep_files(spark, db)
+    # the retrain entry point re-adopts everything EXTERNAL and must
+    # complete the swap through the adopted pointer table
+    out2 = S.retrain_ivf_index(spark, sf_small)
+    assert out2 == {"v1": "reused", "v2": "reused", "live": 2}
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_exact_ledger_crash_repair(spark, sf_small):
     """ADVICE r7 (crash-safety): the verdicts ledger is the write-ahead
     record — if a crash loses the hashes append (simulated here by

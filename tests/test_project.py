@@ -2041,6 +2041,37 @@ def test_dbt_utils_introspective_macros_e2e(spark, sf_small, tmp_path):
     assert wire.amount is None and "refunds" in wire._dbt_source_relation
 
 
+def test_dbt_utils_expression_is_true_null_passes(spark, sf_small, tmp_path):
+    """Upstream NULL semantics (ADVICE r9): expression_is_true is
+    ``WHERE NOT (expr)`` — a row where the expression is NULL filters
+    OUT (i.e. PASSES the test), matching dbt-labs/dbt_utils' own
+    ``where not(expression)``; only definitively-FALSE rows fail."""
+    root = str(tmp_path / "nullproj")
+    _write(root, "dbt_project.yml", "name: nullproj\n")
+    _write(root, "packages.yml",
+           "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
+    _write(root, "models/nullable_vals.sql",
+           "{{ config(materialized='table', schema='datamart', dialect='spark') }}\n"
+           "SELECT x FROM VALUES (1), (CAST(NULL AS INT)), (-1) AS t(x)\n")
+    _write(root, "models/schema.yml",
+           """\
+           version: 2
+           models:
+             - name: nullable_vals
+               tests:
+                 - expression_is_true:
+                     expression: "x > 0"
+           """)
+    proj = load_project(root)
+    engine = prepared_engine(spark, sf_small)
+    engine.register(*proj.models, replace=True)
+    engine.build(select=["nullable_vals"], fail_fast=True)
+    results = {r.test.name: r for r in run_tests(spark, engine, proj.tests)}
+    res = results["expression_is_true_nullable_vals"]
+    # x=1 passes, x=NULL passes (upstream), only x=-1 fails
+    assert not res.passed and res.n_failures == 1
+
+
 def test_dbt_utils_tier2_package(spark, sf_small, tmp_path):
     """Round-9 dbt_utils tier 2 (VERDICT r8 #8): the hub mirror's
     date_spine drives an end-to-end model through group_by; unpivot

@@ -1377,53 +1377,65 @@ def _admit_batch_df(
     base across runs must leave this off."""
     if write_db is None:
         write_db = db if isinstance(db, str) else db[-1]
+    from .lease import maintenance_lease
+
     sigs = _doc_signatures(batch_docs)
     sigs.persist()
     try:
-        # localCheckpoint, not persist: the appends below write tables
-        # the verdict plan READS, and Spark invalidates cached plans
-        # that reference a written table — a persisted frame would
-        # silently RECOMPUTE against the post-append index on its next
-        # action (docs then match THEMSELVES at jaccard 1.0; caught by
-        # the streaming gate's oracle). Checkpointing truncates the
-        # lineage to the materialized blocks, so the verdicts are
-        # immutable from here on.
-        verdicts = _score_batch_vs_index(
-            spark, db, sigs, anchor_docs=batch_docs
-        ).localCheckpoint(eager=True)
-        admitted = verdicts.filter(~F.col("is_near_dup")).select(
-            F.col("new_id").alias("doc_id")
-        )
-        adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
-        # Append ORDER is the crash-safety contract (ADVICE r7): the
-        # per-batch idempotency marker is the batch's presence in SIGS
-        # (_near_index_has_batch), so bands must land first. A crash
-        # between the two appends then replays the whole admission —
-        # the duplicate bands rows are harmless (candidate generation
-        # is DISTINCT on (new_id, idx_id), and scoring requires a sigs
-        # row, so half-admitted ids can't self-match) — whereas the old
-        # sigs-first order left band rows permanently missing and those
-        # docs undiscoverable by every future batch.
-        _band_long(adm_sigs).write.format("parquet").mode("append").saveAsTable(
-            f"{write_db}.bands"
-        )
-        adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
-            "append"
-        ).saveAsTable(f"{write_db}.sigs")
-        # Invalidate cached file listings so the NEXT batch's
-        # spark.table() sees these appends — inside a foreachBatch loop
-        # the micro-batch session clone otherwise reads a stale file
-        # index and misses matches against just-admitted docs (caught by
-        # the streaming gate's oracle at sf0.01).
-        spark.catalog.refreshTable(f"{write_db}.sigs")
-        spark.catalog.refreshTable(f"{write_db}.bands")
-        if (
-            auto_compact_ratio is not None
-            and not isinstance(db, str)
-            and len(db) == 2
-            and write_db == db[1]
-        ):
-            maybe_auto_compact(spark, db[0], db[1], auto_compact_ratio)
+        # Cross-process writer exclusion (VERDICT r9 #2): the probe +
+        # append window holds the pair's maintenance lease — keyed on
+        # the BASE layer, the same key the folds use — so a maintainer
+        # in another process can neither truncate the delta between
+        # this append and its fold copy (the lost-admission window) nor
+        # swap tables out from under the probe scan. In-process this
+        # nests reentrantly; at 100 TB the probe-under-lease serializa-
+        # tion is replaced by snapshot-isolated reads (table-format
+        # time travel) with only the append+fold window leased.
+        with maintenance_lease(spark, db if isinstance(db, str) else db[0]):
+            # localCheckpoint, not persist: the appends below write tables
+            # the verdict plan READS, and Spark invalidates cached plans
+            # that reference a written table — a persisted frame would
+            # silently RECOMPUTE against the post-append index on its next
+            # action (docs then match THEMSELVES at jaccard 1.0; caught by
+            # the streaming gate's oracle). Checkpointing truncates the
+            # lineage to the materialized blocks, so the verdicts are
+            # immutable from here on.
+            verdicts = _score_batch_vs_index(
+                spark, db, sigs, anchor_docs=batch_docs
+            ).localCheckpoint(eager=True)
+            admitted = verdicts.filter(~F.col("is_near_dup")).select(
+                F.col("new_id").alias("doc_id")
+            )
+            adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
+            # Append ORDER is the crash-safety contract (ADVICE r7): the
+            # per-batch idempotency marker is the batch's presence in SIGS
+            # (_near_index_has_batch), so bands must land first. A crash
+            # between the two appends then replays the whole admission —
+            # the duplicate bands rows are harmless (candidate generation
+            # is DISTINCT on (new_id, idx_id), and scoring requires a sigs
+            # row, so half-admitted ids can't self-match) — whereas the old
+            # sigs-first order left band rows permanently missing and those
+            # docs undiscoverable by every future batch.
+            _band_long(adm_sigs).write.format("parquet").mode(
+                "append"
+            ).saveAsTable(f"{write_db}.bands")
+            adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
+                "append"
+            ).saveAsTable(f"{write_db}.sigs")
+            # Invalidate cached file listings so the NEXT batch's
+            # spark.table() sees these appends — inside a foreachBatch loop
+            # the micro-batch session clone otherwise reads a stale file
+            # index and misses matches against just-admitted docs (caught by
+            # the streaming gate's oracle at sf0.01).
+            spark.catalog.refreshTable(f"{write_db}.sigs")
+            spark.catalog.refreshTable(f"{write_db}.bands")
+            if (
+                auto_compact_ratio is not None
+                and not isinstance(db, str)
+                and len(db) == 2
+                and write_db == db[1]
+            ):
+                maybe_auto_compact(spark, db[0], db[1], auto_compact_ratio)
         return verdicts
     finally:
         sigs.unpersist()
@@ -1947,12 +1959,18 @@ def compact_near_dup_index(
     from ..catalog import catalog_lock
 
     from .index_store import recover_staged, staged_overwrite
+    from .lease import maintenance_lease
 
-    with catalog_lock:
+    # cross-process writer exclusion (VERDICT r9 #2): the layered pair
+    # shares ONE lease, keyed on the base — admissions take the same
+    # key, so a concurrent maintainer in another JVM can't truncate a
+    # delta out from under a mid-flight admission append
+    with catalog_lock, maintenance_lease(spark, base_db) as lease:
         recover_staged(spark, base_db, _NEAR_IDX_TABLES)
         n_sigs = spark.table(f"{delta_db}.sigs").count()
         n_bands = spark.table(f"{delta_db}.bands").count()
         if n_sigs:
+            lease.check()  # fence before the copy/truncate window
             spark.table(f"{delta_db}.sigs").write.format("parquet").mode(
                 "append"
             ).saveAsTable(f"{base_db}.sigs")
@@ -1970,6 +1988,8 @@ def compact_near_dup_index(
             n_tombs = tombs.count()
             if n_tombs:
                 for t in _NEAR_IDX_TABLES:
+                    lease.renew()  # heartbeat between table swaps
+                    lease.check()  # fence before each staged swap
                     kept = spark.table(f"{base_db}.{t}").join(
                         F.broadcast(tombs), "doc_id", "left_anti"
                     )
@@ -2248,7 +2268,12 @@ def forget_near_dup_docs(spark: SparkSession, db: str, doc_ids) -> int:
             "parquet"
         ).saveAsTable(f"{db}.tombstones")
 
-    with catalog_lock:
+    from .lease import maintenance_lease
+
+    # lease: a concurrent fold in another process truncates tombstones
+    # after folding them — an unleased append landing in that window
+    # would be truncated WITHOUT ever being folded (erasure lost)
+    with catalog_lock, maintenance_lease(spark, db):
         ensure_tables(
             spark,
             db,
@@ -2597,45 +2622,54 @@ def _admit_exact_batch_df(
     its own hash."""
     from pyspark.sql import Window as W
 
-    batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
-    state = None
-    for db in dbs:
-        t = spark.table(f"{db}.hashes").select("h")
-        state = t if state is None else state.unionByName(t)
-    ranked = batch.withColumn(
-        "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
-    )
-    hit = (
-        batch.join(state, "h", "left_semi")
-        .select("doc_id")
-        .withColumn("hit", F.lit(True))
-    )
-    verdicts = (
-        ranked.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(F.col("hit"), F.lit(False)) | (F.col("rk") > 1)
-            ).alias("is_dup"),
-            "h",
+    # lease on the BASE layer (same key as the fold), held across the
+    # probe + append: a cross-process maintainer can neither truncate
+    # this delta between append and fold copy nor swap the state tables
+    # out from under the probe scan (see _admit_batch_df)
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, dbs[0]):
+        for db in dbs:
+            spark.catalog.refreshTable(f"{db}.hashes")
+        batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
+        state = None
+        for db in dbs:
+            t = spark.table(f"{db}.hashes").select("h")
+            state = t if state is None else state.unionByName(t)
+        ranked = batch.withColumn(
+            "rk", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
         )
-        .localCheckpoint(eager=True)
-    )
-    (
-        verdicts.filter(~F.col("is_dup") & F.col("h").isNotNull())
-        .select("h")
-        .distinct()
-        .write.format("parquet")
-        .mode("append")
-        .saveAsTable(f"{write_db}.hashes")
-    )
-    spark.catalog.refreshTable(f"{write_db}.hashes")
-    if (
-        auto_compact_ratio is not None
-        and len(dbs) == 2
-        and write_db == dbs[1]
-    ):
-        maybe_auto_compact_exact(spark, dbs[0], dbs[1], auto_compact_ratio)
+        hit = (
+            batch.join(state, "h", "left_semi")
+            .select("doc_id")
+            .withColumn("hit", F.lit(True))
+        )
+        verdicts = (
+            ranked.join(hit, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("hit"), F.lit(False)) | (F.col("rk") > 1)
+                ).alias("is_dup"),
+                "h",
+            )
+            .localCheckpoint(eager=True)
+        )
+        (
+            verdicts.filter(~F.col("is_dup") & F.col("h").isNotNull())
+            .select("h")
+            .distinct()
+            .write.format("parquet")
+            .mode("append")
+            .saveAsTable(f"{write_db}.hashes")
+        )
+        spark.catalog.refreshTable(f"{write_db}.hashes")
+        if (
+            auto_compact_ratio is not None
+            and len(dbs) == 2
+            and write_db == dbs[1]
+        ):
+            maybe_auto_compact_exact(spark, dbs[0], dbs[1], auto_compact_ratio)
     return verdicts
 
 
@@ -2650,10 +2684,15 @@ def compact_exact_index(
     rank computed on the batch alone, membership a semi-join), so
     mid-crash readers still get one verdict row per doc with the same
     values, and the next fold's left_anti completes the truncation
-    without re-appending. Returns the moved row count."""
+    without re-appending. Returns the moved row count. Runs under the
+    pair's cross-process maintenance lease (keyed on the base, same key
+    admissions take), fencing the copy/truncate window against a
+    concurrent maintainer in another JVM."""
     from ..catalog import catalog_lock
 
-    with catalog_lock:
+    from .lease import maintenance_lease
+
+    with catalog_lock, maintenance_lease(spark, base_db) as lease:
         fresh = (
             spark.table(f"{delta_db}.hashes")
             .join(spark.table(f"{base_db}.hashes"), "h", "left_anti")
@@ -2661,6 +2700,7 @@ def compact_exact_index(
         )
         n = fresh.count()
         if n:
+            lease.check()  # fence before the copy/truncate window
             fresh.write.format("parquet").mode("append").saveAsTable(
                 f"{base_db}.hashes"
             )
@@ -2905,12 +2945,14 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
     ids is a no-op), and the rewrite itself is crash-durable via
     ``staged_overwrite`` — kept rows are fully staged before the live
     table is touched, with ``recover_staged`` replaying any interrupted
-    swap — like the near-dup and IVF folds."""
+    swap — like the near-dup and IVF folds. Runs under the index's
+    cross-process maintenance lease, fenced before the swap."""
     from ..catalog import catalog_lock
 
     from .index_store import recover_staged, staged_overwrite
+    from .lease import maintenance_lease
 
-    with catalog_lock:
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         recover_staged(spark, db, ("doc_hashes",))
         n_tombs = 0
         if spark.catalog.tableExists(f"{db}.tombstones"):
@@ -2919,6 +2961,7 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
             )
             n_tombs = tombs.count()
             if n_tombs:
+                lease.check()  # fence before the staged swap
                 kept = spark.table(f"{db}.doc_hashes").join(
                     F.broadcast(tombs), "doc_id", "left_anti"
                 )

@@ -2433,7 +2433,11 @@ def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
             "parquet"
         ).saveAsTable(f"{db}.tombstones")
 
-    with catalog_lock:
+    from .lease import maintenance_lease
+
+    # lease: see forget_near_dup_docs — an unleased append racing a
+    # concurrent fold's tombstone truncate would lose the erasure
+    with catalog_lock, maintenance_lease(spark, db):
         ensure_tables(
             spark,
             db,
@@ -2464,12 +2468,14 @@ def compact_ivf_index(spark: SparkSession, db: str) -> dict:
     staged before the live table is touched; ``recover_staged`` replays
     an interrupted swap). At 100 TB the rewrite is partition-scoped:
     assign is partitioned by cid (the inverted list), and only lists
-    holding erased ids rewrite."""
+    holding erased ids rewrite. Runs under the index's cross-process
+    maintenance lease, fenced before the swap."""
     from ..catalog import catalog_lock
 
     from .index_store import recover_staged, staged_overwrite
+    from .lease import maintenance_lease
 
-    with catalog_lock:
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         recover_staged(spark, db, ("assign",))
         n_tombs = 0
         if spark.catalog.tableExists(f"{db}.tombstones"):
@@ -2478,6 +2484,7 @@ def compact_ivf_index(spark: SparkSession, db: str) -> dict:
             )
             n_tombs = tombs.count()
             if n_tombs:
+                lease.check()  # fence before the staged swap
                 kept = spark.table(f"{db}.assign").join(
                     F.broadcast(tombs), "vec_id", "left_anti"
                 )
@@ -2714,11 +2721,16 @@ def upsert_ivf_vectors(spark: SparkSession, sf_dir: str) -> str:
     append to the assignment relation. Idempotent: if the index already
     holds any arriving vector, the upsert already ran. This is how
     production vector stores absorb writes between periodic retrains —
-    centroids stay frozen, lists grow."""
+    centroids stay frozen, lists grow. The append takes the index's
+    cross-process maintenance lease: racing a concurrent fold's staged
+    assign rewrite would drop rows appended between the fold's kept-set
+    read and its swap."""
     from ..catalog import catalog_lock
 
+    from .lease import maintenance_lease
+
     db = _ivf_index_db(sf_dir) + "_up"
-    with catalog_lock:
+    with catalog_lock, maintenance_lease(spark, db):
         done = (
             spark.table(f"{db}.assign")
             .filter(F.col("vec_id") % IVF_UPSERT_MOD == 0)
@@ -3161,14 +3173,21 @@ def retrain_ivf_index(
         finally:
             e.unpersist()
 
-    r2 = ensure_tables(
-        spark, db, _RT_V2_TABLES, _build_v2, expect=_RT_SCHEMA
-    )
-    with catalog_lock:
-        if _rt_live_version(spark, db) < 2 or not spark.table(
-            f"{db}.live_version"
-        ).count():
-            _rt_set_live_version(spark, db, 2)
+    # v2 build + pointer bump under the cross-process maintenance lease:
+    # two concurrent retrainers in separate JVMs would otherwise race
+    # the clear/saveAsTable windows of the version tables and the swap
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, db) as lease:
+        r2 = ensure_tables(
+            spark, db, _RT_V2_TABLES, _build_v2, expect=_RT_SCHEMA
+        )
+        with catalog_lock:
+            if _rt_live_version(spark, db) < 2 or not spark.table(
+                f"{db}.live_version"
+            ).count():
+                lease.check()  # fence before the pointer swap
+                _rt_set_live_version(spark, db, 2)
     return {"v1": r1, "v2": r2, "live": _rt_live_version(spark, db)}
 
 
@@ -3202,11 +3221,12 @@ def gc_ivf_versions(
     from ..catalog import catalog_lock
 
     from .index_store import clear_tables, staged_overwrite
+    from .lease import maintenance_lease
 
     db = db or _rt_db(sf_dir)
-    with catalog_lock:
-        if not spark.catalog.databaseExists(db):
-            return {"gc": "noop"}
+    if not spark.catalog.databaseExists(db):
+        return {"gc": "noop"}
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         have_v2 = all(
             spark.catalog.tableExists(f"{db}.{t}") for t in _RT_V2_TABLES
         )
@@ -3222,12 +3242,15 @@ def gc_ivf_versions(
             return {"gc": "noop"}
         if _rt_live_version(spark, db) != 2:
             return {"gc": "noop"}
+        lease.check()  # fence before the promote/drop/reset sequence
         staged_overwrite(
             spark, db, "centroids_v1", spark.table(f"{db}.centroids_v2")
         )
+        lease.renew()  # heartbeat between table swaps
         staged_overwrite(
             spark, db, "assign_v1", spark.table(f"{db}.assign_v2")
         )
+        lease.check()  # fence before the irreversible v2 drop
         clear_tables(spark, db, _RT_V2_TABLES)
         _rt_set_live_version(spark, db, 1)
         return {"gc": "promoted"}

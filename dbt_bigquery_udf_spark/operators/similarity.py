@@ -3086,6 +3086,32 @@ def _rt_set_live_version(spark: SparkSession, db: str, version: int) -> None:
     spark.catalog.refreshTable(f"{db}.live_version")
 
 
+def _rt_ensure_v1(spark: SparkSession, sf_dir: str, db: str) -> str:
+    """Bootstrap the versioned-index database's v1 slot from the shared
+    ``_up`` artifact (owned-split training + frozen-centroid upserts)
+    with a pointer at 1 — shared by :func:`retrain_ivf_index` and the
+    policy gate :func:`maybe_retrain_ivf` (whose skip branch must still
+    have a live version to serve from)."""
+    from .index_store import ensure_tables
+
+    up = _ivf_index_db(sf_dir) + "_up"
+
+    def _build_v1() -> None:
+        build_ivf_base_index(spark, sf_dir)
+        upsert_ivf_vectors(spark, sf_dir)
+        spark.table(f"{up}.centroids").write.format("parquet").saveAsTable(
+            f"{db}.centroids_v1"
+        )
+        spark.table(f"{up}.assign").write.format("parquet").saveAsTable(
+            f"{db}.assign_v1"
+        )
+        spark.createDataFrame([(1,)], "version int").write.format(
+            "parquet"
+        ).saveAsTable(f"{db}.live_version")
+
+    return ensure_tables(spark, db, _RT_V1_TABLES, _build_v1, expect=_RT_SCHEMA)
+
+
 def retrain_ivf_index(
     spark: SparkSession, sf_dir: str, db: str | None = None
 ) -> dict:
@@ -3123,24 +3149,7 @@ def retrain_ivf_index(
     from .index_store import ensure_tables
 
     db = db or _rt_db(sf_dir)
-    up = _ivf_index_db(sf_dir) + "_up"
-
-    def _build_v1() -> None:
-        build_ivf_base_index(spark, sf_dir)
-        upsert_ivf_vectors(spark, sf_dir)
-        spark.table(f"{up}.centroids").write.format("parquet").saveAsTable(
-            f"{db}.centroids_v1"
-        )
-        spark.table(f"{up}.assign").write.format("parquet").saveAsTable(
-            f"{db}.assign_v1"
-        )
-        spark.createDataFrame([(1,)], "version int").write.format(
-            "parquet"
-        ).saveAsTable(f"{db}.live_version")
-
-    r1 = ensure_tables(
-        spark, db, _RT_V1_TABLES, _build_v1, expect=_RT_SCHEMA
-    )
+    r1 = _rt_ensure_v1(spark, sf_dir, db)
 
     def _build_v2() -> None:
         e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
@@ -3256,11 +3265,12 @@ def gc_ivf_versions(
         return {"gc": "promoted"}
 
 
-def _duck_ivf_retrain() -> str:
-    """Oracle: the drift oracle's chain (owned-split training, frozen
-    full-corpus assignment sa, ONE refresh -> cr, reassignment -> ra),
-    then the standard nprobe serve against the RETRAINED index, with
-    ``moved`` = the served vector changed inverted lists in the swap."""
+def _duck_rt_chain_ctes() -> list[str]:
+    """Shared oracle CTE chain for the retrain family: owned-split
+    training (c0..c{R}), frozen full-corpus assignment ``sa`` (= the v1
+    assign), ONE Lloyd refresh -> ``cr`` (= the v2 centroids), the
+    reassignment ``ra`` (= the v2 assign), and the query vector ``q``.
+    Callers append their own probe/serve CTEs."""
     R = KMEANS_TRAIN_ROUNDS
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
@@ -3307,6 +3317,16 @@ def _duck_ivf_retrain() -> str:
     )""",
         "ra AS (SELECT vec_id, CAST(substr(p, 17, 5) AS INT) AS cid FROM pr)",
         f"q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+    ]
+    return ctes
+
+
+def _duck_ivf_retrain() -> str:
+    """Oracle: the drift oracle's chain (owned-split training, frozen
+    full-corpus assignment sa, ONE refresh -> cr, reassignment -> ra),
+    then the standard nprobe serve against the RETRAINED index, with
+    ``moved`` = the served vector changed inverted lists in the swap."""
+    ctes = _duck_rt_chain_ctes() + [
         f"""probes AS (
       SELECT c.cid FROM cr c, q
       ORDER BY (list_dot_product(c.cv, q.qv) /
@@ -3557,6 +3577,202 @@ def sim_ivf_retrain_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
     )
+
+
+# -- retrain POLICY: drift stats decide whether to execute the retrain -------
+
+RETRAIN_POLICY_SKIP_THR = 2.0  # unreachable: pins the no-op branch
+RETRAIN_POLICY_GO_THR = 0.0  # always met: pins the retrain branch
+
+
+def maybe_retrain_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str | None = None,
+    threshold: float = DRIFT_RETRAIN_THRESHOLD,
+) -> dict:
+    """POLICY gate closing the trigger->execute loop (VERDICT r9 #5) —
+    the vector-side analogue of the dedup side's LSM trigger
+    (:func:`dedup.maybe_auto_compact`): measure the GLOBAL churn
+    fraction the drift dashboard reports (what fraction of the corpus
+    would change inverted lists under one Lloyd refresh over the
+    current corpus) and EXECUTE :func:`retrain_ivf_index` only when it
+    reaches ``threshold``; below it the current live version keeps
+    serving untouched. Decision input and execution share the same
+    refresh math, so trigger and retrain can run in one maintenance
+    window — at 100 TB the no-op branch costs exactly the dashboard's
+    one corpus scan + k x 64 partial agg, and the retrain branch adds
+    one reassignment scan + two table writes + a pointer flip.
+
+    Returns ``{"decision": "retrain"|"skip", "churn_frac": float,
+    "live": int}``.
+    """
+    db = db or _rt_db(sf_dir)
+    _rt_ensure_v1(spark, sf_dir, db)  # skip branch still needs a live v1
+    stats = sim_ivf_drift_stats(spark, sf_dir)
+    tot = stats.agg(
+        F.sum("n_vecs").alias("n"), F.sum("n_churned").alias("c")
+    ).head()
+    churn = float(tot["c"] or 0) / max(int(tot["n"] or 0), 1)
+    if churn >= threshold:
+        out = retrain_ivf_index(spark, sf_dir, db=db)
+        return {"decision": "retrain", "churn_frac": churn, "live": out["live"]}
+    return {
+        "decision": "skip",
+        "churn_frac": churn,
+        "live": _rt_live_version(spark, db),
+    }
+
+
+def _duck_retrain_policy() -> str:
+    """Oracle: the retrain chain's global churn fraction (``sa`` vs
+    ``ra``) drives BOTH branch decisions, the skip branch serves from
+    the frozen v1 index (probes from c{{R}}, membership via sa), the
+    retrain branch from the refreshed one (probes from cr, membership
+    via ra, ``moved`` = list change) — the engine's two policy calls
+    stated as one UNION."""
+    R = KMEANS_TRAIN_ROUNDS
+    cos = (
+        "(list_dot_product({a}, q.qv) /"
+        " nullif(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product(q.qv, q.qv)), 0))"
+    )
+    ctes = _duck_rt_chain_ctes() + [
+        """churn AS (
+      SELECT round(CAST(SUM(CASE WHEN ra.cid <> sa.cid THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 4) AS cfr,
+             CAST(SUM(CASE WHEN ra.cid <> sa.cid THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS cf
+      FROM ra JOIN sa USING (vec_id)
+    )""",
+        f"""probes_v1 AS (
+      SELECT c.cid FROM c{R} c, q
+      ORDER BY {cos.format(a='c.cv')} DESC, c.cid LIMIT {IVF_NPROBE}
+    )""",
+        f"""probes_v2 AS (
+      SELECT c.cid FROM cr c, q
+      ORDER BY {cos.format(a='c.cv')} DESC, c.cid LIMIT {IVF_NPROBE}
+    )""",
+        f"""skip_serve AS (
+      SELECT e.vec_id, round({cos.format(a='e.emb')}, 4) AS cosine
+      FROM e JOIN sa USING (vec_id), q
+      WHERE sa.cid IN (SELECT cid FROM probes_v1)
+        AND e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
+    )""",
+        f"""go_serve AS (
+      SELECT e.vec_id, round({cos.format(a='e.emb')}, 4) AS cosine,
+             (ra.cid <> sa.cid) AS moved
+      FROM e JOIN ra USING (vec_id) JOIN sa USING (vec_id), q
+      WHERE ra.cid IN (SELECT cid FROM probes_v2)
+        AND e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT 'skip' AS branch, {RETRAIN_POLICY_SKIP_THR} AS thr,
+           churn.cfr AS churn_frac,
+           (churn.cf >= {RETRAIN_POLICY_SKIP_THR}) AS retrained,
+           vec_id, cosine, FALSE AS moved
+    FROM skip_serve, churn
+    UNION ALL
+    SELECT 'retrain' AS branch, {RETRAIN_POLICY_GO_THR} AS thr,
+           churn.cfr AS churn_frac,
+           (churn.cf >= {RETRAIN_POLICY_GO_THR}) AS retrained,
+           vec_id, cosine, moved
+    FROM go_serve, churn
+    ORDER BY branch, cosine DESC, vec_id
+    """
+    )
+
+
+@register("sim_ivf_retrain_policy", _duck_retrain_policy())
+def sim_ivf_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH branches of the retrain policy gate, driver-checkable
+    (VERDICT r9 #5): run :func:`maybe_retrain_ivf` twice against
+    dedicated versioned databases — once with an unreachable threshold
+    (the measured churn stays below it: NO retrain, the frozen v1 index
+    keeps serving, every ``moved`` false) and once with a zero
+    threshold (the churn meets it: the retrain EXECUTES and the serve
+    comes from the refreshed v2 index) — then serve the standard
+    top-{TOP_K} query from each database's LIVE version. Emits
+    (branch, thr, churn_frac, retrained, vec_id, cosine, moved); the
+    oracle recomputes the decision INPUT (global churn) from the same
+    refresh chain, so a policy that misreads its own dashboard
+    hash-mismatches.
+
+    Thresholds are sentinels (2.0 / 0.0) so both branches replay
+    deterministically at every scale factor; production calls
+    ``maybe_retrain_ivf`` with the default
+    {DRIFT_RETRAIN_THRESHOLD:.0%} churn threshold in the maintenance
+    window. Scale: the skip branch costs the drift measurement alone;
+    the retrain branch adds the rebuild-and-swap (see
+    :func:`retrain_ivf_index`); both serves stay nprobe-bounded.
+    """
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    branches = (
+        ("skip", RETRAIN_POLICY_SKIP_THR, "_ps"),
+        ("retrain", RETRAIN_POLICY_GO_THR, "_pg"),
+    )
+    out = None
+    for branch, thr, suffix in branches:
+        db = _ivf_index_db(sf_dir) + suffix
+        dec = maybe_retrain_ivf(spark, sf_dir, db=db, threshold=thr)
+        assert (dec["decision"] == "retrain") == (branch == "retrain")
+        v = dec["live"]
+        probes = (
+            spark.table(f"{db}.centroids_v{v}")
+            .withColumn("qv", q_lit)
+            .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
+            .orderBy(F.col("csim").desc(), "cid")
+            .limit(IVF_NPROBE)
+            .select("cid")
+        )
+        cand = spark.table(f"{db}.assign_v{v}").join(
+            F.broadcast(probes), "cid", "left_semi"
+        )
+        served = (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .join(cand, "vec_id", "left_semi")
+            .withColumn("qv", q_lit)
+            .select(
+                "vec_id",
+                F.round(F.expr(_cosine_expr("emb", "qv")), 4).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(TOP_K)
+        )
+        if v > 1:
+            old = spark.table(f"{db}.assign_v1").withColumnRenamed(
+                "cid", "cid_v1"
+            )
+            new = spark.table(f"{db}.assign_v{v}").withColumnRenamed(
+                "cid", "cid_new"
+            )
+            served = (
+                served.join(old, "vec_id")
+                .join(new, "vec_id")
+                .withColumn(
+                    "moved", F.col("cid_new") != F.col("cid_v1")
+                )
+                .drop("cid_v1", "cid_new")
+            )
+        else:
+            served = served.withColumn("moved", F.lit(False))
+        labeled = served.select(
+            F.lit(branch).alias("branch"),
+            F.lit(float(thr)).alias("thr"),
+            F.round(F.lit(dec["churn_frac"]), 4).alias("churn_frac"),
+            F.lit(dec["decision"] == "retrain").alias("retrained"),
+            "vec_id",
+            "cosine",
+            "moved",
+        )
+        out = labeled if out is None else out.unionByName(labeled)
+    return out.orderBy("branch", F.col("cosine").desc(), "vec_id")
 
 
 # -- ANN serving-quality metrics: recall / MRR / nDCG vs brute force ---------

@@ -1921,6 +1921,34 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_maybe_retrain_ivf_policy_branches(spark, sf_small):
+    """VERDICT r9 #5: the policy gate proves BOTH branches — below the
+    churn threshold the retrain is a no-op (v1 keeps serving, no v2
+    materialized, repeat calls idempotent); at/above it the versioned
+    rebuild-and-swap executes and the pointer lands on 2. The decision
+    input (global churn) is identical across calls."""
+    from dbt_bigquery_udf_spark.operators import similarity as S
+
+    db = S._ivf_index_db(sf_small) + "_polt"
+    _drop_index_db(spark, db)
+    d1 = S.maybe_retrain_ivf(spark, sf_small, db=db, threshold=2.0)
+    assert d1["decision"] == "skip" and d1["live"] == 1
+    assert not spark.catalog.tableExists(f"{db}.centroids_v2")
+    v1_rows = sorted(map(tuple, spark.table(f"{db}.assign_v1").collect()))
+    d1b = S.maybe_retrain_ivf(spark, sf_small, db=db, threshold=2.0)
+    assert d1b["decision"] == "skip" and d1b["live"] == 1
+    assert (
+        sorted(map(tuple, spark.table(f"{db}.assign_v1").collect())) == v1_rows
+    )
+    d2 = S.maybe_retrain_ivf(spark, sf_small, db=db, threshold=0.0)
+    assert d2["decision"] == "retrain" and d2["live"] == 2
+    assert spark.catalog.tableExists(f"{db}.centroids_v2")
+    assert S._rt_live_version(spark, db) == 2
+    # the drift measurement is deterministic across the three calls
+    assert d1["churn_frac"] == d1b["churn_frac"] == d2["churn_frac"]
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_recover_staged_partial_stage_not_adopted(spark, tmp_path):
     """ADVICE r9 #1: an orphaned ``__staged`` dir WITHOUT the _SUCCESS
     marker is a crash-during-stage-write remnant — the live table is

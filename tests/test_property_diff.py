@@ -395,6 +395,10 @@ _EMB_OPS = (
     # serves
     "sim_ivf_retrain",
     "sim_ivf_retrain_epoch2",
+    # round 10: the policy gate — BOTH branches (skip = frozen v1
+    # serve, retrain = refreshed v2 serve) with the decision input
+    # (global churn) recomputed by the oracle on every corpus
+    "sim_ivf_retrain_policy",
 )
 
 # Round 8 (VERDICT r7 #5): the full ANN serving ladder — session
@@ -510,7 +514,7 @@ def test_embedding_ops_parity_on_arbitrary_corpora(spark, prop_dir, vectors):
         # per-example persisted IVF index databases must not leak
         from dbt_bigquery_udf_spark.operators.similarity import _ivf_index_db
 
-        for suffix in ("", "_up", "_fg", "_rt", "_rt_e2"):
+        for suffix in ("", "_up", "_fg", "_rt", "_rt_e2", "_ps", "_pg"):
             spark.sql(
                 f"DROP DATABASE IF EXISTS {_ivf_index_db(ex_dir)}{suffix} CASCADE"
             )

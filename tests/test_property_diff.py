@@ -426,6 +426,10 @@ _EMB_SERVE_OPS = (
     # variant vs brute ground truth; hostile corpora stress < k lists,
     # all-tie rankings, zero-vector NULL-cosine ordering
     "sim_ann_eval_metrics",
+    # round 10: the dial sweep + selection rule — hostile corpora drive
+    # the fallback branch (nothing meets the floor on < k lists) and
+    # all-tie / NULL-cosine orderings through both grids
+    "sim_ann_autotune",
     "emb_outlier_worklist",
 )
 

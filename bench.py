@@ -41,10 +41,14 @@ from dbt_bigquery_udf_spark import queries as Q  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one representative per operator family (reference DAG,
-# TPC-H-style analytics, windows/sessionization, dedup, text,
-# similarity, multimodal). Names must exist in the query registry.
-HEADLINE = [
+# Bench coverage (round 10, VERDICT r9 #7): the FULL registry is
+# benched — _CURATED holds the historical headline ordering (kept so
+# per-query minima stay comparable across round sidecars), and every
+# registered query not in it is appended in registration order at the
+# end of the list below. Registry growth is therefore benched
+# automatically; a name in _CURATED that leaves the registry fails
+# loudly at startup.
+_CURATED = [
     "ref_datamart_e2e",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -159,6 +163,13 @@ HEADLINE = [
     "dedup_exact_auto_compacted",
 ]
 
+# full-registry coverage: every registered query not in the curated
+# prefix, appended in registration order (deterministic)
+HEADLINE = _CURATED + [n for n in Q.QUERIES if n not in set(_CURATED)]
+_unknown = [n for n in _CURATED if n not in Q.QUERIES]
+if _unknown:  # a rename must update the curated prefix
+    raise RuntimeError(f"bench curated names not registered: {_unknown}")
+
 
 _INDEX_DB_PREFIXES = ("dedup_near_idx_", "dedup_exact_idx_", "sim_ivf_idx_")
 
@@ -220,12 +231,22 @@ def main() -> None:
         sf = -1.0
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Reduced-reps tail (VERDICT r9 #7): the curated headline prefix
+    # keeps the full minima protocol; the appended full-registry tail
+    # runs SPARK_GRAFT_BENCH_TAIL_RUNS times (default 1) so complete
+    # coverage doesn't triple the bench wall — tail entries are
+    # coverage/audit rows, cross-round drift is graded on the curated
+    # minima.
+    tail_runs = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_RUNS", "1"))
+    )
+    curated = set(_CURATED)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         per_run: list[float] = []
-        for _ in range(n_runs):
+        for _ in range(n_runs if name in curated else tail_runs):
             t = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             dt = time.perf_counter() - t
@@ -242,7 +263,14 @@ def main() -> None:
     # the 73-entry queries map and overflowed the driver's stdout tail
     # capture ("parsed": null in BENCH_r06) — the LAST stdout line is the
     # one the driver grades, so it must stay short (<~500 bytes).
-    sidecar = {"runs": runs, "queries": timings, "n_runs": n_runs, "sf": sf}
+    sidecar = {
+        "runs": runs,
+        "queries": timings,
+        "n_runs": n_runs,
+        "tail_runs": tail_runs,
+        "n_curated": len(_CURATED),
+        "sf": sf,
+    }
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),

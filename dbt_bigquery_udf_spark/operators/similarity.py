@@ -3585,11 +3585,24 @@ RETRAIN_POLICY_SKIP_THR = 2.0  # unreachable: pins the no-op branch
 RETRAIN_POLICY_GO_THR = 0.0  # always met: pins the retrain branch
 
 
+def _ivf_global_churn(spark: SparkSession, sf_dir: str) -> float:
+    """The retrain policy's decision input: the corpus-global churn
+    fraction from the drift dashboard (one refresh + reassignment —
+    the same scan + k x 64 agg the dashboard pays). Shared so a policy
+    sweep over several thresholds measures ONCE."""
+    stats = sim_ivf_drift_stats(spark, sf_dir)
+    tot = stats.agg(
+        F.sum("n_vecs").alias("n"), F.sum("n_churned").alias("c")
+    ).head()
+    return float(tot["c"] or 0) / max(int(tot["n"] or 0), 1)
+
+
 def maybe_retrain_ivf(
     spark: SparkSession,
     sf_dir: str,
     db: str | None = None,
     threshold: float = DRIFT_RETRAIN_THRESHOLD,
+    churn_frac: float | None = None,
 ) -> dict:
     """POLICY gate closing the trigger->execute loop (VERDICT r9 #5) —
     the vector-side analogue of the dedup side's LSM trigger
@@ -3605,15 +3618,18 @@ def maybe_retrain_ivf(
     one reassignment scan + two table writes + a pointer flip.
 
     Returns ``{"decision": "retrain"|"skip", "churn_frac": float,
-    "live": int}``.
+    "live": int}``. ``churn_frac`` accepts a pre-measured decision
+    input (:func:`_ivf_global_churn`) so a sweep over several
+    thresholds — the registered policy query's shape — pays the drift
+    measurement once, not per call.
     """
     db = db or _rt_db(sf_dir)
     _rt_ensure_v1(spark, sf_dir, db)  # skip branch still needs a live v1
-    stats = sim_ivf_drift_stats(spark, sf_dir)
-    tot = stats.agg(
-        F.sum("n_vecs").alias("n"), F.sum("n_churned").alias("c")
-    ).head()
-    churn = float(tot["c"] or 0) / max(int(tot["n"] or 0), 1)
+    churn = (
+        churn_frac
+        if churn_frac is not None
+        else _ivf_global_churn(spark, sf_dir)
+    )
     if churn >= threshold:
         out = retrain_ivf_index(spark, sf_dir, db=db)
         return {"decision": "retrain", "churn_frac": churn, "live": out["live"]}
@@ -3717,10 +3733,13 @@ def sim_ivf_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("skip", RETRAIN_POLICY_SKIP_THR, "_ps"),
         ("retrain", RETRAIN_POLICY_GO_THR, "_pg"),
     )
+    churn = _ivf_global_churn(spark, sf_dir)  # measured ONCE for the sweep
     out = None
     for branch, thr, suffix in branches:
         db = _ivf_index_db(sf_dir) + suffix
-        dec = maybe_retrain_ivf(spark, sf_dir, db=db, threshold=thr)
+        dec = maybe_retrain_ivf(
+            spark, sf_dir, db=db, threshold=thr, churn_frac=churn
+        )
         assert (dec["decision"] == "retrain") == (branch == "retrain")
         v = dec["live"]
         probes = (

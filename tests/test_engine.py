@@ -1786,6 +1786,8 @@ def _drop_index_db(spark, db):
         "ivf_stream",
         "ivf_rt",
         "forget_stream",
+        "exact_forget_stream",
+        "ivf_forget_stream",
     ],
 )
 def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
@@ -1876,6 +1878,31 @@ def test_persisted_index_warm_warehouse_cycle(spark, sf_small, which):
         dbs = [D._near_index_db(sf_small) + "_fgs"]
         query, reuse = "stream_near_dup_forget", (
             lambda: D.build_near_dup_index(spark, sf_small, db=dbs[0])
+        )
+    elif which == "exact_forget_stream":
+        # streaming erasure, exact family (VERDICT r9 #6: all six
+        # streaming gates ride this cross-session cycle): the _fgx
+        # doc-hash state adopts via the shared bootstrap
+        from dbt_bigquery_udf_spark.operators.index_store import ensure_tables
+
+        dbs = [D._exact_index_db(sf_small) + "_fgx"]
+        query, reuse = "stream_exact_forget", (
+            lambda: ensure_tables(
+                spark,
+                dbs[0],
+                ("doc_hashes",),
+                lambda: (_ for _ in ()).throw(
+                    AssertionError("adopt path must not rebuild")
+                ),
+                expect={"doc_hashes": ("doc_id", "h")},
+            )
+        )
+    elif which == "ivf_forget_stream":
+        # streaming erasure, vector family: the _fgs trained index
+        # adopts via the shared bootstrap; tombstones reset per run
+        dbs = [S._ivf_index_db(sf_small) + "_fgs"]
+        query, reuse = "stream_ivf_forget", (
+            lambda: S.build_ivf_index(spark, sf_small, db=dbs[0])
         )
     elif which == "ivf_rt":
         # the versioned retrain db: BOTH version groups and the pointer

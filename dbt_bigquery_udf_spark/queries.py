@@ -374,6 +374,16 @@ _CURATED_WINDOW = (
 # dedup_containment (3), sim_ivfpq_adc (4), sim_hamming_topk (3),
 # emb_label_propagation (4), text_bm25_topk (4), bpe_pair_counts (5),
 # dsir_importance_weights (6).
+# Queued round-11 window candidates (registered, verify_driver-checked,
+# benched, property-covered — awaiting a driver slot):
+# sim_ivf_retrain_policy (round-10-new: the policy gate closing the
+# drift-trigger -> retrain-execution loop — BOTH branches proven
+# against dedicated versioned dbs, the decision input recomputed by
+# the oracle);
+# sim_ann_autotune (round-10-new: the dashboard's consumer — dial
+# sweep over nprobe/shortlist width choosing the cheapest setting
+# meeting the 3/5 recall floor, selection rule restated as a window
+# in the oracle).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -203,6 +203,333 @@ def ref_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_snapshot_scd2",
+    """
+    WITH s1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS updated_at
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), s2 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS updated_at
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, 'X',
+             CAST(round(o_totalprice * 100) AS BIGINT) + 7,
+             o_orderdate + INTERVAL 30 DAY
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT s1.k, s1.status, s1.cents,
+           s1.updated_at AS valid_from, s2.updated_at AS valid_to
+    FROM s1 JOIN s2 ON s1.k = s2.k AND s2.updated_at > s1.updated_at
+    UNION ALL
+    SELECT s2.k, s2.status, s2.cents,
+           s2.updated_at, CAST(NULL AS TIMESTAMP)
+    FROM s2 JOIN s1 ON s1.k = s2.k AND s2.updated_at > s1.updated_at
+    UNION ALL
+    SELECT s1.k, s1.status, s1.cents,
+           s1.updated_at, CAST(NULL AS TIMESTAMP)
+    FROM s1 LEFT JOIN s2 ON s1.k = s2.k AND s2.updated_at > s1.updated_at
+    WHERE s2.k IS NULL
+    UNION ALL
+    SELECT s2.k, s2.status, s2.cents,
+           s2.updated_at, CAST(NULL AS TIMESTAMP)
+    FROM s2 LEFT JOIN s1 ON s1.k = s2.k
+    WHERE s1.k IS NULL
+    """,
+)
+def ref_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot materialization (dbt SCD Type-2, ``timestamp`` strategy)
+    end to end — the F-surface the reference provisions but ships empty
+    (reference: dbt_project.yml:19 ``snapshot-paths``). One call builds
+    the snapshot TWICE: run 1 sees a partial key set (orders with
+    ``o_orderkey % 5 <> 0``), run 2 sees every key with one third of
+    them mutated (status -> 'X', price bumped, ``updated_at`` advanced
+    30 days). The timestamp strategy stamps validity FROM THE DATA
+    (``dbt_valid_from``/``dbt_valid_to`` = the row's own updated_at and
+    its successor's), so the full SCD2 state — closed prior versions,
+    opened new versions, untouched unchanged keys, run-2-only inserts —
+    is deterministic and value-hashed against an oracle that replays
+    both states with plain joins. Unchanged keys must keep their RUN-1
+    row verbatim (the immutable-history contract); a snapshot that
+    rewrites them from the new body would still row-count-match but
+    hash-differ on equal-timestamp edge rows.
+
+    Scale: the advance is one key-to-key full-outer join between
+    current versions and the fresh body (both shuffle on unique_key —
+    co-bucketable) plus an untouched-history union; no MERGE needed on
+    plain parquet (models/snapshots.py rewrite-and-swap)."""
+    from .models.core import ModelSpec
+
+    eng = prepared_engine(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS datamart.orders_snapshot")
+    eng.register(
+        ModelSpec(
+            name="orders_snapshot",
+            kind="snapshot",
+            database="datamart",
+            dialect="spark",
+            unique_key="k",
+            snapshot_strategy="timestamp",
+            updated_at="updated_at",
+            sql="""
+                {% if var('snap_state') == 2 %}
+                SELECT o_orderkey AS k, o_orderstatus AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderdate AS updated_at
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderkey % 3 <> 0
+                UNION ALL
+                SELECT o_orderkey AS k, 'X' AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents,
+                       timestampadd(DAY, 30, o_orderdate) AS updated_at
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderkey % 3 = 0
+                {% else %}
+                SELECT o_orderkey AS k, o_orderstatus AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderdate AS updated_at
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderkey % 5 <> 0
+                {% endif %}
+            """,
+        ),
+        replace=True,
+    )
+    eng.vars["snap_state"] = 1
+    eng.build(select=["orders_snapshot"], fail_fast=True)
+    eng.vars["snap_state"] = 2
+    eng.build(select=["orders_snapshot"], fail_fast=True)
+    return spark.sql(
+        """
+        SELECT k, status, cents,
+               CAST(dbt_valid_from AS TIMESTAMP) AS valid_from,
+               CAST(dbt_valid_to AS TIMESTAMP) AS valid_to
+        FROM datamart.orders_snapshot
+        """
+    )
+
+
+@register(
+    "ref_snapshot_check",
+    """
+    WITH s1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), s2 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, 'X',
+             CAST(round(o_totalprice * 100) AS BIGINT) + 7
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 = 0
+    )
+    SELECT k, status, cents, FALSE AS is_current
+    FROM s1 WHERE k % 7 = 0
+    UNION ALL
+    SELECT s1.k, s1.status, s1.cents, FALSE
+    FROM s1 JOIN s2 ON s1.k = s2.k
+    WHERE s1.status <> s2.status OR s1.cents <> s2.cents
+    UNION ALL
+    SELECT s2.k, s2.status, s2.cents, TRUE
+    FROM s2 JOIN s1 ON s1.k = s2.k
+    WHERE s1.status <> s2.status OR s1.cents <> s2.cents
+    UNION ALL
+    SELECT s1.k, s1.status, s1.cents, TRUE
+    FROM s1 JOIN s2 ON s1.k = s2.k
+    WHERE s1.status = s2.status AND s1.cents = s2.cents
+    """,
+)
+def ref_snapshot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ``check`` strategy + ``invalidate_hard_deletes`` — the
+    other half of dbt's SCD2 surface: change detection by null-safe
+    column comparison (no updated_at in the data) and source DELETIONS
+    closing their history row. Run 1 sees every order; run 2 drops
+    ``o_orderkey % 7 = 0`` (hard deletes) and mutates ``% 3 = 0`` of
+    the rest. The check strategy stamps validity with the run's CLOCK,
+    so the query projects the clock away — (key, data columns,
+    ``dbt_valid_to IS NULL``) is the deterministic SCD2 state: closed
+    old versions and hard-deleted keys read is_current=false (with
+    their RUN-1 values — a snapshot that leaks run-2 values into
+    closed rows hash-differs), opened versions and untouched keys read
+    is_current=true. The oracle replays both states with joins and the
+    same change predicate.
+
+    Scale: identical plan to the timestamp strategy (one key-to-key
+    full-outer join + history union); the null-safe check compare adds
+    one projection, no extra shuffle."""
+    from .models.core import ModelSpec
+
+    eng = prepared_engine(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS datamart.orders_snapshot_chk")
+    eng.register(
+        ModelSpec(
+            name="orders_snapshot_chk",
+            kind="snapshot",
+            database="datamart",
+            dialect="spark",
+            unique_key="k",
+            snapshot_strategy="check",
+            check_cols=("status", "cents"),
+            invalidate_hard_deletes=True,
+            sql="""
+                {% if var('snap_state') == 2 %}
+                SELECT o_orderkey AS k, o_orderstatus AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0
+                UNION ALL
+                SELECT o_orderkey AS k, 'X' AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 = 0
+                {% else %}
+                SELECT o_orderkey AS k, o_orderstatus AS status,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM {{ source('src', 'orders') }}
+                {% endif %}
+            """,
+        ),
+        replace=True,
+    )
+    eng.vars["snap_state"] = 1
+    eng.build(select=["orders_snapshot_chk"], fail_fast=True)
+    eng.vars["snap_state"] = 2
+    eng.build(select=["orders_snapshot_chk"], fail_fast=True)
+    from pyspark.sql import functions as F
+
+    snap = spark.table("datamart.orders_snapshot_chk")
+    return snap.select(
+        "k",
+        "status",
+        "cents",
+        F.col("dbt_valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "ref_schema_tests",
+    """
+    WITH ov AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS fk_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'unique_ov_orders_o_orderkey' AS test_name,
+           CAST(coalesce((SELECT sum(n) FROM (
+             SELECT count(*) AS n FROM ov WHERE o_orderkey IS NOT NULL
+             GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+             AS n_failures
+    UNION ALL
+    SELECT 'not_null_ov_orders_o_custkey',
+           CAST((SELECT count(*) FROM ov WHERE o_custkey IS NULL)
+             AS BIGINT)
+    UNION ALL
+    SELECT 'unique_ov_orders_o_custkey',
+           CAST(coalesce((SELECT sum(n) FROM (
+             SELECT count(*) AS n FROM ov WHERE o_custkey IS NOT NULL
+             GROUP BY o_custkey HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'accepted_values_ov_orders_o_orderstatus',
+           CAST(coalesce((SELECT sum(n) FROM (
+             SELECT count(*) AS n FROM ov
+             WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F', 'O')
+             GROUP BY o_orderstatus)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'relationships_ov_orders_fk_custkey__ov_customer_c_custkey',
+           CAST((SELECT count(*) FROM ov
+             WHERE fk_custkey IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM customer c
+               WHERE c.c_custkey = ov.fk_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'assert_no_negative_price',
+           CAST((SELECT count(*) FROM ov WHERE cents < 0) AS BIGINT)
+    """,
+)
+def ref_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's ``test`` command end to end — the quality surface the
+    reference provisions but ships empty (reference: dbt_project.yml:18
+    ``test-paths: ["tests"]``): all four built-in generic tests
+    (``unique`` / ``not_null`` / ``accepted_values`` /
+    ``relationships``) plus a singular (hand-written SQL) test run via
+    ``models/quality.py::run_tests`` against freshly built view models,
+    with ``store_failures`` materializing each failing test's violating
+    rows to the ``dbt_test__audit`` schema (dbt's config of the same
+    name). The child view poisons one FK in 97 so the relationships
+    anti-join has real violations to count; ``unique`` on o_custkey
+    counts EVERY row of each duplicated value (dbt's compiled
+    semantics — not the number of duplicated values), which is exactly
+    what the oracle restates, so a miscompiled test query
+    hash-mismatches on the failure COUNTS, not just pass/fail bits.
+    Statuses are derivable from the counts (0 = pass), so the output
+    stays two columns and the severity dial is exercised in pytest
+    (tests/test_quality.py), not re-proven here.
+
+    Scale: each generic test is one scan + group/anti-join on the
+    tested column — the relationships check broadcasts the parent key
+    set when small, shuffles key-to-key otherwise; the audit schema
+    stays O(problems), only failing tests write."""
+    from .models.core import ModelSpec
+    from .models.quality import (
+        SingularTest,
+        accepted_values,
+        not_null,
+        relationships,
+        run_tests,
+        unique,
+    )
+
+    eng = prepared_engine(spark, sf_dir)
+    for name, body in (
+        (
+            "ov_orders",
+            """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS fk_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM {{ source('src', 'orders') }}
+            """,
+        ),
+        (
+            "ov_customer",
+            "SELECT c_custkey FROM {{ source('src', 'customer') }}",
+        ),
+    ):
+        eng.register(
+            ModelSpec(
+                name=name, kind="view", database="datamart",
+                dialect="spark", sql=body,
+            ),
+            replace=True,
+        )
+    eng.build(select=["ov_orders", "ov_customer"], fail_fast=True)
+    suite = [
+        unique("ov_orders", "o_orderkey"),
+        not_null("ov_orders", "o_custkey"),
+        unique("ov_orders", "o_custkey"),
+        accepted_values("ov_orders", "o_orderstatus", ["F", "O"]),
+        relationships("ov_orders", "fk_custkey", "ov_customer", "c_custkey"),
+        SingularTest(
+            name="assert_no_negative_price",
+            sql="SELECT * FROM {{ ref('ov_orders') }} WHERE cents < 0",
+        ),
+    ]
+    results = run_tests(spark, eng, suite, store_failures=True)
+    return spark.createDataFrame(
+        [(r.test.name, r.n_failures) for r in results],
+        "test_name string, n_failures bigint",
+    )
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401

@@ -1049,6 +1049,19 @@ _ORD_OPS = (
     # handoff between the two builds)
     "profile_columns",
     "ref_incremental_mart",
+    # round 10: the SCD2 snapshot surface — two-run change tracking on
+    # ANY orders table (single-row tables, duplicate keys never occur —
+    # keys are sequential — but equal updated_at values across runs
+    # stress the strict-newer change predicate, and tiny tables hit the
+    # everything-changed / nothing-changed branches)
+    "ref_snapshot_scd2",
+    "ref_snapshot_check",
+    # round 10: the dbt test-runner surface — failure COUNTS of all
+    # four generic tests + a singular test must match on ANY orders
+    # table (tiny tables drive unique/accepted_values counts to their
+    # all-pass and all-fail extremes; sequential keys mean the
+    # poisoned-FK branch only fires on tables with >= 97 rows)
+    "ref_schema_tests",
 )
 
 _ORD_EPOCH_US = int(

@@ -530,6 +530,71 @@ def ref_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_source_freshness",
+    """
+    WITH m AS (SELECT max(o_orderdate) AS max_ts FROM orders),
+    p AS (
+      SELECT 'tight' AS check_name, 10.0 AS w, 48.0 AS e
+      UNION ALL SELECT 'std', 24.0, 100.0
+      UNION ALL SELECT 'loose', 100.0, 200.0
+    )
+    SELECT p.check_name, m.max_ts,
+           CASE WHEN m.max_ts IS NULL THEN NULL
+                ELSE round((epoch(TIMESTAMP '2001-08-04 00:00:00')
+                            - epoch(m.max_ts)) / 3600.0, 2) END
+             AS age_hours,
+           CASE WHEN m.max_ts IS NULL THEN 'error'
+                WHEN (epoch(TIMESTAMP '2001-08-04 00:00:00')
+                      - epoch(m.max_ts)) / 3600.0 <= p.w THEN 'pass'
+                WHEN (epoch(TIMESTAMP '2001-08-04 00:00:00')
+                      - epoch(m.max_ts)) / 3600.0 <= p.e THEN 'warn'
+                ELSE 'error' END AS status
+    FROM p CROSS JOIN m
+    """,
+)
+def ref_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``source freshness`` end to end
+    (``models/quality.py::check_source_freshness``): the age of the
+    newest ``o_orderdate`` against three warn/error threshold pairs
+    chosen to land on all three outcomes (pass / warn / error) at the
+    test data's horizon (max o_orderdate = 2001-08-01, age 72h), with ``as_of`` PINNED (dbt pins the
+    invocation clock the same way in its artifacts) so the statuses —
+    the operator's actual decision — are deterministic and
+    value-hashed. One max() aggregate per check: scan-bound, no
+    shuffle; at 100 TB this is a parquet-footer statistics read when
+    the source is append-ordered on the timestamp."""
+    from datetime import datetime
+
+    from .models.quality import check_source_freshness
+
+    prepared_engine(spark, sf_dir)
+    as_of = datetime(2001, 8, 4)
+    rows = []
+    for check_name, w, e in (
+        ("tight", 10.0, 48.0),
+        ("std", 24.0, 100.0),
+        ("loose", 100.0, 200.0),
+    ):
+        r = check_source_freshness(
+            spark, "src.orders", "o_orderdate",
+            warn_after_hours=w, error_after_hours=e, as_of=as_of,
+        )
+        rows.append(
+            (
+                check_name,
+                r.max_ts,
+                None if r.max_ts is None else float(r.age_hours),
+                r.status,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "check_name string, max_ts timestamp, age_hours double, "
+        "status string",
+    )
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401

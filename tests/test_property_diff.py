@@ -1062,6 +1062,10 @@ _ORD_OPS = (
     # all-pass and all-fail extremes; sequential keys mean the
     # poisoned-FK branch only fires on tables with >= 97 rows)
     "ref_schema_tests",
+    # round 10: source freshness — pinned as_of, arbitrary day-granular
+    # horizons sweep the age across all three status bands (and
+    # negative ages when the table's newest row postdates the pin)
+    "ref_source_freshness",
 )
 
 _ORD_EPOCH_US = int(

@@ -595,6 +595,76 @@ def ref_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_llm_corpus_project",
+    """
+    WITH stg AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ), qf AS (
+      SELECT * FROM stg
+      WHERE n_chars >= 100 AND n_tokens >= 10 AND n_alpha * 2 >= n_chars
+    ), dd AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM qf)
+      WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM dd GROUP BY lang
+    """,
+)
+def ref_llm_corpus_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's two halves in ONE user artifact: a dbt-style
+    project tree (``examples/llm_corpus``) that orchestrates the LLM
+    corpus-curation pipeline — staging features -> C4-style quality
+    gate (var-configured thresholds) -> exact dedup keep-first ->
+    per-language corpus accounting — loaded with ``load_project``
+    (folder-tree config, sources:, vars, refs, schema tests all from
+    files, exactly how a migrating dbt user would ship it), built
+    through the DAG scheduler, its schema tests REQUIRED green, and
+    the final mart value-hashed against an oracle replaying the whole
+    model chain. A regression anywhere in the file loader, Jinja
+    render, ref resolution, materialization routing, test compiler, or
+    the SQL itself lands here.
+
+    Scale: view staging folds into the mart scans (no
+    materialization); the dedup is one shuffle on md5(text); the stats
+    mart is a partial-agg groupBy — the same plans the standalone
+    operators use."""
+    import os as _os
+
+    from .models.quality import run_tests
+    from .project import load_project
+
+    proj = load_project(
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "examples",
+            "llm_corpus",
+        )
+    )
+    eng = prepared_engine(spark, sf_dir)
+    eng.vars.update(proj.vars)
+    eng.register(*proj.models, replace=True)
+    eng.build(select=[m.name for m in proj.models], fail_fast=True)
+    failed = [
+        r.test.name
+        for r in run_tests(spark, eng, proj.tests)
+        if r.n_failures > 0
+    ]
+    if failed:
+        raise AssertionError(f"llm_corpus schema tests failed: {failed}")
+    stats = next(m for m in proj.models if m.name == "corpus_stats")
+    return spark.table(f"{stats.database}.corpus_stats")
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401
@@ -775,7 +845,15 @@ _CURATED_WINDOW = (
 # sim_ann_autotune (round-10-new: the dashboard's consumer — dial
 # sweep over nprobe/shortlist width choosing the cheapest setting
 # meeting the 3/5 recall floor, selection rule restated as a window
-# in the oracle).
+# in the oracle);
+# ref_snapshot_scd2 / ref_snapshot_check (round-10-new: the SCD2
+# snapshot surface — both dbt strategies, two-run change tracking
+# value-hashed including hard-delete invalidation);
+# ref_schema_tests (round-10-new: dbt's test command — all four
+# generic tests + a singular test, failure-count semantics in the
+# oracle);
+# ref_source_freshness (round-10-new: source freshness with pinned
+# as_of landing pass/warn/error).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

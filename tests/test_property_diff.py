@@ -116,6 +116,12 @@ _DOC_EXT_OPS = (
     # curation pipeline and the observability metrics rollup
     "pipeline_corpus_curation",
     "pipeline_observe_metrics",
+    # round 10: the dbt-project-orchestrated curation pipeline — the
+    # file loader + Jinja + ref chain + schema tests must reproduce
+    # the oracle's model chain on ANY documents table (empty texts,
+    # whitespace variety, non-BMP codepoints; zero-survivor corpora
+    # make every mart empty and the tests vacuous-pass)
+    "ref_llm_corpus_project",
 )
 
 # ASCII core + whitespace variety + punctuation + accented/BMP/non-BMP

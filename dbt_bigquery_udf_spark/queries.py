@@ -628,7 +628,7 @@ def ref_llm_corpus_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language corpus accounting — loaded with ``load_project``
     (folder-tree config, sources:, vars, refs, schema tests all from
     files, exactly how a migrating dbt user would ship it), built
-    through the DAG scheduler, its schema tests REQUIRED green, and
+    through the DAG scheduler, its schema tests AND dbt-1.8 unit tests (given/expect fixtures for the gate boundaries and the keep-first tie-break) REQUIRED green, and
     the final mart value-hashed against an oracle replaying the whole
     model chain. A regression anywhere in the file loader, Jinja
     render, ref resolution, materialization routing, test compiler, or
@@ -661,6 +661,15 @@ def ref_llm_corpus_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if failed:
         raise AssertionError(f"llm_corpus schema tests failed: {failed}")
+    from .models.unit_tests import run_unit_tests
+
+    failed_units = [
+        r.test.name
+        for r in run_unit_tests(spark, eng, proj.unit_tests)
+        if not r.passed
+    ]
+    if failed_units:
+        raise AssertionError(f"llm_corpus unit tests failed: {failed_units}")
     stats = next(m for m in proj.models if m.name == "corpus_stats")
     return spark.table(f"{stats.database}.corpus_stats")
 

@@ -2160,3 +2160,51 @@ def test_dbt_utils_tier2_package(spark, sf_small, tmp_path):
         (3, "n_days"): 2,
         (3, "max_day"): 2,
     }
+
+
+# -- examples/llm_corpus: the shipped user-shaped pipeline project ----------
+
+
+def test_example_llm_corpus_cli_build_test_unit(spark, sf_small):
+    """The committed example tree must stay loadable and runnable through
+    the three user entry points (`build` / `test` / `unit-test`) — the same
+    artifact ref_llm_corpus_project drives programmatically. Guards the
+    example against bit-rot (a model rename, a YAML typo, a vars drift
+    breaks HERE, not in a user's first contact)."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    from dbt_bigquery_udf_spark.__main__ import main
+
+    proj = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "llm_corpus",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["build", "--project", proj, "--select", "corpus_stats",
+             "--sf-dir", sf_small]
+        )
+    assert rc == 0
+    lines = [
+        json.loads(l) for l in buf.getvalue().splitlines() if l.startswith("{")
+    ]
+    built = {l["model"] for l in lines if "model" in l}
+    # the full ref chain came along with the one selected mart
+    assert {"stg_documents", "quality_filtered", "dedup_survivors",
+            "corpus_stats"} <= built
+    assert spark.table("corpus.corpus_stats").count() > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["test", "--project", proj, "--sf-dir", sf_small])
+    assert rc == 0, buf.getvalue()
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["unit-test", "--project", proj, "--sf-dir", sf_small])
+    assert rc == 0, buf.getvalue()

@@ -244,7 +244,7 @@ def ref_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ref_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot materialization (dbt SCD Type-2, ``timestamp`` strategy)
     end to end — the F-surface the reference provisions but ships empty
-    (reference: dbt_project.yml:19 ``snapshot-paths``). One call builds
+    (reference: dbt_project.yml:20 ``snapshot-paths``). One call builds
     the snapshot TWICE: run 1 sees a partial key set (orders with
     ``o_orderkey % 5 <> 0``), run 2 sees every key with one third of
     them mutated (status -> 'X', price bumped, ``updated_at`` advanced
@@ -456,7 +456,7 @@ def ref_snapshot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ref_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt's ``test`` command end to end — the quality surface the
-    reference provisions but ships empty (reference: dbt_project.yml:18
+    reference provisions but ships empty (reference: dbt_project.yml:17
     ``test-paths: ["tests"]``): all four built-in generic tests
     (``unique`` / ``not_null`` / ``accepted_values`` /
     ``relationships``) plus a singular (hand-written SQL) test run via

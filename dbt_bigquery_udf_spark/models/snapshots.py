@@ -1,7 +1,7 @@
 """Snapshot materialization — dbt's SCD Type-2 change tracking.
 
 The reference configures a snapshots path but ships it empty
-(`/root/reference/dbt_project.yml:19` ``snapshot-paths: ["snapshots"]``);
+(`/root/reference/dbt_project.yml:20` ``snapshot-paths: ["snapshots"]``);
 this implements the dbt built-in: each run compares the model body's
 current rows against the snapshot table and
 

@@ -674,6 +674,82 @@ def ref_llm_corpus_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{stats.database}.corpus_stats")
 
 
+@register(
+    "ref_python_model",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def ref_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt python-model materialization end to end (``kind='python'``,
+    dbt's ``def model(dbt, session)`` surface): a SQL view upstream
+    (``orders_recent``) feeds a python model that builds its result
+    with the DataFrame API via ``dbt.ref()`` — the dependency declared
+    through ``python_refs`` exactly as dbt's static scanner would
+    record it — and materializes as a table through the same DAG
+    scheduler as every SQL model. The oracle replays the chain in SQL,
+    so the python body's DataFrame plan (month truncation, grouped
+    counts, money-safe integer cents) is value-checked against the
+    declarative statement of the same logic.
+
+    Scale: the python body never touches rows in Python — it only
+    COMPOSES a DataFrame plan (dbt python models on Spark are plan
+    builders, not row processors), so the materialization is the same
+    scan + partial-agg shuffle Catalyst gives the SQL twin."""
+    from pyspark.sql import functions as F
+
+    from .models.core import ModelSpec
+
+    def _monthly_mix(session, dbt):
+        o = dbt.ref("orders_recent")
+        return (
+            o.groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+
+    eng = prepared_engine(spark, sf_dir)
+    eng.register(
+        ModelSpec(
+            name="orders_recent",
+            kind="view",
+            database="datamart",
+            dialect="spark",
+            sql="""
+                SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+                FROM {{ source('src', 'orders') }}
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            """,
+        ),
+        ModelSpec(
+            name="monthly_status_mix",
+            kind="python",
+            database="datamart",
+            dialect="spark",
+            sql="",
+            python_body=_monthly_mix,
+            python_refs=("orders_recent",),
+        ),
+        replace=True,
+    )
+    eng.build(select=["monthly_status_mix"], fail_fast=True)
+    return spark.table("datamart.monthly_status_mix")
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401

@@ -1072,6 +1072,11 @@ _ORD_OPS = (
     # horizons sweep the age across all three status bands (and
     # negative ages when the table's newest row postdates the pin)
     "ref_source_freshness",
+    # round 10: the python-model surface — a DataFrame-built plan must
+    # match its declarative SQL twin on ANY orders table (cutoff
+    # boundaries, equal dates collapsing months, empty post-cutoff
+    # slices making the mart empty)
+    "ref_python_model",
 )
 
 _ORD_EPOCH_US = int(

@@ -612,12 +612,18 @@ def ref_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM qf)
       WHERE rn = 1
+    ), w AS (
+      SELECT * FROM (VALUES
+        ('en', 520), ('de', 120), ('fr', 130), ('es', 110), ('zh', 120)
+      ) AS t(lang, weight_pm)
     )
-    SELECT lang, count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           count(DISTINCT source) AS n_sources
-    FROM dd GROUP BY lang
+    SELECT dd.lang, count(*) AS n_docs,
+           CAST(sum(dd.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(dd.n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT dd.source) AS n_sources,
+           CAST(sum(dd.n_tokens) * max(coalesce(w.weight_pm, 0)) AS BIGINT)
+             AS weighted_tokens_pm
+    FROM dd LEFT JOIN w ON dd.lang = w.lang GROUP BY dd.lang
     """,
 )
 def ref_llm_corpus_project(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -944,7 +944,12 @@ _CURATED_WINDOW = (
 # generic tests + a singular test, failure-count semantics in the
 # oracle);
 # ref_source_freshness (round-10-new: source freshness with pinned
-# as_of landing pass/warn/error).
+# as_of landing pass/warn/error);
+# ref_python_model (round-10-new: the dbt python-model surface — a
+# DataFrame-composed plan value-checked against its SQL twin);
+# ref_llm_corpus_project (round-10-new: the user-shaped project tree —
+# ephemeral staging, seed-joined weights, schema+unit tests required
+# green inside the row).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

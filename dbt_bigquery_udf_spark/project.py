@@ -1136,6 +1136,22 @@ def load_project(
                     stem = os.path.splitext(f)[0]
                     meta = docs.get(stem, {})
                     seed_kwargs: dict = {}
+                    # dbt's ``seeds:`` config tree works like ``models:``
+                    # (``seeds: <project>: <folder>: +schema/+tags/...``);
+                    # apply it before macro routing so +schema lands in
+                    # ModelSpec.database exactly as a model's would.
+                    rel_parts = [
+                        p
+                        for p in os.path.relpath(dirpath, root).split(os.sep)
+                        if p not in (".", "")
+                    ]
+                    _apply_config(
+                        _config_tree_for(
+                            proj.get("seeds", {}) or {}, name, rel_parts
+                        ),
+                        seed_kwargs,
+                    )
+                    seed_kwargs.pop("kind", None)  # seeds are always seeds
                     # dbt routes seed schemas/aliases through the same
                     # generate_* macros as models (snapshots do NOT:
                     # their target_schema is documented as literal).

@@ -2208,3 +2208,23 @@ def test_example_llm_corpus_cli_build_test_unit(spark, sf_small):
     with redirect_stdout(buf):
         rc = main(["unit-test", "--project", proj, "--sf-dir", sf_small])
     assert rc == 0, buf.getvalue()
+
+
+def test_seed_schema_config_routes_database():
+    """dbt's ``seeds: <project>: +schema`` config tree must route a seed
+    CSV into that schema exactly as a model's +schema would (previously
+    ignored: every seed landed in the ModelSpec default database)."""
+    import os
+
+    from dbt_bigquery_udf_spark.project import load_project
+
+    proj = load_project(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "llm_corpus",
+        )
+    )
+    seed = next(m for m in proj.models if m.kind == "seed")
+    assert seed.name == "lang_weights"
+    assert seed.database == "corpus"

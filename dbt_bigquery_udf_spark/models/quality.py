@@ -39,6 +39,20 @@ __all__ = [
 ]
 
 
+def _relation_for(engine, model: str):
+    """Built relation for ``model``, resolving versioned-entry bare
+    names (and ``name.vN`` pins) through the engine's ref rules — a
+    schema.yml test on a versioned model addresses the entry name, and
+    dbt runs it against the latest version."""
+    rel = engine.relations.get(model)
+    if rel is not None:
+        return rel
+    try:
+        return engine.relations.get(engine._ref_key(model))
+    except EngineError:
+        return None
+
+
 @dataclass(frozen=True)
 class SchemaTest:
     """One generic test bound to a model column.
@@ -67,14 +81,19 @@ class SchemaTest:
         """The dbt-compiled test query: one row per violation (or per
         violating value for the grouped tests). ``failures_sql`` counts
         it; ``store_failures`` materializes it."""
-        rel = engine.relations.get(self.model)
+        rel = _relation_for(engine, self.model)
         if rel is None:
             raise EngineError(f"test {self.name}: model {self.model!r} not built")
         q = rel.qualified
         c = self.column
         if self.test_type == "unique":
-            # One row per duplicated value, n = its row count (dbt's
-            # compiled unique test; NULLs exempt — that's not_null's job).
+            # One row per duplicated value, n = its row count — and the
+            # FAILURE COUNT is this query's row count (one per
+            # duplicated VALUE), matching upstream dbt, whose failures
+            # number is `count(*)` over the compiled test query
+            # (ADVICE r10 — the previous sum-of-group-counts was a
+            # stricter deviation misdocumented as dbt's semantics).
+            # NULLs exempt — that's not_null's job.
             return (
                 f"SELECT {c} AS value, count(*) AS n "
                 f"FROM {q} WHERE {c} IS NOT NULL GROUP BY {c} "
@@ -89,7 +108,7 @@ class SchemaTest:
                 f"WHERE {c} IS NOT NULL AND {c} NOT IN ({quoted}) GROUP BY {c}"
             )
         if self.test_type == "relationships":
-            parent = engine.relations.get(self.to_model)
+            parent = _relation_for(engine, self.to_model)
             if parent is None and "." in self.to_model:
                 # A dotted name addresses a catalog relation directly —
                 # how a test points at a *source* (dbt's
@@ -113,16 +132,12 @@ class SchemaTest:
         raise EngineError(f"unknown test type {self.test_type!r}")
 
     def failures_sql(self, engine: Engine) -> str:
-        if self.test_type == "unique":
-            # dbt counts every row of each duplicated value, not the
-            # number of duplicated values.
-            return (
-                f"SELECT coalesce(sum(n), 0) FROM ({self.failing_rows_sql(engine)})"
-            )
-        if self.test_type == "accepted_values":
-            return (
-                f"SELECT coalesce(sum(n), 0) FROM ({self.failing_rows_sql(engine)})"
-            )
+        # dbt's failure count is the ROW COUNT of the compiled test
+        # query — for the grouped tests (unique / accepted_values) that
+        # is one per violating VALUE, not one per violating row. The
+        # per-value row counts still surface through store_failures
+        # (the audit table materializes failing_rows_sql with its `n`
+        # column intact).
         return f"SELECT count(*) FROM ({self.failing_rows_sql(engine)})"
 
 
@@ -166,7 +181,11 @@ class SingularTest:
         from .core import _REF_RE, _SOURCE_RE
 
         sql = _REF_RE.sub(
-            lambda m: engine._resolve_ref(m.group(1), for_call=False),
+            lambda m: engine._resolve_ref(
+                m.group(1),
+                version=int(m.group(2)) if m.group(2) else None,
+                for_call=False,
+            ),
             self.sql,
         )
         sql = _SOURCE_RE.sub(

@@ -1391,7 +1391,9 @@ def _admit_batch_df(
         # nests reentrantly; at 100 TB the probe-under-lease serializa-
         # tion is replaced by snapshot-isolated reads (table-format
         # time travel) with only the append+fold window leased.
-        with maintenance_lease(spark, db if isinstance(db, str) else db[0]):
+        with maintenance_lease(
+            spark, db if isinstance(db, str) else db[0]
+        ) as lease:
             # localCheckpoint, not persist: the appends below write tables
             # the verdict plan READS, and Spark invalidates cached plans
             # that reference a written table — a persisted frame would
@@ -1407,6 +1409,17 @@ def _admit_batch_df(
                 F.col("new_id").alias("doc_id")
             )
             adm_sigs = sigs.join(admitted, "doc_id", "left_semi")
+            # ADVICE r10: scoring above can exceed the lease TTL (the
+            # x30 cold admission measures ~49s vs a 60s default), and a
+            # silently expired lease here reopens the exact lost-
+            # admission window the lease closes — a cross-process fold
+            # could truncate between the appends below. renew() extends
+            # the expiry now that the long probe is done (raising
+            # LeaseLostError if the lease was stolen mid-score — abort
+            # BEFORE appending anything), and check() fences each
+            # append.
+            lease.renew()
+            lease.check()
             # Append ORDER is the crash-safety contract (ADVICE r7): the
             # per-batch idempotency marker is the batch's presence in SIGS
             # (_near_index_has_batch), so bands must land first. A crash
@@ -1419,6 +1432,7 @@ def _admit_batch_df(
             _band_long(adm_sigs).write.format("parquet").mode(
                 "append"
             ).saveAsTable(f"{write_db}.bands")
+            lease.check()  # fence between the two appends
             adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
                 "append"
             ).saveAsTable(f"{write_db}.sigs")
@@ -1977,6 +1991,15 @@ def compact_near_dup_index(
             spark.table(f"{delta_db}.bands").write.format("parquet").mode(
                 "append"
             ).saveAsTable(f"{base_db}.bands")
+            # ADVICE r10: the fencing token must be consulted at the
+            # DESTRUCTIVE step, not only before the copy — a lease that
+            # expired inside the copy window lets a stolen-lease
+            # admission append fresh delta rows which this TRUNCATE
+            # would then discard. renew() re-extends (raising if the
+            # lease was stolen), check() fences immediately before the
+            # drop of the only copy of any concurrent appends.
+            lease.renew()
+            lease.check()
             spark.sql(f"TRUNCATE TABLE {delta_db}.sigs")
             spark.sql(f"TRUNCATE TABLE {delta_db}.bands")
             for db in (base_db, delta_db):
@@ -1997,6 +2020,8 @@ def compact_near_dup_index(
                     # table (which also resolves the read-while-
                     # overwriting hazard) before touching the live one
                     staged_overwrite(spark, base_db, t, kept)
+                lease.renew()
+                lease.check()  # fence the tombstone truncation too
                 spark.sql(f"TRUNCATE TABLE {base_db}.tombstones")
                 spark.catalog.refreshTable(f"{base_db}.tombstones")
         return {
@@ -2273,7 +2298,7 @@ def forget_near_dup_docs(spark: SparkSession, db: str, doc_ids) -> int:
     # lease: a concurrent fold in another process truncates tombstones
     # after folding them — an unleased append landing in that window
     # would be truncated WITHOUT ever being folded (erasure lost)
-    with catalog_lock, maintenance_lease(spark, db):
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         ensure_tables(
             spark,
             db,
@@ -2287,6 +2312,7 @@ def forget_near_dup_docs(spark: SparkSession, db: str, doc_ids) -> int:
         )
         n = fresh.count()
         if n:
+            lease.check()  # fence the tombstone append (ADVICE r10)
             fresh.write.format("parquet").mode("append").saveAsTable(
                 f"{db}.tombstones"
             )
@@ -2628,7 +2654,7 @@ def _admit_exact_batch_df(
     # out from under the probe scan (see _admit_batch_df)
     from .lease import maintenance_lease
 
-    with maintenance_lease(spark, dbs[0]):
+    with maintenance_lease(spark, dbs[0]) as lease:
         for db in dbs:
             spark.catalog.refreshTable(f"{db}.hashes")
         batch = batch_docs.select("doc_id", F.md5("text").alias("h"))
@@ -2655,6 +2681,12 @@ def _admit_exact_batch_df(
             )
             .localCheckpoint(eager=True)
         )
+        # ADVICE r10: the probe may outlast the lease TTL — renew (which
+        # raises if the lease was stolen mid-probe) and fence before the
+        # append, so a long batch can never silently lose the lease and
+        # append into a state a stolen-lease fold is about to truncate.
+        lease.renew()
+        lease.check()
         (
             verdicts.filter(~F.col("is_dup") & F.col("h").isNotNull())
             .select("h")
@@ -2706,6 +2738,12 @@ def compact_exact_index(
             )
             spark.catalog.refreshTable(f"{base_db}.hashes")
         if spark.table(f"{delta_db}.hashes").limit(1).count():
+            # ADVICE r10: renew + fence at the destructive step itself —
+            # if the lease expired during the copy, a stolen-lease
+            # admission may have appended to the delta, and truncating
+            # without re-checking would discard those fresh rows.
+            lease.renew()
+            lease.check()
             spark.sql(f"TRUNCATE TABLE {delta_db}.hashes")
             spark.catalog.refreshTable(f"{delta_db}.hashes")
         return {"hashes_moved": n}
@@ -2966,6 +3004,8 @@ def compact_exact_forget_index(spark: SparkSession, db: str) -> dict:
                     F.broadcast(tombs), "doc_id", "left_anti"
                 )
                 staged_overwrite(spark, db, "doc_hashes", kept)
+                lease.renew()
+                lease.check()  # fence at the truncation itself (r10)
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}

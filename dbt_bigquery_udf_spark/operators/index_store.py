@@ -62,6 +62,8 @@ __all__ = [
     "recover_staged",
 ]
 
+STAGE_COMPLETE_MARKER = "_STAGE_COMPLETE"
+
 
 def corpus_fingerprint(sf_dir: str, files: Sequence[str]) -> str:
     """Hex fingerprint of a corpus' identity: its absolute path plus
@@ -172,6 +174,20 @@ def staged_overwrite(spark: SparkSession, db: str, table: str, df) -> None:
     with catalog_lock:
         clear_tables(spark, db, (staged,))
         df.write.format("parquet").saveAsTable(f"{db}.{staged}")
+        # OWN completion marker (ADVICE r10): the recovery gate must not
+        # depend on Spark's `_SUCCESS` marker, which a session configured
+        # with mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+        # never writes — a fully committed stage would then look partial
+        # to recover_staged and be deleted inside the one crash window
+        # (live table already cleared) where it is the only recovery
+        # source. saveAsTable returning implies job commit, so the
+        # marker written here is a truthful completeness witness under
+        # ANY committer config.
+        sdir = db_location(spark, db).removeprefix("file:")
+        with open(
+            os.path.join(sdir, staged, STAGE_COMPLETE_MARKER), "w"
+        ) as f:
+            f.write("complete")
         # clear-then-write, NOT mode('overwrite'): the live table may be
         # an ADOPTED (external) relation, whose drop keeps its files —
         # a managed re-create then dies with LOCATION_ALREADY_EXISTS.
@@ -196,8 +212,13 @@ def recover_staged(
     names. Called at the top of every compaction fold.
 
     COMPLETENESS GATE (ADVICE r9): an orphaned stage is only adopted
-    when its directory carries the ``_SUCCESS`` marker Spark's file
-    committer writes at job-commit end. A crash DURING the stage write
+    when its directory carries a completion marker — the engine's own
+    ``_STAGE_COMPLETE`` (written by :func:`staged_overwrite` after
+    ``saveAsTable`` returns, so it is committer-config-independent), or
+    Spark's ``_SUCCESS`` for stages written before the own-marker fix
+    (ADVICE r10: with ``marksuccessfuljobs=false`` Spark writes no
+    ``_SUCCESS``, and a completed stage must not be mistaken for a
+    partial one). A crash DURING the stage write
     leaves part-files but no marker and the live table fully intact —
     replaying such a partial stage over the live table would lose every
     kept row the incomplete write missed, the exact loss
@@ -220,7 +241,9 @@ def recover_staged(
                 has_parts = any(
                     f.endswith(".parquet") for f in os.listdir(sdir)
                 )
-                complete = os.path.isfile(os.path.join(sdir, "_SUCCESS"))
+                complete = os.path.isfile(
+                    os.path.join(sdir, STAGE_COMPLETE_MARKER)
+                ) or os.path.isfile(os.path.join(sdir, "_SUCCESS"))
                 if has_parts and complete:
                     spark.sql(
                         f"CREATE TABLE {db}.{staged} USING parquet "

@@ -36,10 +36,12 @@ Protocol (per index database directory):
   holder's lease simply expires and the next maintainer steals it —
   no manual cleanup, no deadlock.
 
-Reentrant per process: the module keeps a registry of held leases so a
-fold invoked by an admission that already holds the lease (the
-``maybe_auto_compact`` path) nests instead of self-deadlocking —
-mirroring ``catalog_lock``'s RLock semantics one level up.
+Reentrant per THREAD: the module keeps a thread-local registry of held
+leases so a fold invoked by an admission that already holds the lease
+(the ``maybe_auto_compact`` path) nests instead of self-deadlocking —
+mirroring ``catalog_lock``'s RLock semantics one level up. Sibling
+threads are NOT nested into each other's leases; they contend through
+the normal acquire path under distinct ``host:pid:tid`` owners.
 """
 
 from __future__ import annotations
@@ -218,9 +220,22 @@ class MaintenanceLease:
         self.token = None
 
 
-# in-process reentrancy: dir -> (lease, depth)
-_held_registry: dict[str, list] = {}
-_registry_lock = threading.Lock()
+# in-process reentrancy, keyed PER THREAD (ADVICE r10): a process-wide
+# dir->lease registry made any thread nest into any other thread's held
+# lease (false mutual exclusion), and its lookup→acquire→register window
+# was racy — two first-entering threads shared the host:pid owner string,
+# so the second acquire took the same-owner branch and STOLE the first's
+# token, making the winner's check()/renew() raise spuriously and the
+# loser's exit release the winner's lease. Reentrancy is a CALL-STACK
+# property, so the registry lives in threading.local (no lock needed —
+# each thread mutates only its own map), and each thread leases under a
+# host:pid:tid owner so sibling threads contend through the normal
+# flock-guarded acquire path like any other maintainer.
+_tls = threading.local()
+
+
+def _thread_owner() -> str:
+    return f"{socket.gethostname()}:{os.getpid()}:{threading.get_ident()}"
 
 
 @contextmanager
@@ -231,37 +246,32 @@ def maintenance_lease(
     timeout: float = DEFAULT_TIMEOUT,
 ):
     """Acquire the maintenance lease for index database ``db`` (resolved
-    to its warehouse location), reentrantly within the process. Yields
-    the :class:`MaintenanceLease` — callers ``check()`` before each
-    destructive step and ``renew()`` between long table swaps."""
+    to its warehouse location), reentrantly within the calling THREAD.
+    Yields the :class:`MaintenanceLease` — callers ``check()`` before
+    each destructive step and ``renew()`` between long table swaps."""
     from .index_store import db_location
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     path = os.path.realpath(db_location(spark, db).removeprefix("file:"))
-    with _registry_lock:
-        entry = _held_registry.get(path)
-        if entry is not None:
-            entry[1] += 1
-            lease = entry[0]
-        else:
-            lease = None
-    if lease is not None:
+    held = getattr(_tls, "held", None)
+    if held is None:
+        held = _tls.held = {}
+    entry = held.get(path)
+    if entry is not None:
+        entry[1] += 1
         try:
-            yield lease
+            yield entry[0]
         finally:
-            with _registry_lock:
-                _held_registry[path][1] -= 1
+            entry[1] -= 1
         return
-    lease = MaintenanceLease(path, ttl=ttl)
+    lease = MaintenanceLease(path, owner=_thread_owner(), ttl=ttl)
     lease.acquire(timeout=timeout)
-    with _registry_lock:
-        _held_registry[path] = [lease, 1]
+    held[path] = [lease, 1]
     try:
         yield lease
     finally:
-        with _registry_lock:
-            entry = _held_registry[path]
-            entry[1] -= 1
-            if entry[1] == 0:
-                del _held_registry[path]
-                lease.release()
+        entry = held[path]
+        entry[1] -= 1
+        if entry[1] == 0:
+            del held[path]
+            lease.release()

@@ -2437,7 +2437,7 @@ def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
 
     # lease: see forget_near_dup_docs — an unleased append racing a
     # concurrent fold's tombstone truncate would lose the erasure
-    with catalog_lock, maintenance_lease(spark, db):
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         ensure_tables(
             spark,
             db,
@@ -2451,6 +2451,7 @@ def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
         )
         n = fresh.count()
         if n:
+            lease.check()  # fence the tombstone append (ADVICE r10)
             fresh.write.format("parquet").mode("append").saveAsTable(
                 f"{db}.tombstones"
             )
@@ -2489,6 +2490,8 @@ def compact_ivf_index(spark: SparkSession, db: str) -> dict:
                     F.broadcast(tombs), "vec_id", "left_anti"
                 )
                 staged_overwrite(spark, db, "assign", kept)
+                lease.renew()
+                lease.check()  # fence at the truncation itself (r10)
                 spark.sql(f"TRUNCATE TABLE {db}.tombstones")
                 spark.catalog.refreshTable(f"{db}.tombstones")
         return {"tombstones_folded": n_tombs}
@@ -2730,7 +2733,7 @@ def upsert_ivf_vectors(spark: SparkSession, sf_dir: str) -> str:
     from .lease import maintenance_lease
 
     db = _ivf_index_db(sf_dir) + "_up"
-    with catalog_lock, maintenance_lease(spark, db):
+    with catalog_lock, maintenance_lease(spark, db) as lease:
         done = (
             spark.table(f"{db}.assign")
             .filter(F.col("vec_id") % IVF_UPSERT_MOD == 0)
@@ -2749,9 +2752,14 @@ def upsert_ivf_vectors(spark: SparkSession, sf_dir: str) -> str:
             .filter(F.col("vec_id") % IVF_UPSERT_MOD == 0)
             .select("vec_id", "emb")
         )
-        _assign_enc(spark, arriving, cents).select(
+        upserts = _assign_enc(spark, arriving, cents).select(
             "vec_id", (F.col("enc") % 100000).cast("int").alias("cid")
-        ).write.format("parquet").mode("append").saveAsTable(f"{db}.assign")
+        )
+        lease.renew()  # the assignment scan may outlast the TTL (r10)
+        lease.check()  # fence the append
+        upserts.write.format("parquet").mode("append").saveAsTable(
+            f"{db}.assign"
+        )
         spark.catalog.refreshTable(f"{db}.assign")
         return "upserted"
 

@@ -26,8 +26,12 @@ def test_reference_suite_passes(spark, sf_small):
 
 def test_failing_tests_report_counts(spark, sf_small):
     engine = prepared_engine(spark, sf_small)
-    n_rows = spark.table(engine.relations["test_datamart"].qualified).count()
     dm = engine.relations["test_datamart"].qualified
+    # dbt's failures number = row count of the compiled test query: for
+    # accepted_values that's one per violating VALUE (the query groups).
+    n_vals = spark.sql(
+        f"SELECT count(DISTINCT column1) FROM {dm} WHERE column1 IS NOT NULL"
+    ).collect()[0][0]
     expected_orphans = spark.sql(
         f"SELECT count(*) FROM (SELECT column1 FROM {dm} WHERE column1 IS NOT NULL) c "
         "LEFT ANTI JOIN src.events p ON c.column1 = p.user_id"
@@ -37,23 +41,24 @@ def test_failing_tests_report_counts(spark, sf_small):
         spark,
         engine,
         [
-            # Every row violates an impossible accepted set.
+            # Every value violates an impossible accepted set.
             accepted_values("test_datamart", "column1", ["-1"]),
             # Referential check against a parent that misses some keys.
             relationships("test_datamart", "column1", "src.events", "user_id"),
         ],
     )
-    assert results[0].n_failures == n_rows
+    assert results[0].n_failures == n_vals
     assert not results[0].passed
     assert results[1].n_failures == expected_orphans
 
 
-def test_unique_counts_duplicated_rows(spark, sf_small):
+def test_unique_counts_duplicated_values(spark, sf_small):
     engine = prepared_engine(spark, sf_small)
-    # events.user_id repeats heavily: unique() must count all rows of
-    # duplicated values, and the quality suite addresses sources too.
+    # events.user_id repeats heavily: unique() must count one failure
+    # per duplicated VALUE (upstream dbt's semantics — the row count of
+    # the compiled grouped query), and the suite addresses sources too.
     dup = spark.sql(
-        "SELECT coalesce(sum(n), 0) FROM (SELECT count(*) AS n FROM src.events "
+        "SELECT count(*) FROM (SELECT 1 FROM src.events "
         "WHERE user_id IS NOT NULL GROUP BY user_id HAVING count(*) > 1)"
     ).collect()[0][0]
     assert dup > 0  # fixture sanity
@@ -131,7 +136,11 @@ def test_store_failures_and_severity(spark, sf_small):
     rows to the audit schema; severity='warn' downgrades the outcome
     without hiding the count."""
     engine = prepared_engine(spark, sf_small)
-    n_rows = spark.table(engine.relations["test_datamart"].qualified).count()
+    dm = engine.relations["test_datamart"].qualified
+    n_rows = spark.table(dm).count()
+    n_vals = spark.sql(
+        f"SELECT count(DISTINCT column1) FROM {dm} WHERE column1 IS NOT NULL"
+    ).collect()[0][0]
     failing = accepted_values("test_datamart", "column1", ["-1"])
     import dataclasses
 
@@ -140,11 +149,14 @@ def test_store_failures_and_severity(spark, sf_small):
         spark, engine, [failing, warn_only], store_failures=True
     )
     assert res.status == "fail" and wres.status == "warn"
-    assert res.n_failures == n_rows == wres.n_failures
+    # failures = one per violating value (dbt's compiled-query rows)...
+    assert res.n_failures == n_vals == wres.n_failures
     # Violating rows landed in the audit schema, queryable post-mortem.
     assert res.audit_table == f"dbt_test__audit.{failing.name}"
     audit = spark.table(res.audit_table)
     assert audit.columns == ["value", "n"]
+    # ...while the audit table keeps the per-value row counts, whose
+    # sum is still every violating row.
     assert audit.agg({"n": "sum"}).collect()[0][0] == n_rows
     # Passing tests never write audit tables.
     ok = run_tests(

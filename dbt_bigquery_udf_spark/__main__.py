@@ -130,6 +130,20 @@ def main(argv: list[str] | None = None) -> int:
         help="write a dbt run_results.json-style artifact (per-model "
         "status + execution time) to this path",
     )
+    b.add_argument(
+        "--defer",
+        action="store_true",
+        dest="defer_build",
+        help="resolve refs to UNSELECTED models against the --state "
+        "manifest's relations instead of rebuilding them (dbt --defer; "
+        "requires --state)",
+    )
+    b.add_argument(
+        "--favor-state",
+        action="store_true",
+        help="with --defer: always prefer the state relation, even when "
+        "the target env already has one (dbt --favor-state)",
+    )
 
     ws = sub.add_parser(
         "write-state",
@@ -575,6 +589,17 @@ def main(argv: list[str] | None = None) -> int:
                         "kind": spec.kind,
                         "relation": f"{engine.database_for(spec)}.{spec.relation_name}",
                         "tags": list(spec.tags),
+                        **(
+                            {
+                                "version": spec.version,
+                                "is_latest_version": (
+                                    spec.version
+                                    == engine.latest_version_of(spec.name)
+                                ),
+                            }
+                            if spec.version is not None
+                            else {}
+                        ),
                     }
                 )
             )
@@ -606,6 +631,8 @@ def main(argv: list[str] | None = None) -> int:
             exclude=args.exclude,
             full_refresh=args.full_refresh,
             fail_fast=False,  # dbt default: keep going, report, exit 1
+            defer=args.defer_build,
+            favor_state=args.favor_state,
         )
         if args.run_results:
             with open(args.run_results, "w") as fh:
@@ -694,6 +721,29 @@ def main(argv: list[str] | None = None) -> int:
                     "description": spec.description,
                     "columns": dict(spec.columns),
                     "tags": list(spec.tags),
+                    # dbt 1.5 model versions: present only on versioned
+                    # specs — version, the entry's resolved latest, and
+                    # whether THIS spec is it (what dbt's docs site
+                    # badges), plus any deprecation date.
+                    **(
+                        {
+                            "version": spec.version,
+                            "latest_version": engine.latest_version_of(
+                                spec.name
+                            ),
+                            "is_latest_version": (
+                                spec.version
+                                == engine.latest_version_of(spec.name)
+                            ),
+                        }
+                        if spec.version is not None
+                        else {}
+                    ),
+                    **(
+                        {"deprecation_date": spec.deprecation_date}
+                        if spec.deprecation_date
+                        else {}
+                    ),
                     "depends_on": {
                         "refs": list(spec.refs),
                         "sources": [list(s) for s in spec.sources],

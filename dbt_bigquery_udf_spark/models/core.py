@@ -56,7 +56,12 @@ from ..functions.dialect import translate_param_list, transpile_bq_expr
 
 __all__ = ["ModelSpec", "Engine", "Exposure"]
 
-_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+# {{ ref('m') }} plus dbt 1.5's versioned form {{ ref('m', v=2) }} /
+# {{ ref('m', version=2) }} — group 2 carries the version when present.
+_REF_RE = re.compile(
+    r"\{\{\s*ref\(\s*'([^']+)'\s*"
+    r"(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)\s*\}\}"
+)
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 # dbt's var(): {{ var('name') }} / {{ var('name', <default>) }} where
@@ -68,7 +73,10 @@ _VAR_RE = re.compile(
 # the standard env-routing idiom (see catalog.target_context).
 _TARGET_ATTR_RE = re.compile(r"\{\{\s*target\.(\w+)\s*\}\}")
 _JINJA_SPAN_RE = re.compile(r"\{\{.*?\}\}", re.S)
-_REF_TOKEN_RE = re.compile(r"\bref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+_REF_TOKEN_RE = re.compile(
+    r"\bref\(\s*['\"]([^'\"]+)['\"]\s*"
+    r"(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)"
+)
 # Opt-in marker for the build-time dbt_utils introspection env (see
 # _render_sql): binding it unconditionally would make every model pay
 # catalog lookups it never uses.
@@ -79,6 +87,25 @@ _UTILS_JINJA_RE = re.compile(
 # dbt invocation context: the audit-column idiom
 # (`'{{ invocation_id }}' AS batch_id, '{{ run_started_at }}' AS loaded_at`).
 _INVOCATION_RE = re.compile(r"\{\{\s*(invocation_id|run_started_at)\s*\}\}")
+def _parse_deprecation_date(name: str, value: str):
+    """Parse a model's ``deprecation_date`` (ISO date or datetime) to a
+    timezone-aware datetime, raising EngineError on garbage — dbt
+    validates the field at parse time too."""
+    from datetime import datetime, timezone
+
+    for fmt in ("%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            return datetime.strptime(str(value), fmt).replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            continue
+    raise EngineError(
+        f"model {name}: deprecation_date {value!r} is not an ISO date "
+        "(YYYY-MM-DD[ HH:MM:SS])"
+    )
+
+
 def _partition_epoch(value: str) -> float | None:
     """Epoch seconds for a civil date-ish partition value ('2026-01-01',
     '2026-01-01 08' possibly URL-encoded, '2026-01'), else None."""
@@ -211,6 +238,22 @@ class ModelSpec:
     # persist as TBLPROPERTIES ('grant.<privilege>' = grantees) — the
     # audit trail an external enforcer (Ranger, Unity, etc.) consumes.
     grants: tuple[tuple[str, str], ...] = ()  # (privilege, grantee-csv)
+    # dbt 1.5 model versions: ``version`` marks this spec as version N
+    # of the model entry ``name`` (schema.yml ``versions: [{v: N}]``).
+    # Versioned specs register under the key ``<name>.v<N>`` with a
+    # default physical alias ``<name>_v<N>`` (dbt's default); the BARE
+    # name stays a logical handle — ``ref('name')`` resolves to the
+    # entry's latest version, ``ref('name', v=N)`` to that version.
+    # ``latest_version`` is the entry-level pin (dbt's schema.yml key
+    # of the same name); unset = highest registered version. It may be
+    # declared on any (or every) version spec of the entry; conflicting
+    # declarations are an error at register time.
+    version: int | None = None
+    latest_version: int | None = None
+    # dbt's model-level deprecation_date (ISO date / datetime): refs
+    # and builds after this date record a deprecation warning on the
+    # engine (dbt raises the same as a warning event, never an error).
+    deprecation_date: str | None = None
     # dbt's sql_header config — statements executed in the same session
     # immediately before the main statement. On BigQuery this is THE
     # documented mechanism for temporary UDFs a single model needs
@@ -226,7 +269,23 @@ class ModelSpec:
 
     @property
     def relation_name(self) -> str:
-        return self.alias or self.name
+        if self.alias:
+            return self.alias
+        if self.version is not None:
+            # dbt's default alias for a versioned model: <name>_v<N>
+            # (every version carries the suffix unless aliased — the
+            # documented way to give the latest version the bare name).
+            return f"{self.name}_v{self.version}"
+        return self.name
+
+    @property
+    def registry_key(self) -> str:
+        """The engine-registry key: ``<name>.v<N>`` for versioned specs
+        (so every version of a model entry coexists), the bare name
+        otherwise."""
+        if self.version is not None:
+            return f"{self.name}.v{self.version}"
+        return self.name
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -289,6 +348,29 @@ class ModelSpec:
             )
         if self.kind == "snapshot" and not self.unique_key:
             raise EngineError(f"model {self.name}: snapshots require unique_key")
+        if self.version is not None:
+            if not isinstance(self.version, int) or self.version < 1:
+                raise EngineError(
+                    f"model {self.name}: version must be a positive integer "
+                    f"(got {self.version!r})"
+                )
+            if "." in self.name:
+                raise EngineError(
+                    f"model {self.name}: versioned model names must not "
+                    "contain '.' (reserved for the <name>.v<N> registry key)"
+                )
+            if self.kind in ("function", "table_function"):
+                raise EngineError(
+                    f"model {self.name}: versions apply to relation-producing "
+                    "kinds (dbt models), not functions"
+                )
+        if self.latest_version is not None and self.version is None:
+            raise EngineError(
+                f"model {self.name}: latest_version is only meaningful on "
+                "versioned specs (set version as well)"
+            )
+        if self.deprecation_date is not None:
+            _parse_deprecation_date(self.name, self.deprecation_date)
         if self.kind == "function" and not self.return_type:
             # Mirrors config.require('return_type')
             # (reference: macros/udf/get_create_function_as_sql.sql:3-5).
@@ -314,14 +396,25 @@ class ModelSpec:
         # }} must build a/b first or the build-time column introspection
         # finds nothing). Scoped to {{ }} spans so a ref(...) mention in
         # SQL comments or string literals cannot invent an edge.
+        def _token(name: str, ver: str) -> str:
+            # A versioned ref edges to that exact version's registry key
+            # (`name.vN` — see Engine.register); an unversioned ref
+            # edges to the bare name, resolved to the latest version at
+            # graph time (Engine._ref_key).
+            return f"{name}.v{int(ver)}" if ver else name
+
         nested = (
-            m
+            _token(*m)
             for span in _JINJA_SPAN_RE.findall(self.sql)
             for m in _REF_TOKEN_RE.findall(span)
         )
         return tuple(
             dict.fromkeys(
-                (*_REF_RE.findall(self.sql), *nested, *self.python_refs)
+                (
+                    *(_token(*m) for m in _REF_RE.findall(self.sql)),
+                    *nested,
+                    *self.python_refs,
+                )
             )
         )
 
@@ -449,6 +542,9 @@ class Engine:
         # AttributeError/stale).
         self.errors: dict[str, Exception] = {}
         self.skipped_errors: set[str] = set()
+        # dbt's deprecation warnings (model deprecation_date passed):
+        # accumulated across renders/builds, never raised.
+        self.deprecation_warnings: list[str] = []
         # dbt's project-level hooks (dbt_project.yml on-run-start /
         # on-run-end): run once per build() invocation, bracketing the
         # whole DAG — unlike per-model pre/post hooks (F6).
@@ -476,17 +572,38 @@ class Engine:
         project, so an updated model file replaces the old definition —
         used by incremental models whose body evolves between runs)."""
         for spec in specs:
-            if spec.name in self.models and not replace:
-                raise EngineError(f"duplicate model name {spec.name!r}")
-            self.models[spec.name] = spec
+            key = spec.registry_key
+            if key in self.models and not replace:
+                raise EngineError(f"duplicate model name {key!r}")
+            if spec.version is None and any(
+                s.version is not None and s.name == spec.name
+                for s in self.models.values()
+            ):
+                raise EngineError(
+                    f"model {spec.name!r}: an unversioned spec cannot share "
+                    "a name with a versioned model entry"
+                )
+            if spec.version is not None and spec.name in self.models:
+                raise EngineError(
+                    f"model {spec.name!r}: a versioned spec cannot share a "
+                    "name with an unversioned model"
+                )
+            self.models[key] = spec
         return self
 
     def register_exposures(self, *exposures: Exposure) -> "Engine":
         """Declare downstream consumers. depends_on is validated lazily
         at registration against already-registered models (register
         exposures after their models, as dbt parses models first)."""
+        def _known(m: str) -> bool:
+            try:
+                self._ref_key(m)
+                return True
+            except EngineError:
+                return False
+
         for e in exposures:
-            missing = [m for m in e.depends_on if m not in self.models]
+            missing = [m for m in e.depends_on if not _known(m)]
             if missing:
                 raise EngineError(
                     f"exposure {e.name}: depends_on unknown models {missing}"
@@ -510,11 +627,101 @@ class Engine:
     def database_for(self, spec: ModelSpec) -> str:
         return env_database(spec.database, self.env)
 
-    def _resolve_ref(self, name: str, *, for_call: bool) -> str:
-        try:
-            target = self.models[name]
-        except KeyError:
-            raise EngineError(f"ref('{name}') does not match any registered model")
+    # -- model versions (dbt 1.5) ------------------------------------------
+
+    def versions_of(self, base: str) -> dict[int, ModelSpec]:
+        """Every registered version of model entry ``base`` (empty for
+        unversioned names)."""
+        return {
+            s.version: s
+            for s in self.models.values()
+            if s.version is not None and s.name == base
+        }
+
+    def latest_version_of(self, base: str) -> int:
+        """The entry's pinned ``latest_version``, defaulting to the
+        highest registered version (dbt's rule)."""
+        vs = self.versions_of(base)
+        if not vs:
+            raise EngineError(f"model {base!r} has no registered versions")
+        declared = {
+            s.latest_version
+            for s in vs.values()
+            if s.latest_version is not None
+        }
+        if len(declared) > 1:
+            raise EngineError(
+                f"model {base!r}: conflicting latest_version declarations "
+                f"{sorted(declared)}"
+            )
+        latest = next(iter(declared)) if declared else max(vs)
+        if latest not in vs:
+            raise EngineError(
+                f"model {base!r}: latest_version={latest} is not a "
+                f"registered version (have {sorted(vs)})"
+            )
+        return latest
+
+    def _ref_key(self, name: str, version: int | None = None) -> str:
+        """Resolve a ref token to its registry key. ``name`` may be a
+        bare model name (unversioned model, or a versioned entry —
+        resolved to its latest version), an explicit ``name.vN`` token
+        (as emitted by :attr:`ModelSpec.refs`), or a bare name plus the
+        ``version`` kwarg (``ref('m', v=N)``)."""
+        if version is None:
+            if name in self.models:
+                return name
+            m = re.fullmatch(r"(.+)\.v(\d+)", name)
+            if m:
+                name, version = m.group(1), int(m.group(2))
+        vs = self.versions_of(name)
+        if not vs:
+            raise EngineError(
+                f"ref('{name}') does not match any registered model"
+            )
+        if version is None:
+            version = self.latest_version_of(name)
+        if version not in vs:
+            raise EngineError(
+                f"ref('{name}', v={version}) does not match a registered "
+                f"version (have {sorted(vs)})"
+            )
+        return vs[version].registry_key
+
+    def _edge_keys(self, spec: ModelSpec) -> set[str]:
+        """DAG edges for ``spec``: its ref tokens resolved to registry
+        keys (unversioned refs to versioned entries edge to the LATEST
+        version). Unresolvable tokens pass through — they surface as
+        the proper EngineError at render time."""
+        keys: set[str] = set()
+        for t in spec.refs:
+            try:
+                keys.add(self._ref_key(t))
+            except EngineError:
+                keys.add(t)
+        return keys
+
+    def _note_deprecation(self, spec: ModelSpec) -> None:
+        if not spec.deprecation_date:
+            return
+        from datetime import datetime, timezone
+
+        dep = _parse_deprecation_date(spec.name, spec.deprecation_date)
+        if datetime.now(timezone.utc) >= dep:
+            msg = (
+                f"model {spec.registry_key} passed its deprecation_date "
+                f"{spec.deprecation_date}"
+            )
+            if msg not in self.deprecation_warnings:
+                self.deprecation_warnings.append(msg)
+
+    def _resolve_ref(
+        self, name: str, *, version: int | None = None, for_call: bool
+    ) -> str:
+        key = self._ref_key(name, version)
+        target = self.models[key]
+        # dbt warns (never errors) on refs to deprecated models.
+        self._note_deprecation(target)
         db = self.database_for(target)
         if target.kind == "table_function":
             # TVF invocation must be unqualified (probed); the caller is
@@ -526,7 +733,31 @@ class Engine:
             # ephemerals may ref ephemerals). Catalyst then optimizes
             # across the inlined boundary exactly as with a CTE.
             return f"({self.render(target)})"
-        return f"{db}.{target.relation_name}"
+        qualified = f"{db}.{target.relation_name}"
+        # dbt --defer --state (set up by build(defer=True)): a ref to a
+        # model OUTSIDE the current selection resolves to the STATE
+        # manifest's relation instead of the target env's — unless the
+        # relation already exists in the target (dbt's default; pass
+        # favor_state=True to always prefer the state relation, dbt's
+        # --favor-state).
+        d = getattr(self, "_defer", None)
+        if d is not None and key not in d["selected"]:
+            deferred = d["relations"].get(key)
+            if deferred and deferred != qualified:
+                try:
+                    exists = (
+                        self.spark.catalog.functionExists(qualified)
+                        if target.kind == "function"
+                        else self.spark.catalog.tableExists(qualified)
+                    )
+                except Exception:
+                    # the env database itself may not exist yet (nothing
+                    # built there) — Spark raises SCHEMA_NOT_FOUND where
+                    # a missing table would just return False
+                    exists = False
+                if d["favor_state"] or not exists:
+                    return deferred
+        return qualified
 
     def _resolve_source(self, dataset: str, table: str) -> str:
         # All external sources live in the source database regardless of
@@ -653,7 +884,14 @@ class Engine:
         )
         sql = _VAR_RE.sub(lambda m: self._resolve_var(spec, m), sql)
         sql = _THIS_RE.sub(f"{self.database_for(spec)}.{spec.relation_name}", sql)
-        sql = _REF_RE.sub(lambda m: self._resolve_ref(m.group(1), for_call=True), sql)
+        sql = _REF_RE.sub(
+            lambda m: self._resolve_ref(
+                m.group(1),
+                version=int(m.group(2)) if m.group(2) else None,
+                for_call=True,
+            ),
+            sql,
+        )
         sql = _SOURCE_RE.sub(lambda m: self._resolve_source(*m.groups()), sql)
         sql = sql.strip().rstrip(";")
         if spec.cluster_by and spec.kind in ("table", "incremental"):
@@ -731,7 +969,7 @@ class Engine:
             # (_resolve_ref). Registered in the relation cache so DAG
             # bookkeeping and selection still see the node.
             rel = BuiltRelation(spec.name, db, spec.relation_name, "ephemeral")
-            self.relations[spec.name] = rel
+            self.relations[spec.registry_key] = rel
             return rel
         body = self.render(spec)
         with catalog_lock:
@@ -998,7 +1236,7 @@ class Engine:
                 self.spark.sql(hook)
 
         rel = BuiltRelation(spec.name, db, spec.relation_name, spec.kind)
-        self.relations[spec.name] = rel  # F9
+        self.relations[spec.registry_key] = rel  # F9
         return rel
 
     def _clean_stale_location(self, db: str, name: str) -> None:
@@ -1023,7 +1261,24 @@ class Engine:
         for ref in spec.refs:
             target = self.models.get(ref)
             if target and target.kind == "table_function":
-                return self.database_for(target)
+                db = self.database_for(target)
+                # --defer: an unselected TVF resolves to the state
+                # manifest's database (its name is unqualified in the
+                # body; USE <db> is how the call routes) when the target
+                # env doesn't have it.
+                d = getattr(self, "_defer", None)
+                if d is not None and ref not in d["selected"]:
+                    deferred = d["relations"].get(ref)
+                    if deferred and "." in deferred:
+                        try:
+                            exists = self.spark.catalog.functionExists(
+                                f"{db}.{target.relation_name}"
+                            )
+                        except Exception:
+                            exists = False
+                        if d["favor_state"] or not exists:
+                            return deferred.rsplit(".", 1)[0]
+                return db
         return None
 
     def _persist_docs(self, spec: ModelSpec, db: str) -> None:
@@ -1239,21 +1494,49 @@ class Engine:
         ANY process can select ``state:modified`` against this file and
         rebuild only what changed (dbt's Slim CI pattern: at 1000+
         models — the reference author's production scale — CI builds
-        the diff, not the world)."""
+        the diff, not the world).
+
+        Besides fingerprints, the state records each model's QUALIFIED
+        RELATION (derivable from the spec, like dbt's manifest) — the
+        resolution table ``--defer`` reads so an unselected upstream ref
+        can point at the production relation instead of rebuilding it."""
         import json
 
-        state = {n: self._model_fingerprint(s) for n, s in self.models.items()}
+        state = {
+            "fingerprints": {
+                n: self._model_fingerprint(s) for n, s in self.models.items()
+            },
+            "relations": {
+                # always db-qualified — the TVF defer path splits the
+                # database back off for its USE routing
+                n: f"{self.database_for(s)}.{s.relation_name}"
+                for n, s in self.models.items()
+                if s.kind != "ephemeral"
+            },
+        }
         with open(path, "w") as f:
             json.dump(state, f, indent=0, sort_keys=True)
+
+    @staticmethod
+    def _load_state(state_path: str) -> dict:
+        """Read a state file in either format: the round-10 flat
+        ``{name: fingerprint}`` shape or the current
+        ``{"fingerprints": ..., "relations": ...}``."""
+        import json
+
+        with open(state_path) as f:
+            saved = json.load(f)
+        if "fingerprints" in saved and isinstance(
+            saved.get("fingerprints"), dict
+        ):
+            return saved
+        return {"fingerprints": saved, "relations": {}}
 
     def modified_models(self, state_path: str) -> list[str]:
         """Models whose fingerprint differs from the saved state (new
         models count as modified; deletions are ignored — they have
         nothing to build)."""
-        import json
-
-        with open(state_path) as f:
-            saved = json.load(f)
+        saved = self._load_state(state_path)["fingerprints"]
         return [
             n
             for n, s in self.models.items()
@@ -1266,7 +1549,7 @@ class Engine:
         while changed:
             changed = False
             for n, s in self.models.items():
-                if n not in out and out & set(s.refs):
+                if n not in out and out & self._edge_keys(s):
                     out.add(n)
                     changed = True
         return out
@@ -1278,6 +1561,7 @@ class Engine:
         select: list[str] | None,
         state: str | None = None,
         exclude: list[str] | None = None,
+        closure: bool = True,
     ) -> dict[str, ModelSpec]:
         if select is None:
             out = dict(self.models)
@@ -1299,10 +1583,11 @@ class Engine:
                     roots = {n for n, s in self.models.items() if tag in s.tags}
                     if not roots:
                         raise EngineError(f"--select {sel}: no model carries that tag")
-                elif root in self.models:
-                    roots = {root}
                 else:
-                    raise EngineError(f"--select {sel}: no such model")
+                    try:
+                        roots = {self._ref_key(root)}
+                    except EngineError:
+                        raise EngineError(f"--select {sel}: no such model")
                 stack.extend(self._downstream_closure(roots))
             elif sel.startswith("+"):
                 # dbt `+model`: the model and its ancestors — which is
@@ -1334,11 +1619,18 @@ class Engine:
             if name in out:
                 continue
             try:
-                spec = self.models[name]
-            except KeyError:
+                # _ref_key lets --select address a versioned entry by
+                # its bare name (resolving to the latest version, dbt's
+                # rule) or pin one with `name.vN`.
+                key = self._ref_key(name)
+            except EngineError:
                 raise EngineError(f"--select {name}: no such model")
-            out[name] = spec
-            stack.extend(spec.refs)  # upstream closure
+            if key in out:
+                continue
+            spec = self.models[key]
+            out[key] = spec
+            if closure:
+                stack.extend(self._edge_keys(spec))  # upstream closure
         for name in exclude or ():
             # dbt --exclude: dropped AFTER closure — an excluded
             # upstream is assumed already built (dbt's own contract).
@@ -1395,6 +1687,13 @@ class Engine:
                         spec.require_partition_filter,
                     )
                 ),
+                repr(
+                    (
+                        spec.version,
+                        spec.latest_version,
+                        spec.deprecation_date,
+                    )
+                ),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()
@@ -1409,6 +1708,8 @@ class Engine:
         state: str | None = None,
         exclude: list[str] | None = None,
         fail_fast: bool = True,
+        defer: bool = False,
+        favor_state: bool = False,
     ) -> dict[str, BuiltRelation]:
         """Topologically build the (selected closure of the) model DAG.
 
@@ -1436,6 +1737,15 @@ class Engine:
         still builds — at 1000+ models one broken model must not sink
         the nightly run. ``fail_fast=True`` (this API's default, kept
         for programmatic callers) re-raises the first failure.
+
+        ``defer=True`` (dbt's --defer --state, requires ``state``): the
+        selection is taken EXACTLY (no upstream closure — dbt builds
+        only what's selected under defer), and refs to unselected
+        models resolve to the state manifest's recorded relations when
+        the target env lacks them (``favor_state=True`` = dbt's
+        --favor-state: always prefer the state relation). This is the
+        Slim-CI completion: CI builds the changed child against
+        production parents instead of rebuilding the world.
         """
         self.skipped = set()
         self.errors = {}
@@ -1443,7 +1753,19 @@ class Engine:
         self.timings = {}
         self._stamp_invocation()  # fresh {{ invocation_id }} per build (dbt)
         build_started = time.perf_counter()
-        graph = self._subgraph(select, state=state, exclude=exclude)
+        if defer:
+            if not state:
+                raise EngineError("build(defer=True) requires state=PATH")
+            graph = self._subgraph(
+                select, state=state, exclude=exclude, closure=False
+            )
+            self._defer = {
+                "relations": self._load_state(state)["relations"],
+                "selected": set(graph),
+                "favor_state": favor_state,
+            }
+        else:
+            graph = self._subgraph(select, state=state, exclude=exclude)
         for hook in self.on_run_start:  # dbt on-run-start
             self.spark.sql(hook)
         try:
@@ -1454,7 +1776,7 @@ class Engine:
                         self.spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.relation_name}")
                         self._clean_stale_location(db, spec.relation_name)
             ts = TopologicalSorter(
-                {n: set(s.refs) & graph.keys() for n, s in graph.items()}
+                {n: self._edge_keys(s) & graph.keys() for n, s in graph.items()}
             )
             ts.prepare()
             results: dict[str, BuiltRelation] = {}
@@ -1463,18 +1785,18 @@ class Engine:
                 fp = self._model_fingerprint(spec)
                 if (
                     skip_unchanged
-                    and self._fingerprints.get(spec.name) == fp
-                    and spec.name in self.relations
+                    and self._fingerprints.get(spec.registry_key) == fp
+                    and spec.registry_key in self.relations
                 ):
-                    return self.relations[spec.name], True
+                    return self.relations[spec.registry_key], True
                 started = time.perf_counter()
                 try:
                     rel = self._materialize(spec, replace)
                 finally:
                     # recorded on failure too: a model that grinds before
                     # erroring must not report 0.0 in run_results
-                    self.timings[spec.name] = time.perf_counter() - started
-                self._fingerprints[spec.name] = fp
+                    self.timings[spec.registry_key] = time.perf_counter() - started
+                self._fingerprints[spec.registry_key] = fp
                 return rel, False
 
             with ThreadPoolExecutor(max_workers=threads) as pool:
@@ -1485,7 +1807,7 @@ class Engine:
                     runnable = []
                     for n in ready:
                         bad = self.errors.keys() | self.skipped_errors
-                        if set(graph[n].refs) & bad:
+                        if self._edge_keys(graph[n]) & bad:
                             # Descendant of a failure: SKIP (dbt's
                             # status), but mark done so the sorter
                             # keeps feeding unrelated branches.
@@ -1508,6 +1830,7 @@ class Engine:
                         ts.done(n)
             return results
         finally:
+            self._defer = None  # defer resolution is scoped to this build
             self.elapsed = time.perf_counter() - build_started
             for hook in self.on_run_end:  # dbt on-run-end (even on failure)
                 self.spark.sql(hook)

@@ -68,8 +68,10 @@ def run_unit_tests(spark: SparkSession, engine, tests) -> list[UnitTestResult]:
     results = []
     for t in tests:
         try:
-            spec = engine.models[t.model]
-        except KeyError:
+            # _ref_key: a unit test on a versioned entry addresses the
+            # bare name; dbt runs it against the latest version.
+            spec = engine.models[engine._ref_key(t.model)]
+        except (KeyError, EngineError):
             raise EngineError(f"unit test {t.name}: no model {t.model!r}")
 
         sql = spec.sql

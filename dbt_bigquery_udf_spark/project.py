@@ -987,6 +987,76 @@ def load_project(
                     c["description"], f"{d_model}.{c.get('name')}"
                 )
 
+    # dbt 1.5 model versions: a schema.yml entry carrying ``versions:``
+    # is a VERSIONED MODEL ENTRY — each version's body lives in its own
+    # file (``defined_in``, else ``<name>_v<N>``; the latest version may
+    # also live in the bare ``<name>.sql``, dbt's lookup order). Map
+    # file stems to (entry, version) so the SQL pass below registers
+    # ModelSpec(name=<entry>, version=N) — ref('<entry>') then resolves
+    # to the latest version, ref('<entry>', v=N) pins one (engine
+    # _ref_key; dbt ref() of the same shape).
+    version_lookup: dict[str, tuple[str, int, dict, dict]] = {}
+    for v_entry, v_doc in docs.items():
+        versions = v_doc.get("versions")
+        if not versions:
+            continue
+        try:
+            v_nums = [int(v["v"]) for v in versions]
+        except (KeyError, TypeError, ValueError) as exc:
+            raise EngineError(
+                f"model {v_entry}: every versions: item needs an integer "
+                f"v: ({exc})"
+            ) from exc
+        if len(set(v_nums)) != len(v_nums):
+            raise EngineError(f"model {v_entry}: duplicate version numbers")
+        declared = v_doc.get("latest_version")
+        latest = int(declared) if declared is not None else max(v_nums)
+        if latest not in v_nums:
+            raise EngineError(
+                f"model {v_entry}: latest_version={latest} is not a "
+                f"declared version (have {sorted(v_nums)})"
+            )
+        for v in versions:
+            vv = int(v["v"])
+            stems = (
+                [str(v["defined_in"])]
+                if v.get("defined_in")
+                else [f"{v_entry}_v{vv}"] + ([v_entry] if vv == latest else [])
+            )
+            for sc in stems:
+                if sc in version_lookup:
+                    raise EngineError(
+                        f"model {v_entry}: file stem {sc!r} maps to two "
+                        "versions"
+                    )
+                version_lookup[sc] = (v_entry, vv, dict(v), v_doc)
+
+    seen_versions: dict[tuple[str, int], str] = {}
+
+    def _version_columns(entry_doc: dict, v_meta: dict) -> dict[str, str]:
+        """Per-version column docs: the entry's columns, filtered and
+        extended by the version's ``columns:`` include/exclude list
+        (dbt's ``- include: all`` / ``exclude: [...]`` directive)."""
+        base = {
+            c["name"]: c.get("description", "")
+            for c in entry_doc.get("columns", []) or []
+        }
+        if "columns" not in v_meta:
+            return base
+        out: dict[str, str] = {}
+        for item in v_meta.get("columns") or []:
+            inc = item.get("include")
+            if inc is not None:
+                if inc in ("all", "*"):
+                    out.update(base)
+                elif isinstance(inc, (list, tuple)):
+                    out.update({k: base.get(k, "") for k in inc})
+                for ex in item.get("exclude", []) or []:
+                    out.pop(ex, None)
+            elif "name" in item:
+                out[item["name"]] = item.get("description", "")
+        return out
+
     seen_stems: dict[str, str] = {}
     for path, parts in sql_files:
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -1041,23 +1111,47 @@ def load_project(
             raise EngineError(
                 f"{path}: malformed {{{{ config(...) }}}} block ({exc})"
             ) from exc
-        meta = docs.get(stem, {})
+        ver = version_lookup.get(stem)
+        if ver is not None:
+            v_entry, v_num, v_meta, v_doc = ver
+            if (v_entry, v_num) in seen_versions:
+                raise EngineError(
+                    f"model {v_entry} v{v_num}: defined in both "
+                    f"{seen_versions[(v_entry, v_num)]} and {path}"
+                )
+            seen_versions[(v_entry, v_num)] = path
+            meta = v_doc
+        else:
+            meta = docs.get(stem, {})
         kwargs: dict = {"kind": "view"}  # dbt's default materialization
         # dbt precedence: project tree < schema.yml config: < in-file config()
         _apply_config(_config_tree_for(config_tree, name, parts), kwargs)
         _apply_config(dict(meta.get("config", {}) or {}), kwargs)
+        if ver is not None:
+            # per-version config overlay (dbt: a versions: item may
+            # carry its own config:, layered over the entry's)
+            _apply_config(dict(v_meta.get("config", {}) or {}), kwargs)
         _apply_config(cfg_inline, kwargs)
         if not kwargs.pop("_enabled", True):
             continue
-        _route_schema(kwargs, stem)
-        _route_alias(kwargs, stem)
-        columns = {
-            c["name"]: c.get("description", "")
-            for c in meta.get("columns", []) or []
-        }
+        model_name = v_entry if ver is not None else stem
+        _route_schema(kwargs, model_name)
+        _route_alias(kwargs, model_name)
+        if ver is not None:
+            kwargs["version"] = v_num
+            if v_doc.get("latest_version") is not None:
+                kwargs["latest_version"] = int(v_doc["latest_version"])
+            if v_doc.get("deprecation_date") is not None:
+                kwargs["deprecation_date"] = str(v_doc["deprecation_date"])
+            columns = _version_columns(v_doc, v_meta)
+        else:
+            columns = {
+                c["name"]: c.get("description", "")
+                for c in meta.get("columns", []) or []
+            }
         models.append(
             ModelSpec(
-                name=stem,
+                name=model_name,
                 sql=body.strip(),
                 description=meta.get("description", ""),
                 columns=columns,

@@ -11,6 +11,7 @@ UDF/TVF/datamart DAG), then the driver-mandated extension operators
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -423,9 +424,9 @@ def ref_snapshot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT 'unique_ov_orders_o_orderkey' AS test_name,
-           CAST(coalesce((SELECT sum(n) FROM (
-             SELECT count(*) AS n FROM ov WHERE o_orderkey IS NOT NULL
-             GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+           CAST((SELECT count(*) FROM (
+             SELECT 1 FROM ov WHERE o_orderkey IS NOT NULL
+             GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
              AS n_failures
     UNION ALL
     SELECT 'not_null_ov_orders_o_custkey',
@@ -433,16 +434,16 @@ def ref_snapshot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT)
     UNION ALL
     SELECT 'unique_ov_orders_o_custkey',
-           CAST(coalesce((SELECT sum(n) FROM (
-             SELECT count(*) AS n FROM ov WHERE o_custkey IS NOT NULL
-             GROUP BY o_custkey HAVING count(*) > 1)), 0) AS BIGINT)
+           CAST((SELECT count(*) FROM (
+             SELECT 1 FROM ov WHERE o_custkey IS NOT NULL
+             GROUP BY o_custkey HAVING count(*) > 1)) AS BIGINT)
     UNION ALL
     SELECT 'accepted_values_ov_orders_o_orderstatus',
-           CAST(coalesce((SELECT sum(n) FROM (
-             SELECT count(*) AS n FROM ov
+           CAST((SELECT count(*) FROM (
+             SELECT 1 FROM ov
              WHERE o_orderstatus IS NOT NULL
                AND o_orderstatus NOT IN ('F', 'O')
-             GROUP BY o_orderstatus)), 0) AS BIGINT)
+             GROUP BY o_orderstatus)) AS BIGINT)
     UNION ALL
     SELECT 'relationships_ov_orders_fk_custkey__ov_customer_c_custkey',
            CAST((SELECT count(*) FROM ov
@@ -465,10 +466,12 @@ def ref_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to the ``dbt_test__audit`` schema (dbt's config of the same
     name). The child view poisons one FK in 97 so the relationships
     anti-join has real violations to count; ``unique`` on o_custkey
-    counts EVERY row of each duplicated value (dbt's compiled
-    semantics — not the number of duplicated values), which is exactly
-    what the oracle restates, so a miscompiled test query
-    hash-mismatches on the failure COUNTS, not just pass/fail bits.
+    counts one failure per DUPLICATED VALUE — the row count of dbt's
+    compiled test query, which IS upstream dbt's failures number
+    (ADVICE r10 corrected the engine's earlier sum-of-group-counts
+    deviation) — and the oracle restates the same count, so a
+    miscompiled test query hash-mismatches on the failure COUNTS, not
+    just pass/fail bits.
     Statuses are derivable from the counts (0 = pass), so the output
     stays two columns and the severity dial is exercised in pytest
     (tests/test_quality.py), not re-proven here.
@@ -756,6 +759,169 @@ def ref_python_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("datamart.monthly_status_mix")
 
 
+@register(
+    "ref_model_versions",
+    """
+    WITH agg AS (
+      SELECT o_orderstatus AS st,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'latest' AS via, st, n, cents FROM agg
+    UNION ALL
+    SELECT 'v1' AS via, st, n, CAST(-1 AS BIGINT) AS cents FROM agg
+    """,
+)
+def ref_model_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.5 model versions end to end (round 11, VERDICT r10 #3): a
+    versioned model entry (`vq_status` v1/v2, v2 latest) with one
+    consumer on the unpinned ``ref('vq_status')`` (dbt: latest) and one
+    pinned to ``ref('vq_status', v=1)``. v2 adds a money-safe integer
+    `cents` column the v1 shape lacks, so the unioned result value-
+    checks BOTH the version routing (latest consumer sees cents, the
+    pinned one the v1 shape) and the shared columns agreeing across
+    versions. v1 carries a past deprecation_date; the engine must
+    RECORD the dbt deprecation warning (asserted here — a missing
+    warning fails the query, not just a pytest).
+
+    Scale: each version materializes independently (one scan +
+    partial-agg shuffle each); version routing is pure name resolution
+    at compile time — zero runtime cost, exactly dbt's semantics.
+
+    reference: the reference tree predates dbt 1.5 and ships no
+    versions: blocks (models/udf/schema.yml is unversioned) — this is
+    forward-surface for migrating trees (project.py parses the same
+    YAML shape)."""
+    from .models.core import ModelSpec
+
+    eng = prepared_engine(spark, sf_dir)
+    v_common = dict(
+        name="vq_status", kind="view", database="datamart", dialect="spark",
+        latest_version=2,
+    )
+    eng.register(
+        ModelSpec(
+            **v_common,
+            version=1,
+            deprecation_date="2020-01-01",
+            sql=(
+                "SELECT o_orderstatus AS st, count(*) AS n "
+                "FROM {{ source('src', 'orders') }} GROUP BY o_orderstatus"
+            ),
+        ),
+        ModelSpec(
+            **v_common,
+            version=2,
+            sql=(
+                "SELECT o_orderstatus AS st, count(*) AS n, "
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS "
+                "BIGINT) AS cents "
+                "FROM {{ source('src', 'orders') }} GROUP BY o_orderstatus"
+            ),
+        ),
+        ModelSpec(
+            name="vq_latest_consumer", kind="view", database="datamart",
+            dialect="spark",
+            sql="SELECT st, n, cents FROM {{ ref('vq_status') }}",
+        ),
+        ModelSpec(
+            name="vq_pinned_consumer", kind="view", database="datamart",
+            dialect="spark",
+            sql=(
+                "SELECT st, n, CAST(-1 AS BIGINT) AS cents "
+                "FROM {{ ref('vq_status', v=1) }}"
+            ),
+        ),
+        replace=True,
+    )
+    eng.build(
+        select=["vq_latest_consumer", "vq_pinned_consumer"], fail_fast=True
+    )
+    if not any("vq_status.v1" in w for w in eng.deprecation_warnings):
+        raise RuntimeError(
+            "deprecated v1 was referenced but no deprecation warning "
+            "was recorded"
+        )
+    return spark.sql(
+        "SELECT 'latest' AS via, st, n, cents "
+        "FROM datamart.vq_latest_consumer "
+        "UNION ALL "
+        "SELECT 'v1' AS via, st, n, cents FROM datamart.vq_pinned_consumer"
+    )
+
+
+@register(
+    "ref_defer_state",
+    """
+    SELECT o_orderstatus AS st,
+           CAST(count(*) AS BIGINT) AS n,
+           false AS dev_parent_exists
+    FROM orders GROUP BY o_orderstatus HAVING count(*) > 0
+    """,
+)
+def ref_defer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt --defer --state end to end (round 11, VERDICT r10 #5): a
+    prod engine builds parent+child and writes its state manifest; a
+    dev engine with the SAME specs builds ONLY the child under
+    defer=True — the parent ref resolves to prod's relation via the
+    manifest, the dev env never materializes the parent (asserted as
+    the ``dev_parent_exists`` column: a wrongly-built dev parent
+    hash-mismatches against the oracle's ``false``). The child's rows
+    therefore equal the oracle computed straight off prod's source —
+    Slim CI's "build the diff against production" promise.
+
+    Scale: defer is pure compile-time name routing off a JSON manifest —
+    the 1000-model CI run materializes ONE model and reads 999 from
+    prod, no extra plan cost.
+
+    reference: forward-surface (the reference predates --defer);
+    composes with its write-state/state:modified Slim-CI half
+    (models/core.py::write_state)."""
+    import hashlib
+    import tempfile
+
+    from .models.core import ModelSpec
+
+    specs = (
+        ModelSpec(
+            name="dq_parent", kind="table", database="datamart",
+            dialect="spark",
+            sql=(
+                "SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n "
+                "FROM {{ source('src', 'orders') }} GROUP BY o_orderstatus"
+            ),
+        ),
+        ModelSpec(
+            name="dq_child", kind="table", database="datamart",
+            dialect="spark",
+            sql="SELECT st, n FROM {{ ref('dq_parent') }} WHERE n > 0",
+        ),
+    )
+    prod = prepared_engine(spark, sf_dir)
+    prod.register(*specs, replace=True)
+    prod.build(select=["dq_child"], fail_fast=True)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state = os.path.join(
+        tempfile.gettempdir(), f"dbt_spark_defer_state_{tag}.json"
+    )
+    prod.write_state(state)
+
+    dev = prepared_engine(spark, sf_dir, env="dev")
+    spark.sql("CREATE DATABASE IF NOT EXISTS datamart_dev")
+    spark.sql("DROP TABLE IF EXISTS datamart_dev.dq_parent")
+    dev.register(*specs, replace=True)
+    dev.build(select=["dq_child"], defer=True, state=state, fail_fast=True)
+
+    from pyspark.sql import functions as F
+
+    exists = spark.catalog.tableExists("datamart_dev.dq_parent")
+    return spark.table("datamart_dev.dq_child").select(
+        "st", "n", F.lit(exists).alias("dev_parent_exists")
+    )
+
+
 # Extension operators register themselves on import (must come after
 # ``register`` is defined — the circular import is intentional and safe).
 from . import operators  # noqa: E402,F401
@@ -784,24 +950,35 @@ _CURATED_WINDOW = (
     "ref_parse_datetime",
     "ref_tvf_param",
     "ref_incremental_mart",
-    # TPC-H repertoire (r9: q9 rotates out after 7 green rounds; q1
-    # keeps the scan+agg family, the join-tree shapes stay in
-    # asof/window/pipeline rows and verify_driver)
-    "q1_pricing_summary",
+    # round-11 promotions (VERDICT r10 #1/#6): the round-10-new dbt
+    # surfaces earn hard driver rows — SCD2 snapshots (both dbt
+    # strategies incl. hard-delete invalidation), the dbt test command
+    # (four generic tests + a singular test, dbt row-count failure
+    # semantics per ADVICE r10), source freshness, the python-model
+    # surface, and the user-shaped LLM-corpus project tree
+    "ref_snapshot_scd2",
+    "ref_snapshot_check",
+    "ref_schema_tests",
+    "ref_source_freshness",
+    "ref_python_model",
+    "ref_llm_corpus_project",
+    # (r11: q1_pricing_summary — 10 greens — rotates out; scan+agg
+    # stays exercised through the pipeline rows and verify_driver)
     # join / window / grouping shapes (r7: semi_anti_join + cube_orders
-    # rotate out after 4+ green rounds; asof keeps the range-join family,
-    # window_funcs_suite keeps windows, profile_columns keeps Expand)
+    # rotate out after 4+ green rounds; asof keeps the range-join
+    # family) (r11: window_funcs_suite — 10 greens — and
+    # events_sessionize — 10 — rotate out; window shapes stay in-window
+    # through retrieval_rrf_fusion's rank windows and udtf_sentence_
+    # stats' grouped ranking, temporal through stream_hourly_rollup)
     "asof_click_attribution",
-    "window_funcs_suite",
-    # events / time series (r9: timeseries_gapfill rotates out after 8
-    # green rounds; temporal coverage stays with events_sessionize +
-    # stream_hourly_rollup)
-    "events_sessionize",
-    # stats (r9: stats_summary rotates out after 8 green rounds;
-    # stats_approx_sketches keeps the family's sketch evidence)
-    "stats_approx_sketches",
-    # BigQuery-dialect transpiler
-    "bq_dialect_qualify",
+    # stats (r11: stats_approx_sketches — 9 greens — rotates out; the
+    # stats family's driver row moves to the regr_slope/intercept
+    # built-in trend, first-time row per VERDICT r10 #6 debt burn-down)
+    "stats_regression_trend",
+    # BigQuery-dialect transpiler (r11: bq_dialect_qualify — 10
+    # greens — rotates out per VERDICT r10 #6; the dialect layer stays
+    # in-window through ref_parse_datetime's strict PARSE_DATETIME and
+    # the 62 golden vectors in pytest)
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
     # dedup family — round 9 promotes the full round-8 surface: the
@@ -812,7 +989,9 @@ _CURATED_WINDOW = (
     # verify_driver-checked; exact stays repped by incr_exact_indexed +
     # the two new exact rows, LSH by incr_near_indexed + the three new
     # LSH rows)
-    "dedup_incr_near_indexed",
+    # (r11: dedup_incr_near_indexed — 4 greens — rotates out; the
+    # layered near-dup admission stays repped by the auto-compaction
+    # and streaming-gate rows)
     "dedup_incr_exact_indexed",
     "dedup_index_forget",
     "dedup_exact_forget",
@@ -833,8 +1012,9 @@ _CURATED_WINDOW = (
     # (r10: sim_ivfpq_adc — 4 greens — and sim_hamming_topk — 3 —
     # rotate out; their serving quality stays in-window through
     # sim_ann_eval_metrics, which scores BOTH against brute ground
-    # truth; range search keeps the metric-range family)
-    "sim_range_search",
+    # truth) (r11: sim_range_search — 4 greens — rotates out; serving
+    # quality stays in-window through sim_ann_eval_metrics and the new
+    # autotune/policy rows below)
     "sim_ivf_trained_indexed",
     "sim_ivf_upsert",
     "sim_ivf_forget",
@@ -846,6 +1026,11 @@ _CURATED_WINDOW = (
     "sim_ivf_retrain_epoch2",
     "stream_ivf_forget",
     "sim_ann_eval_metrics",
+    # round-11 promotions: the policy gate closing the drift-trigger ->
+    # retrain loop and the dashboard-consuming dial autotuner (both
+    # round-10-new, queued per VERDICT r10 #1)
+    "sim_ivf_retrain_policy",
+    "sim_ann_autotune",
     # (r10: emb_label_propagation — 4 greens — rotates out; the
     # embedding-ML family stays repped by emb_knn_graph)
     "emb_knn_graph",
@@ -862,18 +1047,19 @@ _CURATED_WINDOW = (
     "ccnet_perplexity_buckets",
     # tokenizer training (r10: bpe_pair_counts — 5 greens — rotates
     # out; counts stay exercised as stage 1 of bpe_train_merges)
+    # (r11: bpe_encode_corpus — 4 greens — rotates out; the trained
+    # merge table stays in-window through bpe_train_merges)
     "bpe_train_merges",
-    "bpe_encode_corpus",
-    # multimodal (r7: mm_payload_dedup rotates out after three green
-    # rounds; decode keeps the Arrow mapInPandas path in-window)
-    "mm_decode_features",
-    # profiling / graph / streaming (r7: stream_dedup rotates out;
-    # r7 continuation: stream_recovery_resume — three rounds green —
-    # yields its slot to the NEW streaming near-dup admission gate,
-    # this round's flagship composition: foreachBatch micro-batches
-    # scored against + appended to the persisted LSH index)
-    "profile_columns",
-    "graph_pagerank_converged",
+    # multimodal (r11: mm_decode_features — 9 greens — rotates out per
+    # VERDICT r10 #6; the Arrow mapInPandas byte path stays in-window
+    # through the first-time resize row, which decodes AND rewrites)
+    "mm_resize_thumbs",
+    # profiling / graph / streaming (r11: profile_columns — 9 greens —
+    # and graph_pagerank_converged — 7 — rotate out per VERDICT r10 #6;
+    # each family keeps a first-time rep: the PII scanner's regex
+    # sweep, and iterative BFS reachability over the event graph)
+    "pii_scan",
+    "graph_reachable_types",
     "stream_hourly_rollup",
     "stream_near_dup_admission",
     # round-9 promotions: the exact gate's streaming composition and
@@ -882,14 +1068,16 @@ _CURATED_WINDOW = (
     # driver rows
     "stream_exact_admission",
     "stream_ivf_admission",
-    # Python UDTF, source formats, VARIANT
-    "udtf_grouped_topk",
-    "source_csv_roundtrip",
+    # Python UDTF, source formats, VARIANT (r11: udtf_grouped_topk — 9
+    # greens — and source_csv_roundtrip — 9 — rotate out per VERDICT
+    # r10 #6; each family keeps a first-time rep)
+    "udtf_sentence_stats",
+    "source_jsonl_roundtrip",
     "events_variant_extract",
     # pipeline audits (oracles embed the registered gate/dedup oracles)
     # — round 8 promotes the incremental-admission audit composing both
-    # persisted gates
-    "pipeline_quality_funnel",
+    # persisted gates (r11: pipeline_quality_funnel — 4 greens —
+    # rotates out; the family keeps two reps)
     "pipeline_dedup_funnel",
     "pipeline_incremental_admission",
 )
@@ -927,29 +1115,28 @@ _CURATED_WINDOW = (
 # dedup_containment (3), sim_ivfpq_adc (4), sim_hamming_topk (3),
 # emb_label_propagation (4), text_bm25_topk (4), bpe_pair_counts (5),
 # dsir_importance_weights (6).
-# Queued round-11 window candidates (registered, verify_driver-checked,
-# benched, property-covered — awaiting a driver slot):
-# sim_ivf_retrain_policy (round-10-new: the policy gate closing the
-# drift-trigger -> retrain-execution loop — BOTH branches proven
-# against dedicated versioned dbs, the decision input recomputed by
-# the oracle);
-# sim_ann_autotune (round-10-new: the dashboard's consumer — dial
-# sweep over nprobe/shortlist width choosing the cheapest setting
-# meeting the 3/5 recall floor, selection rule restated as a window
-# in the oracle);
-# ref_snapshot_scd2 / ref_snapshot_check (round-10-new: the SCD2
-# snapshot surface — both dbt strategies, two-run change tracking
-# value-hashed including hard-delete invalidation);
-# ref_schema_tests (round-10-new: dbt's test command — all four
-# generic tests + a singular test, failure-count semantics in the
-# oracle);
-# ref_source_freshness (round-10-new: source freshness with pinned
-# as_of landing pass/warn/error);
-# ref_python_model (round-10-new: the dbt python-model surface — a
-# DataFrame-composed plan value-checked against its SQL twin);
-# ref_llm_corpus_project (round-10-new: the user-shaped project tree —
-# ephemeral staging, seed-joined weights, schema+unit tests required
-# green inside the row).
+# Rotated in round 11 (VERDICT r10 #1/#6): all eight queued round-10
+# candidates promoted (sim_ivf_retrain_policy, sim_ann_autotune,
+# ref_snapshot_scd2, ref_snapshot_check, ref_schema_tests,
+# ref_source_freshness, ref_python_model, ref_llm_corpus_project) plus
+# six FIRST-TIME rows burning down driver-row debt with family-
+# preserving swaps (stats_regression_trend, mm_resize_thumbs, pii_scan,
+# graph_reachable_types, udtf_sentence_stats, source_jsonl_roundtrip) —
+# 14 first-time rows this round. Displaced (each 4+ driver-green
+# rounds, every family keeps >=1 in-window rep, all stay registered +
+# verify_driver-checked): q1_pricing_summary (10 greens),
+# window_funcs_suite (10), events_sessionize (10), stats_approx_
+# sketches (9), bq_dialect_qualify (10), mm_decode_features (9),
+# profile_columns (9), graph_pagerank_converged (7),
+# source_csv_roundtrip (9), udtf_grouped_topk (9),
+# dedup_incr_near_indexed (4), sim_range_search (4),
+# pipeline_quality_funnel (4), bpe_encode_corpus (4).
+# Queued round-12 window candidates (registered, verify_driver-checked,
+# benched — awaiting a driver slot): the round-11-new dbt surfaces —
+# ref_model_versions (dbt 1.5 versioned models: latest/pinned ref
+# routing + deprecation warning, value-checked through the v1/v2 column
+# difference) and ref_defer_state (--defer --state: child built against
+# the prod manifest without materializing the parent in dev).
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

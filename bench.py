@@ -170,6 +170,36 @@ _unknown = [n for n in _CURATED if n not in Q.QUERIES]
 if _unknown:  # a rename must update the curated prefix
     raise RuntimeError(f"bench curated names not registered: {_unknown}")
 
+# Session-ordering pin (VERDICT r10 #8): index-LIFECYCLE queries —
+# admissions, folds, retrains, upserts, erasures, their streaming
+# gates, and the audits composing them — run AFTER every serving/read
+# query. They mutate sibling warehouse databases and accumulate heavy
+# session state (micro-batch clones, staged writes, version swaps);
+# r10 measured the warm serving reads (sim_ivf_trained_indexed et al.)
+# swinging 2-4x between same-HEAD runs purely from preceding lifecycle
+# work. Per-query minima are order-independent as COMPARISONS, so
+# moving the mutators to the end de-noises round-over-round deltas at
+# zero plan cost. Membership is by name pattern so new lifecycle
+# queries inherit the pin automatically.
+_LIFECYCLE_MARKERS = (
+    "_indexed", "_admission", "_forget", "_auto_compacted", "_upsert",
+    "_retrain", "stream_", "pipeline_incremental",
+)
+# serving reads that merely PROBE a persisted index stay early; the
+# trained-index read is the canonical one the pin protects
+_LIFECYCLE_EXEMPT = {"sim_ivf_trained_indexed"}
+
+
+def _is_lifecycle(name: str) -> bool:
+    if name in _LIFECYCLE_EXEMPT:
+        return False
+    return any(m in name for m in _LIFECYCLE_MARKERS)
+
+
+HEADLINE = [n for n in HEADLINE if not _is_lifecycle(n)] + [
+    n for n in HEADLINE if _is_lifecycle(n)
+]
+
 
 _INDEX_DB_PREFIXES = ("dedup_near_idx_", "dedup_exact_idx_", "sim_ivf_idx_")
 
@@ -216,6 +246,25 @@ def _fresh_indexes(spark) -> None:
                 shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
+def _reset_epoch_dbs(spark) -> None:
+    """Drop the RETRAIN-EPOCH databases unconditionally (VERDICT r10
+    #8): gc_ivf_versions advances the epoch, so a second bench over the
+    same warehouse would measure epoch-2 work (training off promoted
+    centroids) instead of epoch-1 — a DIFFERENT computation wearing the
+    same query name. Resetting _rt/_rt_e2 pins every invocation to the
+    epoch-1 lifecycle the oracles replay. The serving/admission index
+    databases are deliberately kept (their adopt-vs-build split is the
+    measurement; --fresh-indexes resets those)."""
+    import shutil
+
+    from dbt_bigquery_udf_spark.operators import similarity as S
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for db in (S._rt_db(SF_DIR), S._rt_db(SF_DIR) + "_e2"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(os.path.join(wh, db + ".db"), ignore_errors=True)
+
+
 def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark(app_name="bench")
@@ -224,6 +273,7 @@ def main() -> None:
         "SPARK_GRAFT_FRESH_INDEXES"
     ) == "1":
         _fresh_indexes(spark)
+    _reset_epoch_dbs(spark)
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

@@ -2356,11 +2356,13 @@ def sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe math on session-built label lists; this owns the trained
     artifact the way a production vector store does.
 
-    Scale: the query-side plan touches only (a) a k-row centroids scan,
-    (b) an nprobe-key semi-join that prunes the assignment relation —
-    at 100 TB the inverted-list partition key — and (c) the candidate
-    vectors. Training cost is paid once at build; repeat sessions adopt
-    the tables by location without recomputing.
+    Scale: the query-side plan touches only (a) a k-row centroids read
+    (collected to the driver — probe ranking is k-bounded math, not a
+    Spark job), (b) the nprobe cids PUSHED into the assignment scan as
+    a literal IN filter — at 100 TB the inverted-list partition key,
+    so this is partition pruning — and (c) the candidate vectors.
+    Training cost is paid once at build; repeat sessions adopt the
+    tables by location without recomputing.
     """
     build_ivf_index(spark, sf_dir)
     db = _ivf_index_db(sf_dir)
@@ -2383,19 +2385,38 @@ def _ivf_assign(spark: SparkSession, db: str) -> DataFrame:
 
 def _serve_ivf_index(spark: SparkSession, db: str, e: DataFrame) -> DataFrame:
     """Query-side IVF serving over a persisted index database: k-row
-    centroid ranking, nprobe broadcast-semi-join onto the (tombstone-
-    filtered) assignment relation, exact rerank of the candidates."""
+    centroid ranking ON THE DRIVER, the chosen nprobe cids pushed into
+    the (tombstone-filtered) assignment scan as a literal IN filter,
+    exact rerank of the candidates.
+
+    Probe selection moved driver-side in round 11 (bench adjudication,
+    VERDICT r10 #2): the centroids table is k rows by construction, so
+    ranking it in a Spark subplan bought nothing but an extra job and a
+    broadcast build per serve (~0.8s of the measured 2s warm serve at
+    sf0.1). A k-row collect + plain-Python cosine (the SAME
+    left-to-right double fold the SQL expression and the DuckDB oracle
+    evaluate, zero-norm centroids ordered last like NULLS LAST) picks
+    identical cids, and the literal IN predicate reaches the parquet
+    scan as a PushedFilter — at 100 TB, where assign is partitioned by
+    cid (the inverted list), that is partition pruning instead of a
+    runtime semi-join (pinned by tests/test_plans.py)."""
+    import math as _math
+
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").head()[0]
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    probes = (
-        spark.table(f"{db}.centroids")
-        .withColumn("qv", q_lit)
-        .select("cid", F.expr(_cosine_expr("cv", "qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), "cid")
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
-    cand = _ivf_assign(spark, db).join(F.broadcast(probes), "cid", "left_semi")
+    qn = _math.sqrt(sum(x * x for x in qv))
+    scored: list[tuple[float, int]] = []
+    for r in spark.table(f"{db}.centroids").collect():  # k-bounded
+        cv = r["cv"]
+        dot = 0.0
+        for x, y in zip(cv, qv):
+            dot += x * y
+        nrm = _math.sqrt(sum(x * x for x in cv)) * qn
+        scored.append(
+            (-(dot / nrm) if nrm != 0.0 else _math.inf, int(r["cid"]))
+        )
+    cids = [cid for _, cid in sorted(scored)[:IVF_NPROBE]]
+    cand = _ivf_assign(spark, db).filter(F.col("cid").isin(cids))
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(cand, "vec_id", "left_semi")

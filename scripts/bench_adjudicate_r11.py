@@ -29,12 +29,14 @@ DEFAULT_MOVERS = (
     "stream_ivf_forget",
 )
 
+# plain-string template (.replace, not .format — the body's JSON
+# braces would trip str.format)
 _CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, @REPO@)
 from dbt_bigquery_udf_spark import get_spark
 from dbt_bigquery_udf_spark import queries as Q
-name = {name!r}
+name = @NAME@
 spark = get_spark(app_name="adjudicate-" + name)
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 runs = []
@@ -52,7 +54,13 @@ def main() -> int:
     out = {}
     for name in movers:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO, name=name)],
+            [
+                sys.executable,
+                "-c",
+                _CHILD.replace("@REPO@", repr(REPO)).replace(
+                    "@NAME@", repr(name)
+                ),
+            ],
             capture_output=True,
             text=True,
             cwd=REPO,

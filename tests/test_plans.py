@@ -780,6 +780,20 @@ def test_persisted_index_probe_is_equi_join(spark, sf_small):
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_ivf_trained_serve_pushes_probe_cids(spark, sf_small):
+    """The persisted trained-IVF serve (round 11): probe selection is
+    driver-side k-row math, so the plan must carry the chosen nprobe
+    cids as a PUSHED IN-filter on the assignment scan — at 100 TB,
+    where assign is partitioned by cid, that is inverted-list partition
+    pruning — with no probe-side join at all (no sort-merge, no
+    nested-loop; the only joins left are the candidate semi-join and
+    the tombstone overlay's broadcast anti-join)."""
+    f = _facts(spark, sf_small, "sim_ivf_trained_indexed")
+    assert any("In(cid" in p for p in f.pushed_filters), f.pushed_filters
+    assert f.sort_merge_joins == 0, f.text
+    assert f.nested_loop_joins == 0, f.text
+
+
 def test_ivf_retrain_serve_is_broadcast_bounded(spark, sf_small):
     """The retrained-index serve (sim_ivf_retrain) must keep the
     trained-IVF serving shape: the nprobe probe list and the k-row

@@ -283,12 +283,18 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # Reduced-reps tail (VERDICT r9 #7): the curated headline prefix
     # keeps the full minima protocol; the appended full-registry tail
-    # runs SPARK_GRAFT_BENCH_TAIL_RUNS times (default 1) so complete
-    # coverage doesn't triple the bench wall — tail entries are
-    # coverage/audit rows, cross-round drift is graded on the curated
-    # minima.
+    # runs SPARK_GRAFT_BENCH_TAIL_RUNS times so complete coverage
+    # doesn't triple the bench wall — tail entries are coverage/audit
+    # rows, cross-round drift is graded on the curated minima.
+    # Round 11 measurement fix (guide §1, documented in
+    # OPTIMIZATION_r11.md): default raised 1 -> 2. Single-shot tail
+    # entries were exposed to this host's multi-second stall windows —
+    # the round-11 baseline recorded 20.9s for a query whose isolated
+    # min-of-3 is 1.0s, pure host noise booked as query cost. Min-of-2
+    # bounds that exposure; the metric definition (sum of per-query
+    # minima) is unchanged, values only get closer to true cost.
     tail_runs = max(
-        1, int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_RUNS", "1"))
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_RUNS", "2"))
     )
     curated = set(_CURATED)
     timings: dict[str, float] = {}

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
+from .util import local_empty_df, local_rows_df
 from ..sources.registry import register_sources
 from .util import ensure_min_partitions
 
@@ -560,7 +561,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = d.select("doc_id", F.col("doc_id").alias("component")).persist()
-    labels.count()
+    # Convergence via the monotone label-sum invariant instead of a
+    # join-count: min-label propagation only ever DECREASES a doc's
+    # label, so sum(component) is strictly decreasing until the fixed
+    # point — sum equality <=> no label changed. One map-side aggregate
+    # per iteration replaces the labels-join-labels + count job (guide
+    # §2.4: remove the shuffle outright). decimal(38,0) keeps the sum
+    # exact (no ANSI overflow) at any corpus size.
+    label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).head()[0]
     while True:
         nbr = (
             labels.join(edges, labels.doc_id == edges.src)
@@ -573,16 +582,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum).head()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("doc_id", "component")
 
@@ -1700,10 +1705,10 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # artifact): cross-process leftovers are cleared, never
             # adopted — there is nothing worth reusing in them
             clear_tables(spark, delta_db, _NEAR_IDX_TABLES)
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [], "doc_id bigint, hs array<bigint>"
             ).write.format("parquet").saveAsTable(f"{delta_db}.sigs")
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [], "doc_id bigint, band int, key string"
             ).write.format("parquet").saveAsTable(f"{delta_db}.bands")
 
@@ -1848,7 +1853,7 @@ def dedup_incr_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_exact_dup_index(spark, sf_dir)
 
     def _build_empty_ledger() -> None:
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [], "batch_id int, doc_id bigint, is_dup boolean, h string"
         ).write.format("parquet").saveAsTable(f"{db}.verdicts")
 
@@ -2118,7 +2123,7 @@ def _reset_layered_pair(
         else:
             clear_tables(spark, delta_db, tuple(delta_schemas))
             for t, schema in delta_schemas.items():
-                spark.createDataFrame([], schema).write.format(
+                local_empty_df(spark, schema).write.format(
                     "parquet"
                 ).saveAsTable(f"{delta_db}.{t}")
 
@@ -2283,13 +2288,13 @@ def forget_near_dup_docs(spark: SparkSession, db: str, doc_ids) -> int:
     from .index_store import ensure_tables
 
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
+        doc_ids = local_rows_df(spark, 
             [(int(i),) for i in doc_ids], "doc_id bigint"
         )
     ids = doc_ids.selectExpr("CAST(doc_id AS BIGINT) AS doc_id").distinct()
 
     def _build_empty() -> None:
-        spark.createDataFrame([], "doc_id bigint").write.format(
+        local_empty_df(spark, "doc_id bigint").write.format(
             "parquet"
         ).saveAsTable(f"{db}.tombstones")
 
@@ -2522,7 +2527,7 @@ def stream_near_dup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{db}.tombstones")
         else:
             clear_tables(spark, db, ("tombstones",))
-            spark.createDataFrame([], "doc_id bigint").write.format(
+            local_empty_df(spark, "doc_id bigint").write.format(
                 "parquet"
             ).saveAsTable(f"{db}.tombstones")
     stage = _stage_forget_requests(spark, sf_dir)
@@ -2826,7 +2831,7 @@ def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cross-process leftovers are scratch — cleared, never
             # adopted (unlike every durable artifact)
             clear_tables(spark, delta_db, ("hashes",))
-            spark.createDataFrame([], "h string").write.format(
+            local_empty_df(spark, "h string").write.format(
                 "parquet"
             ).saveAsTable(f"{delta_db}.hashes")
 
@@ -3094,7 +3099,7 @@ def stream_exact_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{db}.tombstones")
         else:
             clear_tables(spark, db, ("tombstones",))
-            spark.createDataFrame([], "doc_id bigint").write.format(
+            local_empty_df(spark, "doc_id bigint").write.format(
                 "parquet"
             ).saveAsTable(f"{db}.tombstones")
     stage = _stage_forget_requests(spark, sf_dir)

@@ -1784,54 +1784,76 @@ def pandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow round-trip, the float math, and the grouping semantics all
     line up before anyone trusts this surface with real scipy.
 
-    Scale: one shuffle on the grouping key; each group's pandas frame
-    is bounded by per-user event counts (skewed users are the risk —
-    cap or pre-aggregate per the join_skew_profile diagnostic). Arrow
-    batches bound executor memory as in mapInPandas.
+    Scale: one shuffle on the grouping key; grouping is by a
+    DETERMINISTIC hash bucket of the user (``pmod(xxhash64(user_id),
+    n_buckets)`` — guide §2.5's derive-synthetic-keys-deterministically
+    rule), not by raw user_id: Spark's grouped-map machinery pays a
+    per-GROUP cost (Arrow slice, function dispatch, output frame,
+    schema validation), so one group per user made the stage
+    per-user-overhead-bound (measured 3.5s at sf0.1 for ~40k users;
+    bucketed: sub-second). Inside a bucket the per-user fit is the
+    IDENTICAL pandas code over the identical per-user frames
+    (``pdf.groupby`` slices), so the floats are bit-for-bit what the
+    one-group-per-user form produced. n_buckets scales with the
+    cluster (4x parallelism), keeping per-task frames at
+    |users|/n_buckets users each; skewed USERS still bound a frame by
+    per-user event counts as before.
     """
     import pandas as pd
 
     ev = _src(spark, sf_dir)["events"]
 
-    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                columns=["user_id", "n_events", "slope_per_sec"]
-            )
-        x = pdf["ts"].astype("int64") / 1e9  # epoch seconds (ns -> s)
-        y = pdf["value"].astype("float64")
-        xm, ym = x.mean(), y.mean()
-        denom = ((x - xm) ** 2).sum()
-        # Zero time-variance (all events share a timestamp): regr_slope
-        # is NULL, never NaN/inf — match the oracle exactly.
-        # Rounding mode matters on exact half-boundaries (round-8
-        # hypothesis find: slope 0.0008125 -> Python's half-EVEN round()
-        # gives ...812, DuckDB's round() is half-AWAY -> ...813):
-        # quantize the shortest decimal repr half-away like the engine
-        # side's F.round/DuckDB do.
-        if denom == 0:
-            slope = None
-        else:
-            from decimal import ROUND_HALF_UP, Decimal
+    def _fit_users(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        ns: list[int] = []
+        slopes: list[float | None] = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            x = g["ts"].astype("int64") / 1e9  # epoch seconds (ns -> s)
+            y = g["value"].astype("float64")
+            xm, ym = x.mean(), y.mean()
+            denom = ((x - xm) ** 2).sum()
+            # Zero time-variance (all events share a timestamp):
+            # regr_slope is NULL, never NaN/inf — match the oracle
+            # exactly. Rounding mode matters on exact half-boundaries
+            # (round-8 hypothesis find: slope 0.0008125 -> Python's
+            # half-EVEN round() gives ...812, DuckDB's round() is
+            # half-AWAY -> ...813): quantize the shortest decimal repr
+            # half-away like the engine side's F.round/DuckDB do.
+            if denom == 0:
+                slope = None
+            else:
+                from decimal import ROUND_HALF_UP, Decimal
 
-            slope = float(
-                Decimal(repr(float(((x - xm) * (y - ym)).sum() / denom)))
-                .quantize(Decimal("0.000001"), ROUND_HALF_UP)
-            )
+                slope = float(
+                    Decimal(repr(float(((x - xm) * (y - ym)).sum() / denom)))
+                    .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                )
+            ids.append(int(uid))
+            ns.append(n)
+            slopes.append(slope)
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [n],
-                "slope_per_sec": [slope],
+                "user_id": pd.Series(ids, dtype="int64"),
+                "n_events": pd.Series(ns, dtype="int64"),
+                # object dtype: a float64 Series would coerce the
+                # zero-time-variance None to NaN; Arrow maps object-None
+                # to SQL NULL (what regr_slope and the oracle emit)
+                "slope_per_sec": pd.Series(slopes, dtype="object"),
             }
         )
 
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
     return (
         ev.select("user_id", "ts", "value")
-        .groupBy("user_id")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+        )
+        .groupBy("bucket")
         .applyInPandas(
-            _fit, "user_id bigint, n_events bigint, slope_per_sec double"
+            _fit_users, "user_id bigint, n_events bigint, slope_per_sec double"
         )
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..queries import register
+from .util import local_rows_df
 from .analytics import _src
 
 # Orders columns profiled (closed list: a profiler that discovers
@@ -398,7 +399,7 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write/count IS the pipeline run the metrics piggyback on.
     gated.count()
     m = obs.get
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 m["n_input"],

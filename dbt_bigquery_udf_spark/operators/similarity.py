@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
+from .util import local_empty_df, local_rows_df
 from ..sources.registry import register_sources
 
 TOP_K = 10
@@ -533,7 +534,7 @@ def _assign_enc(
     scale. One 64-term codegen'd chain over a k-row broadcast + a
     narrow (vec_id, enc) min-aggregate keeps both the plan and the
     execution small."""
-    cents_wide = spark.createDataFrame(
+    cents_wide = local_rows_df(spark, 
         [(cid, *cv) for cid, cv in cents],
         "cid int, " + ", ".join(f"c{i} double" for i in range(dims)),
     )
@@ -780,7 +781,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_vecs, inertia = stats[cid]
             out_rows.append((rnd, cid, n_vecs, "%.4f" % norm, inertia))
     e.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(out_rows),
         "round int, cluster_id int, n_vecs bigint, "
         "centroid_norm string, inertia_micros bigint",
@@ -1728,7 +1729,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         picked.add(best[0])
         chosen.append((rk, best[0], best[1]))
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         chosen, "rk int, vec_id bigint, mmr_score_x10_micro bigint"
     )
 
@@ -2104,7 +2105,7 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         chosen.append((vid, cv))
     e.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out_rows, "step int, vec_id bigint, dist_micro bigint"
     )
 
@@ -2267,7 +2268,7 @@ def build_ivf_index(
 
     def _build() -> None:
         cents = _train_centroids(spark, sf_dir)
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
         ).write.format("parquet").mode("overwrite").saveAsTable(
             f"{db}.centroids"
@@ -2444,13 +2445,13 @@ def forget_ivf_vectors(spark: SparkSession, db: str, vec_ids) -> int:
     from .index_store import ensure_tables
 
     if not isinstance(vec_ids, DataFrame):
-        vec_ids = spark.createDataFrame(
+        vec_ids = local_rows_df(spark, 
             [(int(i),) for i in vec_ids], "vec_id bigint"
         )
     ids = vec_ids.selectExpr("CAST(vec_id AS BIGINT) AS vec_id").distinct()
 
     def _build_empty() -> None:
-        spark.createDataFrame([], "vec_id bigint").write.format(
+        local_empty_df(spark, "vec_id bigint").write.format(
             "parquet"
         ).saveAsTable(f"{db}.tombstones")
 
@@ -2631,7 +2632,7 @@ def stream_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{db}.tombstones")
         else:
             clear_tables(spark, db, ("tombstones",))
-            spark.createDataFrame([], "vec_id bigint").write.format(
+            local_empty_df(spark, "vec_id bigint").write.format(
                 "parquet"
             ).saveAsTable(f"{db}.tombstones")
     stage = _stage_ivf_forget_requests(spark, sf_dir)
@@ -2720,7 +2721,7 @@ def build_ivf_base_index(
                         int(row["pos"])
                     ] = float(row["m"])
                 cents = sorted(by_cid.items())
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
             ).write.format("parquet").mode("overwrite").saveAsTable(
                 f"{db}.centroids"
@@ -3109,7 +3110,7 @@ def _rt_set_live_version(spark: SparkSession, db: str, version: int) -> None:
     from .index_store import clear_tables
 
     clear_tables(spark, db, ("live_version",))
-    spark.createDataFrame([(version,)], "version int").write.format(
+    local_rows_df(spark, [(version,)], "version int").write.format(
         "parquet"
     ).saveAsTable(f"{db}.live_version")
     spark.catalog.refreshTable(f"{db}.live_version")
@@ -3134,7 +3135,7 @@ def _rt_ensure_v1(spark: SparkSession, sf_dir: str, db: str) -> str:
         spark.table(f"{up}.assign").write.format("parquet").saveAsTable(
             f"{db}.assign_v1"
         )
-        spark.createDataFrame([(1,)], "version int").write.format(
+        local_rows_df(spark, [(1,)], "version int").write.format(
             "parquet"
         ).saveAsTable(f"{db}.live_version")
 
@@ -3201,7 +3202,7 @@ def retrain_ivf_index(
                     int(row["pos"])
                 ] = float(row["m"])
             cents1 = sorted(by_cid.items())
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(cid, cv) for cid, cv in cents1],
                 "cid int, cv array<double>",
             ).write.format("parquet").saveAsTable(f"{db}.centroids_v2")
@@ -4171,7 +4172,7 @@ def sim_ann_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         chosen[variant] = rows[0]
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         [
             (v, d, hits, cost, chosen[v][1] == d)
             for v, d, cost, hits in cells
@@ -4361,7 +4362,7 @@ def stream_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.refreshTable(f"{delta_db}.assign")
         else:
             clear_tables(spark, delta_db, ("assign",))
-            spark.createDataFrame([], "vec_id bigint, cid int").write.format(
+            local_empty_df(spark, "vec_id bigint, cid int").write.format(
                 "parquet"
             ).saveAsTable(f"{delta_db}.assign")
 

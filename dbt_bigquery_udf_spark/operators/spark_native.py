@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
+from .util import local_empty_df
 from .analytics import _src
 
 
@@ -184,7 +185,7 @@ def _number_by_key(
     spark = df.sparkSession
     lo, hi, n_rows = df.agg(F.min(key), F.max(key), F.count(F.lit(1))).first()
     if lo is None:  # empty input: empty output, same schema
-        return spark.createDataFrame([], f"{key} bigint, global_id bigint")
+        return local_empty_df(spark, f"{key} bigint, global_id bigint")
     if k is None:
         k = _derive_bucket_count(n_rows, rows_per_bucket)
     # Bucket in DOUBLE space: (key - lo) * k would overflow int64 when

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..queries import register
+from .util import ensure_min_partitions, local_rows_df
 from ..sources.registry import register_sources
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -185,8 +186,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash + min-hash over word
     3-gram shingles (the rolling-hash shape used for near-dup detection;
-    md5 keeps it engine-portable and deterministic)."""
-    d = _docs(spark, sf_dir)
+    md5 keeps it engine-portable and deterministic).
+
+    ``ensure_min_partitions``: per-shingle md5 hashing dominates a
+    shuffle of the raw docs (the util docstring's canonical case) — the
+    single-file test corpus otherwise runs every hash on one core
+    (measured 3.9s -> sub-second at sf0.1 on local[32]); a no-op on
+    real multi-split inputs."""
+    d = ensure_min_partitions(_docs(spark, sf_dir))
     words = F.split(F.lower(F.trim(F.col("text"))), " ")
     # F.get (0-based, NULL past the end) + concat_ws's null-skipping
     # mirrors the oracle's clamped list slice for docs shorter than one
@@ -2158,7 +2165,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     work vocabulary-sized.
     """
     rows, _ = _trained_bpe(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "step int, a string, b string, merged string, cnt bigint"
     ).orderBy("step")
 

@@ -527,7 +527,10 @@ def ref_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     results = run_tests(spark, eng, suite, store_failures=True)
-    return spark.createDataFrame(
+    from .operators.util import local_rows_df
+
+    return local_rows_df(
+        spark,
         [(r.test.name, r.n_failures) for r in results],
         "test_name string, n_failures bigint",
     )

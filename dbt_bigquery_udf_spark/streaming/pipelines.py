@@ -42,8 +42,12 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..queries import register
+from ..operators.util import local_rows_df
 
 _STAGING_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", ".stream-staging")
+
+# (session id, staged dir) -> inferred schema; see read_events_stream.
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
 
 
 def stage_events_dir(sf_dir: str) -> str:
@@ -73,7 +77,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    schema = spark.read.parquet(stage).schema
+    # schema inference memoized per (session, stage): the staged corpus
+    # is immutable for a given fingerprint, and every streaming query
+    # paid a ~0.1-0.2s footer-read job for the identical schema
+    key = (id(spark), stage)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(stage).schema
+        _SCHEMA_CACHE[key] = schema
     ev = spark.readStream.schema(schema).parquet(stage)
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -820,21 +831,33 @@ def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(out_dir)
 
-        q = (
-            agg.writeStream.outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
+        # stateful-operator partition sizing, same rationale (and value)
+        # as _run_to_memory: the checkpoint pins the count on first run,
+        # so both runs here resume with the same state layout
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_state_partitions(spark))
         )
-        # awaitTermination(timeout) returns False on timeout with the
-        # query STILL RUNNING; racing run 2 against it on the same
-        # checkpoint yields confusing wrong totals. Fail loudly instead.
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "stream_recovery_resume: query did not terminate within 600s"
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink)
+                .trigger(availableNow=True)
+                .start()
             )
+            # awaitTermination(timeout) returns False on timeout with the
+            # query STILL RUNNING; racing run 2 against it on the same
+            # checkpoint yields confusing wrong totals. Fail loudly
+            # instead.
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "stream_recovery_resume: query did not terminate "
+                    "within 600s"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     try:
         run_once()  # run 1: batch A only, then "crash"
@@ -843,7 +866,7 @@ def stream_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.read.parquet(out_dir).collect()  # k-bounded: |event_type|
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "event_type string, n bigint, value_cents bigint"
     )
 

@@ -555,12 +555,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _minhash_lsh_candidates(spark, sf_dir)
     d = _docs(spark, sf_dir)
+    # localCheckpoint, not persist (guide §3.3): the loop below re-joins
+    # edges every iteration, and a persisted frame keeps its FULL
+    # minhash/LSH lineage in the plan — every iteration's analysis
+    # walks it again and the final plan grew to ~1 MB (972 KB explain,
+    # measured). Checkpointing truncates the lineage to the
+    # materialized blocks; the rows are identical.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("component")).persist()
+    # localCheckpoint per iteration (guide §3.3): with persist, round
+    # i's plan still carries rounds 1..i-1's lineage, so per-iteration
+    # analysis cost grows with the round number (O(rounds^2) total) —
+    # checkpointing pins each round's labels to its materialized
+    # blocks. Blocks are freed by the ContextCleaner when the previous
+    # round's frame goes out of scope.
+    labels = d.select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint(eager=True)
     # Convergence via the monotone label-sum invariant instead of a
     # join-count: min-label propagation only ever DECREASES a doc's
     # label, so sum(component) is strictly decreasing until the fixed
@@ -580,15 +594,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(nbr)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(label_sum).head()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
     return labels.select("doc_id", "component")
 
 
@@ -1682,11 +1694,13 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     with catalog_lock:
         from .index_store import clear_tables
 
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
-        have = {
-            t.name
-            for t in spark.catalog.listTables(delta_db)
-            if not t.isTemporary
+        from .index_store import _ensure_db
+
+        _ensure_db(spark, delta_db)
+        have = {  # per-table probes, not listTables (~230ms vs ~4ms)
+            t
+            for t in _NEAR_IDX_TABLES + ("hashes", "assign")
+            if spark.catalog.tableExists(f"{delta_db}.{t}")
         }
         if {"bands", "sigs"} <= have and not any(
             # an ADOPTED (external) leftover can't be truncated; only
@@ -2107,11 +2121,13 @@ def _reset_layered_pair(
             else:
                 clear_tables(spark, base_db, tuple(delta_schemas))
                 build_base()
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
-        have = {
-            t.name
-            for t in spark.catalog.listTables(delta_db)
-            if not t.isTemporary
+        from .index_store import _ensure_db
+
+        _ensure_db(spark, delta_db)
+        have = {  # per-table probes, not listTables (~230ms vs ~4ms)
+            t
+            for t in _NEAR_IDX_TABLES + ("hashes", "assign")
+            if spark.catalog.tableExists(f"{delta_db}.{t}")
         }
         if set(delta_schemas) <= have and not any(
             spark.catalog.getTable(f"{delta_db}.{t}").tableType == "EXTERNAL"
@@ -2814,11 +2830,13 @@ def stream_exact_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_near_dup_arrivals(spark, sf_dir)
     build_exact_dup_index(spark, sf_dir, db=base_db)
     with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
-        have = {
-            t.name
-            for t in spark.catalog.listTables(delta_db)
-            if not t.isTemporary
+        from .index_store import _ensure_db
+
+        _ensure_db(spark, delta_db)
+        have = {  # per-table probes, not listTables (~230ms vs ~4ms)
+            t
+            for t in _NEAR_IDX_TABLES + ("hashes", "assign")
+            if spark.catalog.tableExists(f"{delta_db}.{t}")
         }
         if "hashes" in have and (
             spark.catalog.getTable(f"{delta_db}.hashes").tableType

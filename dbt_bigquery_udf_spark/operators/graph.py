@@ -353,12 +353,18 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # localCheckpoint, not persist+count (guide §3.3): persist keeps
+    # every prior round's lineage in round i's plan, so analysis cost
+    # grows per round (the final explain reached 1.4 MB) — the
+    # checkpoint truncates each round's rank table to its materialized
+    # blocks (eager=True is the materializing action the count used to
+    # provide). Rows are identical; the iterative-workload shape the
+    # docstring describes is unchanged.
     ranks = (
         nodes.crossJoin(F.broadcast(nn))
         .selectExpr("node", f"CAST(round({_PR_SCALE} / n_nodes) AS BIGINT) AS r")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    ranks.count()
     for _ in range(PAGERANK_ITERS):
         mass = (
             p.join(ranks, p["src"] == ranks["node"])
@@ -366,7 +372,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").cast("bigint").alias("m"))
         )
-        new_ranks = (
+        ranks = (
             nodes.join(mass, "node", "left")
             .crossJoin(F.broadcast(nn))
             .selectExpr(
@@ -374,9 +380,6 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(round(15e-2 * {_PR_SCALE} / n_nodes) AS BIGINT)"
                 " + CAST(round(85e-2 * coalesce(m, 0)) AS BIGINT) AS r",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()  # materialize BEFORE dropping the input it reads
-        ranks.unpersist()
-        ranks = new_ranks
     return ranks.selectExpr("node", "r AS rank_micro")

@@ -2167,18 +2167,37 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.cast("bigint").alias("value"),
         )
 
-    kc = emb_kcenter_init(spark, sf_dir).agg(
+    # Overlap the branch CONSTRUCTION (guide §2.6): the k-center and
+    # k-means stages are driver-side collect loops (eager per-step
+    # jobs), so building the four branches sequentially serialized
+    # their idle tails on a 32-core box. A small thread pool lets each
+    # branch's jobs back-fill the others' stragglers; branch results
+    # are deterministic, so the audit rows are unchanged. (knn/label-
+    # prop are lazy builds sharing the stage memo — racing fills write
+    # the same value.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_kc = pool.submit(emb_kcenter_init, spark, sf_dir)
+        f_km = pool.submit(emb_kmeans_train, spark, sf_dir)
+        f_kg = pool.submit(emb_knn_graph, spark, sf_dir)
+        kg_df = f_kg.result()
+        # label-prop AFTER the knn build so its internal emb_knn_graph
+        # call hits the stage memo (a concurrent second build would
+        # persist a duplicate edge table pinned for the JVM lifetime)
+        lp_df = emb_label_propagation(spark, sf_dir)
+        kc_df, km_df = f_kc.result(), f_km.result()
+    kc = kc_df.agg(
         *row("kcenter", "coverage_radius_micro", F.max("dist_micro"))
     )
     km = (
-        emb_kmeans_train(spark, sf_dir)
+        km_df
         .filter(F.col("round") == KMEANS_TRAIN_ROUNDS)
         .agg(*row("kmeans", "final_inertia_micro", F.sum("inertia_micros")))
     )
-    kg = emb_knn_graph(spark, sf_dir).agg(
+    kg = kg_df.agg(
         *row("knn_graph", "n_mutual_edges", F.count_if(F.col("mutual")))
     )
-    lp_df = emb_label_propagation(spark, sf_dir)
     lp1 = lp_df.agg(*row("label_prop", "n_agree", F.count_if(F.col("agrees"))))
     lp2 = lp_df.agg(*row("label_prop", "n_scored", F.count(F.lit(1))))
     return (
@@ -4348,12 +4367,14 @@ def stream_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_ivf_arrivals(spark, sf_dir)
     build_ivf_base_index(spark, sf_dir, db=base_db)
     with catalog_lock:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {delta_db}")
-        have = {
-            t.name
-            for t in spark.catalog.listTables(delta_db)
-            if not t.isTemporary
-        }
+        from .index_store import _ensure_db
+
+        _ensure_db(spark, delta_db)
+        have = (  # per-table probe, not listTables (~230ms vs ~4ms)
+            {"assign"}
+            if spark.catalog.tableExists(f"{delta_db}.assign")
+            else set()
+        )
         if "assign" in have and (
             spark.catalog.getTable(f"{delta_db}.assign").tableType
             != "EXTERNAL"

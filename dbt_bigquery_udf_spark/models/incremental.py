@@ -39,6 +39,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.util import local_rows_df
+
 from ..catalog import EngineError
 from .table_swap import rm_default_location, swap_table
 
@@ -413,7 +415,7 @@ def delete_keys(
         ktype = dict(tgt.dtypes)[key_col]
         staged = [str(k) for k in keys if k is not None]
         kdf = (
-            spark.createDataFrame([(k,) for k in staged], f"{key_col} string")
+            local_rows_df(spark, [(k,) for k in staged], f"{key_col} string")
             .select(
                 # try_cast, not cast: under ANSI a malformed key would
                 # raise a raw CAST_INVALID_INPUT mid-job; the explicit
@@ -442,7 +444,7 @@ def delete_keys(
     n = sum(r["__n"] for r in hit_rows)
     if not n:
         return 0
-    parts = spark.createDataFrame(
+    parts = local_rows_df(spark, 
         [tuple(r[c] for c in partition_by) for r in hit_rows],
         tgt.select(*partition_by).schema,
     )

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import SparkSession
 
 from ..catalog import EngineError
+from ..operators.util import local_rows_df
 
 __all__ = ["UnitTest", "UnitTestResult", "run_unit_tests"]
 
@@ -57,7 +58,7 @@ class UnitTestResult:
 
 def _fixture_view(spark: SparkSession, test: UnitTest, i: int, schema: str, rows) -> str:
     name = f"__unit_{re.sub(r'[^A-Za-z0-9_]', '_', test.name)}_{i}"
-    spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+    local_rows_df(spark, rows, schema).createOrReplaceTempView(name)
     return name
 
 
@@ -131,7 +132,7 @@ def run_unit_tests(spark: SparkSession, engine, tests) -> list[UnitTestResult]:
             expected = []
         else:
             expected = [
-                tuple(r) for r in spark.createDataFrame(rows, schema).collect()
+                tuple(r) for r in local_rows_df(spark, rows, schema).collect()
             ]
 
         remaining = list(expected)

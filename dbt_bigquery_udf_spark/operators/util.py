@@ -56,21 +56,32 @@ def local_rows_df(spark: SparkSession, rows, schema_ddl: str) -> DataFrame:
     relations (centroids, pointers, tombstone waves); plan size grows
     with ``rows``, so keep it to O(100s) of rows.
     """
-    schema = T._parse_datatype_string(schema_ddl)
+    schema = (
+        schema_ddl
+        if isinstance(schema_ddl, T.StructType)
+        else T._parse_datatype_string(schema_ddl)
+    )
     rows = list(rows)
     if not rows:
-        return local_empty_df(spark, schema_ddl)
+        return local_empty_df(spark, schema)
     rendered = []
-    for row in rows:
-        if not isinstance(row, (tuple, list)):
-            row = (row,)
-        rendered.append(
-            "("
-            + ", ".join(
-                _sql_literal(v, f.dataType) for v, f in zip(row, schema.fields)
+    try:
+        for row in rows:
+            if not isinstance(row, (tuple, list)):
+                row = (row,)
+            rendered.append(
+                "("
+                + ", ".join(
+                    _sql_literal(v, f.dataType)
+                    for v, f in zip(row, schema.fields)
+                )
+                + ")"
             )
-            + ")"
-        )
+    except TypeError:
+        # type outside the literal renderer (timestamp, decimal, map,
+        # struct): fall back to the classic path — correctness first,
+        # the fast path covers the hot shapes
+        return spark.createDataFrame(rows, schema)
     cols = ", ".join(f.name for f in schema.fields)
     df = spark.sql(f"SELECT * FROM VALUES {', '.join(rendered)} AS t({cols})")
     # union with the empty (all-nullable) relation: literals analyze as
@@ -80,10 +91,15 @@ def local_rows_df(spark: SparkSession, rows, schema_ddl: str) -> DataFrame:
     return local_empty_df(spark, schema_ddl).union(df.to(schema))
 
 
-def local_empty_df(spark: SparkSession, schema_ddl: str) -> DataFrame:
-    """Empty DataFrame with ``schema_ddl``, as a JVM local relation (the
-    ``createDataFrame([], ddl)`` shape without the Python-RDD scan)."""
-    schema = T._parse_datatype_string(schema_ddl)
+def local_empty_df(spark: SparkSession, schema_ddl) -> DataFrame:
+    """Empty DataFrame with ``schema_ddl`` (DDL string or StructType), as
+    a JVM local relation (the ``createDataFrame([], ddl)`` shape without
+    the Python-RDD scan)."""
+    schema = (
+        schema_ddl
+        if isinstance(schema_ddl, T.StructType)
+        else T._parse_datatype_string(schema_ddl)
+    )
     sel = ", ".join(
         f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
         for f in schema.fields

@@ -230,9 +230,14 @@ def _fresh_indexes(spark) -> None:
         ivf + "_svb",
         ivf + "_svd",
     ]
+    from dbt_bigquery_udf_spark.operators.index_store import (
+        invalidate_db_location,
+    )
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for db in dbs:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        invalidate_db_location(db)
         shutil.rmtree(os.path.join(wh, db + ".db"), ignore_errors=True)
     if os.path.isdir(wh):
         for d in os.listdir(wh):
@@ -243,6 +248,7 @@ def _fresh_indexes(spark) -> None:
                 and name not in dbs
             ):
                 spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+                invalidate_db_location(name)
                 shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
@@ -259,9 +265,14 @@ def _reset_epoch_dbs(spark) -> None:
 
     from dbt_bigquery_udf_spark.operators import similarity as S
 
+    from dbt_bigquery_udf_spark.operators.index_store import (
+        invalidate_db_location,
+    )
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for db in (S._rt_db(SF_DIR), S._rt_db(SF_DIR) + "_e2"):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        invalidate_db_location(db)
         shutil.rmtree(os.path.join(wh, db + ".db"), ignore_errors=True)
 
 

@@ -2096,10 +2096,13 @@ def _reset_layered_pair(
     queries: auto-compaction MUTATES the base by design (the fold is
     the point), so a previous run's fold leaves batch rows in the
     dedicated base — detected by ``pollution_probe(base_db) -> bool``
-    and answered by ``depollute(base_db)`` when given (a filter-rewrite
-    that subtracts the folded batch rows — far cheaper than
-    re-signaturing the corpus) or a clear-and-rebuild otherwise; the
-    delta resets per run like the streaming gates' scratch overlays.
+    and answered (round 12, guide §6) by a HARDLINK RESTORE from the
+    ``_pristine`` snapshot taken the first time the base was verified
+    clean — zero Spark write jobs, riding the staged-commit crash
+    machinery (:func:`index_store.restore_snapshot`) — falling back to
+    ``depollute(base_db)`` when given (a filter-rewrite that subtracts
+    the folded batch rows) or a clear-and-rebuild otherwise; the delta
+    resets per run like the streaming gates' scratch overlays.
     Production never does this reset — it keeps folding forward; the
     demo needs replay determinism for its oracle.
 
@@ -2108,19 +2111,35 @@ def _reset_layered_pair(
     ADOPTS the previous process's (possibly polluted) parquet by
     location, so probing first would miss cross-session pollution
     entirely and batch-1 docs would match THEMSELVES at jaccard 1.0
-    (caught by the round-9 fresh-warehouse verify)."""
+    (caught by the round-9 fresh-warehouse verify). The snapshot is
+    retired whenever the base is (re)built (``drop_snapshot``), so a
+    schema/code migration can never restore a stale pristine set."""
     from ..catalog import catalog_lock
 
-    from .index_store import clear_tables
+    from .index_store import (
+        clear_tables,
+        drop_snapshot,
+        recover_staged,
+        restore_snapshot,
+        snapshot_tables,
+    )
 
+    base_tables = tuple(delta_schemas)
     with catalog_lock:
-        build_base()  # adopt-or-build; may adopt a polluted base
+        if build_base() == "built":  # adopt-or-build; may adopt polluted
+            drop_snapshot(spark, base_db)
+        # finish any interrupted restore/depollute commit before probing
+        recover_staged(spark, base_db, base_tables)
         if pollution_probe(base_db):
-            if depollute is not None:
-                depollute(base_db)
-            else:
-                clear_tables(spark, base_db, tuple(delta_schemas))
-                build_base()
+            if not restore_snapshot(spark, base_db, base_tables):
+                if depollute is not None:
+                    depollute(base_db)
+                else:
+                    clear_tables(spark, base_db, base_tables)
+                    build_base()
+                    drop_snapshot(spark, base_db)
+        # snapshot the now-verified-clean base (no-op once taken)
+        snapshot_tables(spark, base_db, base_tables)
         from .index_store import _ensure_db
 
         _ensure_db(spark, delta_db)

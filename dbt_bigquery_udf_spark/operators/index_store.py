@@ -60,9 +60,14 @@ __all__ = [
     "scratch_dir",
     "staged_overwrite",
     "recover_staged",
+    "snapshot_tables",
+    "restore_snapshot",
+    "drop_snapshot",
 ]
 
 STAGE_COMPLETE_MARKER = "_STAGE_COMPLETE"
+SNAP_COMPLETE_MARKER = "_SNAP_COMPLETE"
+_SNAP_DIR = "_pristine"
 
 
 def corpus_fingerprint(sf_dir: str, files: Sequence[str]) -> str:
@@ -139,6 +144,17 @@ def _ensure_db(spark: SparkSession, db: str) -> None:
 _DB_LOCATION_CACHE: dict[tuple[str, str], str] = {}
 
 
+def invalidate_db_location(db: str) -> None:
+    """Drop ``db``'s cached location (every warehouse). Call wherever a
+    ``DROP DATABASE`` can occur (ADVICE r11): a database re-created at a
+    different (custom LOCATION) path must not have the old path served —
+    ``clear_tables`` deletes files at the cached location. All package
+    creates go through ``_ensure_db`` (which pops on create); this
+    covers external droppers (bench.py, scripts)."""
+    for key in [k for k in _DB_LOCATION_CACHE if k[1] == db]:
+        _DB_LOCATION_CACHE.pop(key, None)
+
+
 def _warehouse(spark: SparkSession) -> str:
     return spark.conf.get("spark.sql.warehouse.dir", "")
 
@@ -179,18 +195,21 @@ def staged_overwrite(spark: SparkSession, db: str, table: str, df) -> None:
     drops the old files and only then commits the new ones, so a crash
     in between loses every non-tombstoned base row (ADVICE r8). Here the
     kept rows are fully materialized into ``<table>__staged`` FIRST;
-    only then is the live table overwritten from the staged copy and the
-    stage dropped. Every crash window now has a recovery source:
+    only then is the stage COMMITTED into the live slot — since round 12
+    by a same-volume atomic directory rename (:func:`_commit_stage`),
+    not a second Spark write job: the kept bytes are written exactly
+    once (guide §6 — at scale the old stage→live copy was a full second
+    pass over the table). Every crash window keeps a recovery source:
 
     * before the stage commits — live table untouched, stale stage
       cleared on the next fold;
-    * mid-overwrite — the staged table holds the complete kept set;
-      :func:`recover_staged` (run at the top of every fold) replays the
-      overwrite from it, same-session or from a fresh session over the
-      warm warehouse (it adopts an on-disk stage the empty catalog
-      doesn't know about);
-    * after the overwrite, before the stage drop — replaying the
-      overwrite is idempotent.
+    * mid-commit — the staged table (or, post-rename, the live
+      directory) holds the complete kept set; :func:`recover_staged`
+      (run at the top of every fold) finishes the commit, same-session
+      or from a fresh session over the warm warehouse (it adopts an
+      on-disk stage the empty catalog doesn't know about);
+    * after the commit, before the stage entry drop — finishing the
+      commit is idempotent.
 
     The fold runs under ``catalog_lock`` (the maintenance window), so
     in-process readers never observe the intermediate state; the
@@ -214,28 +233,71 @@ def staged_overwrite(spark: SparkSession, db: str, table: str, df) -> None:
             os.path.join(sdir, staged, STAGE_COMPLETE_MARKER), "w"
         ) as f:
             f.write("complete")
-        # clear-then-write, NOT mode('overwrite'): the live table may be
-        # an ADOPTED (external) relation, whose drop keeps its files —
-        # a managed re-create then dies with LOCATION_ALREADY_EXISTS.
-        # The staged copy covers this window: a crash here leaves the
-        # live table missing/partial with the full kept set staged, and
-        # recover_staged replays the same clear-then-write.
+        _commit_stage(spark, db, table)
+
+
+def _commit_stage(spark: SparkSession, db: str, table: str) -> None:
+    """Commit a COMPLETE stage into the live slot without rewriting its
+    bytes: clear the live table, atomically ``os.rename`` the staged
+    directory onto the live path (same volume by construction — both
+    live under the database location), register the live table over the
+    moved files, and drop the now-dangling stage entry. Replaces the
+    pre-round-12 stage→live ``saveAsTable`` copy (a second full write
+    job per fold; guide §6). Preconditions: ``db.<table>__staged`` is
+    cataloged and its directory holds the complete kept set (the caller
+    wrote the completion marker). The live table comes back EXTERNAL
+    (``CREATE TABLE ... LOCATION`` with the stage's catalog schema —
+    explicit, so an empty kept set whose write produced zero part-files
+    still registers); every consumer already handles external relations
+    (``ensure_tables`` adoption has produced them since round 8, and
+    ``clear_tables`` removes files explicitly).
+
+    Crash windows, each detectable and finished by
+    :func:`recover_staged`:
+
+    * after the live clear, before the rename — stage cataloged with
+      its directory intact: recovery re-runs this commit;
+    * after the rename, before the live re-register — stage cataloged
+      but its directory GONE (the rename is the atomic commit point):
+      recovery registers the live directory from the stage entry's
+      schema and drops the entry;
+    * after the re-register, before the stage entry drop — both
+      cataloged, stage directory gone: recovery just drops the entry.
+
+    The renamed live directory keeps the stage's completion marker
+    (underscore-prefixed, invisible to Spark's file listing) — harmless,
+    and a truthful witness that the directory holds a committed set."""
+    staged = f"{table}__staged"
+    with catalog_lock:
+        schema = spark.table(f"{db}.{staged}").schema  # catalog-only read
+        loc = db_location(spark, db)
+        path = loc.removeprefix("file:")
         clear_tables(spark, db, (table,))
-        spark.table(f"{db}.{staged}").write.format("parquet").saveAsTable(
-            f"{db}.{table}"
+        os.rename(os.path.join(path, staged), os.path.join(path, table))
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {db}.{table} ({cols}) USING parquet "
+            f"LOCATION '{loc}/{table}'"
         )
         spark.catalog.refreshTable(f"{db}.{table}")
-        clear_tables(spark, db, (staged,))
+        # entry only: the managed stage's directory was renamed away, so
+        # the drop's file cleanup is a no-op
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{staged}")
 
 
 def recover_staged(
     spark: SparkSession, db: str, tables: Sequence[str]
 ) -> list[str]:
-    """Replay any interrupted :func:`staged_overwrite`: for each table
+    """Finish any interrupted :func:`staged_overwrite`: for each table
     whose ``__staged`` copy survives (in the catalog, or as orphaned
-    parquet under the database location after a process crash), redo the
-    overwrite from it and drop the stage. Returns the recovered table
-    names. Called at the top of every compaction fold.
+    parquet under the database location after a process crash), finish
+    the rename commit from it and drop the stage; a stage entry whose
+    directory is already gone means the atomic rename landed — recovery
+    completes the live registration instead (see :func:`_commit_stage`
+    for the window-by-window map). Returns the recovered table names.
+    Called at the top of every compaction fold.
 
     COMPLETENESS GATE (ADVICE r9): an orphaned stage is only adopted
     when its directory carries a completion marker — the engine's own
@@ -260,36 +322,149 @@ def recover_staged(
         path = loc.removeprefix("file:")
         for t in tables:
             staged = f"{t}__staged"
-            if not spark.catalog.tableExists(f"{db}.{staged}"):
-                sdir = os.path.join(path, staged)
-                if not os.path.isdir(sdir):
+            sdir = os.path.join(path, staged)
+            tdir = os.path.join(path, t)
+            if spark.catalog.tableExists(f"{db}.{staged}"):
+                if os.path.isdir(sdir):
+                    # stage intact (crash before/at the live clear, or
+                    # after it): the stage is the source — finish the
+                    # rename commit
+                    _commit_stage(spark, db, t)
+                    recovered.append(t)
                     continue
-                has_parts = any(
-                    f.endswith(".parquet") for f in os.listdir(sdir)
-                )
-                complete = os.path.isfile(
-                    os.path.join(sdir, STAGE_COMPLETE_MARKER)
-                ) or os.path.isfile(os.path.join(sdir, "_SUCCESS"))
-                if has_parts and complete:
-                    spark.sql(
-                        f"CREATE TABLE {db}.{staged} USING parquet "
-                        f"LOCATION '{loc}/{staged}'"
-                    )
-                else:
-                    # partial stage (no _SUCCESS): live table is still
-                    # the source of truth — drop the stale stage
-                    shutil.rmtree(sdir, ignore_errors=True)
-                    continue
-            # same clear-then-write as staged_overwrite: the live table
-            # may be external/partial after the crash
-            clear_tables(spark, db, (t,))
-            spark.table(f"{db}.{staged}").write.format("parquet").saveAsTable(
-                f"{db}.{t}"
+                # dangling entry: the rename already moved the stage
+                # into the live slot (the atomic commit point passed) —
+                # finish the registration from the entry's schema and
+                # drop the entry
+                if os.path.isdir(tdir):
+                    if not spark.catalog.tableExists(f"{db}.{t}"):
+                        schema = spark.table(f"{db}.{staged}").schema
+                        cols = ", ".join(
+                            f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in schema.fields
+                        )
+                        spark.sql(
+                            f"CREATE TABLE {db}.{t} ({cols}) USING "
+                            f"parquet LOCATION '{loc}/{t}'"
+                        )
+                    spark.catalog.refreshTable(f"{db}.{t}")
+                    spark.sql(f"DROP TABLE IF EXISTS {db}.{staged}")
+                    recovered.append(t)
+                continue
+            if not os.path.isdir(sdir):
+                continue
+            has_parts = any(
+                f.endswith(".parquet") for f in os.listdir(sdir)
             )
-            spark.catalog.refreshTable(f"{db}.{t}")
-            clear_tables(spark, db, (staged,))
-            recovered.append(t)
+            complete = os.path.isfile(
+                os.path.join(sdir, STAGE_COMPLETE_MARKER)
+            ) or os.path.isfile(os.path.join(sdir, "_SUCCESS"))
+            if has_parts and complete:
+                spark.sql(
+                    f"CREATE TABLE {db}.{staged} USING parquet "
+                    f"LOCATION '{loc}/{staged}'"
+                )
+                _commit_stage(spark, db, t)
+                recovered.append(t)
+            else:
+                # partial stage (no completion marker): live table is
+                # still the source of truth — drop the stale stage
+                shutil.rmtree(sdir, ignore_errors=True)
     return recovered
+
+
+def _snap_root(spark: SparkSession, db: str) -> str:
+    """``<db location>/_pristine`` — inside the database directory, so
+    ``DROP DATABASE ... CASCADE`` (and bench.py's ``--fresh-indexes``
+    rmtree) retires the snapshot together with the tables it mirrors;
+    no table can be named ``_pristine`` (Spark's file listing skips
+    underscore-prefixed paths), so it can never be adopted as data."""
+    return os.path.join(
+        db_location(spark, db).removeprefix("file:"), _SNAP_DIR
+    )
+
+
+def snapshot_tables(
+    spark: SparkSession, db: str, tables: Sequence[str]
+) -> None:
+    """Hardlink-snapshot the named tables' CURRENT parquet files into
+    the database's ``_pristine`` directory — to be called only when the
+    caller has just verified the tables are in their canonical state
+    (the auto-compacted demo queries' probe-clean base). Parquet files
+    are immutable (appends/truncates create/unlink whole files, never
+    rewrite in place), so hardlinks are snapshot-safe and cost no data
+    copy. No-op if a complete snapshot already exists; a half-written
+    one (no ``_SNAP_COMPLETE``) is discarded and retaken. Falls back to
+    a byte copy on filesystems without hardlinks."""
+    snap = _snap_root(spark, db)
+    if os.path.isfile(os.path.join(snap, SNAP_COMPLETE_MARKER)):
+        return
+    shutil.rmtree(snap, ignore_errors=True)
+    path = db_location(spark, db).removeprefix("file:")
+    for t in tables:
+        tdir = os.path.join(path, t)
+        sdir = os.path.join(snap, t)
+        os.makedirs(sdir, exist_ok=True)
+        for f in os.listdir(tdir):
+            if f.endswith(".parquet"):
+                try:
+                    os.link(os.path.join(tdir, f), os.path.join(sdir, f))
+                except OSError:
+                    shutil.copy2(os.path.join(tdir, f), os.path.join(sdir, f))
+    with open(os.path.join(snap, SNAP_COMPLETE_MARKER), "w") as fh:
+        fh.write("complete")
+
+
+def drop_snapshot(spark: SparkSession, db: str) -> None:
+    """Retire the pristine snapshot — called whenever the base tables
+    are (re)built, so a schema/code migration can never restore a
+    stale pristine set over the new build."""
+    shutil.rmtree(_snap_root(spark, db), ignore_errors=True)
+
+
+def restore_snapshot(
+    spark: SparkSession, db: str, tables: Sequence[str]
+) -> bool:
+    """Restore the named tables to their pristine snapshot with ZERO
+    Spark write jobs: hardlink the snapshot's files into a ``__staged``
+    directory, mark it complete, and run the standard
+    :func:`_commit_stage` rename — so the restore inherits the staged
+    commit's crash durability window for window (a crash mid-hardlink
+    leaves an unmarked partial stage that recovery clears; a crash
+    after the marker is finished by :func:`recover_staged`). Returns
+    False (caller falls back to depollute/rebuild) when no complete
+    snapshot exists."""
+    snap = _snap_root(spark, db)
+    if not os.path.isfile(os.path.join(snap, SNAP_COMPLETE_MARKER)):
+        return False
+    path = db_location(spark, db).removeprefix("file:")
+    with catalog_lock:
+        for t in tables:
+            staged = f"{t}__staged"
+            clear_tables(spark, db, (staged,))
+            sdir = os.path.join(path, staged)
+            os.makedirs(sdir, exist_ok=True)
+            for f in os.listdir(os.path.join(snap, t)):
+                if f.endswith(".parquet"):
+                    try:
+                        os.link(
+                            os.path.join(snap, t, f), os.path.join(sdir, f)
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(snap, t, f), os.path.join(sdir, f)
+                        )
+            with open(
+                os.path.join(sdir, STAGE_COMPLETE_MARKER), "w"
+            ) as fh:
+                fh.write("complete")
+            loc = db_location(spark, db)
+            spark.sql(
+                f"CREATE TABLE {db}.{staged} USING parquet "
+                f"LOCATION '{loc}/{staged}'"
+            )
+            _commit_stage(spark, db, t)
+    return True
 
 
 def _columns_ok(

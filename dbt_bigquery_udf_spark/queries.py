@@ -573,6 +573,7 @@ def ref_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime
 
     from .models.quality import check_source_freshness
+    from .operators.util import local_rows_df
 
     prepared_engine(spark, sf_dir)
     as_of = datetime(2001, 8, 4)
@@ -594,7 +595,11 @@ def ref_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r.status,
             )
         )
-    return spark.createDataFrame(
+    # local_rows_df since round 12: _sql_literal renders TIMESTAMP_NTZ
+    # literals exactly (session-UTC pin), so the last hot Python-RDD
+    # relation is gone (VERDICT r11 #5)
+    return local_rows_df(
+        spark,
         rows,
         "check_name string, max_ts timestamp, age_hours double, "
         "status string",
@@ -947,12 +952,18 @@ from .sources import format_queries  # noqa: E402,F401
 # --------------------------------------------------------------------------
 
 _CURATED_WINDOW = (
-    # reference parity (SURVEY §2.1/§2.2) + incremental materialization
-    # (round-3 rotation: framework evidence widened per VERDICT #8)
+    # reference parity (SURVEY §2.1/§2.2) — r12: ref_parse_datetime (11
+    # greens), ref_tvf_param (11) and ref_incremental_mart (9) rotate
+    # out per the VERDICT r11 #2 debt burn-down; the reference family
+    # keeps NINE in-window rows (datamart E2E + the six round-11 dbt
+    # surfaces + the two round-12 promotions below), strict
+    # PARSE_DATETIME stays pytest-pinned by the 62 golden vectors
     "ref_datamart_e2e",
-    "ref_parse_datetime",
-    "ref_tvf_param",
-    "ref_incremental_mart",
+    # round-12 promotions (queued round-11 candidates, VERDICT r11 #2):
+    # dbt 1.5 model versions (latest/pinned ref routing) and --defer
+    # --state (child built against the prod manifest)
+    "ref_model_versions",
+    "ref_defer_state",
     # round-11 promotions (VERDICT r10 #1/#6): the round-10-new dbt
     # surfaces earn hard driver rows — SCD2 snapshots (both dbt
     # strategies incl. hard-delete invalidation), the dbt test command
@@ -968,20 +979,27 @@ _CURATED_WINDOW = (
     # (r11: q1_pricing_summary — 10 greens — rotates out; scan+agg
     # stays exercised through the pipeline rows and verify_driver)
     # join / window / grouping shapes (r7: semi_anti_join + cube_orders
-    # rotate out after 4+ green rounds; asof keeps the range-join
-    # family) (r11: window_funcs_suite — 10 greens — and
-    # events_sessionize — 10 — rotate out; window shapes stay in-window
-    # through retrieval_rrf_fusion's rank windows and udtf_sentence_
-    # stats' grouped ranking, temporal through stream_hourly_rollup)
-    "asof_click_attribution",
+    # rotate out after 4+ green rounds) (r11: window_funcs_suite — 10
+    # greens — and events_sessionize — 10 — rotate out) (r12:
+    # asof_click_attribution — 11 greens — rotates out; the join family
+    # gets two FIRST-TIME rows instead: the TPCH waiting-suppliers
+    # exists/not-exists multi-join and the per-brand top-k window rank)
+    "q21_waiting_suppliers",
+    "window_top_parts_per_brand",
+    # timeseries — FIRST-TIME family row (the family had no in-window
+    # rep since timeseries_gapfill rotated out in r9; EWMA is the
+    # round-6 scale-mismatch lesson made driver-checkable)
+    "timeseries_ewma",
     # stats (r11: stats_approx_sketches — 9 greens — rotates out; the
     # stats family's driver row moves to the regr_slope/intercept
     # built-in trend, first-time row per VERDICT r10 #6 debt burn-down)
     "stats_regression_trend",
     # BigQuery-dialect transpiler (r11: bq_dialect_qualify — 10
-    # greens — rotates out per VERDICT r10 #6; the dialect layer stays
-    # in-window through ref_parse_datetime's strict PARSE_DATETIME and
-    # the 62 golden vectors in pytest)
+    # greens — rotates out) (r12: FIRST-TIME dialect row — the HLL
+    # sketch-merge rollup, the dialect's approximate-aggregation
+    # surface — replaces the rotated ref_parse_datetime as the
+    # in-window dialect rep)
+    "bq_dialect_hll_rollup",
     # hybrid retrieval (BM25 + ANN + reciprocal-rank fusion composed)
     "retrieval_rrf_fusion",
     # dedup family — round 9 promotes the full round-8 surface: the
@@ -994,8 +1012,9 @@ _CURATED_WINDOW = (
     # LSH rows)
     # (r11: dedup_incr_near_indexed — 4 greens — rotates out; the
     # layered near-dup admission stays repped by the auto-compaction
-    # and streaming-gate rows)
-    "dedup_incr_exact_indexed",
+    # and streaming-gate rows) (r12: dedup_incr_exact_indexed — 4
+    # greens — rotates out; exact admission stays repped by
+    # dedup_exact_auto_compacted + the exact forget/stream rows)
     "dedup_index_forget",
     "dedup_exact_forget",
     "dedup_lsh_bucket_stats",
@@ -1018,8 +1037,9 @@ _CURATED_WINDOW = (
     # truth) (r11: sim_range_search — 4 greens — rotates out; serving
     # quality stays in-window through sim_ann_eval_metrics and the new
     # autotune/policy rows below)
+    # (r12: sim_ivf_upsert — 4 greens — rotates out; the frozen-
+    # centroid upsert path stays exercised inside the retrain rows)
     "sim_ivf_trained_indexed",
-    "sim_ivf_upsert",
     "sim_ivf_forget",
     "sim_ivf_drift_stats",
     # round-10 promotions: the retrain lifecycle (execution + the
@@ -1034,9 +1054,14 @@ _CURATED_WINDOW = (
     # round-10-new, queued per VERDICT r10 #1)
     "sim_ivf_retrain_policy",
     "sim_ann_autotune",
-    # (r10: emb_label_propagation — 4 greens — rotates out; the
-    # embedding-ML family stays repped by emb_knn_graph)
-    "emb_knn_graph",
+    # (r10: emb_label_propagation — 4 greens — rotates out) (r12:
+    # emb_knn_graph — 6 greens — rotates out; the embedding family's
+    # driver row moves to the FIRST-TIME k-center seeding loop, whose
+    # r12 refcounted-persist change this row now pins)
+    "emb_kcenter_init",
+    # arrow grouped-map surface — FIRST-TIME row (the family's only
+    # query; its r11 bucketed grouped-map rewrite gets driver evidence)
+    "pandas_user_trend",
     # text analysis / quality / data selection (r9: text_bigram_lm_nll
     # rotates out after 5 green rounds — the bigram LM stays exercised
     # in-window through ccnet_perplexity_buckets, which scores with it)
@@ -1044,27 +1069,34 @@ _CURATED_WINDOW = (
     # in-window composed inside retrieval_rrf_fusion;
     # dsir_importance_weights — 6 greens — rotates out, the weights
     # stay exercised through dsir_select_topk which selects on them)
-    "dsir_select_topk",
-    "quality_c4_rules",
-    "quality_classifier_score",
+    # (r12: dsir_select_topk — 6 greens —, quality_c4_rules — 6 — and
+    # quality_classifier_score — 5 — rotate out; quality keeps ccnet,
+    # selection's row moves to the FIRST-TIME leakage-free group split,
+    # text gains the FIRST-TIME shingle-fingerprint row, pinning its
+    # r11 ensure_min_partitions rewrite)
+    "split_group_leakage_free",
+    "text_fingerprint",
     "ccnet_perplexity_buckets",
     # tokenizer training (r10: bpe_pair_counts — 5 greens — rotates
     # out; counts stay exercised as stage 1 of bpe_train_merges)
     # (r11: bpe_encode_corpus — 4 greens — rotates out; the trained
     # merge table stays in-window through bpe_train_merges)
     "bpe_train_merges",
-    # multimodal (r11: mm_decode_features — 9 greens — rotates out per
-    # VERDICT r10 #6; the Arrow mapInPandas byte path stays in-window
-    # through the first-time resize row, which decodes AND rewrites)
+    # multimodal (r11: mm_decode_features — 9 greens — rotates out)
+    # (r12: the FIRST-TIME props-extract row joins — the two rows now
+    # cover decode-only and decode+rewrite)
     "mm_resize_thumbs",
+    "mm_props_extract",
     # profiling / graph / streaming (r11: profile_columns — 9 greens —
     # and graph_pagerank_converged — 7 — rotate out per VERDICT r10 #6;
     # each family keeps a first-time rep: the PII scanner's regex
     # sweep, and iterative BFS reachability over the event graph)
+    # (r12: stream_hourly_rollup — 11 greens — and
+    # stream_near_dup_admission — 5 — rotate out; streaming keeps six
+    # rows and gains the FIRST-TIME transformWithState processor)
     "pii_scan",
     "graph_reachable_types",
-    "stream_hourly_rollup",
-    "stream_near_dup_admission",
+    "stream_transform_with_state",
     # round-9 promotions: the exact gate's streaming composition and
     # the embedding-side streaming gate — with these the whole
     # {exact, near-dup, IVF} x {batch, streaming, erasure} matrix has
@@ -1073,15 +1105,19 @@ _CURATED_WINDOW = (
     "stream_ivf_admission",
     # Python UDTF, source formats, VARIANT (r11: udtf_grouped_topk — 9
     # greens — and source_csv_roundtrip — 9 — rotate out per VERDICT
-    # r10 #6; each family keeps a first-time rep)
+    # r10 #6) (r12: events_variant_extract — 8 greens — rotates out;
+    # the events family's row moves to the FIRST-TIME signup->purchase
+    # funnel, and the ORC round trip completes the source-format set)
     "udtf_sentence_stats",
     "source_jsonl_roundtrip",
-    "events_variant_extract",
+    "source_orc_roundtrip",
+    "funnel_signup_purchase",
     # pipeline audits (oracles embed the registered gate/dedup oracles)
     # — round 8 promotes the incremental-admission audit composing both
     # persisted gates (r11: pipeline_quality_funnel — 4 greens —
-    # rotates out; the family keeps two reps)
-    "pipeline_dedup_funnel",
+    # rotates out) (r12: pipeline_dedup_funnel — 6 greens — rotates
+    # out; the family keeps the admission audit, which composes BOTH
+    # persisted gates)
     "pipeline_incremental_admission",
 )
 # Rotated out in round 7 (all remain registered + verify_driver-checked):
@@ -1134,12 +1170,28 @@ _CURATED_WINDOW = (
 # source_csv_roundtrip (9), udtf_grouped_topk (9),
 # dedup_incr_near_indexed (4), sim_range_search (4),
 # pipeline_quality_funnel (4), bpe_encode_corpus (4).
-# Queued round-12 window candidates (registered, verify_driver-checked,
-# benched — awaiting a driver slot): the round-11-new dbt surfaces —
-# ref_model_versions (dbt 1.5 versioned models: latest/pinned ref
-# routing + deprecation warning, value-checked through the v1/v2 column
-# difference) and ref_defer_state (--defer --state: child built against
-# the prod manifest without materializing the parent in dev).
+# Rotated in round 12 (VERDICT r11 #2): the two queued round-11 dbt
+# surfaces (ref_model_versions, ref_defer_state) plus twelve FIRST-TIME
+# rows burning driver-row debt with family-preserving swaps —
+# q21_waiting_suppliers, window_top_parts_per_brand, timeseries_ewma
+# (family had NO in-window rep since r9), bq_dialect_hll_rollup,
+# emb_kcenter_init, pandas_user_trend, split_group_leakage_free,
+# text_fingerprint, mm_props_extract, stream_transform_with_state,
+# source_orc_roundtrip, funnel_signup_purchase — 14 first-time rows.
+# Displaced (each 4+ driver-green rounds, every family keeps >=1
+# in-window rep, all stay registered + verify_driver-checked):
+# ref_parse_datetime (11 greens), ref_tvf_param (11),
+# ref_incremental_mart (9), asof_click_attribution (11),
+# stream_hourly_rollup (11), events_variant_extract (8),
+# dsir_select_topk (6), quality_c4_rules (6), quality_classifier_score
+# (5), pipeline_dedup_funnel (6), emb_knn_graph (6),
+# stream_near_dup_admission (5), dedup_incr_exact_indexed (4),
+# sim_ivf_upsert (4).
+# Queued round-13 window candidates (registered, verify_driver-checked,
+# benched — awaiting a driver slot): never-checked family siblings —
+# train_split_shards, stream_stream_join, distinct_bitmap_users,
+# text_repetition_stats, fuzzy_name_pairs, market_basket_pairs,
+# graph_pagerank_step, global_row_ids.
 
 
 def curated_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

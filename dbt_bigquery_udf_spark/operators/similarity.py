@@ -505,6 +505,44 @@ def _kmeans_wide(e: DataFrame, dims: int = 64) -> DataFrame:
     )
 
 
+_PERSIST_LOCK = __import__("threading").Lock()
+_PERSIST_REFS: dict[int, int] = {}
+
+
+class _refcounted_persist:
+    """Refcounted ``persist`` keyed on the plan's semantic hash (ADVICE
+    r11 medium): ``emb_kcenter_init`` and ``emb_kmeans_train`` persist
+    the IDENTICAL canonical plan ``_kmeans_wide(_emb(...))``, and
+    Spark's CacheManager dedupes cached plans — so when the audit runs
+    them concurrently, the first branch's ``unpersist()`` dropped the
+    shared entry while the other branch's driver loop was still
+    iterating, silently recomputing the full embedding lineage per
+    step. Here the LAST holder unpersists; persist/unpersist happen
+    under one lock so a finishing branch can never drop an entry a
+    starting branch just registered."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.key = int(
+            df._jdf.queryExecution().analyzed().semanticHash()
+        )
+
+    def __enter__(self) -> DataFrame:
+        with _PERSIST_LOCK:
+            _PERSIST_REFS[self.key] = _PERSIST_REFS.get(self.key, 0) + 1
+            self.df.persist()
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        with _PERSIST_LOCK:
+            n = _PERSIST_REFS.get(self.key, 1) - 1
+            if n <= 0:
+                _PERSIST_REFS.pop(self.key, None)
+                self.df.unpersist()
+            else:
+                _PERSIST_REFS[self.key] = n
+
+
 def _sq_dist_sql(cv: list[float]) -> str:
     """Squared distance to a literal centroid as a flat left-assoc sum —
     numerically identical to the fold (0.0 + t0 + ... ; squares are
@@ -724,7 +762,13 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the kmeans|| production shape minus sampled init; swapping
     the literal centroids for a broadcast join generalizes to large k.
     """
-    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
+    with _refcounted_persist(
+        _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb"))
+    ) as e:
+        return _kmeans_train_loop(spark, e)
+
+
+def _kmeans_train_loop(spark: SparkSession, e: DataFrame) -> DataFrame:
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in e.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "emb").collect()
@@ -780,8 +824,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm = round(sum(m * m for m in cv) ** 0.5, 4) + 0.0
             n_vecs, inertia = stats[cid]
             out_rows.append((rnd, cid, n_vecs, "%.4f" % norm, inertia))
-    e.unpersist()
-    return local_rows_df(spark, 
+    return local_rows_df(spark,
         sorted(out_rows),
         "round int, cluster_id int, n_vecs bigint, "
         "centroid_norm string, inertia_micros bigint",
@@ -2074,7 +2117,13 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centers table exactly like the k-means assignment.
     """
     inv = 999_999_999_999
-    e = _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb")).persist()
+    with _refcounted_persist(
+        _kmeans_wide(_emb(spark, sf_dir).select("vec_id", "emb"))
+    ) as e:
+        return _kcenter_loop(spark, e, inv)
+
+
+def _kcenter_loop(spark: SparkSession, e: DataFrame, inv: int) -> DataFrame:
     seed = e.filter(F.col("vec_id") == 0).select("emb").head()
     chosen: list[tuple[int, list[float]]] = [
         (0, [float(x) for x in seed[0]])
@@ -2104,8 +2153,7 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in e.filter(F.col("vec_id") == vid).select("emb").head()[0]
         ]
         chosen.append((vid, cv))
-    e.unpersist()
-    return local_rows_df(spark, 
+    return local_rows_df(spark,
         out_rows, "step int, vec_id bigint, dist_micro bigint"
     )
 

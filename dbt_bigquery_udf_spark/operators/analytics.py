@@ -714,8 +714,18 @@ def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_orders"))
     )
+    # DataSketches HLL (round 12, guide §5/§7.2): approx_count_distinct
+    # at rsd=0.005 plans an HLL++ buffer of 6557 longs FLATTENED INTO
+    # PLAN ATTRIBUTES — every invocation re-paid analysis/codegen over
+    # that schema (isolated min 3.9s). hll_sketch_agg keeps the state as
+    # ONE binary column (3.9s -> 2.1s measured, flags unchanged at all
+    # SFs). Accuracy margin vs the oracle's 2% tolerance IMPROVES:
+    # lgConfigK=16 gives rse ~= 1.04/sqrt(2^16) = 0.41% (~4.9 sigma)
+    # vs rsd=0.005 (4 sigma).
     sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.005).alias("approx_orders"),
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg(l_orderkey, 16))"
+        ).alias("approx_orders"),
         pcts.alias("apx"),
         exact_pcts.alias("ex"),
     )

@@ -485,22 +485,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 most-similar same-label pairs by
     cosine (label acts as the blocking key, the IVF-style scale lever:
-    the pair space is |label_bucket|^2, not |corpus|^2)."""
+    the pair space is |label_bucket|^2, not |corpus|^2).
+
+    Round 12 (guide §4 / the `_kmeans_wide` lesson): the per-pair
+    cosine previously ran as `aggregate(zip_with(...))` higher-order
+    lambdas, which evaluate INTERPRETED — the scale probes measured
+    HOF forms 7-11x slower than flat arithmetic. The embedding now
+    unpacks to e0..e63 doubles before the join, each row's norm is
+    computed ONCE pre-join, and the dot product is a flat codegen'd
+    64-term chain. Bit-exactness: the HOF fold was left-associative
+    starting at 0.0 (`0.0 + p0 + p1 + ...` — exact, the leading zero
+    adds nothing), and the flat chain `p0 + p1 + ...` parses to the
+    identical association, so every cosine is the same IEEE double."""
+    dims = 64
     e = register_sources(spark, sf_dir, tables=("embeddings",))["embeddings"]
     e = e.select(
         "vec_id",
         "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        *[
+            F.expr(f"cast(embedding[{i}] as double)").alias(f"e{i}")
+            for i in range(dims)
+        ],
     )
-    dot = "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
-    nrm = (
-        "sqrt(aggregate(transform({side}.emb, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+    sq = " + ".join(f"(e{i} * e{i})" for i in range(dims))
+    e = e.select(
+        "vec_id",
+        "label",
+        *[f"e{i}" for i in range(dims)],
+        F.expr(f"sqrt({sq})").alias("nrm"),
     )
+    dot = " + ".join(f"(a.e{i} * b.e{i})" for i in range(dims))
     # Zero-norm guard via try_divide (NULL on zero, single evaluation,
     # no plan-shape side effects; see similarity._cosine_expr).
-    cos = F.expr(
-        f"try_divide({dot}, {nrm.format(side='a')} * {nrm.format(side='b')})"
-    )
+    cos = F.expr(f"try_divide({dot}, a.nrm * b.nrm)")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -1446,13 +1463,23 @@ def _admit_batch_df(
             # row, so half-admitted ids can't self-match) — whereas the old
             # sigs-first order left band rows permanently missing and those
             # docs undiscoverable by every future batch.
-            _band_long(adm_sigs).write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{write_db}.bands")
+            #
+            # File sizing (round 12, guide §6): sigs carries the 32-way
+            # hash parallelism of ensure_min_partitions, so an unchecked
+            # append fragments a batch into one tiny file per partition
+            # (32 files for ~700 admitted rows locally; measured ~2x the
+            # write time, and every future probe lists/opens them all).
+            # Coalesce to parts/16 — at production batch sizes that is
+            # ~16 hash-partitions of rows per file (the 128MB-class
+            # range); locally it collapses the tail of tiny files.
+            n_files = max(1, sigs.rdd.getNumPartitions() // 16)
+            _band_long(adm_sigs).coalesce(n_files).write.format(
+                "parquet"
+            ).mode("append").saveAsTable(f"{write_db}.bands")
             lease.check()  # fence between the two appends
-            adm_sigs.select("doc_id", "hs").write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{write_db}.sigs")
+            adm_sigs.select("doc_id", "hs").coalesce(n_files).write.format(
+                "parquet"
+            ).mode("append").saveAsTable(f"{write_db}.sigs")
             # Invalidate cached file listings so the NEXT batch's
             # spark.table() sees these appends — inside a foreachBatch loop
             # the micro-batch session clone otherwise reads a stale file
@@ -2003,24 +2030,26 @@ def compact_near_dup_index(
         n_sigs = spark.table(f"{delta_db}.sigs").count()
         n_bands = spark.table(f"{delta_db}.bands").count()
         if n_sigs:
-            lease.check()  # fence before the copy/truncate window
-            spark.table(f"{delta_db}.sigs").write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{base_db}.sigs")
-            spark.table(f"{delta_db}.bands").write.format("parquet").mode(
-                "append"
-            ).saveAsTable(f"{base_db}.bands")
-            # ADVICE r10: the fencing token must be consulted at the
-            # DESTRUCTIVE step, not only before the copy — a lease that
-            # expired inside the copy window lets a stolen-lease
-            # admission append fresh delta rows which this TRUNCATE
-            # would then discard. renew() re-extends (raising if the
-            # lease was stolen), check() fences immediately before the
-            # drop of the only copy of any concurrent appends.
+            # Fold by FILE MOVE (round 12, guide §6): the sigs/bands
+            # fold is a blind delta→base append, so the delta's parquet
+            # files are RENAMED into the base directories instead of a
+            # copy job + TRUNCATE — zero write jobs, and each row lives
+            # in exactly one layer at every instant (the old copy's
+            # crash window left the whole delta duplicated into the
+            # base until the truncate; a crash mid-move just leaves the
+            # tail in the delta for the next trigger to resume). The
+            # ADVICE r10 fencing concern collapses with the truncate:
+            # the move IS the destructive step, so the token is
+            # consulted immediately before it; a stolen-lease
+            # admission's concurrent append lands new uuid-named files
+            # that the move loop either carries or leaves — never
+            # discards.
             lease.renew()
-            lease.check()
-            spark.sql(f"TRUNCATE TABLE {delta_db}.sigs")
-            spark.sql(f"TRUNCATE TABLE {delta_db}.bands")
+            lease.check()  # fence at the destructive step (the move)
+            from .index_store import move_table_files
+
+            move_table_files(spark, delta_db, "sigs", base_db, "sigs")
+            move_table_files(spark, delta_db, "bands", base_db, "bands")
             for db in (base_db, delta_db):
                 spark.catalog.refreshTable(f"{db}.sigs")
                 spark.catalog.refreshTable(f"{db}.bands")

@@ -1253,9 +1253,17 @@ def _score_batch_vs_index(
     drop it from the verdict frame (ADVICE r7) — unsignaturable docs
     must still emit (new_id, NULL, NULL, false), matching the DuckDB
     oracle's LEFT JOIN from documents.
-    """
-    from pyspark.sql import Window as W
 
+    Argmax shape (round 12, guide §2.4): the best-match selection is a
+    map-side ``min`` over an orderable struct — (10000 - jaccard*1e4,
+    idx_id, jaccard) — instead of a row_number window, removing the
+    window's sort (the struct's first field is injective on the
+    already-4-decimal-rounded jaccard, so the order is identical:
+    jaccard DESC, idx_id ASC; the original double rides along as the
+    third field, never compared because the first two determine it).
+    Measured ~0.2s per admission at sf0.1 (one fewer sort per score);
+    verified row-identical against the window form.
+    """
     idx_bands, idx_sigs = _index_relations(spark, db)
     cand = (
         _band_long(batch_sigs)
@@ -1276,20 +1284,21 @@ def _score_batch_vs_index(
     )
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.size("ha") + F.size("hb") - inter
-    scored = scored.select(
-        "new_id",
-        "idx_id",
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
-    )
+    jac = F.round(inter.cast("double") / union, 4)
     best = (
-        scored.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), "idx_id")
-            ),
+        scored.select(
+            "new_id",
+            F.struct(
+                (
+                    F.lit(10000) - F.round(jac * 10000).cast("bigint")
+                ).alias("nj"),
+                F.col("idx_id").alias("idx_id"),
+                jac.alias("jaccard"),
+            ).alias("s"),
         )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("new_id")
+        .agg(F.min("s").alias("s"))
+        .select("new_id", "s.idx_id", "s.jaccard")
     )
     anchor = (
         anchor_docs if anchor_docs is not None else batch_sigs

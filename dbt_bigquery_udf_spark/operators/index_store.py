@@ -373,6 +373,43 @@ def recover_staged(
     return recovered
 
 
+def move_table_files(
+    spark: SparkSession,
+    src_db: str,
+    src_table: str,
+    dst_db: str,
+    dst_table: str,
+) -> int:
+    """Fold ``src`` into ``dst`` by MOVING its parquet files (same-volume
+    ``os.rename`` per file) instead of a copy job + TRUNCATE — for folds
+    whose semantics are a blind append (the near-dup delta→base fold;
+    NOT the exact ledger's left_anti fold, which dedups on copy). Zero
+    Spark write jobs, and strictly better crash behavior than
+    copy-then-truncate: each row lives in exactly one layer at every
+    instant (a crash mid-move leaves the tail rows in the delta, where
+    the next fold trigger simply resumes; the old copy's crash window
+    left the whole delta duplicated into the base until the truncate).
+    Part-file names embed task UUIDs, so cross-layer collisions cannot
+    occur; non-parquet bookkeeping files (``_SUCCESS``) stay behind.
+    Returns the number of files moved. Caller holds the maintenance
+    lease and refreshes both tables afterwards."""
+    src = os.path.join(
+        db_location(spark, src_db).removeprefix("file:"), src_table
+    )
+    dst = os.path.join(
+        db_location(spark, dst_db).removeprefix("file:"), dst_table
+    )
+    n = 0
+    if not os.path.isdir(src):
+        return 0
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(src, f), os.path.join(dst, f))
+            n += 1
+    return n
+
+
 def _snap_root(spark: SparkSession, db: str) -> str:
     """``<db location>/_pristine`` — inside the database directory, so
     ``DROP DATABASE ... CASCADE`` (and bench.py's ``--fresh-indexes``
